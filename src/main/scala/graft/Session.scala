@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * The reference (`/root/reference`) delegates execution to Polars +
+  * PostgreSQL; here one Spark session owns both halves (programmatic
+  * DataFrame pipeline + SQL surface). Config choices are made for a real
+  * cluster and merely *sized* for local[32] testing:
+  *
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *    splitting, and dynamic broadcast-join conversion are the knobs that
+  *    keep a 100 TB plan healthy without hand-tuning per query.
+  *  - shuffle.partitions=32 locally (matches cores). On a 1000-executor
+  *    cluster this would be set ~2-3x total cores; AQE coalesces down.
+  *  - UTC session timezone: date/timestamp semantics must match the
+  *    DuckDB oracle and be machine-independent.
+  */
+object Session {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft configs to an externally-created session (Verify/Bench
+    * create their own). Only dynamic (non-static) confs can be set here. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}
