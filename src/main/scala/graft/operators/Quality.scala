@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Validate
+import graft.quality.Profiler
+import graft.sources.CsvSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Validation / profiling / ingest operators (SURVEY §2.2, §2.4, §2.1)
+  * exercised as oracle-checkable queries over the testdata tables. */
+object Quality {
+
+  // ---- q07: per-column regex invalid counts (P5/P6/A14) -------------
+  private val docPatterns = Seq(
+    "lang"    -> "^[a-z]{2}$",
+    "source"  -> "^src\\d+$",
+    "n_chars" -> "^\\d+$")
+
+  def invalidCounts(spark: SparkSession, dir: String): DataFrame =
+    Validate.perColumnInvalidCounts(Tables.documents(spark, dir), docPatterns)
+
+  val invalidCountsSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN lang IS NULL OR lang = '' OR NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS lang__invalid_count,
+      |  CAST(SUM(CASE WHEN source IS NULL OR source = '' OR NOT regexp_matches(source, '^src\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS source__invalid_count,
+      |  CAST(SUM(CASE WHEN n_chars IS NULL OR NOT regexp_matches(CAST(n_chars AS VARCHAR), '^\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_chars__invalid_count
+      |FROM documents""".stripMargin
+
+  // ---- q08: profile stats: nulls + exact distinct per column (A9/A11)
+  def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__n_unique")))
+    ev.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val profileStatsSql: String =
+    """SELECT
+      |  COUNT(*) - COUNT(user_id) AS user_id__nulls, COUNT(DISTINCT user_id) AS user_id__n_unique,
+      |  COUNT(*) - COUNT(event_type) AS event_type__nulls, COUNT(DISTINCT event_type) AS event_type__n_unique,
+      |  COUNT(*) - COUNT(value) AS value__nulls, COUNT(DISTINCT value) AS value__n_unique,
+      |  COUNT(*) - COUNT(props) AS props__nulls, COUNT(DISTINCT props) AS props__n_unique
+      |FROM events""".stripMargin
+
+  // ---- q09: value frequency distribution (A12) ----------------------
+  def valueCounts(spark: SparkSession, dir: String): DataFrame =
+    Profiler.valueCounts(Tables.events(spark, dir), "event_type")
+
+  val valueCountsSql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY 1 ORDER BY n DESC, event_type ASC""".stripMargin
+
+  // ---- q10: entry-error taxonomy (A13) ------------------------------
+  def errorTaxonomy(spark: SparkSession, dir: String): DataFrame =
+    Profiler.errorTaxonomy(Tables.events(spark, dir), "value")
+
+  val errorTaxonomySql: String =
+    """SELECT value_class, COUNT(*) AS n,
+      |       COUNT(*) / SUM(COUNT(*)) OVER () AS proportion
+      |FROM (
+      |  SELECT CASE
+      |    WHEN value IS NULL THEN 'null'
+      |    WHEN trim(CAST(value AS VARCHAR)) = '' THEN 'empty'
+      |    WHEN lower(trim(CAST(value AS VARCHAR))) IN ('#no value','#no_value','na','n/a','none','null','nan','missing') THEN 'null_token'
+      |    WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^[+-]?\d+$') THEN 'int'
+      |    WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^[+-]?(\d{1,3}(,\d{3})*|\d+)(\.\d+)?$') THEN 'us_numeric'
+      |    WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^[+-]?(\d{1,3}(\.\d{3})*|\d+)(,\d+)?$') THEN 'eu_numeric'
+      |    WHEN regexp_matches(lower(trim(CAST(value AS VARCHAR))), '^(true|false|t|f|yes|no|y|n|0|1)$') THEN 'bool'
+      |    WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^\d{4}-\d{2}-\d{2}$') THEN 'iso_date'
+      |    WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^\d{2}:\d{2}:\d{2}$') THEN 'time'
+      |    ELSE 'other' END AS value_class
+      |  FROM events) t
+      |GROUP BY 1 ORDER BY n DESC, value_class ASC""".stripMargin
+
+  // ---- q11: duplicate detection via content hash (A15/A16) ----------
+  def dupDocGroups(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    groups.agg(
+      count(lit(1)).as("n_dup_groups"),
+      coalesce(sum("c"), lit(0L)).cast("long").as("n_dup_rows"))
+  }
+
+  val dupDocGroupsSql: String =
+    """SELECT COUNT(*) AS n_dup_groups,
+      |       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_rows
+      |FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+      |      GROUP BY 1 HAVING COUNT(*) > 1) g""".stripMargin
+
+  // ---- q12: FK orphan checks via left-anti joins (J4) ---------------
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = Validate.fkOrphans(li, Tables.part(spark, dir), "l_partkey", "p_partkey")
+      .agg(count(lit(1)).as("lineitem_part_orphans"))
+    val b = Validate.fkOrphans(li, Tables.supplier(spark, dir), "l_suppkey", "s_suppkey")
+      .agg(count(lit(1)).as("lineitem_supplier_orphans"))
+    val c = Validate.fkOrphans(Tables.orders(spark, dir), Tables.customer(spark, dir),
+        "o_custkey", "c_custkey")
+      .agg(count(lit(1)).as("orders_customer_orphans"))
+    a.crossJoin(b).crossJoin(c)
+  }
+
+  val fkOrphansSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS lineitem_part_orphans,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS lineitem_supplier_orphans,
+      |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orders_customer_orphans""".stripMargin
+
+  // ---- q13: diagonal union across drifting schemas (U1/P3) ----------
+  def unionByNameDiagonal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+    val supp = Tables.supplier(spark, dir).select(
+      col("s_suppkey").as("id"), col("s_name").as("name"),
+      lit("supplier").as("src"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .filter(col("id") <= 20)
+      .orderBy(col("id"), col("src"))
+  }
+
+  val unionByNameDiagonalSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier) u
+      |WHERE id <= 20 ORDER BY id, src""".stripMargin
+
+  // ---- q14: placeholder-token normalization (P7) --------------------
+  def placeholderNormalization(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // Deterministically dirty the data with the reference's placeholder
+    // vocabulary, then normalize it back to nulls.
+    val dirty = when(col("event_id") % 7 === 0, lit("#NO VALUE"))
+      .when(col("event_id") % 7 === 1, lit("na"))
+      .when(col("event_id") % 7 === 2, lit("  "))
+      .otherwise(col("props"))
+    ev.select(Validate.normalizePlaceholders(dirty).as("p"))
+      .agg(
+        (count(lit(1)) - count(col("p"))).as("n_normalized_to_null"),
+        count(col("p")).as("n_kept"))
+  }
+
+  val placeholderNormalizationSql: String =
+    """SELECT COUNT(*) - COUNT(p) AS n_normalized_to_null, COUNT(p) AS n_kept
+      |FROM (
+      |  SELECT CASE WHEN lower(trim(CASE
+      |      WHEN event_id % 7 = 0 THEN '#NO VALUE'
+      |      WHEN event_id % 7 = 1 THEN 'na'
+      |      WHEN event_id % 7 = 2 THEN '  '
+      |      ELSE props END)) IN ('#no value','#no_value','na','n/a','none','null','nan','missing','')
+      |    THEN NULL ELSE CASE
+      |      WHEN event_id % 7 = 0 THEN '#NO VALUE'
+      |      WHEN event_id % 7 = 1 THEN 'na'
+      |      WHEN event_id % 7 = 2 THEN '  '
+      |      ELSE props END END AS p
+      |  FROM events) t""".stripMargin
+
+  // ---- q15: schema presence matrix (U2) — metadata-only, rows-only --
+  def schemaPresence(spark: SparkSession, dir: String): DataFrame =
+    Profiler.schemaPresence(Seq(
+      "customer" -> Tables.customer(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir),
+      "nation"   -> Tables.nation(spark, dir)))
+
+  // ---- q16: CSV round-trip: decimal-comma, null tokens, drift (S1/S8/F11/U1) --
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val base = li.select(
+      col("l_orderkey").as("ORDERKEY"),
+      col("l_linenumber").as("LINENUMBER"),
+      col("l_quantity").cast("int").cast("string").as("QTY"),
+      when(col("l_orderkey") % 50 === 0, lit("#NO VALUE"))
+        .otherwise(regexp_replace(
+          col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
+          "\\.", ",")).as("PRICE"))
+    val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    CsvSource.write(base.filter(col("LINENUMBER") <= 3), s"$tmp/a")
+    CsvSource.write(base.filter(col("LINENUMBER") > 3).drop("QTY"), s"$tmp/b")
+    val target = StructType(Seq(
+      StructField("orderkey", LongType), StructField("linenumber", IntegerType),
+      StructField("qty", IntegerType), StructField("price", DecimalType(18, 2))))
+    CsvSource.readAligned(spark, Seq(s"$tmp/a", s"$tmp/b"), target)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("qty"))).as("n_missing_qty"),
+        (count(lit(1)) - count(col("price"))).as("n_null_price"),
+        sum("price").cast("double").as("total_price"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_qty,
+      |  CAST(SUM(CASE WHEN l_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+      |  CAST(SUM(CASE WHEN l_orderkey % 50 = 0 THEN NULL
+      |       ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_price
+      |FROM lineitem""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_invalid_counts"   -> (invalidCounts _),
+    "q08_profile_stats"    -> (profileStats _),
+    "q09_value_counts"     -> (valueCounts _),
+    "q10_error_taxonomy"   -> (errorTaxonomy _),
+    "q11_dup_doc_groups"   -> (dupDocGroups _),
+    "q12_fk_orphans"       -> (fkOrphans _),
+    "q13_union_by_name"    -> (unionByNameDiagonal _),
+    "q14_placeholder_norm" -> (placeholderNormalization _),
+    "q15_schema_presence"  -> (schemaPresence _),
+    "q16_csv_roundtrip"    -> (csvRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "q07_invalid_counts"   -> invalidCountsSql,
+    "q08_profile_stats"    -> profileStatsSql,
+    "q09_value_counts"     -> valueCountsSql,
+    "q10_error_taxonomy"   -> errorTaxonomySql,
+    "q11_dup_doc_groups"   -> dupDocGroupsSql,
+    "q12_fk_orphans"       -> fkOrphansSql,
+    "q13_union_by_name"    -> unionByNameDiagonalSql,
+    "q14_placeholder_norm" -> placeholderNormalizationSql,
+    "q16_csv_roundtrip"    -> csvRoundtripSql)
+}

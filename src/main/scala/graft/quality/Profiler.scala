@@ -1,0 +1,92 @@
+package graft.quality
+
+import graft.functions.Validate
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling as single-pass distributed aggregations — the Spark
+  * owner of what the reference splits between `src/utils/
+  * dataset_profiling.py` and driver-side Python loops.
+  *
+  * Scale note: every report here is ONE aggregation over the data (or one
+  * groupBy of bounded cardinality). The reference's per-unique-value
+  * Python loop (`entry_error_proportions`, dataset_profiling.py:773-960)
+  * becomes a vectorized when-chain, so 100 TB profiling is a normal
+  * shuffle-light agg, never a driver loop.
+  */
+object Profiler {
+
+  /** A9: per-column null counts, 1 row. */
+  def nullCounts(df: DataFrame): DataFrame =
+    df.agg(
+      (count(lit(1)) - count(col(df.columns.head))).as(s"${df.columns.head}__nulls"),
+      df.columns.tail.map(c => (count(lit(1)) - count(col(c))).as(s"${c}__nulls")): _*)
+
+  /** A10/A11: distinct counts per column; `approx` uses HLL++
+    * (approx_count_distinct) for the 100 TB path, exact uses
+    * count(distinct) for oracle-checkable results. */
+  def distinctCounts(df: DataFrame, approx: Boolean = false): DataFrame = {
+    def d(c: String): Column =
+      if (approx) approx_count_distinct(col(c)).as(s"${c}__n_unique")
+      else countDistinct(col(c)).as(s"${c}__n_unique")
+    df.agg(d(df.columns.head), df.columns.tail.map(d): _*)
+  }
+
+  /** A12: value frequency distribution with a deterministic order. */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col(c).asc)
+
+  /** A11: long-form column description (data dictionary): one row per
+    * column with dtype, null count, distinct count. Built from a single
+    * wide agg, melted on the driver (bounded by #columns, not rows). */
+  def columnDescription(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = df.columns.flatMap(c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"n__$c"),
+      countDistinct(col(c)).as(s"u__$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    df.columns.toSeq.map { c =>
+      (c, types(c), row.getAs[Long](s"n__$c"), row.getAs[Long](s"u__$c"))
+    }.toDF("column", "dtype", "null_count", "n_unique")
+  }
+
+  /** A13: the reference's entry-error taxonomy (entry_error_proportions)
+    * as one vectorized pass: classify each value of string column `c`
+    * into its lexical class, count + proportion per class. */
+  def errorTaxonomy(df: DataFrame, c: String): DataFrame = {
+    val x = trim(col(c).cast("string"))
+    val cls = when(col(c).isNull, "null")
+      .when(x === "", "empty")
+      .when(lower(x).isin(Validate.defaultNullTokens.filter(_.nonEmpty)
+        .map(_.toLowerCase): _*), "null_token")
+      .when(x.rlike(Validate.ReInt), "int")
+      .when(x.rlike(Validate.ReUsNumeric), "us_numeric")
+      .when(x.rlike(Validate.ReEuNumeric), "eu_numeric")
+      .when(lower(x).rlike(Validate.ReBool), "bool")
+      .when(x.rlike(Validate.ReIsoDate), "iso_date")
+      .when(x.rlike(Validate.ReTime), "time")
+      .otherwise("other")
+    df.select(cls.as("value_class"))
+      .groupBy("value_class").agg(count(lit(1)).as("n"))
+      .withColumn("proportion", col("n") / sum("n").over(Window.partitionBy()))
+      .orderBy(desc("n"), col("value_class").asc)
+  }
+
+  /** U2: column-presence matrix across a set of named schemas
+    * (compare_schemas, dataset_profiling.py:438-469). Metadata-only —
+    * no data is scanned. */
+  def schemaPresence(dfs: Seq[(String, DataFrame)]): DataFrame = {
+    val spark = dfs.head._2.sparkSession
+    import spark.implicits._
+    val allCols = dfs.flatMap(_._2.columns).distinct.sorted
+    allCols.map { c =>
+      (c, dfs.map { case (n, d) => n -> d.columns.contains(c) }.toMap)
+    }.flatMap { case (c, m) => m.map { case (t, p) => (c, t, p) } }
+      .toDF("column", "table", "present")
+      .orderBy("column", "table")
+  }
+}
