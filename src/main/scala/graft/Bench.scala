@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver's BENCH_r{N}.json.
+  *
+  * - A warm-up pass (flagship join + a scan) runs first so JIT/codegen
+  *   compilation isn't billed to the first timed query.
+  * - Results are forced through the noop datasource: count() would let
+  *   Catalyst prune aggregate value columns, undertiming the real work;
+  *   noop materializes every output column without disk I/O.
+  */
 object Bench {
+  // Headline set: one per operator family (join+window agg, per-key agg,
+  // top-k, count-distinct, regex scan, hash dedup, MinHash+LSH, ANN).
+  val headline: Seq[String] = Seq(
+    "q1_total_margin_2m", "q3_revenue_per_day", "q4_top10_products",
+    "q5_tx_per_store", "q17_lang_id", "q20_exact_dedup",
+    "q22_minhash_lsh", "q25_cosine_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,16 +25,27 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    Session.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def force(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    // Warm-up: compile/JIT the scan + join + agg machinery off the clock.
+    try { force("q6_timeframe"); force("q1_total_margin_2m") }
+    catch { case _: Throwable => () }
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * language-ID, quality scoring, fingerprinting. All pure Column
+  * expressions (codegen'd, no UDFs) so they vectorize inside
+  * whole-stage codegen and push through 100 TB as ordinary projections.
+  *
+  * Regex syntax is kept in the Java-regex ∩ RE2 subset so the same
+  * pattern strings drive the DuckDB oracle.
+  */
+object Text {
+
+  /** ASCII word tokens of lowercased text. Unicode-lowercase differences
+    * between engines are moot because only [a-z0-9] runs survive. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
+  /** Whitespace-ish token count (the "wc -w" analog). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, single digits, and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a real BPE vocab. */
+  def subwordCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+
+  /** Word n-gram shingles (distinct), the dedup unit. Docs shorter than
+    * n tokens contribute no shingles. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // --- language ID (stopword + script heuristic) ----------------------
+
+  val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Per-language anchor stopwords, matched case-insensitively on the
+    * raw text ((?i) instead of lower() keeps both engines byte-equal). */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|to|in|is|that|it|for|was)\\b",
+    "de" -> "(?i)\\b(der|die|und|das|nicht|ist|ich|ein|zu|den)\\b",
+    "fr" -> "(?i)\\b(le|la|les|et|des|est|dans|une|que|pour)\\b",
+    "es" -> "(?i)\\b(el|los|las|y|que|en|un|una|por|con)\\b")
+
+  def stopwordHits(c: Column, lang: String): Column =
+    regexp_count(c, lit(stopwords.toMap.apply(lang)))
+
+  /** Heuristic language ID: CJK script wins outright, else argmax of
+    * stopword hit counts with a fixed precedence order for ties. */
+  def langId(c: Column): Column = {
+    val s = stopwords.map { case (l, _) => l -> stopwordHits(c, l) }.toMap
+    when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+      .when(s("fr") >= s("es"), "fr")
+      .otherwise("es")
+  }
+
+  // --- quality scoring -------------------------------------------------
+
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[.,;:!?]"))
+
+  /** Composite [0,1] quality score: token mass, low punctuation density,
+    * healthy stopword ratio. Every term is a deterministic IEEE double
+    * expression, so the score is engine-portable bit-for-bit. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c).cast("double")
+    val len = greatest(length(c), lit(1)).cast("double")
+    val punctRatio = punctCount(c).cast("double") / len
+    val stopRatio = stopwordHits(c, "en").cast("double") / greatest(toks, lit(1.0))
+    least(toks / lit(100.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.3) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3)
+  }
+
+  /** Canonical content fingerprint: md5 of whitespace-collapsed, trimmed
+    * text. Case is preserved (unicode case-folding is the one place
+    * engines may disagree byte-wise). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(c, "\\s+", " ")).cast("binary"))
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design (the point of each):
+  *  - exact: one hash-groupBy — a single shuffle on a 32-byte key, never
+  *    on the document body.
+  *  - jaccardPairs: inverted-index self-join on shingles. O(sum of
+  *    postings^2) per shingle — correct tool for bounded candidate sets;
+  *    at 100 TB you cap hot shingles (stop-shingle removal) or go MinHash.
+  *  - minhashLshPairs: the 100 TB path. Signatures are a groupBy over
+  *    exploded shingles (map-side combinable mins), candidates come from
+  *    equality joins on band keys (shuffle on tiny keys), and only
+  *    candidates pay the exact-Jaccard verify join.
+  *  - simhash: per-doc fingerprint in one agg; near-dup = Hamming
+  *    distance on 32-bit ints (bitwise XOR + popcount, no string ops).
+  *
+  * Hashes are md5-hex (a Catalyst built-in with codegen) so the DuckDB
+  * oracle can reproduce signatures byte-for-byte; a production tune
+  * would swap xxhash64 for md5 (same plan shape, ~4x cheaper hash).
+  */
+object Dedup {
+
+  /** Exact dedup: representative row per content hash (min id wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__h", md5(col(textCol).cast("binary")))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+
+  /** (doc_id, shingle) long-form distinct shingle table. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(Text.shingles(col(textCol), n)).as("s"))
+
+  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    withJaccard(inter, sz, threshold)
+  }
+
+  private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
+    val j = col("c").cast("double") /
+      (col("za.szn") + col("zb.szn") - col("c")).cast("double")
+    inter
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Seeded shingle hash shared with the oracle: md5("<seed>:<shingle>"). */
+  private def seededHash(seed: Int, s: Column): Column =
+    md5(concat(lit(s"$seed:"), s).cast("binary"))
+
+  /** MinHash signature: numHashes columns m0..m{k-1}, each the min seeded
+    * hash over the doc's shingles (map-side combinable). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(seededHash(i, col("s"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: bands x (numHashes/bands) signature layout; band key
+    * is the md5 of the '|'-joined minhashes in the band. */
+  def lshBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+          .cast("binary")).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle -> signature -> band
+    * candidates -> exact-Jaccard verify on candidates only. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val bandsDf = lshBands(minhashSignatures(sh, numHashes), numHashes, bands)
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    withJaccard(inter, sz, threshold)
+  }
+
+  /** 32-bit SimHash per doc from distinct ASCII tokens. Bit p of the
+    * token hash is the high bit of hex digit p of md5 (portable to any
+    * engine with md5). Returns (doc_id, simhash bitstring, simhash_int). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("t"))
+    val h = md5(col("t").cast("binary"))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until bits).map(p =>
+      sum(when(substring(h, p + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$p"))
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val bitstr = concat((0 until bits).map(p =>
+      when(col(s"b$p") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    agg.select(col("doc_id"), bitstr.as("simhash"))
+      .withColumn("simhash_int", conv(col("simhash"), 2, 10).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs by Hamming distance (bitwise path — no
+    * string ops in the join). Pairs all docs; at scale, pre-bucket on
+    * bit-prefixes the same way lshBands buckets minhashes. */
+  def simhashNearPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame =
+    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash_int").bitwiseXOR(col("b.simhash_int"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) wired as oracle-checkable queries over `documents` and
+  * `embeddings`. */
+object Llm {
+
+  // Shared DuckDB CTE: tokens -> distinct 3-word shingles.
+  private val shingleCte =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents%FILTER%),
+      |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, COUNT(*) AS szn FROM sh GROUP BY 1)""".stripMargin
+
+  // ---- q17: language ID (n-gram/stopword heuristic) ------------------
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), Text.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val langIdSql: String = {
+    val scores = Text.stopwords.map { case (l, pat) =>
+      s"len(regexp_extract_all(text, '$pat')) AS s_$l"
+    }.mkString(", ")
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |  SELECT lang, CASE
+       |    WHEN len(regexp_extract_all(text, '${Text.cjkPattern}')) > 0 THEN 'zh'
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr'
+       |    ELSE 'es' END AS predicted
+       |  FROM (SELECT lang, text, $scores FROM documents) s) p
+       |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---- q18: quality scoring (length/punct/stopword ratios) -----------
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.subwordCount(col("text")).cast("long").as("n_subwords"),
+        Text.punctCount(col("text")).cast("long").as("n_punct"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String = {
+    val en = Text.stopwords.toMap.apply("en")
+    s"""SELECT doc_id, CAST(tc AS BIGINT) AS n_tokens, CAST(sw AS BIGINT) AS n_subwords,
+       |  CAST(pc AS BIGINT) AS n_punct,
+       |  least(CAST(tc AS DOUBLE) / 100.0, 1.0) * 0.4
+       |  + (1.0 - least(CAST(pc AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
+       |  + least(CAST(se AS DOUBLE) / greatest(CAST(tc AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS quality
+       |FROM (SELECT doc_id, text,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tc,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS sw,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS pc,
+       |    len(regexp_extract_all(text, '$en')) AS se
+       |  FROM documents WHERE doc_id < 100) t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q19: content fingerprint (normalized md5) ---------------------
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // ---- q20: exact dedup (hash-groupBy) -------------------------------
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_unique_texts"),
+        sum("group_size").cast("long").as("n_docs"),
+        (sum("group_size") - count(lit(1))).cast("long").as("n_removed"))
+
+  val exactDedupSql: String =
+    """SELECT COUNT(*) AS n_unique_texts, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |       CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_removed
+      |FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1) g""".stripMargin
+
+  // ---- q21: n-gram Jaccard all-pairs (inverted index) ----------------
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", n = 3, threshold = 0.2)
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q22: MinHash + LSH near-dup pipeline --------------------------
+  private val NumHashes = 12
+  private val Bands = 4
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+
+  val minhashLshSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i:' || s)) AS m$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCte.replace("%FILTER%", "")},
+       |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |          JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q23: SimHash fingerprints -------------------------------------
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
+      "doc_id", "text")
+
+  val simhashSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val sums = (0 until 32)
+      .map(p => s"SUM(CASE WHEN substr(md5(t), ${p + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS b$p")
+      .mkString(",\n    ")
+    val bitstr = (0 until 32)
+      .map(p => s"CASE WHEN b$p >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val intval = (0 until 32)
+      .map(p => s"CASE WHEN b$p >= 0 THEN ${1L << (31 - p)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents WHERE doc_id < 200),
+       |sums AS (SELECT doc_id, $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $bitstr AS simhash,
+       |       CAST($intval AS BIGINT) AS simhash_int
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q24: embedding-cosine near-dup pairs --------------------------
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4, maxId = 500)
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 500),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- q25: brute-force cosine top-k (ANN baseline) ------------------
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  val cosineTopKSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_inner_product(v, v)) AS qn
+      |      FROM c WHERE vec_id < 10),
+      |cc AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
+      |scored AS (SELECT query_id, vec_id,
+      |    round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
+      |  FROM cc CROSS JOIN q WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
+      |  FROM scored)
+      |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
+      |ORDER BY query_id, "rank"""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_lang_id"           -> (langId _),
+    "q18_quality_score"     -> (qualityScore _),
+    "q19_fingerprint"       -> (fingerprint _),
+    "q20_exact_dedup"       -> (exactDedup _),
+    "q21_ngram_jaccard"     -> (ngramJaccard _),
+    "q22_minhash_lsh"       -> (minhashLsh _),
+    "q23_simhash"           -> (simhash _),
+    "q24_embedding_neardup" -> (embeddingNearDup _),
+    "q25_cosine_topk"       -> (cosineTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "q17_lang_id"           -> langIdSql,
+    "q18_quality_score"     -> qualityScoreSql,
+    "q19_fingerprint"       -> fingerprintSql,
+    "q20_exact_dedup"       -> exactDedupSql,
+    "q21_ngram_jaccard"     -> ngramJaccardSql,
+    "q22_minhash_lsh"       -> minhashLshSql,
+    "q23_simhash"           -> simhashSql,
+    "q24_embedding_neardup" -> embeddingNearDupSql,
+    "q25_cosine_topk"       -> cosineTopKSql)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles handle short and empty docs") {
+    val df = Seq("one two three four", "a b", "", "  ", "ONE two!THREE")
+      .toDF("text")
+      .select(Text.tokenCount(col("text")).as("tc"),
+        size(Text.shingles(col("text"), 3)).as("sc"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows(0) === ((4, 2))) // 4 tokens -> 2 distinct 3-shingles
+    assert(rows(1) === ((2, 0))) // too short for a shingle
+    assert(rows(2) === ((0, 0)))
+    assert(rows(3) === ((0, 0)))
+    assert(rows(4) === ((3, 1))) // case/punct-insensitive tokenization
+  }
+
+  test("langId picks the stopword-dominant language and CJK wins") {
+    val df = Seq(
+      "the cat and the dog sat in the house for a while",
+      "der Hund und die Katze ist ein Tier zu den",
+      "le chat et la maison est dans une rue pour les gens",
+      "el perro y el gato que en un una casa por con",
+      "这是一个中文文档 with some latin").toDF("text")
+    val out = df.select(Text.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "de", "fr", "es", "zh"))
+  }
+
+  test("fingerprint is whitespace-collapse invariant") {
+    val df = Seq(("a", "hello   world"), ("b", " hello world "), ("c", "hello worlds"))
+      .toDF("id", "text")
+      .select(col("id"), Text.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") !== fps("c"))
+  }
+
+  test("exactDedup keeps min id per content group") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id", "group_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("jaccardPairs finds a planted near-duplicate and skips distinct docs") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val c = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.7)
+  }
+
+  test("minhashLshPairs agrees with exact jaccardPairs on planted dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val df = Seq(
+      (1L, base + " omicron"), (2L, base + " pi"),
+      (3L, "unrelated words entirely disjoint from everything else here now"))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 12, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs have near-zero hamming distance") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq((1L, base), (2L, base + " nu"), (3L, "zz yy xx ww vv uu tt ss rr"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhash(df, "doc_id", "text")
+    assert(sims.collect().forall(_.getString(1).length === 32))
+    val pairs = Dedup.simhashNearPairs(sims, maxHamming = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on hits") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
+    val rows = brute.collect()
+    assert(rows.length === 15) // 3 queries x k=5
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // lsh candidates are a subset of the corpus; any returned neighbor's
+    // cosine must match the brute-force cosine for the same pair
+    val lsh = Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 5, bits = 4)
+      .select(col("query_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bruteAll = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, v) => assert(bruteAll(k) === v) }
+  }
+}
