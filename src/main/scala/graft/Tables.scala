@@ -33,7 +33,9 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(col("ts_ns") / 1000L cast LongType))
+        // integer division, NOT `/` (double division rounds: ns values
+        // near 2^60 lose sub-microsecond digits and can round UP)
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
   }
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import graft.sql.QueryRunner
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface, streaming, multimodal, and sessionization operators
+  * wired as oracle-checkable queries (q26-q29). */
+object Advanced {
+
+  // ---- q26: spark.sql surface over registered views (S9/S10) ---------
+  def sqlRunner(spark: SparkSession, dir: String): DataFrame = {
+    QueryRunner.register(spark, dir)
+    QueryRunner.run(spark,
+      QueryRunner.builtins("total_margin_signature_last_2_months"))
+  }
+  // Same result contract as q1 — the oracle is shared.
+  val sqlRunnerSql: String = Retail.totalMarginLast2MonthsSql
+
+  // ---- q27: Structured Streaming windowed rollup vs batch oracle -----
+  def streamHourly(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.hourlyEventRollup(spark, dir)
+
+  val streamHourlySql: String =
+    """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_start_ms,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q28: multimodal decode plumbing (stubbed kernel) --------------
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.decodeFeatures(
+        Multimodal.assetsFromText(docs, "doc_id", "text"))
+      .withColumn("n_bytes", col("n_bytes").cast("long"))
+      .orderBy("asset_id")
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS content_sha256,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+      |  CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height,
+      |  CAST(octet_length(encode(text)) AS DOUBLE)
+      |    / greatest(doc_id % 16 + 1, 1) AS bytes_per_frame
+      |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+
+  // ---- q29: gap-based sessionization (window functions) --------------
+  // Microsecond timeline on both engines: Spark truncates the parquet
+  // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
+  private val GapUs = 30L * 60 * 1000 * 1000 // 30 min
+
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(
+      Tables.events(spark, dir).filter(col("user_id") < 100)
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      GapUs, tsCol = "ts_us")
+
+  val sessionStatsSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tn FROM events WHERE user_id < 100),
+       |m AS (SELECT user_id, tn,
+       |    CASE WHEN lag(tn) OVER (PARTITION BY user_id ORDER BY tn) IS NULL
+       |           OR tn - lag(tn) OVER (PARTITION BY user_id ORDER BY tn) > $GapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_sql_runner"        -> (sqlRunner _),
+    "q27_stream_hourly"     -> (streamHourly _),
+    "q28_multimodal_decode" -> (multimodalDecode _),
+    "q29_sessionization"    -> (sessionStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_sql_runner"        -> sqlRunnerSql,
+    "q27_stream_hourly"     -> streamHourlySql,
+    "q28_multimodal_decode" -> multimodalDecodeSql,
+    "q29_sessionization"    -> sessionStatsSql)
+}
