@@ -112,13 +112,14 @@ object Llm {
   val minhashLshSql: String = {
     val rows = NumHashes / Bands
     val minExprs = (0 until NumHashes)
-      .map(i => s"MIN(md5('$i:' || s)) AS m$i").mkString(", ")
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 16)) AS m$i").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sig"
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${shingleCte.replace("%FILTER%", "")},
-       |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |hsh AS (SELECT doc_id, md5(s) || md5(s) AS hh, s FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -47,8 +47,21 @@ object Retail {
   /** Exact, order-independent SUM of a double expression. */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
 
+  /** Start-of-day for a date as a TimestampNTZ literal (l_shipdate reads
+    * as timestamp_ntz) — filtering the raw timestamp column
+    * (ts >= day0 && ts < dayN) is equivalent to filtering
+    * CAST(ts AS DATE) but reaches the parquet scan as a pushed filter
+    * (row-group pruning), which the cast form never does. */
+  private def dayStartUtc(d: java.sql.Date): java.time.LocalDateTime =
+    d.toLocalDate.atStartOfDay()
+
   /** total_margin_signature_last_2_months.sql: anchor month = month of
-    * MAX(date); window = [anchor - 1 month, anchor + 1 month). */
+    * MAX(date); window = [anchor - 1 month, anchor + 1 month).
+    *
+    * The window bounds are computed as driver scalars first (exactly
+    * what Catalyst does for an uncorrelated scalar subquery) so the
+    * window predicate prunes the fact scan BEFORE the join — at 100 TB
+    * the join should only ever see the two-month slice. */
   def totalMarginLast2Months(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val pa = Tables.part(spark, dir)
@@ -57,11 +70,11 @@ object Retail {
       .select(
         add_months(col("anchor"), -1).as("start_date"),
         add_months(col("anchor"), 1).as("end_exclusive"))
-    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-      .where(col("p_size") >= 25)
-      .crossJoin(broadcast(bounds))
-      .where(col("l_shipdate").cast("date") >= col("start_date") &&
-             col("l_shipdate").cast("date") < col("end_exclusive"))
+      .head()
+    li.where(col("l_shipdate") >= lit(dayStartUtc(bounds.getDate(0))) &&
+             col("l_shipdate") < lit(dayStartUtc(bounds.getDate(1))))
+      .join(broadcast(pa.where(col("p_size") >= 25)),
+        col("l_partkey") === col("p_partkey"))
       .agg(dsum(margin).as("total_margin_last_2_months"))
   }
 
@@ -86,12 +99,15 @@ object Retail {
   def totalMarginLast60Days(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val pa = Tables.part(spark, dir)
-    val bounds = li.agg(max(col("l_shipdate").cast("date")).as("max_date"))
-      .select(date_sub(col("max_date"), 60).as("start_date"), col("max_date"))
-    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-      .where(col("p_size") >= 25)
-      .crossJoin(broadcast(bounds))
-      .where(col("l_shipdate").cast("date").between(col("start_date"), col("max_date")))
+    val b = li.agg(max(col("l_shipdate").cast("date")).as("max_date"))
+      .select(date_sub(col("max_date"), 60).as("start_date"),
+        date_add(col("max_date"), 1).as("end_exclusive"))
+      .head()
+    // BETWEEN start AND max on the date == [start 00:00, max+1day) on ts.
+    li.where(col("l_shipdate") >= lit(dayStartUtc(b.getDate(0))) &&
+             col("l_shipdate") < lit(dayStartUtc(b.getDate(1))))
+      .join(broadcast(pa.where(col("p_size") >= 25)),
+        col("l_partkey") === col("p_partkey"))
       .agg(coalesce(dsum(margin), lit(0.0)).as("total_margin_last_60_days"))
   }
 
