@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Events, Multimodal}
+import graft.sql.QueryRunner
+import org.apache.spark.sql.functions._
+
+class AdvancedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QueryRunner: builtins run over registered views") {
+    QueryRunner.register(spark, sf)
+    val out = QueryRunner.run(spark, QueryRunner.builtins("transactions_timeframe"))
+    assert(out.columns.toSeq ===
+      Seq("last_transaction_date", "first_transaction_date"))
+    assert(out.count() === 1)
+  }
+
+  test("QueryRunner: registry + name fallback semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a_first.sql"), "SELECT 1 AS x")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b_second.sql"), "SELECT 2 AS x")
+    assert(QueryRunner.registry(dir).keySet === Set("a_first", "b_second"))
+    assert(QueryRunner.resolve(dir, Some("b_second")).get.toString.endsWith("b_second.sql"))
+    // unknown name falls back to first alphabetically (reference behavior)
+    assert(QueryRunner.resolve(dir, Some("nope")).get.toString.endsWith("a_first.sql"))
+    assert(QueryRunner.resolve(dir, None).get.toString.endsWith("a_first.sql"))
+  }
+
+  test("sessionize splits on gaps and numbers sessions per user") {
+    val us = 1000L * 1000 // 1 second in micros
+    val ev = Seq(
+      (1L, 0L * us), (1L, 10 * us), (1L, 100 * us),   // user 1: gap at 100s
+      (2L, 0L * us)).toDF("user_id", "ts_us")
+    val out = Events.sessionStats(ev, gap = 50 * us, tsCol = "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("multimodal: decode features are deterministic over the binary payload") {
+    val docs = Seq((0L, "hello"), (1L, "höllo"), (2L, "x")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.assetsFromText(docs, "doc_id", "text"))
+    val byId = feats.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getAs[String]("kind") === "image")
+    assert(byId(1L).getAs[String]("kind") === "audio")
+    assert(byId(0L).getAs[Long]("n_bytes") === 5L)
+    assert(byId(1L).getAs[Long]("n_bytes") === 6L) // ö is 2 UTF-8 bytes
+    assert(byId(0L).getAs[String]("content_sha256") ===
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("multimodal: frame sampling strides over n_frames") {
+    val docs = Seq((9L, "0123456789abcdef")).toDF("doc_id", "text") // 9%16+1=10 frames
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assetsFromText(docs, "doc_id", "text"), stride = 4)
+    assert(frames.select("frame_idx").collect().map(_.getInt(0)).toSeq ===
+      Seq(0, 4, 8))
+  }
+
+  test("multimodal: batchDecode mapPartitions seam computes per-blob feature") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = Multimodal.batchDecode(
+      Multimodal.assetsFromText(docs, "doc_id", "text")).collect()
+    assert(out.head.getLong(1) === ('a'.toLong + 'b'.toLong))
+  }
+
+  test("rollup stream equals batch group-by (stream/batch parity)") {
+    val streamed = graft.streaming.StreamOps.hourlyEventRollup(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val batch = ev.groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{Text, Validate}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the normalization/validation primitives (SURVEY §5),
+  * driven through real Spark evaluation. Raw ScalaCheck Gens with a fixed
+  * seed (the scalatest/scalacheck bridge artifact isn't available in the
+  * offline cache), sampled in deterministic batches. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i))).toList
+
+  test("decimalComma round-trips any scaled decimal rendered with a comma") {
+    val gen = for {
+      units <- Gen.chooseNum(-999999L, 999999L)
+      frac <- Gen.chooseNum(0, 999999)
+    } yield BigDecimal(s"$units.${"%06d".format(frac)}").abs * (if (units < 0) -1 else 1)
+    val ds = samples(gen, 200)
+    val rendered = ds.map(d => d.bigDecimal.toPlainString.replace(".", ","))
+    val parsed = rendered.toDF("v")
+      .select(Validate.decimalComma(col("v")).as("d"))
+      .collect().map(r => BigDecimal(r.getDecimal(0))).toList
+    assert(parsed === ds)
+  }
+
+  test("normalizePlaceholders is idempotent") {
+    val gen: Gen[String] = Gen.oneOf(
+      Validate.defaultNullTokens ++ Seq("keepme", "  NA  ", "#No Value", null))
+    val vs = samples(gen, 200)
+    val once = vs.toDF("v")
+      .select(Validate.normalizePlaceholders(col("v")).as("v"))
+    val twice = once.select(Validate.normalizePlaceholders(col("v")).as("v"))
+    assert(once.collect().map(_.isNullAt(0)).toSeq ===
+      twice.collect().map(_.isNullAt(0)).toSeq)
+  }
+
+  test("invalidExpr never returns null (it must be filterable/summable)") {
+    val gen = Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.numStr, Gen.alphaStr)
+    val vs = samples(gen, 200)
+    val out = vs.toDF("v")
+      .select(Validate.invalidExpr(col("v"), "^\\d+$").as("i"))
+      .collect()
+    assert(out.forall(!_.isNullAt(0)))
+    // and agrees with a reference model
+    val model = vs.map(v => v == null || v.isEmpty || !v.forall(_.isDigit))
+    assert(out.map(_.getBoolean(0)).toList === model)
+  }
+
+  test("shingle count equals distinct n-gram count of the token list") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val gen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(gen, 100)
+    val texts = docs.map(_.mkString(" "))
+    val got = texts.toDF("text")
+      .select(size(Text.shingles(col("text"), 3)).as("n"))
+      .collect().map(_.getInt(0)).toList
+    val expected = docs.map { ws =>
+      if (ws.length < 3) 0 else ws.sliding(3).map(_.mkString(" ")).toSet.size
+    }
+    assert(got === expected)
+  }
+}
