@@ -71,15 +71,56 @@ object Advanced {
        |       CAST(SUM(new_session) AS BIGINT) AS n_sessions
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q30: partitioned warehouse sink + partition-pruned read -------
+  def warehouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warehouse
+    val li = Tables.lineitem(spark, dir)
+    val path = s"/tmp/graft_wh_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Warehouse.writeMonthlyTransactions(li, path)
+    val wh = Warehouse.read(spark, path)
+    val maxMonth = wh.agg(max("sale_month")).head().getString(0)
+    // Filter on the partition column: only that month's directory is read
+    // (PartitionFilters in the plan — the "index" at work).
+    wh.filter(col("sale_month") === maxMonth)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
+  }
+
+  val warehouseRoundtripSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') =
+      |      (SELECT MAX(strftime(l_shipdate, '%Y-%m')) FROM lineitem)""".stripMargin
+
+  // ---- q31: skew-salted two-phase aggregation ------------------------
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Skew
+    Skew.saltedAgg(Tables.events(spark, dir), "event_type",
+        col("value").cast("decimal(18,4)"), saltSource = col("user_id"))
+      .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sql_runner"        -> (sqlRunner _),
     "q27_stream_hourly"     -> (streamHourly _),
     "q28_multimodal_decode" -> (multimodalDecode _),
-    "q29_sessionization"    -> (sessionStats _))
+    "q29_sessionization"    -> (sessionStats _),
+    "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
+    "q31_salted_agg"        -> (saltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
     "q27_stream_hourly"     -> streamHourlySql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
-    "q29_sessionization"    -> sessionStatsSql)
+    "q29_sessionization"    -> sessionStatsSql,
+    "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
+    "q31_salted_agg"        -> saltedAggSql)
 }

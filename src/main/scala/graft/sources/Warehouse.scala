@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse sink (SURVEY §2.1 S7/S9): the reference's PostgreSQL COPY +
+  * b-tree indexes become partitioned parquet + min-max statistics.
+  *
+  * Partition layout IS the index at 100 TB: a monthly partition on the
+  * transaction date replaces the reference's
+  * `idx_transactions_date_transaction` (schema.sql:41) — date-window
+  * queries (q1/q2) then touch only the partitions in range (partition
+  * pruning), and within a partition parquet row-group min-max stats
+  * take the role of the b-tree's selectivity.
+  */
+object Warehouse {
+
+  /** Write a frame as a partitioned parquet table directory. Sort within
+    * partitions by `sortCol` so parquet row groups get tight min-max
+    * ranges on the join/filter key (the ZORDER-less analog of
+    * schema.sql:42's key index). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       sortCol: Option[String] = None): Unit = {
+    val sorted = sortCol.map(c => df.sortWithinPartitions(c)).getOrElse(df)
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Month-partitioned transactions layout used by the ingest path:
+    * adds a `sale_month` partition column (yyyy-MM). */
+  def writeMonthlyTransactions(li: DataFrame, path: String): Unit =
+    writePartitioned(
+      li.withColumn("sale_month", date_format(col("l_shipdate"), "yyyy-MM")),
+      path, Seq("sale_month"), sortCol = Some("l_partkey"))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

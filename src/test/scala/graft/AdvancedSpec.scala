@@ -15,6 +15,13 @@ class AdvancedSpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("QueryRunner: DDL executes through the same surface (S9)") {
+    QueryRunner.run(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW graft_ddl_probe AS SELECT 7 AS seven")
+    assert(QueryRunner.run(spark, "SELECT seven FROM graft_ddl_probe")
+      .collect().head.getInt(0) === 7)
+  }
+
   test("QueryRunner: registry + name fallback semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sql").toString
     java.nio.file.Files.writeString(

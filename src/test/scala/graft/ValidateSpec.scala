@@ -76,6 +76,15 @@ class ValidateSpec extends SparkSpec {
     assert(orphans.map(_.getInt(0)).toSeq === Seq(99))
   }
 
+  test("invalidValuesByColumn lists distinct offenders in long form") {
+    val df = Seq(("ok1", "bad"), ("nope", "bad"), ("ok2", "also"), ("nope", "x1"))
+      .toDF("a", "b")
+    val out = Validate.invalidValuesByColumn(df,
+        Seq("a" -> "^ok\\d$", "b" -> "^x\\d$"), limitPerCol = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a", "nope"), ("b", "bad"), ("b", "also")))
+  }
+
   test("wholeRowDups counts exact duplicate rows") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "x")
     assert(Validate.wholeRowDups(df) === 1L)
