@@ -31,10 +31,15 @@ object Dedup {
     df.withColumn("__h", md5(col(textCol).cast("binary")))
       .groupBy("__h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
 
-  /** (doc_id, shingle) long-form distinct shingle table. */
+  /** (doc_id, shingle, h64) long-form distinct shingle table. `h64` is
+    * an xxhash64 of the shingle: set-intersection joins run on 8-byte
+    * int keys instead of ~50-byte strings (halves the verify-join
+    * shuffle; the 2^-64 collision rate is far below the jaccard
+    * tolerance). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(Text.shingles(col(textCol), n)).as("s"))
+        explode(Text.shingles(col(textCol), n)).as("s"))
+      .withColumn("h64", xxhash64(col("s")))
 
   /** All-pairs n-gram Jaccard >= threshold via shingle inverted index. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -43,7 +48,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     withJaccard(inter, sz, threshold)
@@ -106,7 +111,7 @@ object Dedup {
       .distinct()
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     withJaccard(inter, sz, threshold)
   }

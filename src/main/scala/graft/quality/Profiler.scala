@@ -76,6 +76,32 @@ object Profiler {
       .orderBy(desc("n"), col("value_class").asc)
   }
 
+  /** Profile-report artifact (reporting.py:36-71 analog): one JSON file
+    * describing every table — row count, schema, per-column null/distinct
+    * counts, and the cross-table column-presence matrix. Stats come from
+    * one aggregation per table; JSON shaping is driver-side. */
+  def writeReport(dfs: Seq[(String, DataFrame)], path: String): Unit = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val tables = dfs.map { case (name, df) =>
+      val desc = columnDescription(df).collect()
+      val cols = desc.map { r =>
+        s"${q(r.getString(0))}: {" +
+          s""""dtype": ${q(r.getString(1))}, "null_count": ${r.getLong(2)}, """ +
+          s""""n_unique": ${r.getLong(3)}}"""
+      }.mkString("{", ", ", "}")
+      s"${q(name)}: {\"n_rows\": ${df.count()}, \"columns\": $cols}"
+    }.mkString("{", ", ", "}")
+    val presence = schemaPresence(dfs).collect()
+      .map(r => s"""[${q(r.getString(0))}, ${q(r.getString(1))}, ${r.getBoolean(2)}]""")
+      .mkString("[", ", ", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      s"""{"tables": $tables, "column_presence": $presence}""")
+  }
+
   /** U2: column-presence matrix across a set of named schemas
     * (compare_schemas, dataset_profiling.py:438-469). Metadata-only —
     * no data is scanned. */
