@@ -27,16 +27,24 @@ object Text {
   def subwordCount(c: Column): Column =
     regexp_count(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
 
-  /** Word n-gram shingles (distinct), the dedup unit. Docs shorter than
-    * n tokens contribute no shingles. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val t = tokens(c)
+  /** Shingles from an already-materialized token array. Reference `t`
+    * as a bound column, never an expression subtree: this expression
+    * mentions the token array five times, and Catalyst does not
+    * eliminate common subtrees inside one projection — inlining
+    * `tokens(text)` here re-runs the regex split per mention (measured
+    * 5x cost on the shingle path). */
+  def shinglesFromTokens(t: Column, n: Int): Column =
     array_distinct(
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n), i =>
           concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** Word n-gram shingles (distinct), the dedup unit. Docs shorter than
+    * n tokens contribute no shingles. Prefer tokenizing into a column
+    * and calling shinglesFromTokens when the caller controls the plan. */
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(c), n)
 
   // --- language ID (stopword + script heuristic) ----------------------
 

@@ -37,8 +37,8 @@ object Dedup {
     * shuffle; the 2^-64 collision rate is far below the jaccard
     * tolerance). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(Text.shingles(col(textCol), n)).as("s"))
+    df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("t"), n)).as("s"))
       .withColumn("h64", xxhash64(col("s")))
 
   /** All-pairs n-gram Jaccard >= threshold via shingle inverted index. */
