@@ -37,4 +37,19 @@ object Warehouse {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed catalog table: pre-hash-partitioned on the join key so
+    * repeated joins/aggregations on that key skip their shuffle
+    * entirely (both sides bucketed on the same key and count =>
+    * SortMergeJoin with zero Exchange). This is the co-located-join
+    * strategy for the 100 TB fact<->fact case where neither side
+    * broadcasts; bucket count is chosen once at layout time
+    * (rule of thumb: total size / 128-256 MB, rounded to a power of 2
+    * shared by the joining tables). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

@@ -12,6 +12,7 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
