@@ -81,6 +81,20 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ivfTopK: probed cells yield high recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every ivf hit must be a real neighbor with the same cosine; recall
+    // across 25 brute pairs should be substantial with half the cells probed
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.size === 25) // 5 queries x k=5 (cells hold enough candidates)
+  }
+
   test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on hits") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
