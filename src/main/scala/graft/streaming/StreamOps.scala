@@ -61,4 +61,59 @@ object StreamOps {
 
     spark.table(queryName).orderBy("hour_start_ms", "event_type")
   }
+
+  /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
+    * a per-user running (event count, value in exact integer cents)
+    * accumulator. Cents (not doubles) keep the state order-independent,
+    * so a bounded replay equals the batch GROUP BY exactly — asserted in
+    * AdvancedSpec.
+    *
+    * Scale: state is one small tuple per user, partitioned by the
+    * grouping key; eviction policy would hang off GroupStateTimeout in a
+    * production job (unbounded key spaces need TTLs or it's a leak).
+    */
+  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = "graft_state_" + math.abs(dir.hashCode).toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_state_ckpt").toString
+
+    val updates = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (uid, n, c)
+      }
+      .toDF("user_id", "n_events", "total_cents")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // keep the latest state per user (update mode appends one row per
+    // batch; the event count is monotone, so max(struct) picks the
+    // final state atomically)
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+      .orderBy("user_id")
+  }
 }

@@ -73,6 +73,30 @@ class AdvancedSpec extends SparkSpec {
     assert(out.head.getLong(1) === ('a'.toLong + 'b'.toLong))
   }
 
+  test("stateful mapGroupsWithState totals equal batch group-by") {
+    val streamed = graft.streaming.StreamOps.statefulUserTotals(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("manual sessionizer agrees with Spark's built-in session_window") {
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 100)
+    val manual = Events.sessionStats(
+        ev.withColumn("ts_us", unix_micros(col("ts"))),
+        gap = 30L * 60 * 1000 * 1000, tsCol = "ts_us")
+      .select("user_id", "n_sessions")
+    val builtin = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(manual.exceptAll(builtin).count() === 0)
+    assert(builtin.exceptAll(manual).count() === 0)
+  }
+
   test("rollup stream equals batch group-by (stream/batch parity)") {
     val streamed = graft.streaming.StreamOps.hourlyEventRollup(spark, sf)
     val ev = Tables.events(spark, sf)
