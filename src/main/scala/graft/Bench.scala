@@ -16,7 +16,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_total_margin_2m", "q3_revenue_per_day", "q4_top10_products",
     "q5_tx_per_store", "q17_lang_id", "q20_exact_dedup",
-    "q22_minhash_lsh", "q25_cosine_topk")
+    "q22_minhash_lsh", "q25_cosine_topk", "q29_sessionization")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

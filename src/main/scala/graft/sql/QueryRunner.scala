@@ -58,6 +58,15 @@ object QueryRunner {
         |WHERE p_size >= 25
         |  AND CAST(l_shipdate AS DATE) >= w.start_date
         |  AND CAST(l_shipdate AS DATE) <  w.end_exclusive""".stripMargin,
+    "total_margin_signature_last_2_months_in_days" ->
+      """SELECT COALESCE(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |         - p_retailprice * l_quantity * 0.8 AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+        |       AS total_margin_last_60_days
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size >= 25
+        |  AND CAST(l_shipdate AS DATE)
+        |      BETWEEN ((SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem) - INTERVAL 60 DAY)
+        |          AND  (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)""".stripMargin,
     "number_transactions_per_store" ->
       """SELECT l_suppkey,
         |       COUNT(DISTINCT l_orderkey) AS number_distinct_of_transactions,

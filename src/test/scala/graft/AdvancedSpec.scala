@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 class AdvancedSpec extends SparkSpec {
   import spark.implicits._
 
-  test("QueryRunner: builtins run over registered views") {
+  test("QueryRunner: all six reference builtins run over registered views") {
     QueryRunner.register(spark, sf)
-    val out = QueryRunner.run(spark, QueryRunner.builtins("transactions_timeframe"))
-    assert(out.columns.toSeq ===
+    assert(QueryRunner.builtins.size === 6)
+    QueryRunner.builtins.foreach { case (name, sql) =>
+      val out = QueryRunner.run(spark, sql)
+      assert(out.columns.nonEmpty && out.count() >= 0, name)
+    }
+    val tf = QueryRunner.run(spark, QueryRunner.builtins("transactions_timeframe"))
+    assert(tf.columns.toSeq ===
       Seq("last_transaction_date", "first_transaction_date"))
-    assert(out.count() === 1)
   }
 
   test("QueryRunner: DDL executes through the same surface (S9)") {
