@@ -22,6 +22,17 @@ class WarehouseSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey", "l_quantity")
     val pa = Tables.part(spark, sf).select("p_partkey", "p_retailprice")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both or CTAS refuses
+    Seq("graft_li_b", "graft_pa_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_test_warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Warehouse.writeBucketed(li, "graft_li_b", "l_partkey", 8, Some("l_partkey"))
     Warehouse.writeBucketed(pa, "graft_pa_b", "p_partkey", 8, Some("p_partkey"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
