@@ -36,10 +36,16 @@ object Dedup {
     * int keys instead of ~50-byte strings (halves the verify-join
     * shuffle; the 2^-64 collision rate is far below the jaccard
     * tolerance). */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // codegen'd shingler (graft.plans.WordShingles): byte-identical to
+    // array_distinct(transform(...)) but ~10x faster — higher-order
+    // lambdas run interpreted
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("t"), n)).as("s"))
+      .select(col("doc_id"),
+        explode(graft.plans.GraftFunctions.word_shingles(col("t"), n)).as("s"))
       .withColumn("h64", xxhash64(col("s")))
+  }
 
   /** All-pairs n-gram Jaccard >= threshold via shingle inverted index. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -74,8 +80,11 @@ object Dedup {
     * Requires numHashes <= 16 (32 hex chars / stride 2). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes <= 16, "rotation family supports at most 16 hashes")
-    val withH = sh.withColumn("__hh",
-      concat(md5(col("s").cast("binary")), md5(col("s").cast("binary"))))
+    // md5 materialized as a column first — inlining it into the concat
+    // would evaluate it twice per row (no CSE within a projection)
+    val withH = sh
+      .withColumn("__h", md5(col("s").cast("binary")))
+      .withColumn("__hh", concat(col("__h"), col("__h")))
     val aggs = (0 until numHashes).map(i =>
       min(substring(col("__hh"), i * 2 + 1, 16)).as(s"m$i"))
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -17,16 +17,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkShingles(exprs)))
   }
 }
 
 object GraftFunctions {
-  /** Late registration on an already-built session (temp function). */
-  def register(spark: SparkSession): Unit =
+  private[plans] def mkShingles(exprs: Seq[Expression]): WordShingles =
+    WordShingles(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+
+  /** Late registration on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", mkShingles, "built-in")
+  }
 
-  /** Column-API handle; resolves through the function registry, so call
+  /** Column-API handles; resolve through the function registry, so call
     * [[register]] (or install [[GraftExtensions]]) first. */
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+
+  def word_shingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
 }
