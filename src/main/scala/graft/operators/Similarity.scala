@@ -27,9 +27,13 @@ object Similarity {
   /** Float array -> double array. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product (deterministic order). */
+  /** Sequential dot product via the codegen'd graft_dot expression (the
+    * aggregate/zip_with lambda form runs interpreted per element — see
+    * graft.plans.DotProduct). Same index-order accumulation, so values
+    * are unchanged. Callers must have registered GraftFunctions (every
+    * public method here does). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.GraftFunctions.graft_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -38,6 +42,7 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -73,6 +78,7 @@ object Similarity {
     * higher recall & cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -99,6 +105,7 @@ object Similarity {
     * buckets. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -142,6 +149,7 @@ object Similarity {
     * cosine >= threshold. The library scale path buckets via
     * srpSignature first; this exact form is the verifier. */
   def nearDupPairs(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))

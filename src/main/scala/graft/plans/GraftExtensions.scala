@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => GraftFunctions.mkShingles(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }
 
@@ -35,6 +39,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkShingles, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API handles; resolve through the function registry, so call
@@ -43,4 +49,6 @@ object GraftFunctions {
 
   def word_shingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+
+  def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
