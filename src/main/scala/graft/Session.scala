@@ -45,6 +45,9 @@ object Session {
     * create their own). Only dynamic (non-static) confs can be set here. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }

@@ -41,7 +41,14 @@ object Dedup {
     // array_distinct(transform(...)) but ~10x faster — higher-order
     // lambdas run interpreted
     graft.plans.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("t"))
+    // Repartition by doc_id BEFORE the expensive map chain: a document
+    // corpus often arrives as few large files (locally: one), and without
+    // this the tokenize+shingle+md5 work runs on as few cores as there
+    // are input splits. Hashing by doc_id also pre-partitions for the
+    // signature groupBy and the verify join, so the shuffle moves cheap
+    // raw text once instead of serializing the 10x larger shingle rows.
+    df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("t"))
       .select(col("doc_id"),
         explode(graft.plans.GraftFunctions.word_shingles(col("t"), n)).as("s"))
       .withColumn("h64", xxhash64(col("s")))
@@ -71,32 +78,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature: numHashes columns m0..m{k-1}. The hash family is
-    * ONE md5 per shingle plus string rotations (hash i orders shingles
-    * by the md5 hex rotated by i chars) — 12x cheaper than seeded
-    * re-hashing, still byte-reproducible in any engine with md5/substr.
+  /** MinHash signature: numHashes BIGINT columns m0..m{k-1}. The hash
+    * family is ONE md5 per shingle plus rotations (hash i orders
+    * shingles by a 15-hex-char window of the doubled md5 hex starting at
+    * offset 2i) — 12x cheaper than seeded re-hashing, still
+    * byte-reproducible in any engine with md5/substr. Each window is
+    * converted to int64 (15 hex chars = 60 bits) BEFORE the min, so the
+    * aggregation state, shuffle rows, and downstream band keys are 8-byte
+    * ints, not 16-char strings. Fixed-width hex compares lexicographically
+    * == numerically, so an engine taking string minima over the same
+    * windows (the DuckDB oracle does) picks identical argmins.
     * Rotations are correlated permutations, which only affects candidate
     * recall — every candidate is verified with exact Jaccard afterwards.
     * Requires numHashes <= 16 (32 hex chars / stride 2). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes <= 16, "rotation family supports at most 16 hashes")
-    // md5 materialized as a column first — inlining it into the concat
-    // would evaluate it twice per row (no CSE within a projection)
-    val withH = sh
-      .withColumn("__h", md5(col("s").cast("binary")))
-      .withColumn("__hh", concat(col("__h"), col("__h")))
+    // md5 materialized as a column first (no CSE within a projection);
+    // hex_window (graft.plans.HexWindowLong) parses each rotation's
+    // 15-hex window straight off the md5 string with wraparound — no
+    // doubled-string concat, no substring copies, no conv.
+    graft.plans.GraftFunctions.register(sh.sparkSession)
+    val withH = sh.withColumn("__h", md5(col("s").cast("binary")))
     val aggs = (0 until numHashes).map(i =>
-      min(substring(col("__hh"), i * 2 + 1, 16)).as(s"m$i"))
+      min(graft.plans.GraftFunctions.hex_window(col("__h"), i * 2, 15)).as(s"m$i"))
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: bands x (numHashes/bands) signature layout; band key
-    * is the '|'-join of the band's minhashes (already uniform hex). */
+    * is the band's minhashes as an array<bigint> — equality-joinable and
+    * hash-partitionable, 8 bytes per element vs the 50-char concat-string
+    * alternative. */
   def lshBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("bkey"))
+        array((0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -109,8 +125,16 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     // The shingle table feeds signatures, sizes, and the verify join —
     // persist it once instead of re-tokenizing the corpus three times.
+    // The fill is forced EAGERLY (count) before the downstream DAG is
+    // executed: AQE materializes broadcast/shuffle subtrees in parallel
+    // jobs, and if the cache is still cold each of those jobs races to
+    // recompute the whole tokenize+hash chain (measured 2-4x wall-clock
+    // at sf0.1). One deliberate fill uses all cores once, then every
+    // subtree reads the warm cache. This is an index build — eager by
+    // design, like writing out a bucketed table at 100 TB.
     val sh = shingleTable(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
     val bandsDf = lshBands(minhashSignatures(sh, numHashes), numHashes, bands)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
@@ -130,6 +154,7 @@ object Dedup {
     * engine with md5). Returns (doc_id, simhash bitstring, simhash_int). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val tok = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("t"))
     val h = md5(col("t").cast("binary"))
@@ -144,13 +169,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs by Hamming distance (bitwise path — no
-    * string ops in the join). Pairs all docs; at scale, pre-bucket on
-    * bit-prefixes the same way lshBands buckets minhashes. */
-  def simhashNearPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame =
-    sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+  /** SimHash near-dup pairs by Hamming distance, bucketed by bit-bands.
+    *
+    * Pigeonhole: split the `bits`-bit fingerprint into maxHamming+1
+    * disjoint bands — any pair within Hamming distance maxHamming agrees
+    * EXACTLY on at least one band, so candidates from per-band equality
+    * joins have 100% recall (this is exact, not approximate). Candidate
+    * generation is a shuffle on (band, bandValue) int keys; only
+    * candidates pay the XOR+popcount verify. No cartesian anywhere. */
+  def simhashNearPairs(sims: DataFrame, maxHamming: Int = 3,
+                       bits: Int = 32): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= bits, "need at least one bit per band")
+    val widths = (0 until nBands).map(p => bits / nBands + (if (p < bits % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until nBands).map { p =>
+      struct(lit(p).as("band"),
+        shiftrightunsigned(col("simhash_int"), offsets(p))
+          .bitwiseAND(lit((1L << widths(p)) - 1)).as("bval"))
+    }
+    val bands = sims
+      .select(col("doc_id"), col("simhash_int"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash_int"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    // fingerprints ride along with the band rows (8 bytes) so the verify
+    // needs no join back to `sims`
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash_int").bitwiseXOR(col("b.simhash_int"))).as("hamming"))
+        col("a.simhash_int").as("__ia"), col("b.simhash_int").as("__ib"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("__ia").bitwiseXOR(col("__ib"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
 }

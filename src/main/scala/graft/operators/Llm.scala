@@ -40,7 +40,8 @@ object Llm {
   }
 
   // ---- q18: quality scoring (length/punct/stopword ratios) -----------
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     Tables.documents(spark, dir).filter(col("doc_id") < 100)
       .select(col("doc_id"),
         Text.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -48,6 +49,7 @@ object Llm {
         Text.punctCount(col("text")).cast("long").as("n_punct"),
         Text.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
+  }
 
   val qualityScoreSql: String = {
     val en = Text.stopwords.toMap.apply("en")
@@ -111,8 +113,10 @@ object Llm {
 
   val minhashLshSql: String = {
     val rows = NumHashes / Bands
+    // 15-hex-char windows (matching Dedup.minhashSignatures' int64 lane);
+    // fixed-width hex string MIN picks the same argmin as Spark's int64 MIN.
     val minExprs = (0 until NumHashes)
-      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 16)) AS m$i").mkString(", ")
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
@@ -159,19 +163,51 @@ object Llm {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
-  // ---- q24: embedding-cosine near-dup pairs --------------------------
+  // ---- SRP plane/signature CTEs shared by q24/q33 oracles ------------
+  // Hyperplane entry (band, bit, d) = +1 iff first hex digit of
+  // md5('band:bit:d') >= '8' — the same rule Similarity.srpPlanes uses
+  // on the driver, so both engines bucket identically.
+  private def planesCte(bands: Int, bits: Int, dim: Int): String =
+    s"""planes AS (SELECT band, bit, d,
+       |    CASE WHEN substr(md5(band || ':' || bit || ':' || d), 1, 1)
+       |           IN ('8','9','a','b','c','d','e','f')
+       |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS w
+       |  FROM (SELECT unnest(generate_series(0, ${bands - 1})) AS band),
+       |       (SELECT unnest(generate_series(0, ${bits - 1})) AS bit),
+       |       (SELECT unnest(generate_series(0, ${dim - 1})) AS d))""".stripMargin
+
+  // sig(vec_id, band, sig) from e(vec_id, v): projection rounded to 6
+  // decimals before the sign test, exactly like Similarity.srpSignature.
+  private def sigCte(bits: Int, dim: Int): String =
+    s"""ve AS (SELECT vec_id, unnest(v) AS x,
+       |             unnest(generate_series(0, ${dim - 1})) AS d FROM e),
+       |proj AS (SELECT vec_id, band, bit, round(SUM(x * w), 6) AS p
+       |         FROM ve JOIN planes USING (d) GROUP BY 1, 2, 3),
+       |sig AS (SELECT vec_id, band,
+       |          SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (${bits - 1} - bit)) ELSE 0 END) AS sig
+       |        FROM proj GROUP BY 1, 2)""".stripMargin
+
+  // ---- q24: embedding near-dup pairs (SRP-bucketed scale path) -------
+  private val NdBands = 12
+  private val NdBits = 6
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4, maxId = 500)
+    Similarity.srpNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
+      bands = NdBands, bits = NdBits, dim = 64)
 
   val embeddingNearDupSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings WHERE vec_id < 500),
-      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |       round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e),
+       |${planesCte(NdBands, NdBits, 64)},
+       |${sigCte(NdBits, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM sig a JOIN sig b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |       round(list_inner_product(x.v, y.v) / (x.nn * y.nn), 6) AS cos
+       |FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+       |WHERE round(list_inner_product(x.v, y.v) / (x.nn * y.nn), 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---- q25: brute-force cosine top-k (ANN baseline) ------------------
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -193,6 +229,102 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q32: SimHash near-dup pairs (pigeonhole bit-band buckets) -----
+  // The Spark plan buckets (no cartesian); the oracle uses the plain
+  // all-pairs formulation, which is provably the SAME result set —
+  // pigeonhole bands have 100% recall at the configured maxHamming —
+  // so the oracle doubles as proof the bucketing loses nothing.
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearPairs(
+      Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
+        "doc_id", "text"),
+      maxHamming = 2)
+
+  val simhashPairsSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val sums = (0 until 32)
+      .map(p => s"SUM(CASE WHEN substr(md5(t), ${p + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS b$p")
+      .mkString(",\n    ")
+    val intval = (0 until 32)
+      .map(p => s"CASE WHEN b$p >= 0 THEN ${1L << (31 - p)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents WHERE doc_id < 200),
+       |sums AS (SELECT doc_id, $sums
+       |  FROM tok GROUP BY doc_id),
+       |s AS (SELECT doc_id, CAST($intval AS BIGINT) AS si FROM sums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.si, b.si)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.si, b.si)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q33: SRP-LSH top-k with Hamming-1 multi-probe -----------------
+  private val LshBits = 8
+
+  def lshTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+      bits = LshBits, dim = 64)
+  }
+
+  val lshTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${planesCte(1, LshBits, 64)},
+       |${sigCte(LshBits, 64)},
+       |cc AS (SELECT e.vec_id, v, sqrt(list_inner_product(v, v)) AS cn, sig
+       |       FROM e JOIN sig ON e.vec_id = sig.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cn AS qn, sig FROM cc WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, qn, sig AS pb FROM q
+       |  UNION ALL
+       |  SELECT query_id, qv, qn, xor(sig, (1::BIGINT << j)) AS pb
+       |  FROM q, (SELECT unnest(generate_series(0, ${LshBits - 1})) AS j)),
+       |scored AS (SELECT query_id, cc.vec_id,
+       |    round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
+       |  FROM cc JOIN probes ON cc.sig = probes.pb WHERE cc.vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  // ---- q34: IVF top-k with deterministic sampled centroids -----------
+  def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfSampledTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+      nCells = 16, nProbe = 4)
+  }
+
+  val ivfTopKSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cc AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
+      |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid,
+      |                 sqrt(list_inner_product(v, v)) AS cent_n
+      |          FROM c ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, v, cn, cell FROM (
+      |  SELECT cc.vec_id, cc.v, cc.cn, seeds.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY cc.vec_id
+      |      ORDER BY round(list_inner_product(cc.v, centroid) / (cc.cn * cent_n), 6) DESC,
+      |               cell ASC) AS ar
+      |  FROM cc CROSS JOIN seeds) t WHERE ar = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, cn AS qn FROM cc WHERE vec_id < 10),
+      |probes AS (SELECT query_id, qv, qn, cell FROM (
+      |  SELECT query_id, qv, qn, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_inner_product(qv, centroid) / (qn * cent_n), 6) DESC,
+      |               cell ASC) AS pr
+      |  FROM q CROSS JOIN seeds) t WHERE pr <= 4),
+      |scored AS (SELECT query_id, asg.vec_id,
+      |    round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
+      |  FROM asg JOIN probes USING (cell) WHERE asg.vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
+      |  FROM scored)
+      |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
+      |ORDER BY query_id, "rank"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_lang_id"           -> (langId _),
     "q18_quality_score"     -> (qualityScore _),
@@ -202,7 +334,10 @@ object Llm {
     "q22_minhash_lsh"       -> (minhashLsh _),
     "q23_simhash"           -> (simhash _),
     "q24_embedding_neardup" -> (embeddingNearDup _),
-    "q25_cosine_topk"       -> (cosineTopK _))
+    "q25_cosine_topk"       -> (cosineTopK _),
+    "q32_simhash_pairs"     -> (simhashPairs _),
+    "q33_lsh_topk"          -> (lshTopKQuery _),
+    "q34_ivf_topk"          -> (ivfTopKQuery _))
 
   val oracles: Map[String, String] = Map(
     "q17_lang_id"           -> langIdSql,
@@ -213,5 +348,8 @@ object Llm {
     "q22_minhash_lsh"       -> minhashLshSql,
     "q23_simhash"           -> simhashSql,
     "q24_embedding_neardup" -> embeddingNearDupSql,
-    "q25_cosine_topk"       -> cosineTopKSql)
+    "q25_cosine_topk"       -> cosineTopKSql,
+    "q32_simhash_pairs"     -> simhashPairsSql,
+    "q33_lsh_topk"          -> lshTopKSql,
+    "q34_ivf_topk"          -> ivfTopKSql)
 }

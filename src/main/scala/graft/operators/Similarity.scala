@@ -58,35 +58,58 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Sign-random-projection signature: bit i = sign(v . h_i) where
-    * hyperplane h_i has deterministic pseudo-random +-1 entries from
-    * xxhash64(i, dim). Cheap (integer hash per (bit, dim)), seedable,
-    * and identical on every executor. */
-  def srpSignature(vec: Column, bits: Int): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x * when(xxhash64(lit(i), d) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1L << (bits - 1 - i))
+  /** Deterministic +-1 hyperplanes shared with any md5-capable engine:
+    * entry (band, bit, d) is +1 iff the first hex digit of
+    * md5("band:bit:d") is >= '8'. Computed ONCE on the driver and
+    * embedded as array literals, so the per-row work is `bits` calls to
+    * the codegen'd graft_dot — no interpreted lambdas. The DuckDB oracle
+    * regenerates the identical planes in SQL from md5. */
+  def srpPlanes(band: Int, bits: Int, dim: Int): IndexedSeq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { i =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"$band:$i:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
     }
-    planes.reduce(_ + _)
   }
 
-  /** ANN top-k: candidates share the query's SRP bucket; exact cosine
-    * rerank inside the bucket. Smaller `bits` => bigger buckets =>
+  /** Sign-random-projection signature for one hyperplane band: bit i of
+    * the result is sign(v . plane_i). Projections are rounded to 6
+    * decimals before the sign test so accumulation-order noise can't
+    * flip a bucket between engines. */
+  def srpSignature(vec: Column, band: Int, bits: Int, dim: Int): Column = {
+    val planes = srpPlanes(band, bits, dim)
+    (0 until bits).map { i =>
+      when(round(dot(vec, typedlit(planes(i))), 6) >= 0,
+        lit(1L << (bits - 1 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via SRP-LSH with multi-probe: a corpus vector is a
+    * candidate if its bucket equals the query's bucket OR any
+    * single-bit flip of it (Hamming-1 probing — bits+1 probe keys per
+    * query). Probing happens on the tiny query side, so the corpus
+    * still shuffles once on an 8-byte key; recall rises steeply vs
+    * exact-bucket matching because adjacent buckets hold the
+    * near-boundary neighbors. Smaller `bits` => bigger buckets =>
     * higher recall & cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 8): DataFrame = {
+              bits: Int = 8, dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("bucket", srpSignature(col("qv"), bits))
+      .withColumn("bucket", srpSignature(col("qv"), 0, bits, dim))
+    val probeKeys = array(
+      (col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val probes = q.select(col("query_id"), col("qv"), col("qn"),
+      explode(probeKeys).as("probe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("bucket", srpSignature(col("cv"), bits))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("bucket", srpSignature(col("cv"), 0, bits, dim))
+    val scored = c.join(broadcast(probes), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
@@ -94,6 +117,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs, SRP-bucketed (the scale path, and the
+    * oracle-checked q24 form): `bands` independent SRP signatures per
+    * vector; a pair is a candidate iff it shares any band's full
+    * signature (equality join on (band, sig) long keys — no cartesian);
+    * candidates are verified with exact cosine >= threshold. Recall per
+    * true pair at angle theta is 1-(1-(1-theta/pi)^bits)^bands —
+    * measured against the exact form in SimilaritySpec. */
+  def srpNearDupPairs(emb: DataFrame, threshold: Double, bands: Int = 12,
+                      bits: Int = 6, dim: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandSigs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), srpSignature(col("v"), b, bits, dim).as("sig")))
+    val bkt = e.select(col("vec_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bkt.as("a").join(bkt.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand.join(e.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(e.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus
@@ -111,30 +164,48 @@ object Similarity {
     val spark = corpus.sparkSession
 
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
       .withColumn("features", array_to_vector(col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .fit(c.select("features"))
-    val assigned = model.transform(c)
-      .select(col("vec_id"), col("cv"), col("cn"), col("prediction").as("cell"))
 
-    // centroid table (tiny) -> per-query probe list of nProbe nearest cells
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
       .toDF("cell", "centroid")
+    ivfTopKWith(queries, c.select("vec_id", "cv"), centroids, k, nProbe)
+  }
+
+  /** IVF core with a caller-supplied centroid table (cell, centroid
+    * array<double>): assign each corpus vector to its max-cosine
+    * centroid (ties -> lowest cell), probe the query's nProbe nearest
+    * cells, exact-rerank inside probed cells. `ivfTopK` feeds it KMeans
+    * centroids; `ivfSampledTopK` feeds deterministic seed vectors so the
+    * whole operator is reproducible in any SQL engine (the q34 oracle). */
+  def ivfTopKWith(queries: DataFrame, corpusCv: DataFrame,
+                  centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpusCv.sparkSession)
+    val cents = centroids
+      .withColumn("cent_n", norm(col("centroid")))
+    val c = corpusCv.withColumn("cn", norm(col("cv")))
+    val wa = Window.partitionBy("vec_id")
+      .orderBy(desc("ccos"), asc("cell"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(cosine(col("cv"), col("centroid"), col("cn"), col("cent_n")), 6))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") === 1)
+      .select("vec_id", "cv", "cn", "cell")
     val q = queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dot(col("qv"), col("centroid")) /
-        (col("qn") * norm(col("centroid"))))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(cosine(col("qv"), col("centroid"), col("qn"), col("cent_n")), 6))
       .withColumn("prank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
+        Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))))
       .filter(col("prank") <= nProbe)
       .select("query_id", "qv", "qn", "cell")
-
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
@@ -143,6 +214,18 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF with deterministic sampled centroids: the nCells lowest-id
+    * corpus vectors seed the cells. Coarser than KMeans but fully
+    * engine-reproducible — this is the oracle-checked IVF form; the
+    * KMeans form is recall-tested against brute force in its spec. */
+  def ivfSampledTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    val centroids = c.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+    ivfTopKWith(queries, c, centroids, k, nProbe)
   }
 
   /** Embedding near-duplicate pairs: all pairs within a subset with

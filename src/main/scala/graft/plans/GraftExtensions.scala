@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[AsciiTokens].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => AsciiTokens(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_hex_window"),
+      new ExpressionInfo(classOf[HexWindowLong].getName, "graft_hex_window"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkHexWindow(exprs)))
   }
 }
 
@@ -32,6 +40,11 @@ object GraftFunctions {
   private[plans] def mkShingles(exprs: Seq[Expression]): WordShingles =
     WordShingles(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
+
+  private[plans] def mkHexWindow(exprs: Seq[Expression]): HexWindowLong =
+    HexWindowLong(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())
 
   /** Late registration on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -41,6 +54,10 @@ object GraftFunctions {
       "word_shingles", mkShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => AsciiTokens(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hex_window", mkHexWindow, "built-in")
   }
 
   /** Column-API handles; resolve through the function registry, so call
@@ -51,4 +68,11 @@ object GraftFunctions {
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
 
   def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def graft_tokens(lowered: Column): Column = call_function("graft_tokens", lowered)
+
+  def hex_window(hexStr: Column, start: Int, len: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_hex_window", hexStr, lit(start), lit(len))
+  }
 }
