@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Advanced, Llm, Quality, Retail}
+import graft.operators.{Advanced, Golden, Llm, Quality, Retail}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Retail.queries ++ Quality.queries ++ Llm.queries ++ Advanced.queries
+    Retail.queries ++ Quality.queries ++ Llm.queries ++ Advanced.queries ++
+      Golden.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Retail.oracles ++ Quality.oracles ++ Llm.oracles ++ Advanced.oracles
+    Retail.oracles ++ Quality.oracles ++ Llm.oracles ++ Advanced.oracles ++
+      Golden.oracles
 }

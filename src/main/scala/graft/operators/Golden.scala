@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.model.ReferenceSchemas
+import graft.sources.{CsvSource, GoldenFixture}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** The reference's own data contract, end to end: ingest the drifting
+  * 22-column pipe-CSV slice through `CsvSource.readAligned` (placeholder
+  * normalization, decimal-comma money, schema drift by name) and run the
+  * reference's six shipped queries (the .sql files under
+  * `src/sql/queries/`) against it.
+  *
+  * q35 packages the flagship results as one oracle-checked row: the
+  * DuckDB oracle re-ingests the SAME CSV files with its own reader and
+  * must land on identical values — including the planted
+  * 49264.014260 margin (the 1/1000-scale analog of the reference's
+  * published 49,264,014.26; README.md:227-232).
+  */
+object Golden {
+
+  val FixtureDir = "/tmp/graft_golden_csv"
+
+  def loadTransactions(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
+    CsvSource.readAligned(spark, fx.txPaths, ReferenceSchemas.transactions)
+
+  def loadProducts(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
+    CsvSource.alignTo(CsvSource.readRaw(spark, fx.productPath), ReferenceSchemas.product)
+
+  // ---- the six reference queries (reference src/sql/queries/) --------
+
+  /** transactions_timeframe.sql */
+  def timeframe(tx: DataFrame): DataFrame =
+    tx.agg(max("date_transaction").as("last_transaction_date"),
+      min("date_transaction").as("first_transaction_date"))
+
+  /** revenue_split_per_day.sql */
+  def revenuePerDay(tx: DataFrame): DataFrame =
+    tx.groupBy(col("date_transaction").as("date"))
+      .agg(sum("ca_net_ttc").cast("double").as("total_revenue"))
+      .orderBy("date")
+
+  /** top_10_products_units_sold.sql (tiebreak on ref for determinism) */
+  def top10Products(tx: DataFrame): DataFrame =
+    tx.groupBy("modele_couleur_ref")
+      .agg(sum("quantite_vendue").cast("long").as("total_units_sold"))
+      .orderBy(desc("total_units_sold"), asc("modele_couleur_ref"))
+      .limit(10)
+
+  /** number_transactions_per_store.sql */
+  def txPerStore(tx: DataFrame): DataFrame =
+    tx.groupBy("point_de_vente")
+      .agg(countDistinct("numero_transaction").as("number_distinct_of_transactions"),
+        count("numero_transaction").as("number_of_transactions"))
+      .orderBy(desc("number_of_transactions"), asc("point_de_vente"))
+
+  private def signatureMargin(tx: DataFrame, prod: DataFrame,
+                              from: LocalDate, untilIncl: Option[LocalDate],
+                              untilExcl: Option[LocalDate]): DataFrame = {
+    val sig = prod.filter(col("signature_product") === true)
+      .select(col("code_modele_couleur_actuel").as("__ref"))
+    val windowed = untilExcl match {
+      case Some(e) => tx.filter(col("date_transaction") >= lit(from) &&
+        col("date_transaction") < lit(e))
+      case None => tx.filter(col("date_transaction") >= lit(from) &&
+        col("date_transaction") <= lit(untilIncl.get))
+    }
+    windowed.join(broadcast(sig), col("modele_couleur_ref") === col("__ref"))
+      .agg(coalesce(sum("marge_nette_magasin"), lit(0)).cast("double").as("m"))
+  }
+
+  /** total_margin_signature_last_2_months.sql — calendar months,
+    * anchored on the latest month present in the data. */
+  def margin2M(tx: DataFrame, prod: DataFrame): DataFrame = {
+    val anchor = maxDate(tx).withDayOfMonth(1)
+    signatureMargin(tx, prod, anchor.minusMonths(1), None, Some(anchor.plusMonths(1)))
+      .withColumnRenamed("m", "total_margin_last_2_months")
+  }
+
+  /** total_margin_signature_last_2_months_in_days.sql — 60 days back
+    * from the latest date, inclusive BETWEEN like the reference. */
+  def margin60d(tx: DataFrame, prod: DataFrame): DataFrame = {
+    val mx = maxDate(tx)
+    signatureMargin(tx, prod, mx.minusDays(60), Some(mx), None)
+      .withColumnRenamed("m", "total_margin_last_60_days")
+  }
+
+  /** Driver-scalar date bound (the scalar-subquery pattern: one tiny
+    * collect so the window lands as a pushable literal filter). */
+  private def maxDate(tx: DataFrame): LocalDate =
+    tx.agg(max("date_transaction")).head.getDate(0).toLocalDate
+
+  // ---- q35: flagship summary over the CSV contract -------------------
+
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    val fx = GoldenFixture.generate(FixtureDir)
+    val tx = loadTransactions(spark, fx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prod = loadProducts(spark, fx)
+    val tot = tx.agg(
+      min("date_transaction").as("first_date"),
+      max("date_transaction").as("last_date"),
+      sum("ca_net_ttc").cast("double").as("total_revenue"),
+      countDistinct("numero_transaction").as("n_tx"))
+    tot.crossJoin(margin2M(tx, prod)).crossJoin(margin60d(tx, prod))
+      .select("first_date", "last_date", "total_margin_last_2_months",
+        "total_margin_last_60_days", "total_revenue", "n_tx")
+  }
+
+  private def csv(name: String): String =
+    s"read_csv('$FixtureDir/$name', delim='|', header=true, all_varchar=true)"
+
+  val summarySql: String =
+    s"""WITH tx0 AS (
+       |  SELECT * FROM ${csv("data1.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data2.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data3.csv")}),
+       |tx AS (SELECT
+       |  Numero_Transaction AS numero_transaction,
+       |  Date_Transaction::DATE AS date_transaction,
+       |  Modele_Couleur_Ref AS modele_couleur_ref,
+       |  replace(NULLIF(CA_Net_TTC, '#NO VALUE'), ',', '.')::DECIMAL(18,6) AS ca_net_ttc,
+       |  replace(NULLIF(Marge_Nette_Magasin, '#NO VALUE'), ',', '.')::DECIMAL(18,6) AS marge
+       |  FROM tx0),
+       |prod AS (SELECT CODE_MODELE_COULEUR_ACTUEL AS code, SIGNATURE_PRODUCT = '1' AS sig
+       |         FROM ${csv("product.csv")}),
+       |anchor AS (SELECT date_trunc('month', MAX(date_transaction))::DATE AS am,
+       |                  MAX(date_transaction) AS mx FROM tx),
+       |m2 AS (SELECT CAST(COALESCE(SUM(t.marge), 0) AS DOUBLE) AS total_margin_last_2_months
+       |       FROM tx t JOIN prod p ON p.code = t.modele_couleur_ref, anchor a
+       |       WHERE p.sig AND t.date_transaction >= (a.am - INTERVAL 1 MONTH)::DATE
+       |         AND t.date_transaction < (a.am + INTERVAL 1 MONTH)::DATE),
+       |m60 AS (SELECT CAST(COALESCE(SUM(t.marge), 0) AS DOUBLE) AS total_margin_last_60_days
+       |        FROM tx t JOIN prod p ON p.code = t.modele_couleur_ref, anchor a
+       |        WHERE p.sig AND t.date_transaction
+       |          BETWEEN (a.mx - INTERVAL 60 DAY)::DATE AND a.mx),
+       |tot AS (SELECT MIN(date_transaction) AS first_date,
+       |               MAX(date_transaction) AS last_date,
+       |               CAST(SUM(ca_net_ttc) AS DOUBLE) AS total_revenue,
+       |               CAST(COUNT(DISTINCT numero_transaction) AS BIGINT) AS n_tx
+       |        FROM tx)
+       |SELECT first_date, last_date, total_margin_last_2_months,
+       |       total_margin_last_60_days, total_revenue, n_tx
+       |FROM tot, m2, m60""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_golden_csv_contract" -> (summary _))
+
+  val oracles: Map[String, String] = Map(
+    "q35_golden_csv_contract" -> summarySql)
+}

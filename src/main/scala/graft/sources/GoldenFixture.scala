@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.io.PrintWriter
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import scala.util.Random
+
+/** Deterministic generator for a reference-shaped CSV slice: three
+  * drifting `|`-separated transactions files + a product file, with
+  * every documented edge case of the reference's contract (FIXTURES.md
+  * §1-2; reference `schema.sql:4-39`, `schemas_regex.py:29-57`):
+  *
+  *  - data2.csv lacks the `Numero_TPV` column entirely (schema drift —
+  *    the reference's second export did the same);
+  *  - `""` and `#NO VALUE` null tokens in string AND money columns
+  *    (the reference's third file had ~2M `#NO VALUE` in CA_Net_TTC);
+  *  - exact duplicate rows (dedup must NOT collapse them);
+  *  - negative Quantite_Vendue / margins (returns);
+  *  - dates spanning 3 calendar months so "last 2 calendar months" and
+  *    "last 60 days" windows differ;
+  *  - Numero_Transaction values repeated within and across stores
+  *    (COUNT vs COUNT DISTINCT divergence);
+  *  - one FK-orphan Modele_Couleur_Ref (outside every margin window).
+  *
+  * One row's margin is an adjustment that lands the signature-product
+  * margin over the last-2-calendar-months window EXACTLY on
+  * 49264.014260 — a 1/1000-scale analog of the reference's published
+  * 49,264,014.26 golden value (reference README.md:227-232) — so the
+  * flagship query has a planted, human-checkable constant.
+  *
+  * Everything is seeded and pure JVM: the same bytes are produced on
+  * every call, which is what lets the DuckDB oracle read the same files
+  * the Spark query ingested.
+  */
+object GoldenFixture {
+
+  val TargetMargin2M = BigDecimal("49264.014260")
+
+  /** One transactions row, pre-typing (exactly what lands in the CSV). */
+  final case class Tx(
+      pdv: String, tpv: Option[String], tid: String, date: LocalDate,
+      heure: String, typologie: String, fidelite: Option[String],
+      typeVente: String, univers: Option[String], segment: Option[String],
+      famille: Option[String], sousFamille: Option[String],
+      fedasNum: String, fedasLib: String, cible: String,
+      ref: String, refLib: String, nps: String,
+      qty: Int, ht: BigDecimal, ttc: Option[BigDecimal], marge: BigDecimal)
+
+  final case class Fixture(
+      rows: Seq[Tx],                       // all rows across the 3 files
+      products: Map[String, Option[Boolean]],
+      dir: String) {
+    def txPaths: Seq[String] =
+      Seq("data1.csv", "data2.csv", "data3.csv").map(f => s"$dir/$f")
+    def productPath: String = s"$dir/product.csv"
+  }
+
+  val DateMin: LocalDate = LocalDate.of(2022, 1, 10)
+  val DateMax: LocalDate = LocalDate.of(2022, 3, 30)
+  // anchor month = March -> [Feb 1, Apr 1); 60-day window = [Jan 29, Mar 30]
+  val Window2MStart: LocalDate = LocalDate.of(2022, 2, 1)
+  val Window2MEnd: LocalDate = LocalDate.of(2022, 4, 1)
+
+  private def money(cents: Long): BigDecimal =
+    BigDecimal(cents, 2).setScale(6)
+
+  private def fmt(b: BigDecimal): String =
+    b.setScale(6).bigDecimal.toPlainString.replace('.', ',')
+
+  /** Generate (idempotently — same bytes every call) into `dir`. */
+  def generate(dir: String): Fixture = {
+    val rnd = new Random(20260812L)
+    val nProducts = 300
+    val products: Map[String, Option[Boolean]] =
+      (1 to nProducts).map { i =>
+        val flag = if (i % 37 == 0) None else Some(i % 2 == 0)
+        s"MCR$i" -> flag
+      }.toMap
+
+    val spanDays = java.time.temporal.ChronoUnit.DAYS.between(DateMin, DateMax).toInt
+
+    def mkRow(fileNo: Int): Tx = {
+      val store = rnd.nextInt(40) + 1
+      val pdv = f"PDV-id-$store%04d"
+      val tpv = if (fileNo == 2) None else Some(s"TPV_${rnd.nextInt(200) + 1}")
+      // small per-store TID pool => repeats within a store; same pool
+      // across stores => repeats across stores
+      val tid = f"TID${rnd.nextInt(400)}%012d"
+      val date = DateMin.plusDays(rnd.nextInt(spanDays + 1).toLong)
+      val heure = f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      val fid = rnd.nextInt(4) match {
+        case 0 => None
+        case _ => Some(s"N_${rnd.nextInt(4000000)}")
+      }
+      val opt = (p: String) => if (rnd.nextInt(10) == 0) None else Some(s"${p}_${rnd.nextInt(50)}")
+      val ref = s"MCR${rnd.nextInt(nProducts) + 1}"
+      val qty = if (rnd.nextInt(20) == 0) -(rnd.nextInt(3) + 1) else rnd.nextInt(5) + 1
+      val ht = money(rnd.nextInt(5000000).toLong - 500000)
+      val ttc = if (fileNo == 3 && rnd.nextInt(4) == 0) None
+                else Some(money(rnd.nextInt(6000000).toLong - 500000))
+      val marge = money(rnd.nextInt(2000000).toLong - 600000)
+      Tx(pdv, tpv, tid, date, heure, s"Typologie_Magasin_${rnd.nextInt(6) + 1}",
+        fid, s"TV${rnd.nextInt(5) + 1}", opt("CL1"), opt("CL2"), opt("CL3"),
+        opt("CL4"), s"FedasNum${rnd.nextInt(900) + 100}",
+        s"FedasLib${rnd.nextInt(900) + 100}", s"CGA${rnd.nextInt(9) + 1}",
+        ref, s"MCL${rnd.nextInt(9000) + 1000}", s"NPS${rnd.nextInt(4) + 1}",
+        qty, ht, ttc, marge)
+    }
+
+    val d1base = Seq.fill(1200)(mkRow(1))
+    val d1 = d1base ++ d1base.take(5) // exact duplicate rows
+    val d2 = Seq.fill(800)(mkRow(2))
+    val d3base = Seq.fill(1000)(mkRow(3))
+
+    // FK orphan, outside both margin windows (date before Jan 29)
+    val orphan = mkRow(3).copy(ref = "MCR-ORPHAN-1",
+      date = LocalDate.of(2022, 1, 12), marge = money(100))
+
+    // adjustment row: signature product (MCR2 -> true), in-window, lands
+    // the 2-calendar-month signature margin exactly on TargetMargin2M
+    def eligible(t: Tx): Boolean =
+      products.get(t.ref).exists(_.contains(true)) &&
+        !t.date.isBefore(Window2MStart) && t.date.isBefore(Window2MEnd)
+    val runningSum = (d1 ++ d2 ++ d3base :+ orphan)
+      .filter(eligible).map(_.marge).sum
+    val adj = mkRow(3).copy(ref = "MCR2", date = LocalDate.of(2022, 3, 15),
+      marge = TargetMargin2M - runningSum,
+      ttc = Some(money(123456)), qty = 1)
+    val d3 = d3base ++ Seq(orphan, adj)
+
+    Files.createDirectories(Paths.get(dir))
+    writeTx(s"$dir/data1.csv", d1, withTpv = true)
+    writeTx(s"$dir/data2.csv", d2, withTpv = false)
+    writeTx(s"$dir/data3.csv", d3, withTpv = true)
+    writeProducts(s"$dir/product.csv", products)
+    Fixture(d1 ++ d2 ++ d3, products, dir)
+  }
+
+  private def writeTx(path: String, rows: Seq[Tx], withTpv: Boolean): Unit = {
+    val header = graft.model.ReferenceSchemas.transactionsCsvHeader
+      .filter(h => withTpv || h != "Numero_TPV")
+    val pw = new PrintWriter(path, "UTF-8")
+    try {
+      pw.println(header.mkString("|"))
+      rows.foreach { t =>
+        // data3 spells some nulls as the #NO VALUE token instead of ""
+        val noVal = path.endsWith("data3.csv")
+        def s(o: Option[String]): String = o.getOrElse(if (noVal) "#NO VALUE" else "")
+        val cells = Seq(
+          t.pdv) ++ (if (withTpv) Seq(s(t.tpv)) else Nil) ++ Seq(
+          t.tid, t.date.toString, t.heure, t.typologie, s(t.fidelite),
+          t.typeVente, s(t.univers), s(t.segment), s(t.famille),
+          s(t.sousFamille), t.fedasNum, t.fedasLib, t.cible, t.ref,
+          t.refLib, t.nps, t.qty.toString, fmt(t.ht),
+          t.ttc.map(fmt).getOrElse(if (noVal) "#NO VALUE" else ""), fmt(t.marge))
+        pw.println(cells.mkString("|"))
+      }
+    } finally pw.close()
+  }
+
+  private def writeProducts(path: String, products: Map[String, Option[Boolean]]): Unit = {
+    val pw = new PrintWriter(path, "UTF-8")
+    try {
+      pw.println("CODE_MODELE_COULEUR_ACTUEL|SIGNATURE_PRODUCT")
+      products.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        pw.println(s"$k|${v.map(b => if (b) "1" else "0").getOrElse("")}")
+      }
+    } finally pw.close()
+  }
+}
