@@ -115,4 +115,48 @@ object Validate {
 
   /** Whole-row duplicate count (A16; profiling.ipynb:2502). */
   def wholeRowDups(df: DataFrame): Long = df.count() - df.distinct().count()
+
+  /** Built-in placeholder-looking token vocabulary
+    * (data_validation.py:363-374 `looks_like_placeholder`). */
+  val placeholderVocabulary: Seq[String] = Seq(
+    "", "na", "n/a", "null", "none", "nan", "inf", "infinity",
+    "unk", "unknown", "not available", "not applicable")
+
+  /** Placeholder-token mining (reference `data_validation.py:287-380`
+    * `discover_placeholder_values`): given a long-form frame of invalid
+    * values `(file, column, value)`, normalize each token (trim,
+    * collapse whitespace, lowercase), aggregate per token across files
+    * and columns, and keep tokens that look like placeholders — known
+    * vocabulary, caller seeds, symbol-only runs (`#`/`.`/`-`/`_`/`/`),
+    * or zero-runs — seen in at least `minFiles` files and `minColumns`
+    * columns.
+    *
+    * Scale shape: one groupBy on the normalized token (tokens are tiny;
+    * count-distinct on file/column is map-side combinable); the
+    * heuristic runs as a codegen'd filter on the aggregate, which is
+    * at most vocabulary-sized. Output: token, n_files, n_columns, n,
+    * samples (up to 10 distinct original forms, sorted, comma-joined). */
+  def discoverPlaceholders(invalid: DataFrame,
+                           fileCol: String = "file",
+                           columnCol: String = "column",
+                           valueCol: String = "value",
+                           minFiles: Int = 1, minColumns: Int = 1,
+                           seeds: Seq[String] = Nil): DataFrame = {
+    val token = lower(regexp_replace(trim(col(valueCol)), "\\s+", " "))
+    val known = (placeholderVocabulary ++ seeds.map(_.trim.toLowerCase)).distinct
+    invalid
+      .filter(col(valueCol).isNotNull)
+      .groupBy(token.as("token"))
+      .agg(
+        countDistinct(col(fileCol)).as("n_files"),
+        countDistinct(col(columnCol)).as("n_columns"),
+        count(lit(1)).as("n"),
+        array_join(slice(sort_array(collect_set(col(valueCol))), 1, 10), ",")
+          .as("samples"))
+      .filter(col("n_files") >= minFiles && col("n_columns") >= minColumns)
+      .filter(col("token").isin(known: _*) ||
+        col("token").rlike("^[#\\.\\-_/\\\\]+$") ||
+        col("token").rlike("^0{2,}$"))
+      .orderBy("token")
+  }
 }

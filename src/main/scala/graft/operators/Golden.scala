@@ -144,9 +144,92 @@ object Golden {
        |       total_margin_last_60_days, total_revenue, n_tx
        |FROM tot, m2, m60""".stripMargin
 
+  // ---- q36: placeholder-token mining over the raw CSV contract -------
+  // (reference data_validation.py:287-380; each fixture file spells
+  // missing values its own way — '', 'na', '-', '#NO VALUE' — and the
+  // miner rediscovers the non-empty ones from validity-regex failures)
+
+  private val auditedCols: Seq[(String, String)] = Seq(
+    "Numero_Fidelite" -> "^N_\\d+$",
+    "Univers_Produit" -> "^CL1_\\d+$",
+    "Segment_Produit" -> "^CL2_\\d+$",
+    "CA_Net_TTC"      -> "^[+-]?\\d+([.,]\\d+)?$")
+
+  def placeholderMining(spark: SparkSession, dir: String): DataFrame = {
+    val fx = GoldenFixture.generate(FixtureDir)
+    val perFile = fx.txPaths.map { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      val raw = CsvSource.readRaw(spark, p)
+      val cells = auditedCols.map { case (c, re) =>
+        struct(lit(c).as("column"), col(c).as("value"),
+          col(c).rlike(re).as("ok"))
+      }
+      raw.select(lit(name).as("file"), explode(array(cells: _*)).as("cell"))
+        .select(col("file"), col("cell.column").as("column"),
+          col("cell.value").as("value"), col("cell.ok").as("ok"))
+        .filter(col("value").isNotNull && !col("ok"))
+        .drop("ok")
+    }
+    graft.functions.Validate.discoverPlaceholders(
+      perFile.reduce(_.unionByName(_)), seeds = Seq("#NO VALUE"))
+  }
+
+  val placeholderMiningSql: String = {
+    val files = Seq("data1.csv", "data2.csv", "data3.csv")
+    val raws = files.map { f =>
+      s"SELECT '$f' AS file, ${auditedCols.map(_._1).mkString(", ")} FROM ${csv(f)}"
+    }.mkString("\n  UNION ALL BY NAME ")
+    val melts = auditedCols.map { case (c, re) =>
+      s"SELECT file, '$c' AS col, $c AS value, regexp_matches($c, '$re') AS ok FROM raw"
+    }.mkString("\n  UNION ALL ")
+    val vocab = (graft.functions.Validate.placeholderVocabulary :+ "#no value")
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH raw AS (
+       |  $raws),
+       |melt AS (
+       |  $melts),
+       |inv AS (SELECT file, col, value FROM melt WHERE value IS NOT NULL AND NOT ok),
+       |agg AS (SELECT lower(regexp_replace(trim(value), '\\s+', ' ', 'g')) AS token,
+       |          CAST(COUNT(DISTINCT file) AS BIGINT) AS n_files,
+       |          CAST(COUNT(DISTINCT col) AS BIGINT) AS n_columns,
+       |          CAST(COUNT(*) AS BIGINT) AS n,
+       |          array_to_string(list_slice(list_sort(list(DISTINCT value)), 1, 10), ',') AS samples
+       |        FROM inv GROUP BY 1)
+       |SELECT token, n_files, n_columns, n, samples FROM agg
+       |WHERE token IN ($vocab)
+       |   OR regexp_matches(token, '^[#\\.\\-_/\\\\]+$$')
+       |   OR regexp_matches(token, '^0{2,}$$')
+       |ORDER BY token""".stripMargin
+  }
+
+  // ---- q37: whole-row duplicate check (A16) over the raw contract ----
+  // The fixture plants 5 exact duplicate rows in data1; the check runs
+  // on the raw (all-string) union so it sees exactly what landed on disk.
+  def wholeRowDupCheck(spark: SparkSession, dir: String): DataFrame = {
+    val fx = GoldenFixture.generate(FixtureDir)
+    val raw = fx.txPaths.map(p => CsvSource.readRaw(spark, p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    raw.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(raw.distinct().agg(count(lit(1)).as("__nd")))
+      .select(col("n_rows"), (col("n_rows") - col("__nd")).as("n_duplicate_rows"))
+  }
+
+  val wholeRowDupCheckSql: String =
+    s"""WITH tx0 AS (
+       |  SELECT * FROM ${csv("data1.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data2.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data3.csv")})
+       |SELECT (SELECT COUNT(*) FROM tx0) AS n_rows,
+       |       (SELECT COUNT(*) FROM tx0)
+       |       - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM tx0)) AS n_duplicate_rows""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q35_golden_csv_contract" -> (summary _))
+    "q35_golden_csv_contract" -> (summary _),
+    "q36_placeholder_mining"  -> (placeholderMining _),
+    "q37_whole_row_dups"      -> (wholeRowDupCheck _))
 
   val oracles: Map[String, String] = Map(
-    "q35_golden_csv_contract" -> summarySql)
+    "q35_golden_csv_contract" -> summarySql,
+    "q36_placeholder_mining"  -> placeholderMiningSql,
+    "q37_whole_row_dups"      -> wholeRowDupCheckSql)
 }

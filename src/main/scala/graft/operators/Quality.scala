@@ -171,6 +171,49 @@ object Quality {
       "supplier" -> Tables.supplier(spark, dir),
       "nation"   -> Tables.nation(spark, dir)))
 
+  // The q15 oracle rebuilds the same matrix by SQL schema introspection
+  // (DESCRIBE on each view) instead of trusting literals — a genuinely
+  // independent metadata path.
+  val schemaPresenceSql: String = {
+    val tables = Seq("customer", "supplier", "nation")
+    val cols = tables.map(t =>
+      s"SELECT '$t' AS tbl, column_name AS col FROM (DESCRIBE SELECT * FROM $t)")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cols AS (
+       |  $cols),
+       |allc AS (SELECT DISTINCT col FROM cols),
+       |tabs AS (SELECT DISTINCT tbl FROM cols)
+       |SELECT a.col AS "column", t.tbl AS "table",
+       |       (c.col IS NOT NULL) AS present
+       |FROM allc a CROSS JOIN tabs t
+       |LEFT JOIN cols c ON c.col = a.col AND c.tbl = t.tbl
+       |ORDER BY "column", "table"""".stripMargin
+  }
+
+  // ---- q38: distinct invalid values per column (A17) -----------------
+  def distinctInvalidValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // same deterministic dirtying as q14, then the A17 operator lists
+    // the distinct offending values
+    val dirty = when(col("event_id") % 7 === 0, lit("#NO VALUE"))
+      .when(col("event_id") % 7 === 1, lit("na"))
+      .when(col("event_id") % 7 === 2, lit("  "))
+      .otherwise(col("props"))
+    Validate.invalidValuesByColumn(ev.select(dirty.as("p")),
+        Seq("p" -> "^\\{\"k\": \\d+\\}$"))
+      .filter(col("invalid_value").isNotNull)
+      .orderBy("column", "invalid_value")
+  }
+
+  val distinctInvalidValuesSql: String =
+    """SELECT DISTINCT 'p' AS "column", p AS invalid_value FROM (
+      |  SELECT CASE WHEN event_id % 7 = 0 THEN '#NO VALUE'
+      |              WHEN event_id % 7 = 1 THEN 'na'
+      |              WHEN event_id % 7 = 2 THEN '  '
+      |              ELSE props END AS p FROM events) t
+      |WHERE p IS NOT NULL AND (p = '' OR NOT regexp_matches(p, '^\{"k": \d+\}$'))
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- q16: CSV round-trip: decimal-comma, null tokens, drift (S1/S8/F11/U1) --
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -214,7 +257,8 @@ object Quality {
     "q13_union_by_name"    -> (unionByNameDiagonal _),
     "q14_placeholder_norm" -> (placeholderNormalization _),
     "q15_schema_presence"  -> (schemaPresence _),
-    "q16_csv_roundtrip"    -> (csvRoundtrip _))
+    "q16_csv_roundtrip"    -> (csvRoundtrip _),
+    "q38_distinct_invalid" -> (distinctInvalidValues _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -225,5 +269,7 @@ object Quality {
     "q12_fk_orphans"       -> fkOrphansSql,
     "q13_union_by_name"    -> unionByNameDiagonalSql,
     "q14_placeholder_norm" -> placeholderNormalizationSql,
-    "q16_csv_roundtrip"    -> csvRoundtripSql)
+    "q15_schema_presence"  -> schemaPresenceSql,
+    "q16_csv_roundtrip"    -> csvRoundtripSql,
+    "q38_distinct_invalid" -> distinctInvalidValuesSql)
 }

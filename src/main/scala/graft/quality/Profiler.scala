@@ -102,6 +102,46 @@ object Profiler {
       s"""{"tables": $tables, "column_presence": $presence}""")
   }
 
+  /** Profile report in the REFERENCE'S artifact shape
+    * (`transactions_profile_report.json`; reporting.py:36-71): numbered
+    * keys `01_number_samples` (total rows), `02_missing_cols_per_file`
+    * (rendering of presence rows with any absence), `03_intersection_
+    * columns` / `04_union_columns` (sorted), `05_profiles` (per file:
+    * file, path, rows, n_cols, columns, dtypes, delimiter, format,
+    * error). */
+  def writeReferenceReport(dfs: Seq[(String, String, DataFrame)],
+                           path: String, delimiter: String = "|"): Unit = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def arr(ss: Seq[String]): String = ss.map(q).mkString("[", ", ", "]")
+    val colSets = dfs.map { case (_, _, df) => df.columns.toSet }
+    val union = colSets.reduce(_ union _).toSeq.sorted
+    val inter = colSets.reduce(_ intersect _).toSeq.sorted
+    val missing = union.filterNot(inter.contains).map { c =>
+      val absent = dfs.collect { case (n, _, df) if !df.columns.contains(c) => n }
+      s"$c: missing in ${absent.mkString(",")}"
+    }
+    val profiles = dfs.map { case (name, srcPath, df) =>
+      val dtypes = df.schema.fields
+        .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
+        .mkString("{", ", ", "}")
+      s"""{"file": ${q(name)}, "path": ${q(srcPath)}, "rows": ${df.count()}, """ +
+        s""""n_cols": ${df.columns.length}, "columns": ${arr(df.columns.toSeq)}, """ +
+        s""""dtypes": $dtypes, "delimiter": ${q(delimiter)}, """ +
+        s""""format": "csv", "error": "None"}"""
+    }.mkString("[", ", ", "]")
+    val json =
+      s"""{"01_number_samples": ${dfs.map(_._3.count()).sum}, """ +
+        s""""02_missing_cols_per_file": ${q(missing.mkString("; "))}, """ +
+        s""""03_intersection_columns": ${arr(inter)}, """ +
+        s""""04_union_columns": ${arr(union)}, """ +
+        s""""05_profiles": $profiles}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** U2: column-presence matrix across a set of named schemas
     * (compare_schemas, dataset_profiling.py:438-469). Metadata-only —
     * no data is scanned. */

@@ -143,13 +143,22 @@ object GoldenFixture {
     try {
       pw.println(header.mkString("|"))
       rows.foreach { t =>
-        // data3 spells some nulls as the #NO VALUE token instead of ""
+        // each file spells missing values its own way — data1 empty,
+        // data2 'na'/'-', data3 '#NO VALUE' — the raw-token zoo the
+        // placeholder-mining operator (Validate.discoverPlaceholders)
+        // must rediscover
+        val tok =
+          if (path.endsWith("data3.csv")) "#NO VALUE"
+          else if (path.endsWith("data2.csv")) "na"
+          else ""
+        val tok2 = if (path.endsWith("data2.csv")) "-" else tok
+        def s(o: Option[String]): String = o.getOrElse(tok)
+        def s2(o: Option[String]): String = o.getOrElse(tok2)
         val noVal = path.endsWith("data3.csv")
-        def s(o: Option[String]): String = o.getOrElse(if (noVal) "#NO VALUE" else "")
         val cells = Seq(
           t.pdv) ++ (if (withTpv) Seq(s(t.tpv)) else Nil) ++ Seq(
           t.tid, t.date.toString, t.heure, t.typologie, s(t.fidelite),
-          t.typeVente, s(t.univers), s(t.segment), s(t.famille),
+          t.typeVente, s2(t.univers), s2(t.segment), s(t.famille),
           s(t.sousFamille), t.fedasNum, t.fedasLib, t.cible, t.ref,
           t.refLib, t.nps, t.qty.toString, fmt(t.ht),
           t.ttc.map(fmt).getOrElse(if (noVal) "#NO VALUE" else ""), fmt(t.marge))

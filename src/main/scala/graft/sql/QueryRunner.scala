@@ -89,28 +89,37 @@ object QueryRunner {
         |FROM lineitem""".stripMargin)
 }
 
-/** CLI: --list | --name <q> | --sql "<text>" [--dir <sqlDir>] [--data <sfDir>]
-  * (run_sql_cli.py:30-105 semantics). */
+/** CLI: --list | --path <file.sql> | --name <q> | --sql "<text>"
+  * [--dir <sqlDir>] [--data <sfDir>] (run_sql_cli.py:30-105 semantics —
+  * --path executes a .sql file directly, taking precedence over --name,
+  * exactly like the reference). */
 object SqlCli {
+  /** Resolution order mirrors run_sql_cli.py: explicit file path, then
+    * inline SQL, then name within --dir (with first-query fallback),
+    * then builtin by name, then first builtin. Exposed for tests. */
+  def resolveSql(opts: Map[String, String]): String = {
+    val sqlDir = opts.get("--dir")
+    opts.get("--path").map(p => java.nio.file.Files.readString(Paths.get(p)))
+      .orElse(opts.get("--sql"))
+      .orElse(sqlDir.flatMap(d =>
+        QueryRunner.resolve(d, opts.get("--name"))
+          .map(p => java.nio.file.Files.readString(p))))
+      .orElse(opts.get("--name").flatMap(QueryRunner.builtins.get))
+      .getOrElse(QueryRunner.builtins.toSeq.minBy(_._1)._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val listOnly = args.contains("--list")
     val dataDir = opts.getOrElse("--data", "/root/testdata/sf0.001")
     val spark = graft.Session.get("graft-sql")
     QueryRunner.register(spark, dataDir)
-    val sqlDir = opts.get("--dir")
     if (listOnly) {
-      val names = sqlDir.map(d => QueryRunner.registry(d).keys.toSeq)
+      val names = opts.get("--dir").map(d => QueryRunner.registry(d).keys.toSeq)
         .getOrElse(QueryRunner.builtins.keys.toSeq)
       names.sorted.foreach(println)
     } else {
-      val sql = opts.get("--sql")
-        .orElse(sqlDir.flatMap(d =>
-          QueryRunner.resolve(d, opts.get("--name"))
-            .map(p => java.nio.file.Files.readString(p))))
-        .orElse(opts.get("--name").flatMap(QueryRunner.builtins.get))
-        .getOrElse(QueryRunner.builtins.toSeq.minBy(_._1)._2)
-      QueryRunner.run(spark, sql).show(50, truncate = false)
+      QueryRunner.run(spark, resolveSql(opts)).show(50, truncate = false)
     }
     spark.stop()
   }

@@ -39,6 +39,43 @@ class AdvancedSpec extends SparkSpec {
     assert(QueryRunner.resolve(dir, None).get.toString.endsWith("a_first.sql"))
   }
 
+  test("SqlCli: --path executes a direct .sql file, ahead of --name/--sql") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_path")
+    val f = dir.resolve("direct.sql")
+    java.nio.file.Files.writeString(f, "SELECT 42 AS answer")
+    // --path wins over --name and --sql (run_sql_cli.py precedence)
+    val sql = graft.sql.SqlCli.resolveSql(Map(
+      "--path" -> f.toString, "--name" -> "transactions_timeframe",
+      "--sql" -> "SELECT 1"))
+    assert(sql === "SELECT 42 AS answer")
+    assert(QueryRunner.run(spark, sql).collect().head.getInt(0) === 42)
+    // without --path, --sql comes next
+    assert(graft.sql.SqlCli.resolveSql(Map("--sql" -> "SELECT 1")) === "SELECT 1")
+  }
+
+  test("reference-shaped profile report: numbered keys + per-file dtypes") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_refreport").resolve("profile_report.json").toString
+    val fx = graft.sources.GoldenFixture.generate("/tmp/graft_golden_spec")
+    val dfs = fx.txPaths.map { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      (name, p, graft.sources.CsvSource.readRaw(spark, p))
+    }
+    graft.quality.Profiler.writeReferenceReport(dfs, path)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(text).toDS)
+    assert(parsed.select("01_number_samples").collect().head.getLong(0) === 3007L)
+    // data2.csv's missing Numero_TPV shows up in the 02 key
+    assert(text.contains("Numero_TPV: missing in data2.csv"))
+    assert(parsed.select("03_intersection_columns").collect()
+      .head.getSeq[String](0).size === 21)
+    assert(parsed.select("04_union_columns").collect()
+      .head.getSeq[String](0).size === 22)
+    assert(text.contains("\"delimiter\": \"|\""))
+    assert(text.contains("\"Point_de_Vente\": \"string\""))
+  }
+
   test("sessionize splits on gaps and numbers sessions per user") {
     val us = 1000L * 1000 // 1 second in micros
     val ev = Seq(

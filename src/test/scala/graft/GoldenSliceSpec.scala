@@ -87,6 +87,17 @@ class GoldenSliceSpec extends SparkSpec {
     assert(got !== GoldenFixture.TargetMargin2M.toDouble)
   }
 
+  test("placeholder mining rediscovers each file's null-token dialect") {
+    val got = Golden.placeholderMining(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // data3 spells nulls '#NO VALUE' across all 4 audited columns;
+    // data2 uses 'na' (fidelite) and '-' (univers/segment)
+    assert(got.keySet === Set("#no value", "-", "na"))
+    assert(got("#no value") === ((1L, 4L)))
+    assert(got("-") === ((1L, 2L)))
+    assert(got("na") === ((1L, 1L)))
+  }
+
   test("q35 summary is consistent with its parts") {
     val r = Golden.summary(spark, sf).head
     assert(r.getDate(0).toLocalDate === fx.rows.map(_.date).min)

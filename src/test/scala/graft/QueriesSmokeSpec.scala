@@ -11,10 +11,10 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has an oracle or a documented reason") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q15 is metadata-only (schema presence matrix): rows-only check.
-    assert(noOracle === Set("q15_schema_presence"))
+  test("every query key has an oracle") {
+    // since round 2 even q15 (schema presence) is oracle-checked, via
+    // DuckDB DESCRIBE introspection
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) === Set.empty)
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
