@@ -54,17 +54,43 @@ object Dedup {
       .withColumn("h64", xxhash64(col("s")))
   }
 
-  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index. */
+  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index.
+    *
+    * Scale guard (`maxPostings`): the inverted-index self-join costs
+    * sum-over-shingles(postings^2), so ONE boilerplate shingle shared
+    * by k docs contributes k^2 pairs. Shingles whose posting list
+    * exceeds `maxPostings` docs are dropped from the CANDIDATE index
+    * (stop-shingle removal, the standard trick); candidates are then
+    * verified with the full exact Jaccard over ALL shingles, so
+    * reported similarities are exact — the cap only loses pairs whose
+    * every shared shingle is hot (documented recall tradeoff). Pass
+    * Int.MaxValue to disable (exact all-pairs). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxPostings: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    withJaccard(inter, sz, threshold)
+    if (maxPostings == Int.MaxValue) {
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      withJaccard(inter, sz, threshold)
+    } else {
+      val hot = sh.groupBy("h64").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxPostings).select("h64")
+      val idx = sh.join(broadcast(hot), Seq("h64"), "left_anti")
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      withJaccard(inter, sz, threshold)
+    }
   }
 
   private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
@@ -124,17 +150,17 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 12, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     // The shingle table feeds signatures, sizes, and the verify join —
-    // persist it once instead of re-tokenizing the corpus three times.
-    // The fill is forced EAGERLY (count) before the downstream DAG is
-    // executed: AQE materializes broadcast/shuffle subtrees in parallel
-    // jobs, and if the cache is still cold each of those jobs races to
-    // recompute the whole tokenize+hash chain (measured 2-4x wall-clock
-    // at sf0.1). One deliberate fill uses all cores once, then every
-    // subtree reads the warm cache. This is an index build — eager by
-    // design, like writing out a bucketed table at 100 TB.
-    val sh = shingleTable(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    // materialize it ONCE (eager localCheckpoint) instead of
+    // re-tokenizing the corpus three times. Checkpoint beats persist()
+    // here for two measured reasons: (1) AQE materializes broadcast/
+    // shuffle subtrees in parallel jobs, and with a lazy cache those
+    // jobs race to recompute the whole tokenize+hash chain (2-4x
+    // wall-clock at sf0.1); (2) CacheManager plan-matching across
+    // repeated calls showed erratic 10-25x slowdowns on later reruns.
+    // The checkpoint is an index build — eager by design, like writing
+    // a bucketed shingle table at 100 TB (Warehouse.scala shows that
+    // path).
+    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
     val bandsDf = lshBands(minhashSignatures(sh, numHashes), numHashes, bands)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
@@ -155,7 +181,9 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val tok = df.select(col(idCol).as("doc_id"),
+    // same few-input-splits guard as shingleTable: spread the tokenize
+    // work and pre-partition for the per-doc aggregation
+    val tok = df.repartition(col(idCol)).select(col(idCol).as("doc_id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("t"))
     val h = md5(col("t").cast("binary"))
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")

@@ -103,6 +103,30 @@ object Llm {
        |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q39: n-gram Jaccard with stop-shingle cap (scale guard) -------
+  // Same subset as q21 but the candidate index drops shingles shared by
+  // more than MaxPost docs (postings^2 guard); candidates still verify
+  // with FULL exact Jaccard, so every reported value equals q21's.
+  private val MaxPost = 20
+
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", n = 3, threshold = 0.2, maxPostings = MaxPost)
+
+  val ngramJaccardCappedSql: String =
+    s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > $MaxPost),
+       |keep AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |          JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q22: MinHash + LSH near-dup pipeline --------------------------
   private val NumHashes = 12
   private val Bands = 4
@@ -337,7 +361,8 @@ object Llm {
     "q25_cosine_topk"       -> (cosineTopK _),
     "q32_simhash_pairs"     -> (simhashPairs _),
     "q33_lsh_topk"          -> (lshTopKQuery _),
-    "q34_ivf_topk"          -> (ivfTopKQuery _))
+    "q34_ivf_topk"          -> (ivfTopKQuery _),
+    "q39_ngram_capped"      -> (ngramJaccardCapped _))
 
   val oracles: Map[String, String] = Map(
     "q17_lang_id"           -> langIdSql,
@@ -351,5 +376,6 @@ object Llm {
     "q25_cosine_topk"       -> cosineTopKSql,
     "q32_simhash_pairs"     -> simhashPairsSql,
     "q33_lsh_topk"          -> lshTopKSql,
-    "q34_ivf_topk"          -> ivfTopKSql)
+    "q34_ivf_topk"          -> ivfTopKSql,
+    "q39_ngram_capped"      -> ngramJaccardCappedSql)
 }

@@ -188,13 +188,18 @@ object Similarity {
     val cents = centroids
       .withColumn("cent_n", norm(col("centroid")))
     val c = corpusCv.withColumn("cn", norm(col("cv")))
-    val wa = Window.partitionBy("vec_id")
-      .orderBy(desc("ccos"), asc("cell"))
+    // argmax-by-aggregation, not a window: the corpus x centroids
+    // expansion collapses back to one row per vector in the map-side
+    // partial aggregate, so the shuffle carries |corpus| rows instead of
+    // |corpus| x nCells (the tie-break on lowest cell rides inside the
+    // max_by key, keeping the pick deterministic and oracle-identical)
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(cosine(col("cv"), col("centroid"), col("cn"), col("cent_n")), 6))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
+      .join(c, Seq("vec_id"))
       .select("vec_id", "cv", "cn", "cell")
     val q = queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qv"))
