@@ -35,8 +35,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    // Warm-up: compile/JIT the scan + join + agg machinery off the clock.
-    try { force("q6_timeframe"); force("q1_total_margin_2m") }
+    // Warm-up: compile/JIT the scan + join + agg machinery AND the text
+    // path (tokenizer/md5/shingle codegen) off the clock — measured
+    // run-to-run variance on the dedup queries traces to JIT state, not
+    // plan differences.
+    try { force("q6_timeframe"); force("q1_total_margin_2m"); force("q19_fingerprint") }
     catch { case _: Throwable => () }
 
     val results = headline.filter(SparkEntry.queries.contains).map { name =>

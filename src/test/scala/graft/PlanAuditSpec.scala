@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits for the scale claims: the bucketed similarity /
+  * dedup operators must never fall back to a cartesian join, and the
+  * retail window predicates must reach the parquet scan. A plan
+  * regression here is a 100 TB outage that small-scale correctness
+  * tests would never catch. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoCartesian(df: DataFrame, label: String): Unit = {
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"$label has a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$label has a nested-loop join:\n$plan")
+  }
+
+  test("minhashLshPairs plan: equality joins only") {
+    assertNoCartesian(
+      Dedup.minhashLshPairs(Tables.documents(spark, sf), "doc_id", "text",
+        3, 12, 4, 0.5),
+      "minhashLshPairs")
+  }
+
+  test("simhashNearPairs plan: bit-band equality joins only") {
+    val sims = Dedup.simhash(
+      Tables.documents(spark, sf).filter(col("doc_id") < 100), "doc_id", "text")
+    assertNoCartesian(Dedup.simhashNearPairs(sims, maxHamming = 2),
+      "simhashNearPairs")
+  }
+
+  test("srpNearDupPairs plan: SRP band equality joins only") {
+    assertNoCartesian(
+      Similarity.srpNearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4),
+      "srpNearDupPairs")
+  }
+
+  test("lshTopK plan: bucket equality join only") {
+    val emb = Tables.embeddings(spark, sf)
+    assertNoCartesian(
+      Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, 5, bits = 8),
+      "lshTopK")
+  }
+
+  test("capped jaccardPairs plan: no cartesian, hot shingles broadcast-anti") {
+    val df = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
+      n = 3, threshold = 0.5, maxPostings = 20)
+    assertNoCartesian(df, "jaccardPairs(capped)")
+    assert(physical(df).contains("LeftAnti"), "stop-shingle anti-join missing")
+  }
+
+  test("retail window predicate is pushed to the parquet scan") {
+    val plan = physical(
+      graft.operators.Retail.totalMarginLast2Months(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")
+      || plan.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"),
+      s"no pushed shipdate filter:\n$plan")
+  }
+}
