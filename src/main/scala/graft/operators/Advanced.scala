@@ -108,13 +108,25 @@ object Advanced {
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---- q42: streaming dedup (at-least-once -> exactly-once) ----------
+  // The stream delivers every event twice (self-union);
+  // dropDuplicatesWithinWatermark must collapse them so per-type counts
+  // equal the batch counts over the ORIGINAL events.
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.streamingDedup(spark, dir)
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sql_runner"        -> (sqlRunner _),
     "q27_stream_hourly"     -> (streamHourly _),
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q29_sessionization"    -> (sessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
-    "q31_salted_agg"        -> (saltedAgg _))
+    "q31_salted_agg"        -> (saltedAgg _),
+    "q42_stream_dedup"      -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -122,5 +134,6 @@ object Advanced {
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
-    "q31_salted_agg"        -> saltedAggSql)
+    "q31_salted_agg"        -> saltedAggSql,
+    "q42_stream_dedup"      -> streamDedupSql)
 }

@@ -197,6 +197,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation, then one row per multi-doc
+    * cluster with its canonical member (lowest doc_id) and size.
+    *
+    * This is the dedup endgame — pairs alone can't answer "which rows
+    * do I drop"; components can (keep the canonical, drop the rest).
+    *
+    * Scale shape: the classic distributed CC loop — labels and edges
+    * are checkpointed frames; each iteration is one equality join +
+    * min-aggregation (both map-side combinable), and the driver only
+    * collects a changed-row COUNT for the convergence test. Iterations
+    * = component diameter (near-dup clusters are shallow; maxIter
+    * bounds pathological chains — at web scale you'd switch to the
+    * alternating star-contraction variant, same skeleton). */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, col("b") === col("doc_id"))
+        .groupBy(col("a")).agg(min("rep").as("nrep"))
+      val next = labels.join(prop, col("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("rep").as("old")).as("o"), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select(col("rep").as("canonical_doc"), col("cluster_size"))
+      .orderBy("canonical_doc")
+  }
+
   /** SimHash near-dup pairs by Hamming distance, bucketed by bit-bands.
     *
     * Pigeonhole: split the `bits`-bit fingerprint into maxHamming+1

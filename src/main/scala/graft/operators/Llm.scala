@@ -162,6 +162,28 @@ object Llm {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q40: near-dup clusters (connected components over q22 pairs) --
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(minhashLsh(spark, dir))
+
+  // The oracle computes the same components with a recursive CTE
+  // (reachability closure -> min reachable id), a genuinely different
+  // algorithm from the Spark side's label propagation — agreement means
+  // the clustering itself is right, not just reimplemented twice.
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1)
+       |SELECT rep AS canonical_doc, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |FROM labels GROUP BY 1 HAVING COUNT(*) > 1
+       |ORDER BY canonical_doc""".stripMargin
+
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
@@ -362,7 +384,8 @@ object Llm {
     "q32_simhash_pairs"     -> (simhashPairs _),
     "q33_lsh_topk"          -> (lshTopKQuery _),
     "q34_ivf_topk"          -> (ivfTopKQuery _),
-    "q39_ngram_capped"      -> (ngramJaccardCapped _))
+    "q39_ngram_capped"      -> (ngramJaccardCapped _),
+    "q40_dedup_clusters"    -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q17_lang_id"           -> langIdSql,
@@ -377,5 +400,6 @@ object Llm {
     "q32_simhash_pairs"     -> simhashPairsSql,
     "q33_lsh_topk"          -> lshTopKSql,
     "q34_ivf_topk"          -> ivfTopKSql,
-    "q39_ngram_capped"      -> ngramJaccardCappedSql)
+    "q39_ngram_capped"      -> ngramJaccardCappedSql,
+    "q40_dedup_clusters"    -> dedupClustersSql)
 }

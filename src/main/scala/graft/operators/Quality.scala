@@ -214,6 +214,29 @@ object Quality {
       |WHERE p IS NOT NULL AND (p = '' OR NOT regexp_matches(p, '^\{"k": \d+\}$'))
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q41: deterministic hash-threshold sampling --------------------
+  // Entity-coherent (all lineitems of a sampled order survive together)
+  // and bit-reproducible across engines and reruns — the property
+  // rand()-based sampling can't give a 100 TB pipeline.
+  private val SampleFraction = 0.1
+  private val SampleThreshold = (SampleFraction * 4294967296.0).toLong
+
+  def deterministicSampleQ(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling
+      .deterministicSample(Tables.lineitem(spark, dir), "l_orderkey", SampleFraction)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("l_orderkey").as("n_orders"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("total_qty"))
+
+  val deterministicSampleSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+       |FROM lineitem
+       |WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+       |      < $SampleThreshold""".stripMargin
+
   // ---- q16: CSV round-trip: decimal-comma, null tokens, drift (S1/S8/F11/U1) --
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -258,7 +281,8 @@ object Quality {
     "q14_placeholder_norm" -> (placeholderNormalization _),
     "q15_schema_presence"  -> (schemaPresence _),
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
-    "q38_distinct_invalid" -> (distinctInvalidValues _))
+    "q38_distinct_invalid" -> (distinctInvalidValues _),
+    "q41_hash_sample"      -> (deterministicSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -271,5 +295,6 @@ object Quality {
     "q14_placeholder_norm" -> placeholderNormalizationSql,
     "q15_schema_presence"  -> schemaPresenceSql,
     "q16_csv_roundtrip"    -> csvRoundtripSql,
-    "q38_distinct_invalid" -> distinctInvalidValuesSql)
+    "q38_distinct_invalid" -> distinctInvalidValuesSql,
+    "q41_hash_sample"      -> deterministicSampleSql)
 }

@@ -62,6 +62,53 @@ object StreamOps {
     spark.table(queryName).orderBy("hour_start_ms", "event_type")
   }
 
+  /** Streaming deduplication with bounded state:
+    * `dropDuplicatesWithinWatermark` keyed on event_id, over a stream
+    * that deliberately delivers EVERY event twice (self-union — the
+    * at-least-once delivery a real ingest pipeline must survive). The
+    * dedup state is evicted by the event-time watermark, so it holds
+    * ~one key per event inside the watermark horizon instead of growing
+    * forever — the property that separates streaming dedup from a
+    * groupBy at 100 TB/day. Downstream, a per-type count must equal the
+    * batch count over the original (un-doubled) events — the q42
+    * oracle. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema: StructType =
+      spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = "graft_dedup_" + math.abs(dir.hashCode).toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ckpt").toString
+
+    def src: DataFrame = {
+      val s = spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val tsCol =
+        if (fileSchema("ts").dataType == LongType)
+          timestamp_micros((col("ts") / 1000L).cast(LongType))
+        else col("ts")
+      s.withColumn("ts_utc", tsCol)
+    }
+
+    val deduped = src.union(src)
+      .withWatermark("ts_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
+    val q = deduped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(queryName).orderBy("event_type")
+  }
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a per-user running (event count, value in exact integer cents)
     * accumulator. Cents (not doubles) keep the state order-independent,

@@ -111,4 +111,29 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     lsh.foreach { case (k, v) => assert(bruteAll(k) === v) }
   }
+
+  test("dedupClusters: transitive pairs collapse into components with min-id canonicals") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; 4-5-6 chained through 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (4L, 3L), (10L, 2L)))
+  }
+
+  test("deterministicSample: stable across runs and entity-coherent") {
+    val li = Tables.lineitem(spark, sf)
+    val s1 = graft.functions.Sampling.deterministicSample(li, "l_orderkey", 0.2)
+    val s2 = graft.functions.Sampling.deterministicSample(li, "l_orderkey", 0.2)
+    assert(s1.count() === s2.count()) // bit-stable, no seed involved
+    // entity coherence: every sampled order keeps ALL its lineitems
+    val perOrder = s1.groupBy("l_orderkey").count().as("s")
+      .join(li.groupBy("l_orderkey").count().withColumnRenamed("count", "full"),
+        "l_orderkey")
+    assert(perOrder.filter(col("count") =!= col("full")).count() === 0)
+    // fraction lands in a sane band (hash uniformity)
+    val frac = s1.select(countDistinct("l_orderkey")).head.getLong(0).toDouble /
+      li.select(countDistinct("l_orderkey")).head.getLong(0)
+    assert(frac > 0.1 && frac < 0.3, s"fraction=$frac")
+  }
 }
