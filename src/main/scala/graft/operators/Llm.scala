@@ -371,6 +371,73 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q43: token-window document chunking ---------------------------
+  // The context-window prep step every LLM training pipeline needs:
+  // overlapping W-token windows at stride S (last chunk truncates).
+  // The windowing runs on a materialized token array with codegen'd
+  // slice/concat — no per-chunk lambda in the plan.
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val tt = Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n", size(col("t")))
+    val lastIdx = ((greatest(col("n") - ChunkW, lit(0)) + lit(ChunkS - 1)) / ChunkS)
+      .cast("int")
+    val chunkToks = slice(col("t"), col("ci") * ChunkS + 1, lit(ChunkW))
+    tt.withColumn("ci", explode(sequence(lit(0), lastIdx)))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        size(chunkToks).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", chunkToks).cast("binary")).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |              FROM documents WHERE doc_id < 50),
+       |tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+       |ch AS (SELECT doc_id, t,
+       |         unnest(generate_series(0, (greatest(n - $ChunkW, 0) + ${ChunkS - 1}) // $ChunkS)) AS ci
+       |       FROM tt)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(t, ci * $ChunkS + 1, ci * $ChunkS + $ChunkW)) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(t, ci * $ChunkS + 1, ci * $ChunkS + $ChunkW), ' ')) AS fp
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- q44: per-vector int8 embedding quantization -------------------
+  // symmetric absmax quantization (the faiss/SQ8 baseline): scale =
+  // 127/max|v|, q_i = round(v_i * scale). Output carries the scale and
+  // the full quantized vector (comma-joined) so the oracle checks every
+  // component, not a summary.
+  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        round(lit(127.0) / array_max(transform(col("v"), x => abs(x))), 6))
+      .withColumn("q", transform(col("v"),
+        x => round(x * col("scale"), 0).cast("int")))
+    e.select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        concat_ws(",", transform(col("q"), _.cast("string"))).as("qvec"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 20),
+      |m AS (SELECT vec_id, v,
+      |        round(127.0 / list_max(list_transform(v, x -> abs(x))), 6) AS scale
+      |      FROM e),
+      |q AS (SELECT vec_id, scale,
+      |        list_transform(v, x -> CAST(round(x * scale, 0) AS INTEGER)) AS qv
+      |      FROM m)
+      |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS qsum,
+      |       array_to_string(qv, ',') AS qvec
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_lang_id"           -> (langId _),
     "q18_quality_score"     -> (qualityScore _),
@@ -385,7 +452,9 @@ object Llm {
     "q33_lsh_topk"          -> (lshTopKQuery _),
     "q34_ivf_topk"          -> (ivfTopKQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
-    "q40_dedup_clusters"    -> (dedupClusters _))
+    "q40_dedup_clusters"    -> (dedupClusters _),
+    "q43_doc_chunks"        -> (docChunks _),
+    "q44_embed_quant"       -> (embedQuant _))
 
   val oracles: Map[String, String] = Map(
     "q17_lang_id"           -> langIdSql,
@@ -401,5 +470,7 @@ object Llm {
     "q33_lsh_topk"          -> lshTopKSql,
     "q34_ivf_topk"          -> ivfTopKSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
-    "q40_dedup_clusters"    -> dedupClustersSql)
+    "q40_dedup_clusters"    -> dedupClustersSql,
+    "q43_doc_chunks"        -> docChunksSql,
+    "q44_embed_quant"       -> embedQuantSql)
 }
