@@ -67,8 +67,17 @@ object GoldenFixture {
   private def fmt(b: BigDecimal): String =
     b.setScale(6).bigDecimal.toPlainString.replace('.', ',')
 
-  /** Generate (idempotently — same bytes every call) into `dir`. */
-  def generate(dir: String): Fixture = {
+  private val generated =
+    new java.util.concurrent.ConcurrentHashMap[String, Fixture]()
+
+  /** Generate (idempotently — same bytes every call) into `dir`.
+    * Memoized per dir and atomic: several oracle queries (q35-q37) use
+    * the fixture and Verify runs them CONCURRENTLY — two writers
+    * interleaving on the same CSV would corrupt it. */
+  def generate(dir: String): Fixture =
+    generated.computeIfAbsent(dir, d => doGenerate(d))
+
+  private def doGenerate(dir: String): Fixture = {
     val rnd = new Random(20260812L)
     val nProducts = 300
     val products: Map[String, Option[Boolean]] =
