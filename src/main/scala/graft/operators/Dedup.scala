@@ -125,8 +125,12 @@ object Dedup {
     // doubled-string concat, no substring copies, no conv.
     graft.plans.GraftFunctions.register(sh.sparkSession)
     val withH = sh.withColumn("__h", md5(col("s").cast("binary")))
+    // per-doc shingle count rides in the same aggregation — the caller
+    // needs it for the Jaccard denominator, and folding it here saves a
+    // whole extra pass + shuffle over the shingle table
     val aggs = (0 until numHashes).map(i =>
-      min(graft.plans.GraftFunctions.hex_window(col("__h"), i * 2, 15)).as(s"m$i"))
+      min(graft.plans.GraftFunctions.hex_window(col("__h"), i * 2, 15)).as(s"m$i")) :+
+      count(lit(1)).as("szn")
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -161,8 +165,9 @@ object Dedup {
     // a bucketed shingle table at 100 TB (Warehouse.scala shows that
     // path).
     val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
-    val bandsDf = lshBands(minhashSignatures(sh, numHashes), numHashes, bands)
+    val sig = minhashSignatures(sh, numHashes).localCheckpoint(true)
+    val sz = sig.select(col("doc_id"), col("szn"))
+    val bandsDf = lshBands(sig, numHashes, bands)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
