@@ -108,6 +108,35 @@ object Advanced {
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---- q45: as-of join (purchase -> latest prior view per user) ------
+  // The point-in-time lookup, done the scalable way (union-tag window,
+  // Events.asOfJoin). The oracle uses DuckDB's NATIVE ASOF JOIN — an
+  // independent implementation of the semantics.
+  def purchaseAsOfView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("view_ts_us"))
+    Events.asOfJoin(purchases, views, "user_id", "ts_us", Seq("view_ts_us"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("asof_view_ts_us")).as("n_matched"),
+        sum(col("ts_us") - col("asof_view_ts_us")).cast("long").as("total_gap_us"))
+  }
+
+  val purchaseAsOfViewSql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'view')
+      |SELECT COUNT(*) AS n_purchases,
+      |       COUNT(v.ts_us) AS n_matched,
+      |       CAST(SUM(p.ts_us - v.ts_us) AS BIGINT) AS total_gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.ts_us <= p.ts_us""".stripMargin
+
   // ---- q42: streaming dedup (at-least-once -> exactly-once) ----------
   // The stream delivers every event twice (self-union);
   // dropDuplicatesWithinWatermark must collapse them so per-type counts
@@ -126,7 +155,8 @@ object Advanced {
     "q29_sessionization"    -> (sessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q31_salted_agg"        -> (saltedAgg _),
-    "q42_stream_dedup"      -> (streamDedup _))
+    "q42_stream_dedup"      -> (streamDedup _),
+    "q45_asof_join"         -> (purchaseAsOfView _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -135,5 +165,6 @@ object Advanced {
     "q29_sessionization"    -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q31_salted_agg"        -> saltedAggSql,
-    "q42_stream_dedup"      -> streamDedupSql)
+    "q42_stream_dedup"      -> streamDedupSql,
+    "q45_asof_join"         -> purchaseAsOfViewSql)
 }

@@ -15,6 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** As-of join: for each left row, attach the value columns of the
+    * LATEST right row with the same key and right.ts <= left.ts (the
+    * point-in-time lookup Spark has no built-in for).
+    *
+    * Implementation is the scalable union-tag form, not a range join:
+    * tag right rows 0 and left rows 1, union, then one window per key
+    * ordered by (ts, tag) carries the last non-null right payload
+    * forward onto each left row. Cost is ONE hash shuffle of
+    * left+right on the key and a per-partition sort — no O(|L| x |R|)
+    * range-candidate explosion, no bucketed interval index needed.
+    * Right rows at exactly left.ts sort before the left row (tag 0 <
+    * tag 1), giving inclusive <= semantics. `left` and `right` must
+    * share the key and ts column names; right payload columns surface
+    * as `asof_<name>` (null when no prior right row exists). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               valueCols: Seq[String]): DataFrame = {
+    val payload = struct(valueCols.map(col): _*)
+    val r = right.select(col(key), col(tsCol), payload.as("__rv"))
+      .withColumn("__tag", lit(0))
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val outCols = left.columns.map(col) ++
+      valueCols.map(c => col(s"__last.$c").as(s"asof_$c"))
+    carried.select(outCols.toSeq: _*)
+  }
+
   /** Gap-based sessionization: a new session starts after `gap` (in the
     * units of `tsCol`, a monotone integer timestamp) of inactivity.
     * Adds session_seq (1-based per user). */

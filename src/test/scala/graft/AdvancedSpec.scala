@@ -76,6 +76,20 @@ class AdvancedSpec extends SparkSpec {
     assert(text.contains("\"Point_de_Vente\": \"string\""))
   }
 
+  test("asOfJoin: latest prior right row per key, inclusive ties, null when none") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 40L, "v40"), (1L, 100L, "v100"), (3L, 5L, "v5"))
+      .toDF("user_id", "ts", "v")
+    val got = graft.operators.Events
+      .asOfJoin(left, right, "user_id", "ts", Seq("v"))
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getString(2), Option(r.getString(3))))
+    // p2@50 sees v40; p1@100 sees v100 (tie is inclusive); p3 has no view
+    assert(got.toSeq === Seq(("p2", Some("v40")), ("p1", Some("v100")),
+      ("p3", None)))
+  }
+
   test("sessionize splits on gaps and numbers sessions per user") {
     val us = 1000L * 1000 // 1 second in micros
     val ev = Seq(
