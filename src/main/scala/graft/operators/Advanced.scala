@@ -71,6 +71,41 @@ object Advanced {
        |       CAST(SUM(new_session) AS BIGINT) AS n_sessions
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q46: interval-overlap (range) join, bucketed ------------------
+  // Concurrent-session detection across users: session intervals explode
+  // into hour buckets, candidates come from bucket equality, exact
+  // overlap verifies. The oracle does the quadratic inequality join
+  // directly — an independent algorithm, so agreement proves the
+  // bucketing loses no pair.
+  def overlappingSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val sess = Events.sessionize(ev, GapUs, "ts_us")
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+    Events.intervalOverlapJoin(sess, sess, "s", "e",
+        bucket = 3600L * 1000000L,
+        joinFilter = col("l_user_id") < col("r_user_id"))
+      .agg(
+        count(lit(1)).as("n_overlapping_pairs"),
+        countDistinct(col("l_user_id"), col("r_user_id")).as("n_user_pairs"))
+  }
+
+  val overlappingSessionsSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tn FROM events WHERE user_id < 40),
+       |m AS (SELECT user_id, tn,
+       |    CASE WHEN lag(tn) OVER w IS NULL
+       |           OR tn - lag(tn) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
+       |s AS (SELECT user_id, tn,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tn ROWS UNBOUNDED PRECEDING) AS seq
+       |  FROM m),
+       |sess AS (SELECT user_id, seq, MIN(tn) AS s, MAX(tn) AS e FROM s GROUP BY 1, 2),
+       |p AS (SELECT a.user_id AS ua, b.user_id AS ub FROM sess a JOIN sess b
+       |      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+       |SELECT COUNT(*) AS n_overlapping_pairs,
+       |       CAST(COUNT(DISTINCT (ua, ub)) AS BIGINT) AS n_user_pairs FROM p""".stripMargin
+
   // ---- q30: partitioned warehouse sink + partition-pruned read -------
   def warehouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Warehouse
@@ -156,7 +191,8 @@ object Advanced {
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q31_salted_agg"        -> (saltedAgg _),
     "q42_stream_dedup"      -> (streamDedup _),
-    "q45_asof_join"         -> (purchaseAsOfView _))
+    "q45_asof_join"         -> (purchaseAsOfView _),
+    "q46_interval_overlap"  -> (overlappingSessions _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -166,5 +202,6 @@ object Advanced {
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q31_salted_agg"        -> saltedAggSql,
     "q42_stream_dedup"      -> streamDedupSql,
-    "q45_asof_join"         -> purchaseAsOfViewSql)
+    "q45_asof_join"         -> purchaseAsOfViewSql,
+    "q46_interval_overlap"  -> overlappingSessionsSql)
 }

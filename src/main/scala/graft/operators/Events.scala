@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,34 @@ object Events {
     val outCols = left.columns.map(col) ++
       valueCols.map(c => col(s"__last.$c").as(s"asof_$c"))
     carried.select(outCols.toSeq: _*)
+  }
+
+  /** Interval-overlap (range) join between two interval sets, bucketed:
+    * each interval explodes into the time buckets it covers (`sequence`
+    * over floor-divided bounds — codegen'd, no lambda), candidates come
+    * from bucket EQUALITY joins, and only candidates pay the exact
+    * overlap verify. The same de-cartesian shape as the LSH operators:
+    * at 100 TB an interval join written as an inequality join is a
+    * broadcast-nested-loop bomb; bucketing makes it a hash join whose
+    * cost tracks total covered buckets, with `bucket` chosen near the
+    * median interval length. Inputs need (idCols..., startCol, endCol);
+    * returns distinct (left ids, right ids) pairs that truly overlap. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          startCol: String, endCol: String,
+                          bucket: Long, joinFilter: Column): DataFrame = {
+    def explodeBuckets(df: DataFrame, side: String): DataFrame =
+      df.select(
+          (0 until df.columns.length).map(i => col(df.columns(i)).as(s"${side}_${df.columns(i)}")): _*)
+        .withColumn("__bkt", explode(sequence(
+          (col(s"${side}_$startCol") / bucket).cast("long"),
+          (col(s"${side}_$endCol") / bucket).cast("long"))))
+    val l = explodeBuckets(left, "l")
+    val r = explodeBuckets(right, "r")
+    val overlap = col(s"l_$startCol") <= col(s"r_$endCol") &&
+      col(s"r_$startCol") <= col(s"l_$endCol")
+    l.join(r, l("__bkt") === r("__bkt") && joinFilter && overlap)
+      .drop(l("__bkt")).drop(r("__bkt"))
+      .distinct()
   }
 
   /** Gap-based sessionization: a new session starts after `gap` (in the

@@ -55,6 +55,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(physical(df).contains("LeftAnti"), "stop-shingle anti-join missing")
   }
 
+  test("intervalOverlapJoin plan: bucket equality join, no nested loop") {
+    import graft.operators.Events
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 40)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val sess = Events.sessionize(ev, 30L * 60 * 1000 * 1000, "ts_us")
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+    assertNoCartesian(
+      Events.intervalOverlapJoin(sess, sess, "s", "e", 3600L * 1000000L,
+        col("l_user_id") < col("r_user_id")),
+      "intervalOverlapJoin")
+  }
+
   test("retail window predicate is pushed to the parquet scan") {
     val plan = physical(
       graft.operators.Retail.totalMarginLast2Months(spark, sf))
