@@ -214,6 +214,20 @@ object Quality {
       |WHERE p IS NOT NULL AND (p = '' OR NOT regexp_matches(p, '^\{"k": \d+\}$'))
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q47: numeric column summary (min/max/mean/p50/p90) ------------
+  private val SummaryCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  def numericSummaryQ(spark: SparkSession, dir: String): DataFrame =
+    Profiler.numericSummary(Tables.lineitem(spark, dir), SummaryCols)
+
+  val numericSummarySql: String = SummaryCols.map { c =>
+    s"""SELECT '$c' AS "column", round(MIN($c), 6) AS mn, round(MAX($c), 6) AS mx,
+       |  round(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c), 6) AS mean,
+       |  round(quantile_cont($c, 0.5), 6) AS p50,
+       |  round(quantile_cont($c, 0.9), 6) AS p90
+       |FROM lineitem""".stripMargin
+  }.mkString("\n  UNION ALL\n") + "\nORDER BY \"column\""
+
   // ---- q41: deterministic hash-threshold sampling --------------------
   // Entity-coherent (all lineitems of a sampled order survive together)
   // and bit-reproducible across engines and reruns — the property
@@ -282,7 +296,8 @@ object Quality {
     "q15_schema_presence"  -> (schemaPresence _),
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
-    "q41_hash_sample"      -> (deterministicSampleQ _))
+    "q41_hash_sample"      -> (deterministicSampleQ _),
+    "q47_numeric_summary"  -> (numericSummaryQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -296,5 +311,6 @@ object Quality {
     "q15_schema_presence"  -> schemaPresenceSql,
     "q16_csv_roundtrip"    -> csvRoundtripSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
-    "q41_hash_sample"      -> deterministicSampleSql)
+    "q41_hash_sample"      -> deterministicSampleSql,
+    "q47_numeric_summary"  -> numericSummarySql)
 }
