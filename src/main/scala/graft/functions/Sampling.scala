@@ -30,4 +30,23 @@ object Sampling {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.filter(hashKeep(col(keyCol), fraction))
   }
+
+  /** Exactly-N-per-group deterministic sample: rank rows inside each
+    * group by their key's md5 value (tiebroken by the key itself) and
+    * keep the first `n`. The "give me 1000 documents per language,
+    * reproducibly" primitive — stable under reruns, engines, and
+    * repartitioning, unlike rand()-ordered LIMIT. One shuffle on the
+    * group column; at extreme group sizes the hash-threshold form
+    * (deterministicSample) pre-thins before the window sort. */
+  def stratifiedSampleN(df: DataFrame, groupCol: String, keyCol: String,
+                        n: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val h = graft.plans.GraftFunctions.hex_window(
+      md5(col(keyCol).cast("string").cast("binary")), 0, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

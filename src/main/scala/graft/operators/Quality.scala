@@ -214,6 +214,24 @@ object Quality {
       |WHERE p IS NOT NULL AND (p = '' OR NOT regexp_matches(p, '^\{"k": \d+\}$'))
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q48: exactly-N-per-group deterministic sample -----------------
+  private val StratN = 5
+
+  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling
+      .stratifiedSampleN(Tables.documents(spark, dir), "lang", "doc_id", StratN)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  val stratifiedSampleSql: String =
+    s"""SELECT lang, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+       |               doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $StratN ORDER BY lang, doc_id""".stripMargin
+
   // ---- q47: numeric column summary (min/max/mean/p50/p90) ------------
   private val SummaryCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
@@ -297,7 +315,8 @@ object Quality {
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
     "q41_hash_sample"      -> (deterministicSampleQ _),
-    "q47_numeric_summary"  -> (numericSummaryQ _))
+    "q47_numeric_summary"  -> (numericSummaryQ _),
+    "q48_stratified_sample" -> (stratifiedSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -312,5 +331,6 @@ object Quality {
     "q16_csv_roundtrip"    -> csvRoundtripSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
     "q41_hash_sample"      -> deterministicSampleSql,
-    "q47_numeric_summary"  -> numericSummarySql)
+    "q47_numeric_summary"  -> numericSummarySql,
+    "q48_stratified_sample" -> stratifiedSampleSql)
 }
