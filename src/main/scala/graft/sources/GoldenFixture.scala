@@ -142,7 +142,39 @@ object GoldenFixture {
     writeTx(s"$dir/data2.csv", d2, withTpv = false)
     writeTx(s"$dir/data3.csv", d3, withTpv = true)
     writeProducts(s"$dir/product.csv", products)
+    writeProductsXlsx(s"$dir/product.xlsx", products)
     Fixture(d1 ++ d2 ++ d3, products, dir)
+  }
+
+  /** The product dimension ALSO ships as .xlsx — in the reference the
+    * products file IS an Excel workbook (profiling.ipynb cell 36), so
+    * the fixture carries both encodings and the spec asserts
+    * XlsxSource lands on the identical typed dimension. Minimal
+    * spec-conformant workbook: inline-string cells, empty signature ->
+    * absent cell. */
+  private def writeProductsXlsx(path: String,
+                                products: Map[String, Option[Boolean]]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    try {
+      entry("xl/sharedStrings.xml", """<?xml version="1.0"?><sst></sst>""")
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0"?><worksheet><sheetData>""")
+      sb.append("""<row r="1"><c r="A1" t="inlineStr"><is><t>CODE_MODELE_COULEUR_ACTUEL</t></is></c>""")
+      sb.append("""<c r="B1" t="inlineStr"><is><t>SIGNATURE_PRODUCT</t></is></c></row>""")
+      products.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+        val r = i + 2
+        sb.append(s"""<row r="$r"><c r="A$r" t="inlineStr"><is><t>$k</t></is></c>""")
+        v.foreach(b => sb.append(s"""<c r="B$r"><v>${if (b) 1 else 0}</v></c>"""))
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      entry("xl/worksheets/sheet1.xml", sb.toString)
+    } finally zos.close()
   }
 
   private def writeTx(path: String, rows: Seq[Tx], withTpv: Boolean): Unit = {

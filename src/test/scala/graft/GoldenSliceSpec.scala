@@ -98,6 +98,17 @@ class GoldenSliceSpec extends SparkSpec {
     assert(got("na") === ((1L, 1L)))
   }
 
+  test("product dimension via XLSX equals the CSV-loaded dimension (reference Excel path)") {
+    val fromXlsx = graft.sources.CsvSource.alignTo(
+      graft.sources.XlsxSource.read(spark, s"${fx.dir}/product.xlsx"),
+      graft.model.ReferenceSchemas.product)
+    val fromCsv = prod
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(rows(fromXlsx) === rows(fromCsv))
+    assert(rows(fromXlsx).size === 300)
+  }
+
   test("q35 summary is consistent with its parts") {
     val r = Golden.summary(spark, sf).head
     assert(r.getDate(0).toLocalDate === fx.rows.map(_.date).min)
