@@ -124,7 +124,9 @@ object Dedup {
     // 15-hex window straight off the md5 string with wraparound — no
     // doubled-string concat, no substring copies, no conv.
     graft.plans.GraftFunctions.register(sh.sparkSession)
-    val withH = sh.withColumn("__h", md5(col("s").cast("binary")))
+    val withH =
+      if (sh.columns.contains("__h")) sh
+      else sh.withColumn("__h", md5(col("s").cast("binary")))
     // per-doc shingle count rides in the same aggregation — the caller
     // needs it for the Jaccard denominator, and folding it here saves a
     // whole extra pass + shuffle over the shingle table
@@ -163,8 +165,14 @@ object Dedup {
     // repeated calls showed erratic 10-25x slowdowns on later reruns.
     // The checkpoint is an index build — eager by design, like writing
     // a bucketed shingle table at 100 TB (Warehouse.scala shows that
-    // path).
-    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
+    // path). Only (doc_id, h64, md5) is materialized — the shingle
+    // STRING feeds nothing downstream (signatures read md5 windows, the
+    // verify joins on h64), so dropping it narrows the checkpoint rows
+    // by ~40%.
+    val sh = shingleTable(df, idCol, textCol, n)
+      .withColumn("__h", md5(col("s").cast("binary")))
+      .select("doc_id", "h64", "__h")
+      .localCheckpoint(true)
     val sig = minhashSignatures(sh, numHashes).localCheckpoint(true)
     val sz = sig.select(col("doc_id"), col("szn"))
     val bandsDf = lshBands(sig, numHashes, bands)
