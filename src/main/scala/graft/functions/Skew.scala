@@ -29,4 +29,22 @@ object Skew {
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").as("total"))
+
+  /** Salted skewed join: when one fact key dominates and the dim side is
+    * too big to broadcast, a sort-merge join sends the whole hot key to
+    * one task. Salting spreads it: the fact side gets a deterministic
+    * salt in [0, buckets) from a high-cardinality column, the dim side
+    * replicates each row across ALL salt values (explode of a literal
+    * range — dim grows x buckets, fact does not), and the join runs on
+    * (key, salt). Result set is EXACTLY the plain inner join's.
+    * AQE's skew-join split handles many cases adaptively; this is the
+    * deterministic form for when the planner can't (e.g. pre-AQE
+    * stages, or salting into a bucketed write). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(saltSource, buckets))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
 }
