@@ -106,6 +106,29 @@ object Advanced {
        |SELECT COUNT(*) AS n_overlapping_pairs,
        |       CAST(COUNT(DISTINCT (ua, ub)) AS BIGINT) AS n_user_pairs FROM p""".stripMargin
 
+  // ---- q49: Z-order (Morton) layout key ------------------------------
+  // Cross-engine parity of the codegen'd morton_key expression that
+  // drives Warehouse.writeZOrdered; the oracle rebuilds the interleave
+  // from 64 explicit shift/mask terms.
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir).filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_partkey"),
+        graft.plans.GraftFunctions.morton_key(
+          col("l_orderkey"), col("l_partkey")).as("zkey"))
+      .orderBy("l_orderkey", "l_partkey", "zkey")
+  }
+
+  val zorderKeysSql: String = {
+    val terms = (0 until 32).flatMap(i => Seq(
+      s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+      s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT l_orderkey, l_partkey,
+       |  CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+       |FROM lineitem WHERE l_orderkey < 200
+       |ORDER BY l_orderkey, l_partkey, zkey""".stripMargin
+  }
+
   // ---- q30: partitioned warehouse sink + partition-pruned read -------
   def warehouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Warehouse
@@ -192,7 +215,8 @@ object Advanced {
     "q31_salted_agg"        -> (saltedAgg _),
     "q42_stream_dedup"      -> (streamDedup _),
     "q45_asof_join"         -> (purchaseAsOfView _),
-    "q46_interval_overlap"  -> (overlappingSessions _))
+    "q46_interval_overlap"  -> (overlappingSessions _),
+    "q49_zorder_key"        -> (zorderKeys _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -203,5 +227,6 @@ object Advanced {
     "q31_salted_agg"        -> saltedAggSql,
     "q42_stream_dedup"      -> streamDedupSql,
     "q45_asof_join"         -> purchaseAsOfViewSql,
-    "q46_interval_overlap"  -> overlappingSessionsSql)
+    "q46_interval_overlap"  -> overlappingSessionsSql,
+    "q49_zorder_key"        -> zorderKeysSql)
 }

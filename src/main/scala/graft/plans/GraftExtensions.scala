@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hex_window"),
       new ExpressionInfo(classOf[HexWindowLong].getName, "graft_hex_window"),
       (exprs: Seq[Expression]) => GraftFunctions.mkHexWindow(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("morton_key"),
+      new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
+      (exprs: Seq[Expression]) => MortonKey(exprs(0), exprs(1))))
   }
 }
 
@@ -58,6 +62,8 @@ object GraftFunctions {
       "graft_tokens", exprs => AsciiTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hex_window", mkHexWindow, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API handles; resolve through the function registry, so call
@@ -75,4 +81,6 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_hex_window", hexStr, lit(start), lit(len))
   }
+
+  def morton_key(a: Column, b: Column): Column = call_function("morton_key", a, b)
 }

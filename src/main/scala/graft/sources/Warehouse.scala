@@ -38,6 +38,23 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-ordered layout: range-repartition + sort by the 2-D Morton key
+    * of (a, b) before writing, so each output file owns a DISJOINT
+    * z-range — rows close in BOTH dimensions land together, and a 2-D
+    * range predicate prunes files/row-groups the way a 1-D sort only
+    * prunes one dimension (the Delta/Iceberg OPTIMIZE ZORDER layout,
+    * via the codegen'd graft.plans.MortonKey expression). */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    numFiles: Int): Unit = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__z",
+        graft.plans.GraftFunctions.morton_key(col(a).cast("long"), col(b).cast("long")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed catalog table: pre-hash-partitioned on the join key so
     * repeated joins/aggregations on that key skip their shuffle
     * entirely (both sides bucketed on the same key and count =>

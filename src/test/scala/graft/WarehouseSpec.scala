@@ -48,4 +48,42 @@ class WarehouseSpec extends SparkSpec {
       assert(joined.count() === li.count()) // every lineitem has its part
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("morton key matches a naive bit-interleave reference") {
+    val rnd = new scala.util.Random(7)
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    (0 until 1000).foreach { _ =>
+      val a = rnd.nextLong() & 0xffffffffL
+      val b = rnd.nextLong() & 0xffffffffL
+      assert(graft.plans.MortonKey.compute(a, b) === naive(a, b), s"($a,$b)")
+    }
+  }
+
+  test("z-ordered write gives files with disjoint morton ranges") {
+    val li = Tables.lineitem(spark, sf)
+    val path = "/tmp/graft_test_wh_zorder"
+    Warehouse.writeZOrdered(li, path, "l_orderkey", "l_partkey", numFiles = 4)
+    graft.plans.GraftFunctions.register(spark)
+    val back = spark.read.parquet(path)
+      .withColumn("__z", graft.plans.GraftFunctions.morton_key(
+        col("l_orderkey").cast("long"), col("l_partkey").cast("long")))
+      .withColumn("f", input_file_name())
+    val ranges = back.groupBy("f")
+      .agg(min("__z").as("lo"), max("__z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2)
+    // disjointness is what enables file-level pruning on 2-D predicates
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+    assert(back.count() === li.count())
+  }
 }
