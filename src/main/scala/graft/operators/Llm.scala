@@ -371,6 +371,47 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q50: TF-IDF keyword extraction (top-k terms per doc) ----------
+  // The curation primitive for "what is this document about": term
+  // frequency from one tokenize pass, document frequency from a groupBy
+  // on the term (map-side combinable), smooth idf, top-k per doc via
+  // rank window. All joins are on the term string; the df table is tiny
+  // (vocabulary-sized) and broadcasts.
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // driver scalar, like a scalar subquery
+    val terms = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val scored = terms.join(broadcast(dfreq), "term")
+      .withColumn("score", round(col("tf") *
+        (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3 && col("doc_id") < 30)
+      .select("doc_id", "rk", "term", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |              FROM documents),
+      |terms AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |scored AS (SELECT doc_id, term,
+      |    round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      |  FROM terms JOIN dfreq USING (term), n),
+      |r AS (SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score
+      |FROM r WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin
+
   // ---- q43: token-window document chunking ---------------------------
   // The context-window prep step every LLM training pipeline needs:
   // overlapping W-token windows at stride S (last chunk truncates).
@@ -454,7 +495,8 @@ object Llm {
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q43_doc_chunks"        -> (docChunks _),
-    "q44_embed_quant"       -> (embedQuant _))
+    "q44_embed_quant"       -> (embedQuant _),
+    "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "q17_lang_id"           -> langIdSql,
@@ -472,5 +514,6 @@ object Llm {
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q43_doc_chunks"        -> docChunksSql,
-    "q44_embed_quant"       -> embedQuantSql)
+    "q44_embed_quant"       -> embedQuantSql,
+    "q50_tfidf_top_terms"   -> tfidfSql)
 }
