@@ -66,21 +66,42 @@ object GraftFunctions {
       "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
   }
 
-  /** Column-API handles; resolve through the function registry, so call
-    * [[register]] (or install [[GraftExtensions]]) first. */
-  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  /** Column-API handles. Each helper self-registers on the thread's
+    * active session (idempotent map put) so a pure Column builder like
+    * Text.tokens can't be used before registration; explicit
+    * [[register]] / [[GraftExtensions]] remain for SQL-text use and
+    * sessions built on other threads. */
+  private def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(register)
 
-  def word_shingles(tokens: Column, n: Int): Column =
+  def rolling_hash(c: Column): Column = {
+    ensureRegistered()
+    call_function("rolling_hash", c)
+  }
+
+  def word_shingles(tokens: Column, n: Int): Column = {
+    ensureRegistered()
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  }
 
-  def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def graft_dot(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("graft_dot", a, b)
+  }
 
-  def graft_tokens(lowered: Column): Column = call_function("graft_tokens", lowered)
+  def graft_tokens(lowered: Column): Column = {
+    ensureRegistered()
+    call_function("graft_tokens", lowered)
+  }
 
   def hex_window(hexStr: Column, start: Int, len: Int): Column = {
     import org.apache.spark.sql.functions.lit
+    ensureRegistered()
     call_function("graft_hex_window", hexStr, lit(start), lit(len))
   }
 
-  def morton_key(a: Column, b: Column): Column = call_function("morton_key", a, b)
+  def morton_key(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("morton_key", a, b)
+  }
 }

@@ -65,4 +65,31 @@ class PropertySpec extends SparkSpec {
     }
     assert(got === expected)
   }
+
+  test("graft_tokens is byte-identical to the filter(split(lower)) lambda form") {
+    graft.plans.GraftFunctions.register(spark)
+    val gen: Gen[String] = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const("!@# $%"), Gen.const(""),
+      Gen.const("Ünïcödé-Wörds"), Gen.const("中文 text123"),
+      Gen.const("MiXeD2case"), Gen.const("\ttabs\nnewlines"))).map(_.mkString(" "))
+    val docs = samples(gen, 150)
+    val both = docs.toDF("text").select(
+      Text.tokens(col("text")).as("fast"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "").as("ref"))
+    assert(both.filter(not(col("fast") === col("ref"))).count() === 0)
+  }
+
+  test("graft_hex_window equals conv(substr(doubled md5)) for every rotation") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = samples(Gen.alphaNumStr, 100).filter(_.nonEmpty)
+    val base = docs.toDF("s")
+      .withColumn("h", md5(col("s").cast("binary")))
+      .withColumn("hh", concat(col("h"), col("h")))
+    (0 until 16).foreach { i =>
+      val cmp = base.select(
+        graft.plans.GraftFunctions.hex_window(col("h"), i * 2, 15).as("fast"),
+        conv(substring(col("hh"), i * 2 + 1, 15), 16, 10).cast("long").as("ref"))
+      assert(cmp.filter(col("fast") =!= col("ref")).count() === 0, s"rotation $i")
+    }
+  }
 }
