@@ -104,7 +104,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature: numHashes BIGINT columns m0..m{k-1}. The hash
+  /** MinHash signature: numHashes BIGINT columns m0..m{k-1}, plus the
+    * per-doc shingle count `szn` (the Jaccard denominator) folded into
+    * the same aggregation. The hash
     * family is ONE md5 per shingle plus rotations (hash i orders
     * shingles by a 15-hex-char window of the doubled md5 hex starting at
     * offset 2i) — 12x cheaper than seeded re-hashing, still

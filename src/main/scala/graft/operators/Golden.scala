@@ -20,7 +20,10 @@ import java.time.LocalDate
   */
 object Golden {
 
-  val FixtureDir = "/tmp/graft_golden_csv"
+  // Inside the repo's (gitignored) build dir, not /tmp: the DuckDB
+  // oracle re-reads these files in a separate process after Verify, and
+  // the repo tree is the one path both are guaranteed to share.
+  val FixtureDir = "/root/repo/target/golden_csv"
 
   def loadTransactions(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
     CsvSource.readAligned(spark, fx.txPaths, ReferenceSchemas.transactions)
