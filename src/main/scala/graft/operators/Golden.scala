@@ -99,7 +99,7 @@ object Golden {
   def summary(spark: SparkSession, dir: String): DataFrame = {
     val fx = GoldenFixture.generate(FixtureDir)
     val tx = loadTransactions(spark, fx)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // feeds the summary agg + both margin windows
     val prod = loadProducts(spark, fx)
     val tot = tx.agg(
       min("date_transaction").as("first_date"),

@@ -129,9 +129,14 @@ object Similarity {
   def srpNearDupPairs(emb: DataFrame, threshold: Double, bands: Int = 12,
                       bits: Int = 6, dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
+    // eager checkpoint, not persist: the normalized-vector frame feeds
+    // both the band signatures and the verify joins, and CacheManager
+    // plan-matching leaks lazily-persisted frames into UNRELATED later
+    // queries that contain the same subplan (observed: q25's plan
+    // picking up this frame's InMemoryRelation) with erratic timing
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bandSigs = (0 until bands).map(b =>
       struct(lit(b).as("band"), srpSignature(col("v"), b, bits, dim).as("sig")))
     val bkt = e.select(col("vec_id"), explode(array(bandSigs: _*)).as("bs"))
@@ -165,7 +170,7 @@ object Similarity {
 
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // feeds KMeans.fit AND the assignment scan
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .fit(c.select("features"))
 
