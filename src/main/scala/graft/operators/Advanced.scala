@@ -56,9 +56,10 @@ object Advanced {
 
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     Events.sessionStats(
-      Tables.events(spark, dir).filter(col("user_id") < 100)
-        .withColumn("ts_us", unix_micros(col("ts"))),
-      GapUs, tsCol = "ts_us")
+        Tables.events(spark, dir).filter(col("user_id") < 100)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        GapUs, tsCol = "ts_us")
+      .orderBy("user_id")
 
   val sessionStatsSql: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tn FROM events WHERE user_id < 100),

@@ -21,10 +21,27 @@ import org.apache.spark.sql.functions._
   *    distance on 32-bit ints (bitwise XOR + popcount, no string ops).
   *
   * Hashes are md5-hex (a Catalyst built-in with codegen) so the DuckDB
-  * oracle can reproduce signatures byte-for-byte; a production tune
-  * would swap xxhash64 for md5 (same plan shape, ~4x cheaper hash).
+  * oracle can reproduce signatures byte-for-byte; the PRODUCTION lane
+  * ([[XxMinhash]]) derives the whole MinHash family from seeded
+  * xxhash64 instead — same plan shape, ~4x cheaper per shingle, not
+  * cross-engine reproducible. MinhashXxLaneSpec proves both lanes find
+  * the same near-dup pairs (candidates are always verified with exact
+  * Jaccard, so the family only moves candidate recall).
+  *
+  * Library operators return UNSORTED results — a trailing global sort
+  * is a range shuffle a 100 TB caller may not want; the oracle-facing
+  * q-entry wrappers add their own deterministic ORDER BY.
   */
 object Dedup {
+
+  /** MinHash hash-family switch: [[Md5Minhash]] = oracle lane (md5 hex
+    * windows, byte-reproducible in any engine with md5/substr);
+    * [[XxMinhash]] = production lane (min over seeded xxhash64 of the
+    * shingle's h64 — one 8-byte hash per (shingle, seed), no string
+    * hashing at all). */
+  sealed trait HashFamily
+  case object Md5Minhash extends HashFamily
+  case object XxMinhash extends HashFamily
 
   /** Exact dedup: representative row per content hash (min id wins). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -63,11 +80,13 @@ object Dedup {
     * (stop-shingle removal, the standard trick); candidates are then
     * verified with the full exact Jaccard over ALL shingles, so
     * reported similarities are exact — the cap only loses pairs whose
-    * every shared shingle is hot (documented recall tradeoff). Pass
-    * Int.MaxValue to disable (exact all-pairs). */
+    * EVERY shared shingle is hot (the documented recall trade of the
+    * default). The cap is ON by default (1000 postings) because the
+    * uncapped form is a k^2 bomb on any corpus with boilerplate; use
+    * [[exactAllPairs]] to opt into the exact quadratic form. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxPostings: Int = Int.MaxValue): DataFrame = {
+                   maxPostings: Int = 1000): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
     if (maxPostings == Int.MaxValue) {
@@ -93,6 +112,14 @@ object Dedup {
     }
   }
 
+  /** Exact all-pairs n-gram Jaccard — the unguarded postings^2 form.
+    * Correct tool ONLY for bounded corpora (verification, oracles);
+    * at scale use the capped [[jaccardPairs]] default or
+    * [[minhashLshPairs]]. */
+  def exactAllPairs(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, threshold, maxPostings = Int.MaxValue)
+
   private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
     val j = col("c").cast("double") /
       (col("za.szn") + col("zb.szn") - col("c")).cast("double")
@@ -101,7 +128,6 @@ object Dedup {
       .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash signature: numHashes BIGINT columns m0..m{k-1}, plus the
@@ -118,24 +144,40 @@ object Dedup {
     * windows (the DuckDB oracle does) picks identical argmins.
     * Rotations are correlated permutations, which only affects candidate
     * recall — every candidate is verified with exact Jaccard afterwards.
-    * Requires numHashes <= 16 (32 hex chars / stride 2). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    require(numHashes <= 16, "rotation family supports at most 16 hashes")
-    // md5 materialized as a column first (no CSE within a projection);
-    // hex_window (graft.plans.HexWindowLong) parses each rotation's
-    // 15-hex window straight off the md5 string with wraparound — no
-    // doubled-string concat, no substring copies, no conv.
+    * Requires numHashes <= 16 (32 hex chars / stride 2).
+    *
+    * The [[XxMinhash]] family instead takes `min(xxhash64(h64, i))` per
+    * seed i — a fully independent hash family computed from the
+    * 8-byte shingle hash alone (no md5, no string hashing): the
+    * production lane when cross-engine reproducibility isn't needed. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int,
+                        family: HashFamily = Md5Minhash): DataFrame = {
     graft.plans.GraftFunctions.register(sh.sparkSession)
-    val withH =
-      if (sh.columns.contains("__h")) sh
-      else sh.withColumn("__h", md5(col("s").cast("binary")))
     // per-doc shingle count rides in the same aggregation — the caller
     // needs it for the Jaccard denominator, and folding it here saves a
     // whole extra pass + shuffle over the shingle table
-    val aggs = (0 until numHashes).map(i =>
-      min(graft.plans.GraftFunctions.hex_window(col("__h"), i * 2, 15)).as(s"m$i")) :+
-      count(lit(1)).as("szn")
-    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val szn = count(lit(1)).as("szn")
+    family match {
+      case Md5Minhash =>
+        require(numHashes <= 16, "rotation family supports at most 16 hashes")
+        // md5 materialized as a column first (no CSE within a projection);
+        // hex_window (graft.plans.HexWindowLong) parses each rotation's
+        // 15-hex window straight off the md5 string with wraparound — no
+        // doubled-string concat, no substring copies, no conv.
+        val withH =
+          if (sh.columns.contains("__h")) sh
+          else sh.withColumn("__h", md5(col("s").cast("binary")))
+        val aggs = (0 until numHashes).map(i =>
+          min(graft.plans.GraftFunctions.hex_window(col("__h"), i * 2, 15)).as(s"m$i")) :+ szn
+        withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      case XxMinhash =>
+        // the seed rides as a literal second argument; each hash is one
+        // codegen'd xxhash64 over 12 bytes — no overflow-prone arithmetic
+        // (ANSI-safe), no strings
+        val aggs = (0 until numHashes).map(i =>
+          min(xxhash64(col("h64"), lit(i))).as(s"m$i")) :+ szn
+        sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   /** LSH band keys: bands x (numHashes/bands) signature layout; band key
@@ -156,7 +198,8 @@ object Dedup {
     * candidates -> exact-Jaccard verify on candidates only. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 12, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      family: HashFamily = Md5Minhash): DataFrame = {
     // The shingle table feeds signatures, sizes, and the verify join —
     // materialize it ONCE (eager localCheckpoint) instead of
     // re-tokenizing the corpus three times. Checkpoint beats persist()
@@ -170,12 +213,16 @@ object Dedup {
     // path). Only (doc_id, h64, md5) is materialized — the shingle
     // STRING feeds nothing downstream (signatures read md5 windows, the
     // verify joins on h64), so dropping it narrows the checkpoint rows
-    // by ~40%.
-    val sh = shingleTable(df, idCol, textCol, n)
-      .withColumn("__h", md5(col("s").cast("binary")))
-      .select("doc_id", "h64", "__h")
-      .localCheckpoint(true)
-    val sig = minhashSignatures(sh, numHashes).localCheckpoint(true)
+    // by ~40%. The xxhash lane needs no md5 column at all — its
+    // checkpoint is just (doc_id, h64).
+    val base = shingleTable(df, idCol, textCol, n)
+    val sh = (family match {
+      case Md5Minhash => base
+        .withColumn("__h", md5(col("s").cast("binary")))
+        .select("doc_id", "h64", "__h")
+      case XxMinhash => base.select("doc_id", "h64")
+    }).localCheckpoint(true)
+    val sig = minhashSignatures(sh, numHashes, family).localCheckpoint(true)
     val sz = sig.select(col("doc_id"), col("szn"))
     val bandsDf = lshBands(sig, numHashes, bands)
     val cand = bandsDf.as("a").join(bandsDf.as("b"),
@@ -209,24 +256,26 @@ object Dedup {
       when(col(s"b$p") >= 0, lit("1")).otherwise(lit("0"))): _*)
     agg.select(col("doc_id"), bitstr.as("simhash"))
       .withColumn("simhash_int", conv(col("simhash"), 2, 10).cast("long"))
-      .orderBy("doc_id")
   }
 
-  /** Near-dup CLUSTERS from a pair list: connected components by
-    * iterative min-label propagation, then one row per multi-doc
-    * cluster with its canonical member (lowest doc_id) and size.
-    *
-    * This is the dedup endgame — pairs alone can't answer "which rows
-    * do I drop"; components can (keep the canonical, drop the rest).
+  /** Connected-components result with convergence surfaced: `labels`
+    * is (doc_id, rep); a caller MUST check `converged` before trusting
+    * labels from the propagation variant (a component whose diameter
+    * exceeds maxIter returns partially-merged labels otherwise). */
+  final case class Components(labels: DataFrame, iterations: Int,
+                              converged: Boolean)
+
+  /** Connected components by iterative min-label propagation.
     *
     * Scale shape: the classic distributed CC loop — labels and edges
     * are checkpointed frames; each iteration is one equality join +
     * min-aggregation (both map-side combinable), and the driver only
     * collects a changed-row COUNT for the convergence test. Iterations
-    * = component diameter (near-dup clusters are shallow; maxIter
-    * bounds pathological chains — at web scale you'd switch to the
-    * alternating star-contraction variant, same skeleton). */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * = component DIAMETER: near-dup clusters are shallow, but sliding
+    * near-dup chains are not — for those use
+    * [[starContractComponents]], which converges in O(log^2 n) rounds
+    * regardless of diameter. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): Components = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
@@ -248,11 +297,93 @@ object Dedup {
       labels = next
       i += 1
     }
+    Components(labels, i, changed == 0L)
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public
+    * literature): each half-round hangs every node off the minimum of
+    * its neighborhood, which contracts chains geometrically, so a
+    * diameter-D component needs O(log D) rounds where propagation
+    * needs D. Each half-round is one min-aggregation plus one join
+    * (no collect_list, no driver-side adjacency), making it the
+    * 100 TB-safe fallback for deep chains.
+    *
+    * large-star: for every edge (u,v) with v > u, emit (v, min(N(u) ∪ u)).
+    * small-star: direct edges to the smaller endpoint, then for each u
+    * emit (v, m) for v in N(u) ∪ {u} with m = min(N(u) ∪ u).
+    * Fixpoint = the edge set is a set of stars rooted at component
+    * minima; labels read directly off the final edges. */
+  def starContractComponents(pairs: DataFrame, maxIter: Int = 30): Components = {
+    // undirected edge set, kept as deduped (a, b) rows with a =!= b
+    var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def sym(df: DataFrame): DataFrame =
+      df.union(df.select(col("b").as("a"), col("a").as("b")))
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric neighborhood
+      val s = sym(e)
+      val mins = s.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), least(col("mn"), col("a")).as("m"))
+      val large = s.filter(col("b") > col("a"))
+        .join(mins, col("a") === col("u"))
+        .select(least(col("b"), col("m")).as("a"),
+          greatest(col("b"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // small-star over edges directed at the smaller endpoint
+      val dir = large.select(col("b").as("u"), col("a").as("v")) // v < u
+      val mins2 = dir.groupBy("u").agg(min("v").as("m"))
+      val small = dir.join(mins2, "u")
+        .select(col("v"), col("u"), col("m"))
+        .select(explode(array(
+          struct(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b")),
+          struct(col("m").as("a"), col("u").as("b")))).as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e = small
+      i += 1
+    }
+    // fixpoint edges are stars (node, root): labels = non-roots off the
+    // edges, roots label themselves
+    val labels = e.select(col("b").as("doc_id"), col("a").as("rep"))
+      .union(e.select(col("a").as("doc_id"), col("a").as("rep")).distinct())
+    Components(labels, i, converged)
+  }
+
+  /** Near-dup CLUSTERS from a pair list: one row per multi-doc cluster
+    * with its canonical member (lowest doc_id) and size — the dedup
+    * endgame (keep the canonical, drop the rest).
+    *
+    * Uses min-label propagation and LOGS A WARNING when maxIter was
+    * hit before convergence (labels may be partially merged); callers
+    * needing a hard guarantee on deep chains use
+    * [[starContractComponents]] and shape with [[clustersFromLabels]]. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+    if (!cc.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters: label propagation hit maxIter=$maxIter without " +
+          "converging — a component's diameter exceeds the budget and its " +
+          "labels are PARTIALLY MERGED; rerun with a higher maxIter or use " +
+          "starContractComponents")
+    clustersFromLabels(cc.labels)
+  }
+
+  /** (doc_id, rep) labels -> (canonical_doc, cluster_size) rows for
+    * multi-doc clusters. */
+  def clustersFromLabels(labels: DataFrame): DataFrame =
     labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)
       .select(col("rep").as("canonical_doc"), col("cluster_size"))
-      .orderBy("canonical_doc")
-  }
 
   /** SimHash near-dup pairs by Hamming distance, bucketed by bit-bands.
     *
@@ -288,6 +419,5 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("__ia").bitwiseXOR(col("__ib"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 }

@@ -36,7 +36,11 @@ object Events {
       .withColumn("__tag", lit(0))
     val l = left.withColumn("__tag", lit(1))
       .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"))
+    // __rv as the final sort key: when several right rows share
+    // (key, ts), ties resolve on the payload struct itself, so the
+    // carried value is identical across runs and partitionings (the
+    // determinism contract; without it last() picks an arbitrary peer)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
@@ -59,12 +63,21 @@ object Events {
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           startCol: String, endCol: String,
                           bucket: Long, joinFilter: Column): DataFrame = {
+    // exact FLOOR division on longs: `div` truncates toward zero, so
+    // correct downward when the remainder is negative. Double division
+    // here would (a) send negative bounds to the wrong bucket and
+    // (b) lose exactness past 2^53 (nanosecond epochs) — either breaks
+    // the "bucketing loses no pair" guarantee.
+    def floorDiv(c: Column, b: Long): Column = {
+      val q = call_function("div", c, lit(b))
+      when(c % b < 0, q - 1).otherwise(q)
+    }
     def explodeBuckets(df: DataFrame, side: String): DataFrame =
       df.select(
           (0 until df.columns.length).map(i => col(df.columns(i)).as(s"${side}_${df.columns(i)}")): _*)
         .withColumn("__bkt", explode(sequence(
-          (col(s"${side}_$startCol") / bucket).cast("long"),
-          (col(s"${side}_$endCol") / bucket).cast("long"))))
+          floorDiv(col(s"${side}_$startCol"), bucket),
+          floorDiv(col(s"${side}_$endCol"), bucket))))
     val l = explodeBuckets(left, "l")
     val r = explodeBuckets(right, "r")
     val overlap = col(s"l_$startCol") <= col(s"r_$endCol") &&
@@ -87,11 +100,11 @@ object Events {
         sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
-  /** Per-user session stats (event count, session count). */
+  /** Per-user session stats (event count, session count). Unsorted —
+    * callers needing a total order add their own ORDER BY. */
   def sessionStats(ev: DataFrame, gap: Long, tsCol: String = "ts_ns"): DataFrame =
     sessionize(ev, gap, tsCol)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum("new_session").cast("long").as("n_sessions"))
-      .orderBy("user_id")
 }

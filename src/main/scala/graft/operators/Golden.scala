@@ -22,8 +22,11 @@ object Golden {
 
   // Inside the repo's (gitignored) build dir, not /tmp: the DuckDB
   // oracle re-reads these files in a separate process after Verify, and
-  // the repo tree is the one path both are guaranteed to share.
-  val FixtureDir = "/root/repo/target/golden_csv"
+  // the repo tree is the one path both are guaranteed to share. Resolved
+  // per-checkout (env override > JVM working dir) and interpolated into
+  // the oracle SQL, so nothing is pinned to an absolute path.
+  val FixtureDir: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+    s"${sys.props("user.dir")}/target/golden_csv")
 
   def loadTransactions(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
     CsvSource.readAligned(spark, fx.txPaths, ReferenceSchemas.transactions)

@@ -90,9 +90,12 @@ object Llm {
       |FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1) g""".stripMargin
 
   // ---- q21: n-gram Jaccard all-pairs (inverted index) ----------------
+  // The exact quadratic form is an explicit opt-in (exactAllPairs);
+  // jaccardPairs' library default is the capped index (q39).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300),
-      "doc_id", "text", n = 3, threshold = 0.2)
+    Dedup.exactAllPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300),
+        "doc_id", "text", n = 3, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
 
   val ngramJaccardSql: String =
     s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
@@ -111,7 +114,8 @@ object Llm {
 
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300),
-      "doc_id", "text", n = 3, threshold = 0.2, maxPostings = MaxPost)
+        "doc_id", "text", n = 3, threshold = 0.2, maxPostings = MaxPost)
+      .orderBy("doc_a", "doc_b")
 
   val ngramJaccardCappedSql: String =
     s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
@@ -131,9 +135,21 @@ object Llm {
   private val NumHashes = 12
   private val Bands = 4
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  // Bench-only twin on the PRODUCTION hash lane (seeded xxhash64 family,
+  // no md5 anywhere): not cross-engine reproducible, so no SQL oracle —
+  // MinhashXxLaneSpec proves it finds the same pairs as the md5 lane.
+  def minhashLshXx(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5,
+        family = Dedup.XxMinhash)
+      .orderBy("doc_a", "doc_b")
 
   val minhashLshSql: String = {
     val rows = NumHashes / Bands
@@ -164,7 +180,7 @@ object Llm {
 
   // ---- q40: near-dup clusters (connected components over q22 pairs) --
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupClusters(minhashLsh(spark, dir))
+    Dedup.dedupClusters(minhashPairs(spark, dir)).orderBy("canonical_doc")
 
   // The oracle computes the same components with a recursive CTE
   // (reachability closure -> min reachable id), a genuinely different
@@ -187,7 +203,8 @@ object Llm {
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
-      "doc_id", "text")
+        "doc_id", "text")
+      .orderBy("doc_id")
 
   val simhashSql: String = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
@@ -239,7 +256,8 @@ object Llm {
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.srpNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-      bands = NdBands, bits = NdBits, dim = 64)
+        bands = NdBands, bits = NdBits, dim = 64)
+      .orderBy("vec_a", "vec_b")
 
   val embeddingNearDupSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -259,6 +277,7 @@ object Llm {
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("query_id", "rank")
   }
 
   val cosineTopKSql: String =
@@ -282,9 +301,10 @@ object Llm {
   // so the oracle doubles as proof the bucketing loses nothing.
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearPairs(
-      Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
-        "doc_id", "text"),
-      maxHamming = 2)
+        Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
+          "doc_id", "text"),
+        maxHamming = 2)
+      .orderBy("doc_a", "doc_b")
 
   val simhashPairsSql: String = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
@@ -307,29 +327,37 @@ object Llm {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // ---- q33: SRP-LSH top-k with Hamming-1 multi-probe -----------------
+  // ---- q33: multi-band SRP-LSH top-k with Hamming-1 multi-probe ------
+  // 16 independent 8-bit bands OR'd together (the srpNearDupPairs
+  // banding shape applied to top-k): measured top-k recall ~0.9 on the
+  // near-uniform corpus vs 0.14 for the round-2 single-band default.
+  private val LshBands = 16
   private val LshBits = 8
 
   def lshTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-      bits = LshBits, dim = 64)
+        bands = LshBands, bits = LshBits, dim = 64)
+      .orderBy("query_id", "rank")
   }
 
   val lshTopKSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${planesCte(1, LshBits, 64)},
+       |${planesCte(LshBands, LshBits, 64)},
        |${sigCte(LshBits, 64)},
-       |cc AS (SELECT e.vec_id, v, sqrt(list_inner_product(v, v)) AS cn, sig
-       |       FROM e JOIN sig ON e.vec_id = sig.vec_id),
-       |q AS (SELECT vec_id AS query_id, v AS qv, cn AS qn, sig FROM cc WHERE vec_id < 10),
-       |probes AS (SELECT query_id, qv, qn, sig AS pb FROM q
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e),
+       |qs AS (SELECT vec_id AS query_id, band, sig FROM sig WHERE vec_id < 10),
+       |probes AS (SELECT query_id, band, sig AS pb FROM qs
        |  UNION ALL
-       |  SELECT query_id, qv, qn, xor(sig, (1::BIGINT << j)) AS pb
-       |  FROM q, (SELECT unnest(generate_series(0, ${LshBits - 1})) AS j)),
-       |scored AS (SELECT query_id, cc.vec_id,
-       |    round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
-       |  FROM cc JOIN probes ON cc.sig = probes.pb WHERE cc.vec_id <> query_id),
+       |  SELECT query_id, band, xor(sig, (1::BIGINT << j)) AS pb
+       |  FROM qs, (SELECT unnest(generate_series(0, ${LshBits - 1})) AS j)),
+       |cand AS (SELECT DISTINCT query_id, s.vec_id
+       |  FROM sig s JOIN probes p ON s.band = p.band AND s.sig = p.pb
+       |  WHERE s.vec_id <> p.query_id),
+       |scored AS (SELECT query_id, cand.vec_id,
+       |    round(list_inner_product(x.v, y.v) / (x.nn * y.nn), 6) AS cos
+       |  FROM cand JOIN n x ON cand.query_id = x.vec_id
+       |            JOIN n y ON cand.vec_id = y.vec_id),
        |r AS (SELECT query_id, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
        |  FROM scored)
@@ -340,7 +368,8 @@ object Llm {
   def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfSampledTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-      nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
   }
 
   val ivfTopKSql: String =
@@ -486,6 +515,7 @@ object Llm {
     "q20_exact_dedup"       -> (exactDedup _),
     "q21_ngram_jaccard"     -> (ngramJaccard _),
     "q22_minhash_lsh"       -> (minhashLsh _),
+    "q22x_minhash_xxhash"   -> (minhashLshXx _),
     "q23_simhash"           -> (simhash _),
     "q24_embedding_neardup" -> (embeddingNearDup _),
     "q25_cosine_topk"       -> (cosineTopK _),

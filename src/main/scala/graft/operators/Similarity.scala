@@ -40,7 +40,10 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector. Like every
+    * library operator here, the result is UNSORTED — a global sort is a
+    * range shuffle a caller may not want at scale; the oracle-facing
+    * q-entry wrappers add their own deterministic ORDER BY. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"),
@@ -55,7 +58,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** Deterministic +-1 hyperplanes shared with any md5-capable engine:
@@ -86,37 +88,55 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** ANN top-k via SRP-LSH with multi-probe: a corpus vector is a
-    * candidate if its bucket equals the query's bucket OR any
-    * single-bit flip of it (Hamming-1 probing — bits+1 probe keys per
-    * query). Probing happens on the tiny query side, so the corpus
-    * still shuffles once on an 8-byte key; recall rises steeply vs
-    * exact-bucket matching because adjacent buckets hold the
-    * near-boundary neighbors. Smaller `bits` => bigger buckets =>
-    * higher recall & cost. */
+  /** ANN top-k via multi-band SRP-LSH with Hamming-1 multi-probe.
+    *
+    * Each vector gets `bands` INDEPENDENT `bits`-bit signatures (the
+    * same OR-of-bands shape as [[srpNearDupPairs]]); a corpus vector is
+    * a candidate when, in ANY band, its signature equals the query's
+    * signature or a single-bit flip of it. Probing happens on the tiny
+    * query side (bands*(bits+1) probe keys per query), so the corpus
+    * still shuffles once on (band, sig) 8-byte keys; candidates are
+    * deduped BEFORE the exact cosine rerank so each pair is scored once.
+    *
+    * Recall per true neighbor at angle theta (p = 1 - theta/pi per-bit
+    * agreement): a band captures p^b + b*p^(b-1)*(1-p) with Hamming-1
+    * probes, and bands OR together: 1-(1-capture)^bands. At the default
+    * (16 bands x 8 bits) that is ~0.91 for neighbors near cos 0.4 —
+    * the HARD near-uniform regime; real near-dup corpora (cos >= 0.9,
+    * p ~ 0.9) saturate at ~1.0. Measured in RecallSpec (>= 0.8
+    * asserted on the seeded corpus). Cost dial: fewer bands => fewer
+    * candidates, lower recall; the single-band (bands=1) call is the
+    * round-2 behavior. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 8, dim: Int = 64): DataFrame = {
+              bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("bucket", srpSignature(col("qv"), 0, bits, dim))
-    val probeKeys = array(
-      (col("bucket") +: (0 until bits).map(j =>
-        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
-    val probes = q.select(col("query_id"), col("qv"), col("qn"),
-      explode(probeKeys).as("probe"))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    // eager checkpoints: both frames feed signature generation AND the
+    // exact rerank (see srpNearDupPairs for the CacheManager rationale)
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("bucket", srpSignature(col("cv"), 0, bits, dim))
-    val scored = c.join(broadcast(probes), col("bucket") === col("probe"))
+      .localCheckpoint(true)
+    val q = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .localCheckpoint(true)
+    def bandSigs(v: String): Column = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), srpSignature(col(v), b, bits, dim).as("sig"))): _*)
+    val cBkt = e.select(col("vec_id"), explode(bandSigs("cv")).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val probes = q.select(col("query_id"), explode(bandSigs("qv")).as("bs"))
+      .select(col("query_id"), col("bs.band").as("band"),
+        explode(array((col("bs.sig") +: (0 until bits).map(j =>
+          col("bs.sig").bitwiseXOR(lit(1L << j)))): _*)).as("probe"))
+    val cand = cBkt.join(broadcast(probes),
+        cBkt("band") === probes("band") && col("sig") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** Embedding near-dup pairs, SRP-bucketed (the scale path, and the
@@ -151,7 +171,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus
@@ -223,7 +242,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** IVF with deterministic sampled centroids: the nCells lowest-id
@@ -250,6 +268,5 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.v"), col("b.v"), col("a.n"), col("b.n")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy("vec_a", "vec_b")
   }
 }

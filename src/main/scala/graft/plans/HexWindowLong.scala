@@ -42,9 +42,12 @@ case class HexWindowLong(child: Expression, start: Int, len: Int)
 }
 
 object HexWindowLong {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Empty input (legal
+    * from user SQL — graft_hex_window is a registered session function)
+    * returns 0L rather than dividing by zero in the wraparound. */
   def compute(s: UTF8String, start: Int, len: Int): Long = {
     val n = s.numBytes()
+    if (n == 0) return 0L
     var v = 0L
     var j = 0
     while (j < len) {

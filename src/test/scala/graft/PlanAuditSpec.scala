@@ -19,6 +19,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"$label has a cartesian:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"$label has a nested-loop join:\n$plan")
+    // library operators return UNSORTED results: a trailing global sort
+    // would be a range-partitioning shuffle the caller never asked for
+    // (the oracle wrappers add their own ORDER BY)
+    assert(!plan.contains("rangepartitioning"),
+      s"$label has a global-sort range shuffle:\n$plan")
   }
 
   test("minhashLshPairs plan: equality joins only") {

@@ -16,7 +16,7 @@ class RecallSpec extends SparkSpec {
   test("MinHash+LSH (12 hashes x 4 bands, rotation family) candidate recall vs exact Jaccard") {
     val docs = Tables.documents(spark, sf)
     val exact = pairSet(
-      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+      Dedup.exactAllPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
     val lsh = pairSet(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4, 0.5))
     assert(exact.nonEmpty, "seeded corpus must contain near-dup pairs")
@@ -41,44 +41,30 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall=$recall%.3f")
   }
 
-  test("SRP-LSH top-k with Hamming-1 multi-probe: recall vs brute force, and probe lift") {
+  test("multi-band SRP-LSH top-k: recall >= 0.8 at the default (16 bands x 8 bits)") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 20)
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Operating point: the seeded corpus's true top-5 neighbors sit
-    // near cos 0.4 (theta ~ 66 deg), so per-bit agreement is
-    // p = 1 - theta/pi ~ 0.63 and Hamming-1 capture is
-    // p^b + b*p^(b-1)*(1-p): ~0.53 at b=4 (measured 0.58), ~0.14 at
-    // b=8 (measured 0.14 — theory and practice agree). Production
-    // corpora with real near-dups (cos >= 0.9, p ~ 0.86) keep b=8+.
-    val bits = 4
+    // Operating point: this corpus's true top-5 neighbors sit near
+    // cos 0.4 (theta ~ 66 deg), so per-bit agreement is p ~ 0.63.
+    // One 8-bit band with Hamming-1 probes captures
+    // p^8 + 8*p^7*(1-p) ~ 0.14 (the round-2 single-band default —
+    // measured 0.14); 16 independent bands OR together to
+    // 1-(1-0.14)^16 ~ 0.91. Real near-dup corpora (cos >= 0.9) sit
+    // near 1.0 at far lower cost.
     val brute = hits(Similarity.bruteForceTopK(queries, emb, 5))
-    val multi = hits(Similarity.lshTopK(queries, emb, 5, bits = bits))
+    val multi = hits(Similarity.lshTopK(queries, emb, 5)) // library default
     val recall = (brute intersect multi).size.toDouble / brute.size
-    info(f"lshTopK multi-probe recall at bits=$bits, k=5: $recall%.3f")
-    assert(recall >= 0.4, f"recall=$recall%.3f")
+    info(f"lshTopK recall at bands=16, bits=8, k=5: $recall%.3f")
+    assert(recall >= 0.8, f"recall=$recall%.3f")
 
-    // multi-probe must dominate exact-bucket-only candidate generation:
-    // rebuild the single-probe variant inline and compare hit coverage
-    val recallSingle = {
-      val q = queries.select(col("vec_id").as("query_id"),
-          Similarity.asDouble(col("embedding")).as("qv"))
-        .withColumn("qn", Similarity.norm(col("qv")))
-        .withColumn("bucket", Similarity.srpSignature(col("qv"), 0, bits, 64))
-      val c = emb.select(col("vec_id"),
-          Similarity.asDouble(col("embedding")).as("cv"))
-        .withColumn("cn", Similarity.norm(col("cv")))
-        .withColumn("bucket", Similarity.srpSignature(col("cv"), 0, bits, 64))
-      val single = c.join(q, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select("query_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      (brute intersect single).size.toDouble / brute.size
-    }
-    info(f"single-probe candidate recall: $recallSingle%.3f")
+    // banding must dominate the single-band form it replaced
+    val single = hits(Similarity.lshTopK(queries, emb, 5, bands = 1, bits = 8))
+    val recallSingle = (brute intersect single).size.toDouble / brute.size
+    info(f"single-band recall: $recallSingle%.3f")
     assert(recall >= recallSingle,
-      f"multi-probe ($recall%.3f) must not trail single-probe ($recallSingle%.3f)")
+      f"multi-band ($recall%.3f) must not trail single-band ($recallSingle%.3f)")
   }
 }

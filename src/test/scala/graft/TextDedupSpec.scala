@@ -117,7 +117,7 @@ class TextDedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     val got = Dedup.dedupClusters(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(got === Seq((1L, 3L), (4L, 3L), (10L, 2L)))
   }
 
