@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.ReferenceSchemas
-import graft.sources.{CsvSource, GoldenFixture}
+import graft.sources.{CsvSource, GoldenFixture, XlsxSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.time.LocalDate
@@ -31,8 +31,16 @@ object Golden {
   def loadTransactions(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
     CsvSource.readAligned(spark, fx.txPaths, ReferenceSchemas.transactions)
 
+  /** The product dimension loads from the .xlsx — in the reference the
+    * products file IS an Excel workbook (profiling.ipynb cells 35-36,
+    * src/utils/dataset_profiling.py:190-223). The DuckDB oracle has no
+    * xlsx reader, so it reads the CSV twin of the same dimension —
+    * q35 passing therefore proves the two encodings ingest to the
+    * identical typed table, closing the S4 oracle gap as far as DuckDB
+    * allows. */
   def loadProducts(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
-    CsvSource.alignTo(CsvSource.readRaw(spark, fx.productPath), ReferenceSchemas.product)
+    CsvSource.alignTo(XlsxSource.read(spark, fx.productXlsxPath),
+      ReferenceSchemas.product)
 
   // ---- the six reference queries (reference src/sql/queries/) --------
 
@@ -229,13 +237,65 @@ object Golden {
        |       (SELECT COUNT(*) FROM tx0)
        |       - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM tx0)) AS n_duplicate_rows""".stripMargin
 
+  // ---- q51: the remaining two published golden counts ----------------
+  // Reference README.md:192: "duplicates in 76 cases" on the 15-column
+  // business key (profiling.ipynb cell 27); profiling.ipynb:747:
+  // 2,019,845 '#NO VALUE' in the third export's CA_Net_TTC. The fixture
+  // plants exact 1/1000-scale analogs (76 groups, 2020 tokens) and this
+  // query must rediscover BOTH from the files alone.
+
+  /** The reference's duplicate-check subset (profiling cell 27), in the
+    * ingested table's snake_case names. */
+  private val bizKey15: Seq[String] = Seq(
+    "numero_transaction", "point_de_vente", "fedas_numero", "fedas_libelle",
+    "date_transaction", "heure", "typologie_magasin", "type_de_vente",
+    "cible_genre_age", "modele_couleur_ref", "modele_couleur_libelle",
+    "type_de_vente_nps", "quantite_vendue", "marge_nette_magasin",
+    "ca_net_ht")
+
+  def goldenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val fx = GoldenFixture.generate(FixtureDir)
+    val tx = loadTransactions(spark, fx)
+    val dupGroups = graft.functions.Validate.duplicateGroups(tx, bizKey15)
+      .agg(count(lit(1)).as("n_dup_groups_15col"),
+        coalesce(sum("count"), lit(0L)).cast("long").as("n_dup_rows_15col"))
+    val noValue = CsvSource.readRaw(spark, s"$FixtureDir/data3.csv")
+      .filter(col("CA_Net_TTC") === "#NO VALUE")
+      .agg(count(lit(1)).as("n_no_value_ca_net_ttc"))
+    dupGroups.crossJoin(noValue)
+  }
+
+  // The oracle groups the RAW string union on the same 15 columns —
+  // equivalent to the Spark side's typed grouping because the generator
+  // writes every key column canonically (always present, fixed 6-dp
+  // money format), so raw equality iff typed equality.
+  val goldenCountsSql: String = {
+    val rawKey = Seq("Numero_Transaction", "Point_de_Vente", "Fedas_Numero",
+      "Fedas_Libelle", "Date_Transaction", "Heure", "Typologie_Magasin",
+      "Type_de_Vente", "Cible_Genre_Age", "Modele_Couleur_Ref",
+      "Modele_Couleur_Libelle", "Type_de_vente_NPS", "Quantite_Vendue",
+      "Marge_Nette_Magasin", "CA_Net_HT").mkString(", ")
+    s"""WITH tx0 AS (
+       |  SELECT * FROM ${csv("data1.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data2.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data3.csv")}),
+       |g AS (SELECT COUNT(*) AS c FROM tx0
+       |      GROUP BY $rawKey HAVING COUNT(*) > 1)
+       |SELECT (SELECT COUNT(*) FROM g) AS n_dup_groups_15col,
+       |       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM g) AS n_dup_rows_15col,
+       |       (SELECT COUNT(*) FROM ${csv("data3.csv")}
+       |        WHERE CA_Net_TTC = '#NO VALUE') AS n_no_value_ca_net_ttc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_golden_csv_contract" -> (summary _),
     "q36_placeholder_mining"  -> (placeholderMining _),
-    "q37_whole_row_dups"      -> (wholeRowDupCheck _))
+    "q37_whole_row_dups"      -> (wholeRowDupCheck _),
+    "q51_golden_dup_counts"   -> (goldenCounts _))
 
   val oracles: Map[String, String] = Map(
     "q35_golden_csv_contract" -> summarySql,
     "q36_placeholder_mining"  -> placeholderMiningSql,
-    "q37_whole_row_dups"      -> wholeRowDupCheckSql)
+    "q37_whole_row_dups"      -> wholeRowDupCheckSql,
+    "q51_golden_dup_counts"   -> goldenCountsSql)
 }

@@ -22,11 +22,19 @@ import scala.util.Random
   *    (COUNT vs COUNT DISTINCT divergence);
   *  - one FK-orphan Modele_Couleur_Ref (outside every margin window).
   *
-  * One row's margin is an adjustment that lands the signature-product
-  * margin over the last-2-calendar-months window EXACTLY on
-  * 49264.014260 — a 1/1000-scale analog of the reference's published
-  * 49,264,014.26 golden value (reference README.md:227-232) — so the
-  * flagship query has a planted, human-checkable constant.
+  * THREE of the reference's published figures are planted as exact
+  * 1/1000-scale analogs, so the flagship queries have human-checkable
+  * constants:
+  *  - the signature margin over the last-2-calendar-months window lands
+  *    EXACTLY on 49264.014260 (analog of the published 49,264,014.26,
+  *    reference README.md:227-232) via one adjustment row;
+  *  - EXACTLY 76 duplicate groups exist on the reference's 15-column
+  *    business key (README.md:192, profiling.ipynb cell 27) — the 5
+  *    whole-row duplicates plus 71 planted key-duplicates differing
+  *    only in CA_Net_TTC (a non-key column);
+  *  - EXACTLY 2020 `#NO VALUE` tokens sit in data3's CA_Net_TTC column
+  *    (analog of the published 2,019,845 in the third export,
+  *    profiling.ipynb:747, rounded at 1/1000 scale).
   *
   * Everything is seeded and pure JVM: the same bytes are produced on
   * every call, which is what lets the DuckDB oracle read the same files
@@ -35,6 +43,14 @@ import scala.util.Random
 object GoldenFixture {
 
   val TargetMargin2M = BigDecimal("49264.014260")
+  val TargetDupGroups = 76   // README.md:192 — groups on the 15-col key
+  val TargetNoValueCa = 2020 // profiling.ipynb:747 — #NO VALUE in CA_Net_TTC
+
+  /** The reference's 15-column duplicate-check business key
+    * (profiling.ipynb cell 27), as a Tx projection. */
+  def bizKey(t: Tx): Product = (t.tid, t.pdv, t.fedasNum, t.fedasLib,
+    t.date, t.heure, t.typologie, t.typeVente, t.cible, t.ref, t.refLib,
+    t.nps, t.qty, t.marge, t.ht)
 
   /** One transactions row, pre-typing (exactly what lands in the CSV). */
   final case class Tx(
@@ -53,6 +69,7 @@ object GoldenFixture {
     def txPaths: Seq[String] =
       Seq("data1.csv", "data2.csv", "data3.csv").map(f => s"$dir/$f")
     def productPath: String = s"$dir/product.csv"
+    def productXlsxPath: String = s"$dir/product.xlsx"
   }
 
   val DateMin: LocalDate = LocalDate.of(2022, 1, 10)
@@ -105,8 +122,7 @@ object GoldenFixture {
       val ref = s"MCR${rnd.nextInt(nProducts) + 1}"
       val qty = if (rnd.nextInt(20) == 0) -(rnd.nextInt(3) + 1) else rnd.nextInt(5) + 1
       val ht = money(rnd.nextInt(5000000).toLong - 500000)
-      val ttc = if (fileNo == 3 && rnd.nextInt(4) == 0) None
-                else Some(money(rnd.nextInt(6000000).toLong - 500000))
+      val ttc = Some(money(rnd.nextInt(6000000).toLong - 500000))
       val marge = money(rnd.nextInt(2000000).toLong - 600000)
       Tx(pdv, tpv, tid, date, heure, s"Typologie_Magasin_${rnd.nextInt(6) + 1}",
         fid, s"TV${rnd.nextInt(5) + 1}", opt("CL1"), opt("CL2"), opt("CL3"),
@@ -119,23 +135,52 @@ object GoldenFixture {
     val d1base = Seq.fill(1200)(mkRow(1))
     val d1 = d1base ++ d1base.take(5) // exact duplicate rows
     val d2 = Seq.fill(800)(mkRow(2))
-    val d3base = Seq.fill(1000)(mkRow(3))
+    // data3 is the big third export: 2500 base rows, of which EXACTLY
+    // TargetNoValueCa carry a missing CA_Net_TTC (written as the
+    // '#NO VALUE' token) — the 1/1000-scale analog of the published
+    // 2,019,845 count
+    val d3base = Seq.fill(2500)(mkRow(3)).zipWithIndex.map { case (t, i) =>
+      if (i < TargetNoValueCa) t.copy(ttc = None) else t
+    }
 
     // FK orphan, outside both margin windows (date before Jan 29)
     val orphan = mkRow(3).copy(ref = "MCR-ORPHAN-1",
       date = LocalDate.of(2022, 1, 12), marge = money(100))
+
+    // Plant key-duplicates: copies of singleton-key d3 rows differing
+    // ONLY in CA_Net_TTC (not part of the 15-col key), topping the
+    // business-key duplicate-group count up to exactly TargetDupGroups.
+    // The 5 whole-row d1 duplicates already form key-dup groups, so the
+    // planted count adapts to whatever the seeded rows produced.
+    val preRows = d1 ++ d2 ++ d3base :+ orphan
+    val existingGroups = preRows.groupBy(bizKey).count(_._2.size > 1)
+    // sort on the (unique) full key string — hash-map order is not
+    // deterministic and tids repeat, so nothing weaker gives the same
+    // pick on every call
+    val singletons = d3base.groupBy(bizKey).filter(_._2.size == 1)
+      .flatMap(_._2).toSeq.sortBy(t => bizKey(t).toString)
+      .take(TargetDupGroups - existingGroups)
+    val dupCopies = singletons.zipWithIndex.map { case (t, i) =>
+      t.copy(ttc = Some(money(7000000L + i))) // outside the generated range
+    }
 
     // adjustment row: signature product (MCR2 -> true), in-window, lands
     // the 2-calendar-month signature margin exactly on TargetMargin2M
     def eligible(t: Tx): Boolean =
       products.get(t.ref).exists(_.contains(true)) &&
         !t.date.isBefore(Window2MStart) && t.date.isBefore(Window2MEnd)
-    val runningSum = (d1 ++ d2 ++ d3base :+ orphan)
+    val runningSum = (preRows ++ dupCopies)
       .filter(eligible).map(_.marge).sum
     val adj = mkRow(3).copy(ref = "MCR2", date = LocalDate.of(2022, 3, 15),
       marge = TargetMargin2M - runningSum,
       ttc = Some(money(123456)), qty = 1)
-    val d3 = d3base ++ Seq(orphan, adj)
+    val d3 = d3base ++ dupCopies ++ Seq(orphan, adj)
+
+    val all = d1 ++ d2 ++ d3
+    require(all.groupBy(bizKey).count(_._2.size > 1) == TargetDupGroups,
+      "planted business-key duplicate groups drifted off the golden 76")
+    require(d3.count(_.ttc.isEmpty) == TargetNoValueCa,
+      "planted #NO VALUE count drifted off the golden 2020")
 
     Files.createDirectories(Paths.get(dir))
     writeTx(s"$dir/data1.csv", d1, withTpv = true)
@@ -143,7 +188,7 @@ object GoldenFixture {
     writeTx(s"$dir/data3.csv", d3, withTpv = true)
     writeProducts(s"$dir/product.csv", products)
     writeProductsXlsx(s"$dir/product.xlsx", products)
-    Fixture(d1 ++ d2 ++ d3, products, dir)
+    Fixture(all, products, dir)
   }
 
   /** The product dimension ALSO ships as .xlsx — in the reference the

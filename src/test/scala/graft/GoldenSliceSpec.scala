@@ -22,12 +22,16 @@ class GoldenSliceSpec extends SparkSpec {
     fx.products.get(t.ref).exists(_.contains(true))
 
   test("ingest: all rows survive, duplicates preserved, drift filled with nulls") {
-    assert(tx.count() === fx.rows.size) // 1205 + 800 + 1002
+    assert(tx.count() === fx.rows.size) // d1 1205 + d2 800 + d3 ~2573
     // data2 rows (no Numero_TPV column) have null numero_tpv
     val d2 = fx.rows.count(_.tpv.isEmpty)
     assert(tx.filter(tx("numero_tpv").isNull).count() === d2)
-    // the 5 duplicated rows were NOT collapsed
-    assert(fx.rows.size === 3007)
+    // the planted golden counts hold in the in-memory replay: exactly
+    // 76 duplicate groups on the reference's 15-col business key and
+    // exactly 2020 missing CA_Net_TTC (all in data3 by construction)
+    assert(fx.rows.groupBy(GoldenFixture.bizKey).count(_._2.size > 1)
+      === GoldenFixture.TargetDupGroups)
+    assert(fx.rows.count(_.ttc.isEmpty) === GoldenFixture.TargetNoValueCa)
   }
 
   test("timeframe matches the replayed golden values") {
@@ -99,14 +103,22 @@ class GoldenSliceSpec extends SparkSpec {
   }
 
   test("product dimension via XLSX equals the CSV-loaded dimension (reference Excel path)") {
-    val fromXlsx = graft.sources.CsvSource.alignTo(
-      graft.sources.XlsxSource.read(spark, s"${fx.dir}/product.xlsx"),
+    val fromXlsx = prod // Golden.loadProducts reads the .xlsx now
+    val fromCsv = graft.sources.CsvSource.alignTo(
+      graft.sources.CsvSource.readRaw(spark, fx.productPath),
       graft.model.ReferenceSchemas.product)
-    val fromCsv = prod
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
     assert(rows(fromXlsx) === rows(fromCsv))
     assert(rows(fromXlsx).size === 300)
+  }
+
+  test("q51 golden counts rediscover the planted 76 groups and 2020 #NO VALUE") {
+    val r = Golden.goldenCounts(spark, sf).head
+    assert(r.getLong(0) === GoldenFixture.TargetDupGroups.toLong)
+    assert(r.getLong(1) === GoldenFixture.TargetDupGroups.toLong * 2,
+      "every planted group has exactly 2 members")
+    assert(r.getLong(2) === GoldenFixture.TargetNoValueCa.toLong)
   }
 
   test("q35 summary is consistent with its parts") {
