@@ -49,6 +49,30 @@ object Advanced {
       |    / greatest(doc_id % 16 + 1, 1) AS bytes_per_frame
       |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
 
+  // ---- q52: REAL BMP/WAV header decode (multimodal, no stub) ---------
+  // Genuine spec-conformant media bytes (MediaFixture) are parsed
+  // byte-by-byte from the binary column by pure Column expressions
+  // (Multimodal.decodeMediaMeta); the oracle recomputes the PLANTED
+  // header fields from the id formulas — agreement proves the decoder
+  // extracted exactly what was encoded.
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.decodeMediaMeta(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val mediaDecodeSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+      |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN doc_id * 7 % 48 + 1 END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT) END AS bpp,
+      |  CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 + 1 END AS channels,
+      |  CASE WHEN doc_id % 2 = 1 THEN 8000 * (doc_id % 4 + 1) END AS sample_rate,
+      |  CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS BIGINT) END AS bits_per_sample,
+      |  CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS n_samples
+      |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+
   // ---- q29: gap-based sessionization (window functions) --------------
   // Microsecond timeline on both engines: Spark truncates the parquet
   // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
@@ -211,6 +235,7 @@ object Advanced {
     "q26_sql_runner"        -> (sqlRunner _),
     "q27_stream_hourly"     -> (streamHourly _),
     "q28_multimodal_decode" -> (multimodalDecode _),
+    "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -223,6 +248,7 @@ object Advanced {
     "q26_sql_runner"        -> sqlRunnerSql,
     "q27_stream_hourly"     -> streamHourlySql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
+    "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q31_salted_agg"        -> saltedAggSql,

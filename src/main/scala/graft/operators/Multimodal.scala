@@ -8,16 +8,86 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC STUB (clearly marked below): it derives "features"
-  * from the raw bytes (length, hash, fake dimensions) instead of real
-  * pixel decoding. Everything around it — the asset schema, the
-  * per-partition batch iteration, the explode-to-frames shape, column
-  * pruning behavior — is the real Spark plumbing a production decoder
-  * would drop into (swap `stubDecode` for an opencv/ffmpeg call inside
-  * the same mapPartitions).
+  * Two decode tiers:
+  *  - [[decodeMediaMeta]] is a REAL header decoder for BMP images and
+  *    PCM WAV audio (public formats, parsed byte-by-byte from the
+  *    binary column with pure codegen'd expressions — no UDF, no
+  *    library). Oracle-checked in q52 against planted header values.
+  *  - The richer feature kernel ([[decodeFeatures]]/[[batchDecode]])
+  *    stays a DETERMINISTIC STUB (clearly marked below) because the
+  *    container has no jpeg/mp3/video codecs; the asset schema,
+  *    per-partition batch iteration, explode-to-frames shape, and
+  *    column-pruning behavior are the production plumbing a codec call
+  *    would drop into.
   */
 object Multimodal {
+
+  /** Little-endian unsigned integer read from `nBytes` bytes of a
+    * binary column at 1-based byte position `pos`, as a long. hex() of
+    * each byte, most-significant last — pure Column expressions, so the
+    * whole parse stays inside whole-stage codegen over the binary scan
+    * (the right shape at 100 TB: a projection, no shuffle, prunable to
+    * the header bytes by a format-aware source). */
+  def leUInt(content: Column, pos: Int, nBytes: Int): Column =
+    conv(concat((0 until nBytes).reverse.map(i =>
+      hex(substring(content, pos + i, 1))): _*), 16, 10).cast("long")
+
+  /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav. */
+  def sniffKind(content: Column): Column =
+    when(hex(substring(content, 1, 2)) === "424D", lit("bmp"))
+      .when(hex(substring(content, 1, 4)) === "52494646" &&
+        hex(substring(content, 9, 4)) === "57415645", lit("wav"))
+      .otherwise(lit("unknown"))
+
+  /** REAL media-metadata decode over (asset_id, content) rows: BMP
+    * width/height/bpp (BITMAPINFOHEADER offsets 18/22/28) and WAV
+    * channels/sample_rate/bits_per_sample/n_samples (canonical fmt
+    * chunk offsets 22/24/34, data size at 40). Fields of the other
+    * format are null. Caveat: BMP height is read unsigned (top-down
+    * negative-height bitmaps are out of scope — documented). */
+  def decodeMediaMeta(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    val kind = sniffKind(c)
+    val isBmp = kind === "bmp"
+    val isWav = kind === "wav"
+    val channels = leUInt(c, 23, 2)
+    val bits = leUInt(c, 35, 2)
+    val dataSize = leUInt(c, 41, 4)
+    assets.select(
+      col("asset_id"),
+      kind.as("kind"),
+      when(isBmp, leUInt(c, 19, 4)).as("width"),
+      when(isBmp, leUInt(c, 23, 4)).as("height"),
+      when(isBmp, leUInt(c, 29, 2)).as("bpp"),
+      when(isWav, channels).as("channels"),
+      when(isWav, leUInt(c, 25, 4)).as("sample_rate"),
+      when(isWav, bits).as("bits_per_sample"),
+      when(isWav, (dataSize / (channels * bits / lit(8))).cast("long"))
+        .as("n_samples"))
+  }
+
+  /** Planted media assets for the q52 oracle: each id becomes a REAL
+    * BMP (even ids) or WAV (odd ids) whose header fields derive from
+    * the id by fixed formulas — the fixture side; generation is
+    * per-partition imperative code (like any file ingest), decoding is
+    * the pure-Column [[decodeMediaMeta]]. */
+  def plantedMediaAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val content =
+          if (id % 2 == 0)
+            graft.sources.MediaFixture.bmp(
+              (id % 64 + 1).toInt, (id * 7 % 48 + 1).toInt)
+          else
+            graft.sources.MediaFixture.wav(
+              (id % 3 + 1).toInt, 8000 * (id % 4 + 1).toInt, 16,
+              (id % 100 + 1).toInt)
+        (id, content)
+      }
+    }.toDF("asset_id", "content")
+  }
 
   /** Canonical asset schema: id + media kind + raw bytes + metadata. */
   val assetSchema: StructType = StructType(Seq(

@@ -28,6 +28,80 @@ object Quality {
       |  CAST(SUM(CASE WHEN n_chars IS NULL OR NOT regexp_matches(CAST(n_chars AS VARCHAR), '^\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_chars__invalid_count
       |FROM documents""".stripMargin
 
+  // ---- q53: row-level any-invalid mask + valid/invalid split (P6/P8) --
+  // The OR-fold of q07's per-column predicates, as row counts: the
+  // reference's invalid_row_mask / split semantics
+  // (data_validation.py:64-89) — every row is either fully valid or
+  // carries at least one offending column.
+  def invalidRowStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (valid, invalid) = Validate.splitValidInvalid(docs, docPatterns)
+    valid.agg(count(lit(1)).as("n_valid_rows"))
+      .crossJoin(invalid.agg(count(lit(1)).as("n_invalid_rows")))
+      .withColumn("n_rows", col("n_valid_rows") + col("n_invalid_rows"))
+  }
+
+  val invalidRowStatsSql: String =
+    """WITH m AS (SELECT
+      |    (lang IS NULL OR lang = '' OR NOT regexp_matches(lang, '^[a-z]{2}$'))
+      |    OR (source IS NULL OR source = '' OR NOT regexp_matches(source, '^src\d+$'))
+      |    OR (n_chars IS NULL OR NOT regexp_matches(CAST(n_chars AS VARCHAR), '^\d+$'))
+      |    AS bad FROM documents)
+      |SELECT CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_valid_rows,
+      |       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_rows,
+      |       COUNT(*) AS n_rows
+      |FROM m""".stripMargin
+
+  // ---- q54: PERMISSIVE corrupt-record accounting (S2) -----------------
+  // A planted malformed CSV (type garbage in typed columns) read with
+  // an explicit schema + _corrupt_record; the oracle is DuckDB's
+  // ignore_errors reject count over the SAME file — two independent
+  // reader implementations must agree on which rows are corrupt.
+  def corruptRecordStats(spark: SparkSession, dir: String): DataFrame = {
+    val file = CsvSource.corruptFixture()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read
+      .option("sep", "|").option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(file)
+    // Spark disallows scans whose required schema is ONLY the internal
+    // corrupt column (and column pruning would reduce this agg to
+    // exactly that) — materialize the parsed rows eagerly first, the
+    // same pattern the error message prescribes (checkpoint, not
+    // cache: no CacheManager plan-matching side effects)
+    df.localCheckpoint(true)
+      .select(col("id"), col("name"), col("amount"),
+        col("_corrupt_record").isNotNull.as("bad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bad"), 0).otherwise(1)).cast("long").as("n_parsed"),
+        sum(when(col("bad"), 1).otherwise(0)).cast("long").as("n_corrupt"))
+  }
+
+  // DuckDB's ignore_errors skips a failing row only in projections that
+  // actually CONVERT the failing column (bare COUNT(*) counts every
+  // physical row) — so the reject count must reference every typed
+  // column to force full-row materialization, matching Spark's
+  // whole-row PERMISSIVE semantics. The fixture plants no real nulls,
+  // so the IS NOT NULL guards only defeat column pruning.
+  val corruptRecordStatsSql: String = {
+    val f = s"'${CsvSource.CorruptFixtureFile}'"
+    val typed = s"""read_csv($f, delim='|', header=true,
+       |     columns={'id': 'BIGINT', 'name': 'VARCHAR', 'amount': 'DOUBLE'},
+       |     ignore_errors=true)""".stripMargin
+    s"""WITH kept AS (SELECT COUNT(*) AS c FROM (
+       |    SELECT id, name, amount FROM $typed
+       |    WHERE id IS NOT NULL AND name IS NOT NULL AND amount IS NOT NULL) s),
+       |total AS (SELECT COUNT(*) AS c FROM read_csv($f, delim='|',
+       |    header=true, all_varchar=true))
+       |SELECT total.c AS n_rows, kept.c AS n_parsed,
+       |       total.c - kept.c AS n_corrupt
+       |FROM total, kept""".stripMargin
+  }
+
   // ---- q08: profile stats: nulls + exact distinct per column (A9/A11)
   def profileStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -314,6 +388,8 @@ object Quality {
     "q15_schema_presence"  -> (schemaPresence _),
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
+    "q53_invalid_row_split" -> (invalidRowStats _),
+    "q54_corrupt_records"  -> (corruptRecordStats _),
     "q41_hash_sample"      -> (deterministicSampleQ _),
     "q47_numeric_summary"  -> (numericSummaryQ _),
     "q48_stratified_sample" -> (stratifiedSampleQ _))
@@ -330,6 +406,8 @@ object Quality {
     "q15_schema_presence"  -> schemaPresenceSql,
     "q16_csv_roundtrip"    -> csvRoundtripSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
+    "q53_invalid_row_split" -> invalidRowStatsSql,
+    "q54_corrupt_records"  -> corruptRecordStatsSql,
     "q41_hash_sample"      -> deterministicSampleSql,
     "q47_numeric_summary"  -> numericSummarySql,
     "q48_stratified_sample" -> stratifiedSampleSql)

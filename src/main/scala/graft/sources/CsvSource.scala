@@ -82,6 +82,33 @@ object CsvSource {
       .option("sep", sep).option("header", "true")
       .csv(path)
 
+  /** Planted malformed-CSV fixture for the corrupt-record accounting
+    * oracle (q54): 400 data rows of (id|name|amount), where ids
+    * divisible by 7 carry an unparseable id token and rows with
+    * i % 13 == 5 an unparseable amount — pure type garbage (never
+    * empty strings, which both engines read as plain NULLs, and never
+    * a wrong field count, which DuckDB's all_varchar lane couldn't
+    * count). Deterministic bytes, memoized like the golden fixture. */
+  val CorruptFixtureFile: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR_CORRUPT",
+    s"${sys.props("user.dir")}/target/corrupt_csv") + "/sensor.csv"
+
+  private lazy val corruptFixtureWritten: String = {
+    val path = java.nio.file.Paths.get(CorruptFixtureFile)
+    java.nio.file.Files.createDirectories(path.getParent)
+    val sb = new StringBuilder("id|name|amount\n")
+    (0 until 400).foreach { i =>
+      val id = if (i % 7 == 0) s"X${i}Z" else i.toString
+      val amount = if (i % 13 == 5) s"NaN-ish$i" else s"${i * 3}.${i % 100}"
+      sb.append(s"$id|sensor_$i|$amount\n")
+    }
+    java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"))
+    CorruptFixtureFile
+  }
+
+  /** Idempotent generate-once accessor (Verify runs queries
+    * concurrently; lazy val is the JVM-level write lock). */
+  def corruptFixture(): String = corruptFixtureWritten
+
   /** S5: delimiter sniffing — count candidate delimiters in the first
     * line(s) of the file (dataset_profiling.py:85-99). Driver-side by
     * nature (inspects bytes before a reader exists). */
