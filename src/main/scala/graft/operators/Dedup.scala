@@ -80,13 +80,14 @@ object Dedup {
     * (stop-shingle removal, the standard trick); candidates are then
     * verified with the full exact Jaccard over ALL shingles, so
     * reported similarities are exact — the cap only loses pairs whose
-    * EVERY shared shingle is hot (the documented recall trade of the
-    * default). The cap is ON by default (1000 postings) because the
-    * uncapped form is a k^2 bomb on any corpus with boilerplate; use
-    * [[exactAllPairs]] to opt into the exact quadratic form. */
+    * EVERY shared shingle is hot (the documented recall trade).
+    * `maxPostings` is REQUIRED — a silent default here would decide
+    * exact-vs-approximate on the caller's behalf: pass a finite cap
+    * (1000 is a good corpus-scale choice) or use [[exactAllPairs]] to
+    * opt into the k^2 exact form explicitly. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxPostings: Int = 1000): DataFrame = {
+                   maxPostings: Int): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
     if (maxPostings == Int.MaxValue) {
@@ -324,6 +325,20 @@ object Dedup {
       .localCheckpoint(true)
     def sym(df: DataFrame): DataFrame =
       df.union(df.select(col("b").as("a"), col("a").as("b")))
+    // Convergence = the deduped edge set is unchanged. Testing that with
+    // exceptAll both ways costs two full set-difference jobs per round;
+    // a (count, order-independent hash checksum) fingerprint needs ONE
+    // aggregate over the new edge set (the old set's fingerprint carries
+    // over) and differs for unequal sets except at ~2^-64 collision odds
+    // — and a collision merely stops one round at an almost-fixpoint.
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows
+      // (ANSI arithmetic makes that an error, not a wraparound)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var fp = fingerprint(e)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -348,7 +363,9 @@ object Dedup {
         .select(col("ed.a").as("a"), col("ed.b").as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
-      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      val fpNew = fingerprint(small)
+      converged = fpNew == fp
+      fp = fpNew
       e = small
       i += 1
     }

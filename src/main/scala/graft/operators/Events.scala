@@ -36,11 +36,25 @@ object Events {
       .withColumn("__tag", lit(0))
     val l = left.withColumn("__tag", lit(1))
       .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
-    // __rv as the final sort key: when several right rows share
-    // (key, ts), ties resolve on the payload struct itself, so the
-    // carried value is identical across runs and partitionings (the
-    // determinism contract; without it last() picks an arbitrary peer)
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), col("__rv"))
+    // Final sort key: when several right rows share (key, ts), ties
+    // resolve on the payload itself, so the carried value is identical
+    // across runs and partitionings (the determinism contract; without
+    // it last() picks an arbitrary peer). Struct ordering requires every
+    // field to be orderable — a payload containing a MapType would fail
+    // analysis — so unorderable payloads tie-break on a hash of their
+    // JSON form instead (still deterministic; equal payloads hash equal,
+    // distinct ones collide only at ~2^-64).
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val tie =
+      if (orderable(r.schema("__rv").dataType)) col("__rv")
+      else xxhash64(to_json(col("__rv")))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__tag"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))

@@ -47,9 +47,15 @@ object Multimodal {
     * negative-height bitmaps are out of scope — documented). */
   def decodeMediaMeta(assets: DataFrame): DataFrame = {
     val c = col("content")
+    // A magic-number match on a TRUNCATED file must not yield garbage
+    // field values (hex of a partial read converts to a wrong number):
+    // require the full fixed header before trusting any offset — BMP
+    // needs BITMAPINFOHEADER through bpp (30 bytes), canonical WAV needs
+    // the fmt chunk + data size (44 bytes). Underlength files keep their
+    // sniffed kind with all fields null — explicitly "underparsed".
     val kind = sniffKind(c)
-    val isBmp = kind === "bmp"
-    val isWav = kind === "wav"
+    val isBmp = kind === "bmp" && length(c) >= 30
+    val isWav = kind === "wav" && length(c) >= 44
     val channels = leUInt(c, 23, 2)
     val bits = leUInt(c, 35, 2)
     val dataSize = leUInt(c, 41, 4)
@@ -62,7 +68,10 @@ object Multimodal {
       when(isWav, channels).as("channels"),
       when(isWav, leUInt(c, 25, 4)).as("sample_rate"),
       when(isWav, bits).as("bits_per_sample"),
-      when(isWav, (dataSize / (channels * bits / lit(8))).cast("long"))
+      // a zero-channel/zero-bit fmt chunk would divide by zero (null
+      // under ANSI off, error under ANSI on — neither is a sample count)
+      when(isWav && channels * bits > 0,
+        (dataSize / (channels * bits / lit(8))).cast("long"))
         .as("n_samples"))
   }
 

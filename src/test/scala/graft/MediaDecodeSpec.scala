@@ -54,6 +54,27 @@ class MediaDecodeSpec extends SparkSpec {
     assert(rows.getString(0) === "unknown")
   }
 
+  test("truncated and degenerate headers yield nulls, not garbage") {
+    val goodWav = MediaFixture.wav(2, 16000, 16, 50)
+    // a zero-channel/zero-bits fmt chunk: would divide by zero in the
+    // n_samples derivation
+    val zeroCh = goodWav.clone()
+    zeroCh(22) = 0; zeroCh(23) = 0 // channels = 0
+    zeroCh(34) = 0; zeroCh(35) = 0 // bits_per_sample = 0
+    val rows = Multimodal.decodeMediaMeta(Seq(
+        (1L, MediaFixture.bmp(37, 21).take(10)), // BM magic, no header
+        (2L, goodWav.take(20)),                  // RIFF/WAVE, no fmt chunk
+        (3L, zeroCh))
+      .toDF("asset_id", "content")).orderBy("asset_id").collect()
+    assert(rows(0).getString(1) === "bmp")
+    assert((2 to 8).forall(rows(0).isNullAt), "truncated bmp leaked fields")
+    assert(rows(1).getString(1) === "wav")
+    assert((2 to 8).forall(rows(1).isNullAt), "truncated wav leaked fields")
+    assert(rows(2).getString(1) === "wav")
+    assert(rows(2).getLong(5) === 0L && rows(2).isNullAt(8),
+      "zero-channel wav must have null n_samples")
+  }
+
   test("odd BMP widths survive the row-padding round trip") {
     // rowBytes padding (width*3 -> multiple of 4) is the classic BMP
     // bug; 1-px and 3-px wide images exercise both padding branches

@@ -11,10 +11,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has an oracle") {
+  test("every query key has an oracle (minus the declared rows-only set)") {
     // since round 2 even q15 (schema presence) is oracle-checked, via
-    // DuckDB DESCRIBE introspection
-    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) === Set.empty)
+    // DuckDB DESCRIBE introspection. The ONE deliberate exception:
+    // q22x is the production-hash minhash lane (seeded xxhash64), which
+    // no other engine reproduces — its correctness evidence is
+    // MinhashXxLaneSpec's pair-set equality with the oracle'd md5 lane,
+    // and the driver records it as a rows-only check.
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      === Set("q22x_minhash_xxhash"))
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

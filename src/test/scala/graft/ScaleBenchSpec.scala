@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The scale block's replica constructions must preserve the 1x
+  * workload structure exactly — otherwise the 1x/10x bench ratio
+  * measures replica artifacts, not operator scaling. */
+class ScaleBenchSpec extends SparkSpec {
+
+  test("document replicas: pair structure is exactly N copies of 1x") {
+    val times = 3
+    val d1 = ScaleBench.documents(spark, sf, 1)
+    val dN = ScaleBench.documents(spark, sf, times)
+    assert(dN.count() === times * d1.count())
+    val p1 = ScaleBench.minhashPairs(d1)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pN = ScaleBench.minhashPairs(dN)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // vowel permutation preserves intra-replica shingle equality: every
+    // 1x pair (a,b) appears re-keyed in every replica, and nothing else
+    val expected = for {
+      (a, b) <- p1; i <- 0 until times
+    } yield (a * times + i, b * times + i)
+    assert(pN === expected)
+  }
+
+  test("embedding replicas: isometry preserves intra-replica cosines") {
+    val times = 3
+    val e1 = ScaleBench.embeddings(spark, sf, 1)
+    val eN = ScaleBench.embeddings(spark, sf, times)
+    assert(eN.count() === times * e1.count())
+    // norms are preserved exactly by a permutation + sign-flip transform
+    def norms(df: org.apache.spark.sql.DataFrame, times: Int) = df
+      .select((col("vec_id") / times).cast("long").as("orig"),
+        round(Similarity.norm(Similarity.asDouble(col("embedding"))), 4).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val n1 = norms(e1, 1)
+    assert((0 until times).forall(_ => norms(eN, times) === n1))
+    // the TRUE pair structure (exact cosine >= t) is exactly N re-keyed
+    // copies of the 1x structure — this is what makes the 1x/Nx bench
+    // ratio a measurement of operator scaling and nothing else
+    def exact(df: org.apache.spark.sql.DataFrame) =
+      Similarity.nearDupPairs(df, threshold = 0.4, maxId = Long.MaxValue)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = exact(e1)
+    // cross-replica pairs above a LOW threshold like 0.4 legitimately
+    // exist (different isometries of a clustered corpus still land
+    // within 66 degrees by chance) — the invariant is that the
+    // INTRA-replica structure is exactly N re-keyed copies of 1x
+    val pNIntra = exact(eN).filter { case (a, b) => a % times == b % times }
+    val expected = for {
+      (a, b) <- p1; i <- 0 until times
+    } yield (a * times + i, b * times + i)
+    assert(pNIntra === expected)
+    // the LSH path's per-replica yield doesn't collapse (bucketing is
+    // not isometry-invariant, so exact set equality is not expected)
+    val lsh1 = ScaleBench.srpPairs(e1).count()
+    val lshN = ScaleBench.srpPairs(eN).count()
+    assert(lshN >= (times * lsh1 * 0.6).toLong,
+      s"per-replica LSH yield collapsed: 1x=$lsh1, ${times}x=$lshN")
+  }
+
+  test("autoSrpBits holds bucket occupancy as n grows") {
+    assert(Similarity.autoSrpBits(2000) === 6)
+    assert(Similarity.autoSrpBits(20000) === 10)
+    assert(Similarity.autoSrpBits(20000000) === 20)
+    assert(Similarity.autoSrpBits(10) === 4) // floor
+  }
+
+  test("scale-block plans stay cartesian-free at 10x") {
+    def noCartesian(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$label:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label:\n$plan")
+    }
+    noCartesian(ScaleBench.minhashPairs(
+      ScaleBench.documents(spark, sf, 10)), "minhash 10x")
+    noCartesian(ScaleBench.srpPairs(
+      ScaleBench.embeddings(spark, sf, 10)), "srp 10x")
+    noCartesian(ScaleBench.sessionStats(
+      ScaleBench.events(spark, sf, 10)), "sessions 10x")
+  }
+}

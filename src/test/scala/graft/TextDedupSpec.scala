@@ -53,7 +53,8 @@ class TextDedupSpec extends SparkSpec {
     val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
     val c = "completely different content about spark catalyst optimizer internals"
     val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
-    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+      maxPostings = 1000).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
     assert(pairs.head.getDouble(2) > 0.7)
   }
