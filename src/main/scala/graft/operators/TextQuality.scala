@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Training-data curation operators beyond the reference's surface:
+  * PII redaction, Gopher/C4-style quality signals, and repetition
+  * detection — the filters every large-scale LLM ingest runs between
+  * raw text and dedup (cf. Rae et al. 2021 "Scaling Language Models"
+  * appendix A / Raffel et al. 2020 C4 cleaning). All pure Column
+  * expressions over one scan: at 100 TB each is a codegen'd projection
+  * + (for q57) one hash aggregate on (doc_id, bigram) — no shuffle at
+  * all for q55/q56.
+  *
+  * Regexes stay in the Java-regex ∩ RE2 subset and counts are integer
+  * ratios (bit-identical across engines — no float rounding needed).
+  */
+object TextQuality {
+
+  // ---- q55: PII detect + redact --------------------------------------
+  // The scan must find PII wherever it appears in free text, so the
+  // query plants it deterministically: each customer row is expanded
+  // into a free-text blob carrying a phone, an email, and an IPv4 all
+  // derived from c_custkey. The oracle re-derives the same blob and
+  // must agree on counts AND on the redacted string itself —
+  // redaction is checked byte-for-byte.
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipv4Pat, "<IP>")
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val phone = concat(
+      lpad((k % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((k % 1000).cast("string"), 3, "0"), lit("-555-"),
+      lpad((k % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit("10.0."), (k % 256).cast("string"), lit("."),
+      (k % 254 + 1).cast("string"))
+    val blob = concat(col("c_name"), lit(" wrote: reach me at "), phone,
+      lit(" or mail user"), k.cast("string"),
+      lit("@corp.example.com from "), ip)
+    Tables.customer(spark, dir).filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"), blob.as("b"))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("b"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("b"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_count(col("b"), lit(ipv4Pat)).cast("long").as("n_ipv4"),
+        redactPii(col("b")).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH b AS (
+       |  SELECT c_custkey,
+       |         c_name || ' wrote: reach me at ' ||
+       |           lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+       |           lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+       |           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+       |           ' or mail user' || CAST(c_custkey AS VARCHAR) ||
+       |           '@corp.example.com from 10.0.' ||
+       |           CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+       |           CAST(c_custkey % 254 + 1 AS VARCHAR) AS b
+       |  FROM customer WHERE c_custkey <= 500)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(b, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(b, '$phonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(b, '$ipv4Pat')) AS BIGINT) AS n_ipv4,
+       |  regexp_replace(regexp_replace(regexp_replace(b,
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'),
+       |    '$ipv4Pat', '<IP>', 'g') AS redacted
+       |FROM b ORDER BY c_custkey""".stripMargin
+
+  // ---- q56: Gopher/C4-style quality signals --------------------------
+  // Every signal is an integer count or an integer ratio over one
+  // projection; `keep` is the conjunction of Gopher-ish thresholds.
+  private val symbolClass = "[#%<>|~]"
+
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val words = regexp_count(lower(col("text")), lit("[a-z0-9]+"))
+    val wordChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]+", ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), words.as("n_words"),
+        wordChars.as("wc"),
+        size(array_distinct(Text.tokens(col("text")))).as("nd"))
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (col("wc").cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double")).as("mean_word_len"),
+        (regexp_count(col("text"), lit(symbolClass)).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("symbol_ratio"),
+        (Text.stopwordHits(col("text"), "en").cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double")).as("stop_frac"),
+        (col("nd").cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double")).as("distinct_word_frac"),
+        col("text").rlike("[.!?]\\s*\\z").as("ends_punct"))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("n_words") <= 50000 &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+          col("symbol_ratio") < 0.05 && col("distinct_word_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  val qualitySignalsSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS wc,
+       |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS nd,
+       |    CAST(len(regexp_extract_all(text, '$symbolClass')) AS BIGINT) AS sym,
+       |    CAST(len(regexp_extract_all(text, '${Text.stopwords.toMap.apply("en")}')) AS BIGINT) AS stop,
+       |    length(text) AS nc,
+       |    regexp_matches(text, '[.!?]\\s*\\z') AS ends_punct
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  CAST(wc AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+       |  CAST(sym AS DOUBLE) / greatest(nc, 1) AS symbol_ratio,
+       |  CAST(stop AS DOUBLE) / greatest(n_words, 1) AS stop_frac,
+       |  CAST(nd AS DOUBLE) / greatest(n_words, 1) AS distinct_word_frac,
+       |  ends_punct,
+       |  (n_words BETWEEN 5 AND 50000
+       |    AND CAST(wc AS DOUBLE) / greatest(n_words, 1) BETWEEN 2.0 AND 12.0
+       |    AND CAST(sym AS DOUBLE) / greatest(nc, 1) < 0.05
+       |    AND CAST(nd AS DOUBLE) / greatest(n_words, 1) > 0.3) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- q57: top-bigram repetition fraction (Gopher rep. signals) -----
+  // NON-distinct bigrams (repetition is the point — the dedup shingle
+  // path deliberately dedups), built with explode(sequence)+element_at
+  // so the whole construction stays inside codegen; one hash aggregate
+  // on (doc_id, bigram), then two windows per doc. Ties on the top
+  // count break to the lexicographically smallest bigram.
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = t
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1)).as("bg"))
+    val cnt = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val part = Window.partitionBy("doc_id")
+    val rank = part.orderBy(col("c").desc, col("bg").asc)
+    cnt
+      .withColumn("n_bigrams", sum("c").over(part))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"),
+        col("c").as("top_count"), col("n_bigrams"),
+        (col("c").cast("double") / col("n_bigrams").cast("double"))
+          .as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, bg, c,
+      |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+      |  FROM cnt)
+      |SELECT doc_id, bg AS top_bigram, CAST(c AS BIGINT) AS top_count,
+      |       n_bigrams, CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_frac
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_pii_redact" -> (piiRedact _),
+    "q56_quality_signals" -> (qualitySignals _),
+    "q57_repetition" -> (repetitionStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q55_pii_redact" -> piiRedactSql,
+    "q56_quality_signals" -> qualitySignalsSql,
+    "q57_repetition" -> repetitionStatsSql)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextQuality
+import org.apache.spark.sql.functions._
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones, and IPv4s everywhere they occur") {
+    val got = Seq(
+        "mail a.b+c@x-mail.co.uk or bob@y.io, dial 12-345-678-9012, host 192.168.0.1",
+        "no pii here")
+      .toDF("t").select(TextQuality.redactPii(col("t"))).as[String].collect()
+    assert(got(0) ===
+      "mail <EMAIL> or <EMAIL>, dial <PHONE>, host <IP>")
+    assert(got(1) === "no pii here")
+  }
+
+  test("quality signals: degenerate repetition fails keep, healthy prose passes") {
+    val healthy = "The quick brown fox jumps over the lazy dog and it was fine."
+    val degenerate = Array.fill(40)("spam").mkString(" ")
+    Seq((1L, healthy), (2L, degenerate)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_tq_docs/documents.parquet")
+    val got = graft.operators.TextQuality
+      .qualitySignals(spark, "/tmp/graft_tq_docs").collect()
+    assert(got(0).getBoolean(7), "healthy prose must pass keep")
+    assert(got(0).getBoolean(6), "healthy prose ends with punctuation")
+    assert(got(0).getDouble(5) > 0.7, "healthy prose: mostly distinct words")
+    assert(!got(1).getBoolean(7), "40x 'spam' must fail keep")
+    assert(got(1).getDouble(5) < 0.1, "degenerate distinct_word_frac collapses")
+  }
+
+  test("repetition stats find the planted dominant bigram") {
+    // "ha ha ha ha" -> bigram "ha ha" occurs 3 times out of 3 bigrams
+    val docs = Seq((1L, "ha ha ha ha"), (2L, "one two three four"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet("/tmp/graft_tq_docs/documents.parquet")
+    val got = TextQuality.repetitionStats(spark, "/tmp/graft_tq_docs")
+      .collect()
+    assert(got(0).getString(1) === "ha ha")
+    assert(got(0).getLong(2) === 3L && got(0).getLong(3) === 3L)
+    assert(got(0).getDouble(4) === 1.0)
+    assert(got(1).getLong(2) === 1L && got(1).getLong(3) === 3L)
+  }
+}
