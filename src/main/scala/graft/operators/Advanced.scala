@@ -222,6 +222,34 @@ object Advanced {
 
   // ---- q42: streaming dedup (at-least-once -> exactly-once) ----------
   // The stream delivers every event twice (self-union);
+  // ---- q58: JSONL ingest (the LLM corpus interchange format) ---------
+  // Deterministic fixture file (nulls, missing keys, escapes, non-ASCII,
+  // empty arrays), read with an explicit schema on the Spark side and
+  // re-read cross-process by DuckDB's read_json — the same twin-ingest
+  // proof as the golden CSV slice. The projection exercises nested
+  // struct access and array functions on both engines.
+  private lazy val JsonlDir = s"${sys.props("user.dir")}/target/jsonl_docs"
+
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.JsonlSource.generate(JsonlDir)
+    graft.sources.JsonlSource.read(spark, path)
+      .select(col("id"), col("lang"), col("score"),
+        size(col("tags")).cast("long").as("n_tags"),
+        try_element_at(col("tags"), lit(1)).as("first_tag"),
+        col("meta.src").as("src"), col("meta.n").as("n"))
+      .orderBy("id")
+  }
+
+  val jsonlIngestSql: String = {
+    val cols = "{id:'BIGINT', lang:'VARCHAR', text:'VARCHAR', " +
+      "score:'DOUBLE', tags:'VARCHAR[]', meta:'STRUCT(src VARCHAR, n BIGINT)'}"
+    s"""SELECT id, lang, score, CAST(len(tags) AS BIGINT) AS n_tags,
+       |  tags[1] AS first_tag, meta.src AS src, meta.n AS n
+       |FROM read_json('${sys.props("user.dir")}/target/jsonl_docs/docs.jsonl',
+       |               format='newline_delimited', columns=$cols)
+       |ORDER BY id""".stripMargin
+  }
+
   // dropDuplicatesWithinWatermark must collapse them so per-type counts
   // equal the batch counts over the ORIGINAL events.
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
@@ -242,7 +270,8 @@ object Advanced {
     "q42_stream_dedup"      -> (streamDedup _),
     "q45_asof_join"         -> (purchaseAsOfView _),
     "q46_interval_overlap"  -> (overlappingSessions _),
-    "q49_zorder_key"        -> (zorderKeys _))
+    "q49_zorder_key"        -> (zorderKeys _),
+    "q58_jsonl_ingest"      -> (jsonlIngest _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -255,5 +284,6 @@ object Advanced {
     "q42_stream_dedup"      -> streamDedupSql,
     "q45_asof_join"         -> purchaseAsOfViewSql,
     "q46_interval_overlap"  -> overlappingSessionsSql,
-    "q49_zorder_key"        -> zorderKeysSql)
+    "q49_zorder_key"        -> zorderKeysSql,
+    "q58_jsonl_ingest"      -> jsonlIngestSql)
 }

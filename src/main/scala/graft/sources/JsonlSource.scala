@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Newline-delimited JSON ingest — the de-facto interchange format for
+  * LLM training corpora (one document object per line). Spark side
+  * reads with an EXPLICIT schema (schema inference is a full extra
+  * pass at 100 TB; production readers always pin the schema), nested
+  * structs and arrays land as first-class columns.
+  *
+  * The fixture is generated deterministically (seeded LCG, hand-picked
+  * edge cases: missing keys, explicit nulls, quotes/backslashes,
+  * non-ASCII text, empty arrays) so the DuckDB oracle can re-read the
+  * same file cross-process — the same twin-ingest pattern as the
+  * golden CSV slice. */
+object JsonlSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType),
+    StructField("score", DoubleType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("meta", StructType(Seq(
+      StructField("src", StringType),
+      StructField("n", LongType))))))
+
+  /** Minimal JSON string escaping (quote, backslash, control chars). */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Deterministic fixture: `n` documents at `dir`/docs.jsonl; returns
+    * the file path. Idempotent — same bytes every call. */
+  def generate(dir: String, n: Int = 240): String = {
+    val path = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(path)
+    val file = path.resolve("docs.jsonl")
+    val langs = Vector("en", "de", "fr", "es", "zh")
+    val words = Vector("spark", "catalyst", "tungsten", "shuffle",
+      "parquet", "codegen", "déjà", "数据",
+      "say \"hi\"", "a\\b")
+    var x = 41L
+    def nxt(m: Int): Int = { x = (x * 6364136223846793005L + 1442695040888963407L); (((x >>> 33) % m) + m).toInt % m }
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      val lang = langs(nxt(langs.size))
+      val text = (0 to nxt(6)).map(_ => words(nxt(words.size))).mkString(" ")
+      val tags = (0 until nxt(4)).map(t => s""""t${nxt(9)}$t"""")
+      sb.append(s"""{"id":$i,"lang":"$lang","text":"${esc(text)}"""")
+      // every 7th doc: no score key at all; every 11th: explicit null
+      if (i % 7 == 0) ()
+      else if (i % 11 == 0) sb.append(""","score":null""")
+      else sb.append(s""","score":${nxt(1000)}.${nxt(10)}${nxt(10)}""")
+      sb.append(s""","tags":[${tags.mkString(",")}]""")
+      // every 13th doc has no meta object
+      if (i % 13 != 0)
+        sb.append(s""","meta":{"src":"s${nxt(5)}","n":${nxt(100000)}}""")
+      sb.append("}\n")
+    }
+    java.nio.file.Files.write(file, sb.toString.getBytes("UTF-8"))
+    file.toString
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+}
