@@ -395,6 +395,20 @@ object Dedup {
     clustersFromLabels(cc.labels)
   }
 
+  /** The dedup endgame: the corpus with near-duplicates REMOVED — each
+    * cluster keeps only its canonical member (lowest id), singleton
+    * docs pass through untouched. `pairs` is any near-dup pair list
+    * (minhash/simhash/SRP/jaccard); composition stays one CC run plus
+    * a left-anti hash join on the id, so the whole pipeline keeps the
+    * bucketed-candidates shape end to end. */
+  def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter).labels
+    val losers = labels.filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** (doc_id, rep) labels -> (canonical_doc, cluster_size) rows for
     * multi-doc clusters. */
   def clustersFromLabels(labels: DataFrame): DataFrame =

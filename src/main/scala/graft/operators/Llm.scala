@@ -200,6 +200,29 @@ object Llm {
        |FROM labels GROUP BY 1 HAVING COUNT(*) > 1
        |ORDER BY canonical_doc""".stripMargin
 
+  // ---- q59: deduplicated corpus (the endgame over q22+q40) -----------
+  // Survivors = every doc except non-canonical cluster members. The
+  // oracle derives the same survivor set through the recursive-CTE
+  // closure — an independent algorithm end to end.
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpus(Tables.documents(spark, dir), "doc_id",
+        minhashPairs(spark, dir))
+      .select("doc_id").orderBy("doc_id")
+
+  val dedupedCorpusSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> rep)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
@@ -524,6 +547,7 @@ object Llm {
     "q34_ivf_topk"          -> (ivfTopKQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
+    "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -543,6 +567,7 @@ object Llm {
     "q34_ivf_topk"          -> ivfTopKSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
+    "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

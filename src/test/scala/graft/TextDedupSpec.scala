@@ -70,6 +70,19 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.toSeq === Seq((1L, 2L)))
   }
 
+  test("dedupedCorpus keeps the canonical member and all singletons") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val df = Seq(
+      (1L, base + " omicron"), (2L, base + " pi"), (7L, base + " rho"),
+      (3L, "unrelated words entirely disjoint from everything else here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 12, 4, 0.5)
+    val kept = Dedup.dedupedCorpus(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // {1,2,7} cluster -> canonical 1 survives; 3 is a singleton
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
   test("simhash: near-identical docs have near-zero hamming distance") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val df = Seq((1L, base), (2L, base + " nu"), (3L, "zz yy xx ww vv uu tt ss rr"))
