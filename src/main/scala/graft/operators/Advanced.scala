@@ -222,6 +222,39 @@ object Advanced {
 
   // ---- q42: streaming dedup (at-least-once -> exactly-once) ----------
   // The stream delivers every event twice (self-union);
+  // ---- q60: ORC sink/source round trip -------------------------------
+  // Columnar-format breadth: Spark writes a lineitem slice to ORC and
+  // reads it back; the summary over the ROUND-TRIPPED rows must equal
+  // the oracle's summary over the original parquet. DuckDB cannot read
+  // ORC, so fidelity through the format IS the check (the xlsx
+  // twin-source pattern). Doubles pass through ORC bit-exactly; sums
+  // go through decimal per the determinism contract.
+  private lazy val OrcDir = s"${sys.props("user.dir")}/target/orc_wh"
+
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).filter(col("l_orderkey") < 2000)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .write.mode("overwrite").orc(OrcDir)
+    spark.read.orc(OrcDir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+      sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+        .as("sum_price"),
+      min(col("l_shipdate").cast("date")).as("first_ship"),
+      max(col("l_shipdate").cast("date")).as("last_ship"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+      |  CAST(MAX(l_shipdate) AS DATE) AS last_ship
+      |FROM lineitem WHERE l_orderkey < 2000""".stripMargin
+
   // ---- q58: JSONL ingest (the LLM corpus interchange format) ---------
   // Deterministic fixture file (nulls, missing keys, escapes, non-ASCII,
   // empty arrays), read with an explicit schema on the Spark side and
@@ -271,7 +304,8 @@ object Advanced {
     "q45_asof_join"         -> (purchaseAsOfView _),
     "q46_interval_overlap"  -> (overlappingSessions _),
     "q49_zorder_key"        -> (zorderKeys _),
-    "q58_jsonl_ingest"      -> (jsonlIngest _))
+    "q58_jsonl_ingest"      -> (jsonlIngest _),
+    "q60_orc_roundtrip"     -> (orcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -285,5 +319,6 @@ object Advanced {
     "q45_asof_join"         -> purchaseAsOfViewSql,
     "q46_interval_overlap"  -> overlappingSessionsSql,
     "q49_zorder_key"        -> zorderKeysSql,
-    "q58_jsonl_ingest"      -> jsonlIngestSql)
+    "q58_jsonl_ingest"      -> jsonlIngestSql,
+    "q60_orc_roundtrip"     -> orcRoundtripSql)
 }
