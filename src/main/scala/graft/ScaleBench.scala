@@ -96,6 +96,13 @@ object ScaleBench {
   def srpPairs(emb: DataFrame): DataFrame =
     Similarity.srpNearDupPairsAuto(emb, threshold = 0.4, bands = 12, dim = 64)
 
+  /** Same as [[srpPairs]] with the signature width pinned by the caller
+    * (Bench hoists the autoSrpBits choice so its untimed warm pass
+    * compiles the SAME generated code shape the timed pass runs). */
+  def srpPairsWithBits(emb: DataFrame, bits: Int): DataFrame =
+    Similarity.srpNearDupPairs(emb, threshold = 0.4, bands = 12, bits = bits,
+      dim = 64)
+
   def sessionStats(ev: DataFrame): DataFrame =
     Events.sessionStats(ev, gap = 30L * 60 * 1000 * 1000 * 1000, tsCol = "ts_ns")
 
