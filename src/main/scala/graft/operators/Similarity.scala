@@ -67,26 +67,18 @@ object Similarity {
     * the codegen'd graft_dot — no interpreted lambdas. The DuckDB oracle
     * regenerates the identical planes in SQL from md5. */
   def srpPlanes(band: Int, bits: Int, dim: Int): IndexedSeq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until bits).map { i =>
-      (0 until dim).map { d =>
-        val h = md.digest(s"$band:$i:$d".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
-      }
-    }
+    val flat = graft.plans.SrpSignature.planes(band, bits, dim)
+    (0 until bits).map(i => flat.slice(i * dim, (i + 1) * dim).toSeq)
   }
 
   /** Sign-random-projection signature for one hyperplane band: bit i of
     * the result is sign(v . plane_i). Projections are rounded to 6
     * decimals before the sign test so accumulation-order noise can't
-    * flip a bucket between engines. */
-  def srpSignature(vec: Column, band: Int, bits: Int, dim: Int): Column = {
-    val planes = srpPlanes(band, bits, dim)
-    (0 until bits).map { i =>
-      when(round(dot(vec, typedlit(planes(i))), 6) >= 0,
-        lit(1L << (bits - 1 - i))).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * flip a bucket between engines. One codegen'd expression per band
+    * (plans/SrpSignature) — the composed Round/when cascade it replaced
+    * dominated the SRP operators' first-call compile time. */
+  def srpSignature(vec: Column, band: Int, bits: Int, dim: Int): Column =
+    graft.plans.GraftFunctions.srp_sig(vec, band, bits, dim)
 
   /** Signature width that holds LSH bucket occupancy ~constant as the
     * corpus grows: 2^bits buckets per band should scale with n, so

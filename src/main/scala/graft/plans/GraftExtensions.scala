@@ -37,10 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("morton_key"),
       new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
       (exprs: Seq[Expression]) => MortonKey(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkSrpSig(exprs)))
   }
 }
 
 object GraftFunctions {
+  private[plans] def mkSrpSig(exprs: Seq[Expression]): SrpSignature =
+    SrpSignature(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      exprs(3).eval().asInstanceOf[Number].intValue())
   private[plans] def mkShingles(exprs: Seq[Expression]): WordShingles =
     WordShingles(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
@@ -64,6 +73,8 @@ object GraftFunctions {
       "graft_hex_window", mkHexWindow, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_sig", mkSrpSig, "built-in")
   }
 
   /** Column-API handles. Each helper self-registers on the thread's
@@ -103,5 +114,11 @@ object GraftFunctions {
   def morton_key(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("morton_key", a, b)
+  }
+
+  def srp_sig(vec: Column, band: Int, bits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensureRegistered()
+    call_function("graft_srp_sig", vec, lit(band), lit(bits), lit(dim))
   }
 }

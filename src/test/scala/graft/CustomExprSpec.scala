@@ -53,6 +53,29 @@ class CustomExprSpec extends SparkSpec {
     assert(diffs === 0)
   }
 
+  test("graft_srp_sig equals the composed round/when/shift formula") {
+    import graft.operators.Similarity
+    val (band, bits, dim) = (3, 6, 64)
+    val planes = Similarity.srpPlanes(band, bits, dim)
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // the exact pre-round-4 expression tree, rebuilt inline
+    val composed = (0 until bits).map { i =>
+      when(round(GraftFunctions.graft_dot(col("v"), typedLit(planes(i))), 6) >= 0,
+        lit(1L << (bits - 1 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diffs = e.select(
+        (GraftFunctions.srp_sig(col("v"), band, bits, dim) - composed).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diffs === 0)
+    // and from SQL
+    GraftFunctions.register(spark)
+    val one = spark.sql(
+      "SELECT graft_srp_sig(array(1.0d, -2.0d), 0, 4, 2) AS s").collect().head
+    assert(one.getLong(0) >= 0L && one.getLong(0) < 16L)
+  }
+
   test("custom expressions work from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
