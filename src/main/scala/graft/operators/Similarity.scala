@@ -121,6 +121,18 @@ object Similarity {
     * asserted on the seeded corpus). Cost dial: fewer bands => fewer
     * candidates, lower recall; the single-band (bands=1) call is the
     * round-2 behavior. */
+  /** [[lshTopK]] with the signature width chosen from the corpus size
+    * (same scaling law as [[srpNearDupPairsAuto]]: candidate volume per
+    * query tracks bucket occupancy n/2^bits, so bits must grow with
+    * log2 n or the rerank goes quadratic; recall per band shrinks as
+    * p^bits — hold it by raising `bands`). One corpus count, the
+    * index-build pattern. */
+  def lshTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                  bands: Int = 16, dim: Int = 64,
+                  targetOccupancy: Int = 32): DataFrame =
+    lshTopK(queries, corpus, k, bands,
+      bits = autoSrpBits(corpus.count(), targetOccupancy), dim = dim)
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)

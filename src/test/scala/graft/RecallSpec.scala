@@ -66,5 +66,14 @@ class RecallSpec extends SparkSpec {
     info(f"single-band recall: $recallSingle%.3f")
     assert(recall >= recallSingle,
       f"multi-band ($recall%.3f) must not trail single-band ($recallSingle%.3f)")
+
+    // the auto-width form picks a SMALLER signature on this small
+    // corpus (cheaper per band, higher per-band capture), so its
+    // recall must be at least the fixed default's
+    val auto = hits(Similarity.lshTopKAuto(queries, emb, 5))
+    val recallAuto = (brute intersect auto).size.toDouble / brute.size
+    info(f"lshTopKAuto recall: $recallAuto%.3f")
+    assert(recallAuto >= recall,
+      f"auto ($recallAuto%.3f) must not trail the fixed default ($recall%.3f)")
   }
 }
