@@ -223,6 +223,32 @@ object Llm {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> rep)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q61: STREAMING near-dup candidates (stream == batch parity) ---
+  // The incremental LSH bucketing must surface exactly the candidate
+  // set the batch pipeline derives — the oracle is q22's candidate CTE.
+  def streamingNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.streamingNearDupCandidates(spark, dir,
+      n = 3, numHashes = NumHashes, bands = Bands)
+
+  val streamingNearDupSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCte.replace("%FILTER%", "")},
+       |hsh AS (SELECT doc_id, md5(s) || md5(s) AS hh FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
@@ -548,6 +574,7 @@ object Llm {
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
+    "q61_stream_neardup"    -> (streamingNearDup _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -568,6 +595,7 @@ object Llm {
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
+    "q61_stream_neardup"    -> streamingNearDupSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

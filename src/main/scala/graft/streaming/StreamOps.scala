@@ -163,4 +163,87 @@ object StreamOps {
       .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
       .orderBy("user_id")
   }
+
+  /** STREAMING near-dup candidate detection: MinHash+LSH banding as an
+    * incremental stream, emitting each candidate pair the moment its
+    * second member arrives.
+    *
+    * The batch pipeline's only shuffle-bound step is the per-doc
+    * signature aggregation (min over exploded shingles); here the
+    * signature is computed PER ROW — array_min over the shingle array,
+    * the identical md5/hex-window lane — so the stream needs no
+    * aggregation at all before the stateful step. State lives per LSH
+    * bucket (band, band-key) via flatMapGroupsWithState: the doc-id
+    * list of that bucket, so state size tracks bucket occupancy (the
+    * same quantity autoSrpBits pins), and every new arrival emits
+    * exactly its pairs against the bucket's history. At 100 TB/day
+    * this runs against Kafka with the bucket key as the shuffle key;
+    * a production job adds a TTL timeout to bound bucket history by
+    * time (noted, not needed for the bounded replay).
+    *
+    * Correctness contract (q61): the emitted pair set over a bounded
+    * replay equals the BATCH pipeline's candidate set — the oracle is
+    * the candidate CTE of q22's SQL. */
+  def streamingNearDupCandidates(spark: SparkSession, dir: String,
+                                 n: Int = 3, numHashes: Int = 12,
+                                 bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.plans.GraftFunctions.register(spark)
+    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val queryName = "graft_neardup_" + math.abs(dir.hashCode).toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_neardup_ckpt").toString
+    val rows = numHashes / bands
+
+    val toks = graft.plans.GraftFunctions.graft_tokens(lower(col("text")))
+    val bucketed = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.word_shingles(toks, n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      // md5 materialized once (no CSE within a projection), then one
+      // array_min per hash over the rotated 15-hex windows — exactly
+      // minhashSignatures' Md5Minhash lane, row-local
+      .withColumn("hh", transform(col("sh"), s => md5(s.cast("binary"))))
+      .select(col("doc_id"), array((0 until numHashes).map(i =>
+        array_min(transform(col("hh"),
+          h => graft.plans.GraftFunctions.hex_window(h, i * 2, 15)))): _*)
+        .as("m"))
+      .select(col("doc_id"), explode(array((0 until bands).map { b =>
+        concat_ws("|", (lit(b) +: (0 until rows).map(r =>
+          col("m")(b * rows + r))).map(_.cast("string")): _*)
+      }: _*)).as("bucket"))
+      .as[(Long, String)]
+
+    val paired = bucketed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(Long, String)], state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val incoming = it.map(_._1).toSeq.distinct.sorted
+          val pairs = for {
+            (d, idx) <- incoming.zipWithIndex
+            prev <- seen.iterator ++ incoming.iterator.take(idx)
+            if prev != d
+          } yield (math.min(prev, d), math.max(prev, d))
+          state.update(seen ++ incoming)
+          pairs.iterator
+      }
+      .toDF("doc_a", "doc_b")
+
+    val q = paired.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // a pair can surface from several bands (at-least-once by design);
+    // the sink-side distinct is batch work over the emitted pairs
+    spark.table(queryName).distinct().orderBy("doc_a", "doc_b")
+  }
 }
