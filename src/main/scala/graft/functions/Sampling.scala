@@ -31,6 +31,51 @@ object Sampling {
     df.filter(hashKeep(col(keyCol), fraction))
   }
 
+  /** Deterministic train/val/test split: the md5-uniform of the key
+    * lands each entity in exactly one split, with the SAME assignment
+    * on every engine, rerun, and partitioning. Thresholds are
+    * cumulative fractions of 2^32 on the same 32-bit hash
+    * [[hashKeep]] uses, so split("train" 0.8) ⊇ a 0.8
+    * deterministicSample of the same key — sampling and splitting
+    * compose. */
+  def hashSplit(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      "fractions must be non-negative and sum to at most 1")
+    val h = graft.plans.GraftFunctions.hex_window(
+      md5(key.cast("string").cast("binary")), 0, 8)
+    when(h < lit((trainFrac * 4294967296.0).toLong), "train")
+      .when(h < lit(((trainFrac + valFrac) * 4294967296.0).toLong), "val")
+      .otherwise("test")
+  }
+
+  /** Greedy-by-order sequence packing: assign documents to fixed
+    * token-budget training packs. Docs are taken in `orderCol` order
+    * (deterministic!); a doc goes to pack floor(previous cumulative
+    * tokens / budget) — the streaming-friendly packing rule where a
+    * pack may overflow by at most one document (real packers then
+    * split the straddler; chunking is [[graft.operators.Llm]]'s q43).
+    * The assignment is a pure function of the (order, token count)
+    * pairs, so any engine derives the identical packing. NOTE the
+    * global-order window serializes into one partition — packing by a
+    * total order is inherently sequential; at 100 TB add a shard
+    * column and run the same rule per shard (Window.partitionBy),
+    * which this form composes with. Returns the input plus
+    * (n_tokens, pack_id, pack_offset). */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__cum",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", (col("__cum") / budget).cast("long"))
+      .withColumn("pack_offset", col("__cum") % budget)
+      .drop("__cum")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Exactly-N-per-group deterministic sample: rank rows inside each
     * group by their key's md5 value (tiebroken by the key itself) and
     * keep the first `n`. The "give me 1000 documents per language,

@@ -343,6 +343,62 @@ object Quality {
        |WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
        |      < $SampleThreshold""".stripMargin
 
+  // ---- q62: deterministic train/val/test split -----------------------
+  // Entity-coherent (all lineitems of an order share a split), engine-
+  // reproducible, and composable with q41's hash sampling (same hash,
+  // cumulative thresholds).
+  private val TrainFrac = 0.8
+  private val ValFrac = 0.1
+
+  def hashSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("l_orderkey"), TrainFrac, ValFrac))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("split")
+  }
+
+  val hashSplitSql: String = {
+    val t1 = (TrainFrac * 4294967296.0).toLong
+    val t2 = ((TrainFrac + ValFrac) * 4294967296.0).toLong
+    s"""SELECT CASE WHEN h < $t1 THEN 'train'
+       |            WHEN h < $t2 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_rows,
+       |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |FROM (SELECT l_orderkey,
+       |        ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+       |      FROM lineitem) t
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q63: sequence packing (fixed token-budget training packs) -----
+  private val PackBudget = 512L
+
+  def seqPackingQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    graft.functions.Sampling.packSequences(
+        Tables.documents(spark, dir).filter(col("doc_id") < 300),
+        "doc_id", graft.functions.Text.tokenCount(col("text")), PackBudget)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  val seqPackingSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id < 300),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(cum // $PackBudget AS BIGINT) AS pack_id,
+       |       CAST(cum % $PackBudget AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- q16: CSV round-trip: decimal-comma, null tokens, drift (S1/S8/F11/U1) --
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -392,7 +448,9 @@ object Quality {
     "q54_corrupt_records"  -> (corruptRecordStats _),
     "q41_hash_sample"      -> (deterministicSampleQ _),
     "q47_numeric_summary"  -> (numericSummaryQ _),
-    "q48_stratified_sample" -> (stratifiedSampleQ _))
+    "q48_stratified_sample" -> (stratifiedSampleQ _),
+    "q62_hash_split"       -> (hashSplitQ _),
+    "q63_seq_packing"      -> (seqPackingQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -410,5 +468,7 @@ object Quality {
     "q54_corrupt_records"  -> corruptRecordStatsSql,
     "q41_hash_sample"      -> deterministicSampleSql,
     "q47_numeric_summary"  -> numericSummarySql,
-    "q48_stratified_sample" -> stratifiedSampleSql)
+    "q48_stratified_sample" -> stratifiedSampleSql,
+    "q62_hash_split"       -> hashSplitSql,
+    "q63_seq_packing"      -> seqPackingSql)
 }
