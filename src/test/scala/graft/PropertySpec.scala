@@ -92,4 +92,33 @@ class PropertySpec extends SparkSpec {
       assert(cmp.filter(col("fast") =!= col("ref")).count() === 0, s"rotation $i")
     }
   }
+
+  test("hashSplit composes with hashKeep: the train split IS the 0.8 sample") {
+    import graft.functions.Sampling
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    val split = li.withColumn("split",
+      Sampling.hashSplit(col("l_orderkey"), 0.8, 0.1))
+    // same hash, cumulative thresholds => set equality, not just overlap
+    val trainKeys = split.filter(col("split") === "train")
+      .select("l_orderkey").distinct()
+    val sampleKeys = Sampling.deterministicSample(li, "l_orderkey", 0.8)
+      .select("l_orderkey").distinct()
+    assert(trainKeys.exceptAll(sampleKeys).isEmpty &&
+      sampleKeys.exceptAll(trainKeys).isEmpty)
+    // splits partition the key space
+    val n = split.select("l_orderkey").distinct().count()
+    val parts = split.groupBy("split").agg(countDistinct("l_orderkey").as("k"))
+      .collect().map(_.getLong(1)).sum
+    assert(parts === n)
+  }
+
+  test("packSequences: offsets stay under budget and packs are contiguous") {
+    import graft.functions.Sampling
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val packed = Sampling.packSequences(docs, "doc_id",
+      graft.functions.Text.tokenCount(col("text")), 256L).collect()
+    assert(packed.forall(r => r.getAs[Long]("pack_offset") < 256L))
+    val ids = packed.map(_.getAs[Long]("pack_id"))
+    assert(ids.toSet === (ids.min to ids.max).toSet, "pack ids must be dense")
+  }
 }
