@@ -42,14 +42,17 @@ object Bench {
     try { force("q6_timeframe"); force("q1_total_margin_2m"); force("q19_fingerprint") }
     catch { case _: Throwable => () }
 
-    // Two timed repetitions per query, report the minimum: single-shot
+    // Three timed repetitions per query, report the minimum: single-shot
     // local[N] timings swing 2-3x with JIT/GC/host noise (measured), and
     // the minimum is the standard steady-state estimator — it reflects
-    // the plan, not the weather. Both repetitions run the FULL query
-    // (no cross-run caching: each call builds its own plan and the
-    // minhash index checkpoint is per-call).
+    // the plan, not the weather. Tiered JIT keeps improving through the
+    // second re-run on the heavy dedup queries (Probe: q22 reps
+    // 12.0/3.0/1.9/1.6s), so two reps still under-sampled the steady
+    // state. Every repetition runs the FULL query (no cross-run
+    // caching: each call builds its own plan and the minhash index
+    // checkpoint is per-call).
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try force(name) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
