@@ -102,6 +102,43 @@ object Quality {
        |FROM total, kept""".stripMargin
   }
 
+  // ---- q64: PERMISSIVE corrupt-record accounting for JSONL -----------
+  // q54's reader-semantics check, for the JSON lane: a planted file
+  // whose malformed lines are SYNTAX errors (the class both engines
+  // treat as whole-row failures; see JsonlSource.corruptFixture).
+  private lazy val JsonlBadDir = s"${sys.props("user.dir")}/target/jsonl_docs"
+
+  def jsonlCorruptStats(spark: SparkSession, dir: String): DataFrame = {
+    val file = graft.sources.JsonlSource.corruptFixture(JsonlBadDir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(file)
+      // same only-corrupt-column scan restriction as the CSV lane (q54)
+      .localCheckpoint(true)
+      .select(col("_corrupt_record").isNotNull.as("bad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bad"), 0).otherwise(1)).cast("long").as("n_parsed"),
+        sum(when(col("bad"), 1).otherwise(0)).cast("long").as("n_corrupt"))
+  }
+
+  val jsonlCorruptStatsSql: String = {
+    val f = s"'${sys.props("user.dir")}/target/jsonl_docs/docs_bad.jsonl'"
+    s"""WITH r AS (SELECT * FROM read_json($f, format='newline_delimited',
+       |    columns={id:'BIGINT', lang:'VARCHAR', text:'VARCHAR'},
+       |    ignore_errors=true))
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN id IS NULL AND lang IS NULL AND text IS NULL
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed,
+       |  CAST(SUM(CASE WHEN id IS NULL AND lang IS NULL AND text IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+       |FROM r""".stripMargin
+  }
+
   // ---- q08: profile stats: nulls + exact distinct per column (A9/A11)
   def profileStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -450,7 +487,8 @@ object Quality {
     "q47_numeric_summary"  -> (numericSummaryQ _),
     "q48_stratified_sample" -> (stratifiedSampleQ _),
     "q62_hash_split"       -> (hashSplitQ _),
-    "q63_seq_packing"      -> (seqPackingQ _))
+    "q63_seq_packing"      -> (seqPackingQ _),
+    "q64_jsonl_corrupt"    -> (jsonlCorruptStats _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -470,5 +508,6 @@ object Quality {
     "q47_numeric_summary"  -> numericSummarySql,
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q62_hash_split"       -> hashSplitSql,
-    "q63_seq_packing"      -> seqPackingSql)
+    "q63_seq_packing"      -> seqPackingSql,
+    "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql)
 }

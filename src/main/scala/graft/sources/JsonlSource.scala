@@ -69,4 +69,29 @@ object JsonlSource {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Malformed-line fixture for corrupt-record accounting (q64): every
+    * 7th line is a SYNTAX error (truncated object / non-JSON garbage),
+    * the rest are well-formed with id+lang always present. Only syntax
+    * errors are planted deliberately: that is the corruption class
+    * where engines agree on row disposition (Spark PERMISSIVE marks
+    * the whole row corrupt; DuckDB ignore_errors yields an all-NULL
+    * row) — a type-mismatch line would instead be whole-row corrupt in
+    * Spark but only field-NULL in DuckDB. */
+  def corruptFixture(dir: String, n: Int = 140): String = {
+    val path = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(path)
+    val file = path.resolve("docs_bad.jsonl")
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      if (i % 7 == 3)
+        sb.append(if (i % 14 == 3) s"""{"id":$i,"lang":"en""""
+          else "not json at all").append("\n")
+      else
+        sb.append(s"""{"id":$i,"lang":"${if (i % 2 == 0) "en" else "de"}","text":"doc number $i"}""")
+          .append("\n")
+    }
+    java.nio.file.Files.write(file, sb.toString.getBytes("UTF-8"))
+    file.toString
+  }
 }
