@@ -222,6 +222,49 @@ object Advanced {
 
   // ---- q42: streaming dedup (at-least-once -> exactly-once) ----------
   // The stream delivers every event twice (self-union);
+  // ---- q65: ROLLUP aggregation (OLAP subtotal hierarchy) -------------
+  // Spark's rollup == GROUP BY ROLLUP: per-(flag, status) rows plus
+  // per-flag subtotals plus the grand total. Null-marker rows sort
+  // first on both engines (explicit NULLS FIRST).
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val rollupSummarySql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---- q66: pivot (long -> wide conditional aggregation) -------------
+  // Spark's pivot with EXPLICIT values (never let the engine scan for
+  // the value set at 100 TB — that is a whole extra pass); the oracle
+  // states the same reshape as conditional aggregation, which is
+  // exactly the physical form Spark lowers pivot to.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy("user_bucket")
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS "$t"""")
+      .mkString(",\n  ")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q60: ORC sink/source round trip -------------------------------
   // Columnar-format breadth: Spark writes a lineitem slice to ORC and
   // reads it back; the summary over the ROUND-TRIPPED rows must equal
@@ -305,7 +348,9 @@ object Advanced {
     "q46_interval_overlap"  -> (overlappingSessions _),
     "q49_zorder_key"        -> (zorderKeys _),
     "q58_jsonl_ingest"      -> (jsonlIngest _),
-    "q60_orc_roundtrip"     -> (orcRoundtrip _))
+    "q60_orc_roundtrip"     -> (orcRoundtrip _),
+    "q65_rollup"            -> (rollupSummary _),
+    "q66_pivot"             -> (pivotEvents _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -320,5 +365,7 @@ object Advanced {
     "q46_interval_overlap"  -> overlappingSessionsSql,
     "q49_zorder_key"        -> zorderKeysSql,
     "q58_jsonl_ingest"      -> jsonlIngestSql,
-    "q60_orc_roundtrip"     -> orcRoundtripSql)
+    "q60_orc_roundtrip"     -> orcRoundtripSql,
+    "q65_rollup"            -> rollupSummarySql,
+    "q66_pivot"             -> pivotEventsSql)
 }
