@@ -265,6 +265,31 @@ object Advanced {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q67: JSON field extraction from a string column ---------------
+  // Semi-structured payloads ride in string columns at ingest time;
+  // get_json_object pulls typed fields out without a schema pass (the
+  // codegen'd path — from_json with an explicit schema is the typed
+  // alternative when the full struct is needed).
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(k) AS n_with_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q60: ORC sink/source round trip -------------------------------
   // Columnar-format breadth: Spark writes a lineitem slice to ORC and
   // reads it back; the summary over the ROUND-TRIPPED rows must equal
@@ -350,7 +375,8 @@ object Advanced {
     "q58_jsonl_ingest"      -> (jsonlIngest _),
     "q60_orc_roundtrip"     -> (orcRoundtrip _),
     "q65_rollup"            -> (rollupSummary _),
-    "q66_pivot"             -> (pivotEvents _))
+    "q66_pivot"             -> (pivotEvents _),
+    "q67_json_extract"      -> (jsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -367,5 +393,6 @@ object Advanced {
     "q58_jsonl_ingest"      -> jsonlIngestSql,
     "q60_orc_roundtrip"     -> orcRoundtripSql,
     "q65_rollup"            -> rollupSummarySql,
-    "q66_pivot"             -> pivotEventsSql)
+    "q66_pivot"             -> pivotEventsSql,
+    "q67_json_extract"      -> jsonExtractSql)
 }
