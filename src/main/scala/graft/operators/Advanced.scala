@@ -265,6 +265,29 @@ object Advanced {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q68: set operations (INTERSECT / EXCEPT, SURVEY §2.7) ---------
+  // Nation-coverage reconciliation between the customer and supplier
+  // dimensions: set semantics (dedup built in), one row of counts.
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    val common = c.intersect(s).count()
+    val custOnly = c.except(s).count()
+    val suppOnly = s.except(c).count()
+    import spark.implicits._
+    Seq((common, custOnly, suppOnly))
+      .toDF("n_common", "n_cust_only", "n_supp_only")
+  }
+
+  val setOpsSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+      |    INTERSECT SELECT s_nationkey FROM supplier) a) AS n_common,
+      |  (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+      |    EXCEPT SELECT s_nationkey FROM supplier) b) AS n_cust_only,
+      |  (SELECT COUNT(*) FROM (SELECT s_nationkey FROM supplier
+      |    EXCEPT SELECT c_nationkey FROM customer) c) AS n_supp_only""".stripMargin
+
   // ---- q67: JSON field extraction from a string column ---------------
   // Semi-structured payloads ride in string columns at ingest time;
   // get_json_object pulls typed fields out without a schema pass (the
@@ -376,7 +399,8 @@ object Advanced {
     "q60_orc_roundtrip"     -> (orcRoundtrip _),
     "q65_rollup"            -> (rollupSummary _),
     "q66_pivot"             -> (pivotEvents _),
-    "q67_json_extract"      -> (jsonExtract _))
+    "q67_json_extract"      -> (jsonExtract _),
+    "q68_set_ops"           -> (setOps _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -394,5 +418,6 @@ object Advanced {
     "q60_orc_roundtrip"     -> orcRoundtripSql,
     "q65_rollup"            -> rollupSummarySql,
     "q66_pivot"             -> pivotEventsSql,
-    "q67_json_extract"      -> jsonExtractSql)
+    "q67_json_extract"      -> jsonExtractSql,
+    "q68_set_ops"           -> setOpsSql)
 }
