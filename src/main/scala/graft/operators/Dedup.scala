@@ -395,6 +395,47 @@ object Dedup {
     clustersFromLabels(cc.labels)
   }
 
+  /** Fuzzy matching of fixed-width keys (entity resolution for codes /
+    * padded identifiers / normalized names): all pairs within Hamming
+    * distance `maxDist`, by the pigeonhole scheme — split the key into
+    * maxDist+1 segments; any pair within distance maxDist agrees
+    * EXACTLY on at least one segment, so per-segment equality joins
+    * have 100% recall (exact, not approximate — the simhashNearPairs
+    * argument applied to characters). Candidates pay a positional
+    * comparison verify; Levenshtein rides along as a reported metric
+    * (on same-width keys, lev <= hamming). Keys not of `width` are
+    * ignored — normalize/pad first. */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+                    width: Int, maxDist: Int): DataFrame = {
+    require(width > 0 && maxDist >= 0 && maxDist < width,
+      "need 0 <= maxDist < width")
+    val segs = maxDist + 1
+    val k = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .filter(length(col("k")) === width)
+    val bandStructs = (0 until segs).map { b =>
+      val st = b * width / segs
+      val en = (b + 1) * width / segs
+      struct(lit(b).as("band"), substring(col("k"), st + 1, en - st).as("seg"))
+    }
+    val bands = k.select(col("id"), col("k"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("k"),
+        col("bs.band").as("band"), col("bs.seg").as("seg"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.k").as("k_a"),
+        col("b.id").as("id_b"), col("b.k").as("k_b"))
+      .distinct()
+    val ham = (1 to width).map(i =>
+      when(substring(col("k_a"), i, 1) =!= substring(col("k_b"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .select("id_a", "id_b", "hamming", "lev")
+  }
+
   /** The dedup endgame: the corpus with near-duplicates REMOVED — each
     * cluster keeps only its canonical member (lowest id), singleton
     * docs pass through untouched. `pairs` is any near-dup pair list

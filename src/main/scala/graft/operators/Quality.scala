@@ -139,6 +139,29 @@ object Quality {
        |FROM r""".stripMargin
   }
 
+  // ---- q69: fuzzy entity matching on fixed-width keys ----------------
+  // Customer names within Hamming distance 2 — the typo/transcription
+  // dedup of entity resolution. Candidates come from the pigeonhole
+  // segment join (exact recall); the oracle is the direct quadratic
+  // hamming() inequality join — an independent algorithm.
+  private val NameWidth = 18 // "Customer#" + 9 digits
+  private val MaxDist = 2
+
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyKeyPairs(
+        Tables.customer(spark, dir).filter(col("c_custkey") <= 400),
+        "c_custkey", "c_name", width = NameWidth, maxDist = MaxDist)
+      .orderBy("id_a", "id_b")
+
+  val fuzzyNamePairsSql: String =
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer
+       |  WHERE c_custkey <= 400 AND length(c_name) = $NameWidth)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(hamming(a.k, b.k) AS BIGINT) AS hamming,
+       |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+       |FROM c a JOIN c b ON a.id < b.id AND hamming(a.k, b.k) <= $MaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- q08: profile stats: nulls + exact distinct per column (A9/A11)
   def profileStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -488,7 +511,8 @@ object Quality {
     "q48_stratified_sample" -> (stratifiedSampleQ _),
     "q62_hash_split"       -> (hashSplitQ _),
     "q63_seq_packing"      -> (seqPackingQ _),
-    "q64_jsonl_corrupt"    -> (jsonlCorruptStats _))
+    "q64_jsonl_corrupt"    -> (jsonlCorruptStats _),
+    "q69_fuzzy_names"      -> (fuzzyNamePairs _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -509,5 +533,6 @@ object Quality {
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q62_hash_split"       -> hashSplitSql,
     "q63_seq_packing"      -> seqPackingSql,
-    "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql)
+    "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql,
+    "q69_fuzzy_names"      -> fuzzyNamePairsSql)
 }

@@ -53,6 +53,13 @@ class PlanAuditSpec extends SparkSpec {
       "lshTopK")
   }
 
+  test("fuzzyKeyPairs plan: pigeonhole segment equality join only") {
+    assertNoCartesian(
+      Dedup.fuzzyKeyPairs(Tables.customer(spark, sf), "c_custkey", "c_name",
+        width = 18, maxDist = 2),
+      "fuzzyKeyPairs")
+  }
+
   test("capped jaccardPairs plan: no cartesian, hot shingles broadcast-anti") {
     val df = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
       n = 3, threshold = 0.5, maxPostings = 20)
