@@ -95,6 +95,7 @@ object Bench {
             noop(ScaleBench.minhashPairs(docs.limit(64)))
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
+            noop(ScaleBench.clusters(docs.limit(64)))
           } catch { case _: Throwable => () }
           Seq(
             "q22_minhash_xx" -> time(noop(ScaleBench.minhashPairs(docs))),

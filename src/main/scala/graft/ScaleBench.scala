@@ -39,14 +39,13 @@ object ScaleBench {
     "uoiea", "oieau", "ieauo", "eauoi", "auoie")
 
   /** Union of `times` re-keyed copies (id -> id*times + i: collision-free
-    * without scanning for max). */
-  private def replicate(df: DataFrame, times: Int)
-                       (mk: Int => DataFrame): DataFrame =
+    * without scanning for max). `mk` builds replica i. */
+  private def replicate(times: Int)(mk: Int => DataFrame): DataFrame =
     (0 until times).map(mk).reduce(_.unionAll(_))
 
   def documents(spark: SparkSession, dir: String, times: Int): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
-    replicate(d, times)(i => d.select(
+    replicate(times)(i => d.select(
       (col("doc_id") * times + i).as("doc_id"),
       translate(col("text"), "aeiou", VowelPerms(i % VowelPerms.size)).as("text")))
   }
@@ -54,7 +53,7 @@ object ScaleBench {
   def embeddings(spark: SparkSession, dir: String, times: Int,
                  dim: Int = 64): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    replicate(e, times) { i =>
+    replicate(times) { i =>
       // Orthogonal transform for replica i: permute dims by an odd-step
       // affine map (bijective mod a power-of-two dim) and flip a fixed
       // per-replica subset of signs. Replica 0 is the identity.
@@ -73,7 +72,7 @@ object ScaleBench {
   def events(spark: SparkSession, dir: String, times: Int): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "ts_ns")
-    replicate(ev, times)(i => ev.select(
+    replicate(times)(i => ev.select(
       (col("event_id") * times + i).as("event_id"),
       (col("user_id") * times + i).as("user_id"),
       col("ts_ns")))

@@ -69,7 +69,11 @@ object Sampling {
       .withColumn("__cum",
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("pack_id", (col("__cum") / budget).cast("long"))
+      // integral `div`, NOT `/`: Column `/` on longs is IEEE double
+      // division, which truncates wrongly once cumulative tokens pass
+      // 2^53 — the exactness bug Events.floorDiv documents. __cum is
+      // non-negative so plain div IS the floor.
+      .withColumn("pack_id", call_function("div", col("__cum"), lit(budget)))
       .withColumn("pack_offset", col("__cum") % budget)
       .drop("__cum")
   }

@@ -269,14 +269,22 @@ object Advanced {
   // Nation-coverage reconciliation between the customer and supplier
   // dimensions: set semantics (dedup built in), one row of counts.
   def setOps(spark: SparkSession, dir: String): DataFrame = {
+    // intersect/except ARE exercised (set semantics, dedup built in),
+    // but as ONE lazy plan whose three counts come from a single
+    // aggregate — not three eager .count() actions that would run six
+    // scans at construction time
     val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
     val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
-    val common = c.intersect(s).count()
-    val custOnly = c.except(s).count()
-    val suppOnly = s.except(c).count()
-    import spark.implicits._
-    Seq((common, custOnly, suppOnly))
-      .toDF("n_common", "n_cust_only", "n_supp_only")
+    c.intersect(s).select(lit("common").as("side"))
+      .unionAll(c.except(s).select(lit("cust").as("side")))
+      .unionAll(s.except(c).select(lit("supp").as("side")))
+      .agg(
+        sum(when(col("side") === "common", 1).otherwise(0)).cast("long")
+          .as("n_common"),
+        sum(when(col("side") === "cust", 1).otherwise(0)).cast("long")
+          .as("n_cust_only"),
+        sum(when(col("side") === "supp", 1).otherwise(0)).cast("long")
+          .as("n_supp_only"))
   }
 
   val setOpsSql: String =

@@ -34,11 +34,16 @@ object Quality {
   // (data_validation.py:64-89) — every row is either fully valid or
   // carries at least one offending column.
   def invalidRowStats(spark: SparkSession, dir: String): DataFrame = {
+    // ONE conditional aggregation over one scan (the oracle's shape);
+    // splitValidInvalid stays the two-frame API for callers that
+    // materialize both halves, but counting them must not read the
+    // table twice
     val docs = Tables.documents(spark, dir)
-    val (valid, invalid) = Validate.splitValidInvalid(docs, docPatterns)
-    valid.agg(count(lit(1)).as("n_valid_rows"))
-      .crossJoin(invalid.agg(count(lit(1)).as("n_invalid_rows")))
-      .withColumn("n_rows", col("n_valid_rows") + col("n_invalid_rows"))
+    val mask = Validate.invalidRowMask(docs, docPatterns)
+    docs.agg(
+      sum(when(mask, 0).otherwise(1)).cast("long").as("n_valid_rows"),
+      sum(when(mask, 1).otherwise(0)).cast("long").as("n_invalid_rows"),
+      count(lit(1)).as("n_rows"))
   }
 
   val invalidRowStatsSql: String =

@@ -130,11 +130,13 @@ object Similarity {
   def lshTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
                   bands: Int = 16, dim: Int = 64,
                   targetOccupancy: Int = 32): DataFrame =
-    lshTopK(queries, corpus, k, bands,
+    lshTopK(queries, corpus, k, bands = bands,
       bits = autoSrpBits(corpus.count(), targetOccupancy), dim = dim)
 
+  // `bands` sits AFTER the pre-round-3 (k, bits, dim) parameters so a
+  // positional caller from the single-band era keeps its meaning.
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bands: Int = 16, bits: Int = 8, dim: Int = 64): DataFrame = {
+              bits: Int = 8, dim: Int = 64, bands: Int = 16): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     // eager checkpoints: both frames feed signature generation AND the
     // exact rerank (see srpNearDupPairs for the CacheManager rationale)

@@ -154,9 +154,12 @@ object GoldenFixture {
     // planted count adapts to whatever the seeded rows produced.
     val preRows = d1 ++ d2 ++ d3base :+ orphan
     val existingGroups = preRows.groupBy(bizKey).count(_._2.size > 1)
-    // sort on the (unique) full key string — hash-map order is not
-    // deterministic and tids repeat, so nothing weaker gives the same
-    // pick on every call
+    // sort on the full key string — hash-map order is not deterministic
+    // and tids repeat, so nothing weaker gives the same pick on every
+    // call. Tuple.toString is NOT injective (a field containing ", "
+    // can render two keys alike); ties then fall back to sortBy's
+    // STABILITY over the deterministic d3base order, which keeps the
+    // pick reproducible — do not swap in an unstable/parallel sort
     val singletons = d3base.groupBy(bizKey).filter(_._2.size == 1)
       .flatMap(_._2).toSeq.sortBy(t => bizKey(t).toString)
       .take(TargetDupGroups - existingGroups)

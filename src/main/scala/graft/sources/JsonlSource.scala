@@ -35,9 +35,21 @@ object JsonlSource {
       case c => c.toString
     }
 
+  // Verify runs queries concurrently and Bench repeats them; memoize
+  // per (dir, n) so each fixture file is written ONCE per JVM (the
+  // same lazy-write lock the CSV corrupt fixture documents) — a
+  // non-atomic rewrite racing a concurrent reader would serve
+  // truncated bytes.
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   /** Deterministic fixture: `n` documents at `dir`/docs.jsonl; returns
-    * the file path. Idempotent — same bytes every call. */
-  def generate(dir: String, n: Int = 240): String = {
+    * the file path. Idempotent — same bytes every call, written once
+    * per JVM. */
+  def generate(dir: String, n: Int = 240): String =
+    written.computeIfAbsent((dir, n), _ => generateNow(dir, n))
+
+  private def generateNow(dir: String, n: Int): String = {
     val path = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(path)
     val file = path.resolve("docs.jsonl")
@@ -78,7 +90,10 @@ object JsonlSource {
     * the whole row corrupt; DuckDB ignore_errors yields an all-NULL
     * row) — a type-mismatch line would instead be whole-row corrupt in
     * Spark but only field-NULL in DuckDB. */
-  def corruptFixture(dir: String, n: Int = 140): String = {
+  def corruptFixture(dir: String, n: Int = 140): String =
+    written.computeIfAbsent((dir + "#bad", n), _ => corruptFixtureNow(dir, n))
+
+  private def corruptFixtureNow(dir: String, n: Int): String = {
     val path = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(path)
     val file = path.resolve("docs_bad.jsonl")
