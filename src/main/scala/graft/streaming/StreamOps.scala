@@ -187,19 +187,33 @@ object StreamOps {
   def streamingNearDupCandidates(spark: SparkSession, dir: String,
                                  n: Int = 3, numHashes: Int = 12,
                                  bands: Int = 4): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    nearDupCandidatesFrom(src,
+      "graft_neardup_" + math.abs(dir.hashCode).toString,
+      n, numHashes, bands)
+  }
+
+  /** The near-dup candidate pipeline over ANY streaming docs frame
+    * (doc_id, text, ...) — lets a test drive a throttled multi-file
+    * source (maxFilesPerTrigger=1) to prove the per-bucket STATE path:
+    * pairs spanning microbatch boundaries must come out identical to a
+    * single-batch replay. */
+  def nearDupCandidatesFrom(src: DataFrame, queryName: String,
+                            n: Int = 3, numHashes: Int = 12,
+                            bands: Int = 4): DataFrame = {
+    val spark = src.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     graft.plans.GraftFunctions.register(spark)
-    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val queryName = "graft_neardup_" + math.abs(dir.hashCode).toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_neardup_ckpt").toString
     val rows = numHashes / bands
 
     val toks = graft.plans.GraftFunctions.graft_tokens(lower(col("text")))
-    val bucketed = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val bucketed = src
       .select(col("doc_id"),
         graft.plans.GraftFunctions.word_shingles(toks, n).as("sh"))
       .filter(size(col("sh")) >= 1)

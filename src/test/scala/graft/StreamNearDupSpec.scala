@@ -1,0 +1,36 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** The q61 oracle proves stream == batch over a single-file replay, but
+  * a single microbatch delivers every bucket's members in ONE group
+  * call — the `seen` state path never runs. This spec throttles a
+  * multi-file copy of the corpus to one file per trigger, so pairs
+  * whose members arrive in DIFFERENT microbatches can only come from
+  * state, and the result must still equal the single-batch replay. */
+class StreamNearDupSpec extends SparkSpec {
+
+  test("candidates spanning microbatch boundaries equal the one-batch replay") {
+    val dir = "/tmp/graft_stream_neardup"
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .repartition(4) // four part files => four microbatches when throttled
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+
+    def run(throttle: Boolean, name: String) = {
+      val rd = spark.readStream.schema(schema)
+      val src = (if (throttle) rd.option("maxFilesPerTrigger", "1") else rd)
+        .parquet(s"$dir/docs")
+      StreamOps.nearDupCandidatesFrom(src, name)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val multiBatch = run(throttle = true, "nd_multi")
+    val oneBatch = run(throttle = false, "nd_single")
+    assert(multiBatch === oneBatch,
+      s"state path diverged: multi=${multiBatch.size}, single=${oneBatch.size}")
+    assert(oneBatch.nonEmpty, "corpus must produce candidate pairs")
+  }
+}
