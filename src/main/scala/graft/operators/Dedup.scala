@@ -450,6 +450,25 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** [[dedupedCorpus]] with a caller-chosen survivor policy: each
+    * cluster keeps the member maximizing `prefer` (ties -> lowest id).
+    * The policy real pipelines want is usually "keep the longest /
+    * highest-quality member", not "keep the lowest id" — pass e.g.
+    * col("n_chars") or a quality score. One CC run + a per-cluster
+    * row_number window on (rep) — no extra join over the corpus. */
+  def dedupedCorpusBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                      prefer: Column, maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter).labels
+      .withColumnRenamed("doc_id", "__lid")
+    val withRep = df.join(labels, df(idCol) === col("__lid"), "left")
+      .withColumn("__rep", coalesce(col("rep"), df(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__rep").orderBy(prefer.desc, df(idCol).asc)
+    withRep.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__lid", "rep", "__rep", "__rn")
+  }
+
   /** (doc_id, rep) labels -> (canonical_doc, cluster_size) rows for
     * multi-doc clusters. */
   def clustersFromLabels(labels: DataFrame): DataFrame =

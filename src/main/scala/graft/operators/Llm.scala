@@ -249,6 +249,30 @@ object Llm {
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q70: survivor-policy dedup (keep the LONGEST cluster member) --
+  def dedupedKeepLongest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpusBy(Tables.documents(spark, dir), "doc_id",
+        minhashPairs(spark, dir), prefer = col("n_chars"))
+      .select("doc_id").orderBy("doc_id")
+
+  val dedupedKeepLongestSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep, d.n_chars
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |ranked AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY rep
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM lab)
+       |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
@@ -575,6 +599,7 @@ object Llm {
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
+    "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -596,6 +621,7 @@ object Llm {
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
+    "q70_dedup_keep_longest" -> dedupedKeepLongestSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

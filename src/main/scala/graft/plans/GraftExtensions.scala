@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
       (exprs: Seq[Expression]) => GraftFunctions.mkSrpSig(exprs)))
+    // scale guardrail (inert until spark.graft.planGuard=warn|fail)
+    e.injectOptimizerRule(session => PlanGuard(session))
   }
 }
 
