@@ -70,6 +70,24 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.toSeq === Seq((1L, 2L)))
   }
 
+  test("fuzzyKeyPairs equals brute-force hamming on uneven segment widths") {
+    // width 7 with maxDist 2 -> segment sizes 2/2/3: exercises the
+    // integer-division boundary arithmetic
+    val rnd = new scala.util.Random(7)
+    val keys = (1L to 60L).map(i =>
+      i -> (0 until 7).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = keys.toDF("id", "k")
+    val got = Dedup.fuzzyKeyPairs(df, "id", "k", width = 7, maxDist = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (a, ka) <- keys; (b, kb) <- keys if a < b
+      if ka.zip(kb).count { case (x, y) => x != y } <= 2
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must produce close pairs")
+  }
+
   test("dedupedCorpus keeps the canonical member and all singletons") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val df = Seq(
