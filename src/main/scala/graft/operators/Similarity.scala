@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,18 +234,19 @@ object Similarity {
     * cells, exact-rerank inside probed cells. `ivfTopK` feeds it KMeans
     * centroids; `ivfSampledTopK` feeds deterministic seed vectors so the
     * whole operator is reproducible in any SQL engine (the q34 oracle). */
-  def ivfTopKWith(queries: DataFrame, corpusCv: DataFrame,
-                  centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** Cell assignment: each corpus vector joins its nearest centroid.
+    * Argmax-by-aggregation, not a window: the corpus x centroids
+    * expansion collapses back to one row per vector in the map-side
+    * partial aggregate, so the shuffle carries |corpus| rows instead of
+    * |corpus| x nCells (the tie-break on lowest cell rides inside the
+    * max_by key, keeping the pick deterministic and oracle-identical).
+    * Returns (vec_id, cv, cn, cell) — the frame Warehouse.writeIvfLayout
+    * persists partitioned by cell. */
+  def ivfAssign(corpusCv: DataFrame, centroids: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(corpusCv.sparkSession)
-    val cents = centroids
-      .withColumn("cent_n", norm(col("centroid")))
+    val cents = centroids.withColumn("cent_n", norm(col("centroid")))
     val c = corpusCv.withColumn("cn", norm(col("cv")))
-    // argmax-by-aggregation, not a window: the corpus x centroids
-    // expansion collapses back to one row per vector in the map-side
-    // partial aggregate, so the shuffle carries |corpus| rows instead of
-    // |corpus| x nCells (the tie-break on lowest cell rides inside the
-    // max_by key, keeping the pick deterministic and oracle-identical)
-    val assigned = c.crossJoin(broadcast(cents))
+    c.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(cosine(col("cv"), col("centroid"), col("cn"), col("cent_n")), 6))
       .groupBy("vec_id")
@@ -253,16 +254,28 @@ object Similarity {
         struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
       .join(c, Seq("vec_id"))
       .select("vec_id", "cv", "cn", "cell")
-    val q = queries.select(col("vec_id").as("query_id"),
+  }
+
+  /** Per-query probe cells: the nProbe centroids nearest each query.
+    * Returns (query_id, qv, qn, cell). */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame,
+                nProbe: Int): DataFrame = {
+    val cents = centroids.withColumn("cent_n", norm(col("centroid")))
+    queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
+      .crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(cosine(col("qv"), col("centroid"), col("qn"), col("cent_n")), 6))
       .withColumn("prank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))))
       .filter(col("prank") <= nProbe)
       .select("query_id", "qv", "qn", "cell")
+  }
+
+  /** Exact rerank of probed cells against broadcast probes. */
+  private def ivfRerank(assigned: DataFrame, probes: DataFrame,
+                        k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
@@ -270,6 +283,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  def ivfTopKWith(queries: DataFrame, corpusCv: DataFrame,
+                  centroids: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfRerank(ivfAssign(corpusCv, centroids),
+      ivfProbes(queries, centroids, nProbe), k)
+
+  /** IVF top-k against a PERSISTED cell-partitioned layout
+    * (Warehouse.writeIvfLayout): the probed cell ids become a
+    * partition-pruning filter on the parquet scan, so each query batch
+    * reads ONLY its probe cells' files — the scaladoc promise of
+    * [[ivfTopK]] made real. The cell list is a driver scalar (bounded
+    * by |queries| * nProbe, like the retail window bounds), which is
+    * what lets the filter prune at planning time. */
+  def ivfTopKFromLayout(spark: SparkSession, path: String,
+                        queries: DataFrame, centroids: DataFrame,
+                        k: Int, nProbe: Int): DataFrame = {
+    val probes = ivfProbes(queries, centroids, nProbe)
+      .localCheckpoint(true) // feeds the cell list AND the rerank join
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    ivfRerank(assigned, probes, k)
   }
 
   /** IVF with deterministic sampled centroids: the nCells lowest-id

@@ -55,6 +55,15 @@ object Warehouse {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** IVF cell layout: the assigned corpus (Similarity.ivfAssign output)
+    * partitioned by cell id, so an IVF probe
+    * (Similarity.ivfTopKFromLayout) turns its probe-cell list into a
+    * partition-pruning filter and reads ONLY those cells' files. This
+    * is the storage half of the ANN recall/cost dial: nProbe bounds
+    * bytes scanned, not just vectors scored. */
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Bucketed catalog table: pre-hash-partitioned on the join key so
     * repeated joins/aggregations on that key skip their shuffle
     * entirely (both sides bucketed on the same key and count =>

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF layout must (a) return exactly what the in-memory
+  * IVF path returns and (b) physically read only the probed cells'
+  * files — partition pruning is the point of the layout. */
+class IvfLayoutSpec extends SparkSpec {
+
+  test("ivfTopKFromLayout equals ivfTopKWith and reads only probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val c = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("cv"))
+    // deterministic sampled centroids (the q34 oracle's construction)
+    val centroids = c.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 8)
+
+    val path = "/tmp/graft_ivf_layout"
+    Warehouse.writeIvfLayout(Similarity.ivfAssign(c, centroids), path)
+
+    val fromLayout = Similarity
+      .ivfTopKFromLayout(spark, path, queries, centroids, k = 5, nProbe = 3)
+    val inMemory = Similarity.ivfTopKWith(queries, c, centroids, k = 5, nProbe = 3)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(rows(fromLayout) === rows(inMemory))
+
+    // physical read only touches cell=<probed> directories
+    val probed = Similarity.ivfProbes(queries, centroids, nProbe = 3)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size < 16, "fixture must actually prune")
+    val filesRead = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.toSeq.map(Int.box): _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(filesRead.nonEmpty)
+    val cellOfFile = "cell=(\\d+)".r
+    val cellsTouched = filesRead.flatMap(f =>
+      cellOfFile.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(cellsTouched === probed,
+      s"scan touched $cellsTouched but probes were $probed")
+  }
+}
