@@ -96,12 +96,14 @@ object Bench {
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
             noop(ScaleBench.clusters(docs.limit(64)))
+            noop(ScaleBench.ivfTopK(emb.limit(64)))
           } catch { case _: Throwable => () }
           Seq(
             "q22_minhash_xx" -> time(noop(ScaleBench.minhashPairs(docs))),
             "q24_srp_neardup" -> time(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
             "q29_sessionization" -> time(noop(ScaleBench.sessionStats(ev))),
-            "q40_dedup_clusters" -> time(noop(ScaleBench.clusters(docs))))
+            "q40_dedup_clusters" -> time(noop(ScaleBench.clusters(docs))),
+            "q34_ivf_topk" -> time(noop(ScaleBench.ivfTopK(emb))))
             .map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
         }

@@ -107,4 +107,21 @@ object ScaleBench {
 
   def clusters(docs: DataFrame): DataFrame =
     Dedup.dedupClusters(minhashPairs(docs))
+
+  /** IVF assignment + probe over the replicated corpus with a FIXED
+    * query batch (a real serving workload's query count doesn't grow
+    * with the corpus — letting it grow would add a quadratic
+    * query x cell-size rerank term that says nothing about the
+    * operator). Cost should scale with |corpus|: the assignment scan
+    * plus nProbe/nCells of the corpus per query. Deterministic sampled
+    * centroids (q34's construction). */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 64): DataFrame = {
+    val c = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val centroids = c.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    Similarity.ivfTopKWith(emb.orderBy("vec_id").limit(nQueries), c,
+      centroids, k = 5, nProbe = 4)
+  }
 }

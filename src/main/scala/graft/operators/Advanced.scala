@@ -265,6 +265,45 @@ object Advanced {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q71: cohort retention (weekly, classic events analytics) ------
+  // Cohort = the week a user is first seen; retention = distinct users
+  // active N weeks later, as a fraction of the cohort. Two shuffles
+  // (per-user first-seen, then per-(cohort, offset) distinct) and one
+  // broadcastable cohort-size dim — the standard shape at any scale.
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(countDistinct("user_id").as("cohort_size"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset", (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1),
+      |sz AS (SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+      |       FROM f GROUP BY 1),
+      |j AS (SELECT e.user_id, f.cohort,
+      |        CAST(date_diff('day', f.cohort, e.wk) // 7 AS BIGINT) AS week_offset
+      |      FROM e JOIN f ON e.user_id = f.user_id),
+      |a AS (SELECT cohort, week_offset,
+      |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |      FROM j GROUP BY 1, 2)
+      |SELECT CAST(a.cohort AS DATE) AS cohort_week, week_offset, n_active,
+      |       cohort_size,
+      |       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM a JOIN sz ON a.cohort = sz.cohort
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- q68: set operations (INTERSECT / EXCEPT, SURVEY §2.7) ---------
   // Nation-coverage reconciliation between the customer and supplier
   // dimensions: set semantics (dedup built in), one row of counts.
@@ -408,7 +447,8 @@ object Advanced {
     "q65_rollup"            -> (rollupSummary _),
     "q66_pivot"             -> (pivotEvents _),
     "q67_json_extract"      -> (jsonExtract _),
-    "q68_set_ops"           -> (setOps _))
+    "q68_set_ops"           -> (setOps _),
+    "q71_cohort_retention"  -> (cohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -427,5 +467,6 @@ object Advanced {
     "q65_rollup"            -> rollupSummarySql,
     "q66_pivot"             -> pivotEventsSql,
     "q67_json_extract"      -> jsonExtractSql,
-    "q68_set_ops"           -> setOpsSql)
+    "q68_set_ops"           -> setOpsSql,
+    "q71_cohort_retention"  -> cohortRetentionSql)
 }
