@@ -304,6 +304,44 @@ object Advanced {
       |FROM a JOIN sz ON a.cohort = sz.cohort
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---- q72: funnel analysis (ordered step progression) ---------------
+  // Users advancing view -> click -> purchase IN ORDER: each stage is
+  // the earliest qualifying event strictly after the previous stage's
+  // event. Three per-user aggregates chained by broadcast-able joins
+  // (each stage's frame is one row per surviving user). Microsecond
+  // timeline (the events-table precision contract).
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    def stage(etype: String, after: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === etype)
+      val gated = after match {
+        case None => base
+        case Some(prev) => base.join(prev, "user_id")
+          .filter(col("t") > col("prev_t"))
+      }
+      gated.groupBy("user_id").agg(min("t").as("__t"))
+        .select(col("user_id"), col("__t").as("prev_t"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_view_click,
+      |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin
+
   // ---- q68: set operations (INTERSECT / EXCEPT, SURVEY §2.7) ---------
   // Nation-coverage reconciliation between the customer and supplier
   // dimensions: set semantics (dedup built in), one row of counts.
@@ -448,7 +486,8 @@ object Advanced {
     "q66_pivot"             -> (pivotEvents _),
     "q67_json_extract"      -> (jsonExtract _),
     "q68_set_ops"           -> (setOps _),
-    "q71_cohort_retention"  -> (cohortRetention _))
+    "q71_cohort_retention"  -> (cohortRetention _),
+    "q72_funnel"            -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
@@ -468,5 +507,6 @@ object Advanced {
     "q66_pivot"             -> pivotEventsSql,
     "q67_json_extract"      -> jsonExtractSql,
     "q68_set_ops"           -> setOpsSql,
-    "q71_cohort_retention"  -> cohortRetentionSql)
+    "q71_cohort_retention"  -> cohortRetentionSql,
+    "q72_funnel"            -> funnelSql)
 }
