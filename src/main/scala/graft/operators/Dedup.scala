@@ -238,6 +238,52 @@ object Dedup {
     withJaccard(inter, sz, threshold)
   }
 
+  /** Cross-corpus MinHash+LSH: near-dup pairs BETWEEN `incoming` and
+    * `existing` only (no within-corpus pairs) — the incremental-ingest
+    * dedup: which new documents duplicate something already in the
+    * training set. Same index shapes as [[minhashLshPairs]], but the
+    * band join is new-vs-old instead of a self-join, so candidate cost
+    * tracks |incoming| x bucket occupancy, not the corpus square; at
+    * 100 TB the existing side's signatures/bands are a PERSISTED index
+    * (built once, reused per batch — the Warehouse bucketing story).
+    * Returns (doc_a = incoming id, doc_b = existing id, jaccard). Ids
+    * may collide across the two frames (they are different corpora). */
+  def minhashLshPairsAgainst(incoming: DataFrame, existing: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                             threshold: Double = 0.5,
+                             family: HashFamily = Md5Minhash): DataFrame = {
+    def index(df: DataFrame) = {
+      val base = shingleTable(df, idCol, textCol, n)
+      (family match {
+        case Md5Minhash => base
+          .withColumn("__h", md5(col("s").cast("binary")))
+          .select("doc_id", "h64", "__h")
+        case XxMinhash => base.select("doc_id", "h64")
+      }).localCheckpoint(true)
+    }
+    val shNew = index(incoming)
+    val shOld = index(existing)
+    val bNew = lshBands(minhashSignatures(shNew, numHashes, family), numHashes, bands)
+    val bOld = lshBands(minhashSignatures(shOld, numHashes, family), numHashes, bands)
+    val cand = bNew.as("a").join(bOld.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val szNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val szOld = shOld.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val inter = cand
+      .join(shNew.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shOld.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") /
+      (col("za.szn") + col("zb.szn") - col("c")).cast("double")
+    inter.join(szNew.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(szOld.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 32-bit SimHash per doc from distinct ASCII tokens. Bit p of the
     * token hash is the high bit of hex digit p of md5 (portable to any
     * engine with md5). Returns (doc_id, simhash bitstring, simhash_int). */

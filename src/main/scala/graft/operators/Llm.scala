@@ -273,6 +273,53 @@ object Llm {
        |  FROM lab)
        |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- q73: cross-corpus (incremental-ingest) near-dup ---------------
+  // Which "incoming" documents (doc_id >= 250) duplicate something in
+  // the "existing" corpus (doc_id < 250): new-vs-old band join only.
+  def crossCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.minhashLshPairsAgainst(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "doc_id", "text", n = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val crossCorpusNearDupSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
+    def side(sfx: String, filter: String): String = {
+      val bandSelects = (0 until Bands).map { b =>
+        val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig$sfx"
+      }.mkString("\n  UNION ALL ")
+      s"""toks$sfx AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents $filter),
+         |idx$sfx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks$sfx WHERE len(t) >= 3),
+         |sh$sfx AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx$sfx),
+         |sz$sfx AS (SELECT doc_id, COUNT(*) AS szn FROM sh$sfx GROUP BY 1),
+         |hsh$sfx AS (SELECT doc_id, md5(s) || md5(s) AS hh FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, $minExprs FROM hsh$sfx GROUP BY doc_id),
+         |bands$sfx AS (
+         |  $bandSelects)""".stripMargin
+    }
+    s"""WITH ${side("N", "WHERE doc_id >= 250")},
+       |${side("O", "WHERE doc_id < 250")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bandsN a JOIN bandsO b
+       |           ON a.band = b.band AND a.bkey = b.bkey),
+       |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |          FROM cand JOIN shN sa ON sa.doc_id = doc_a
+       |          JOIN shO sb ON sb.doc_id = doc_b AND sb.s = sa.s
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN szN za ON za.doc_id = doc_a
+       |JOIN szO zb ON zb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q23: SimHash fingerprints -------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir).filter(col("doc_id") < 200),
@@ -600,6 +647,7 @@ object Llm {
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
+    "q73_cross_corpus_dedup" -> (crossCorpusNearDup _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -622,6 +670,7 @@ object Llm {
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,
+    "q73_cross_corpus_dedup" -> crossCorpusNearDupSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)
