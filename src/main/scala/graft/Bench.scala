@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * - Results are forced through the noop datasource: count() would let
   *   Catalyst prune aggregate value columns, undertiming the real work;
   *   noop materializes every output column without disk I/O.
+  * - Every timed call records failures instead of swallowing them: a
+  *   crashing operator must NOT be reported as a fast wall-time, so the
+  *   JSON carries an "errors" map (empty when every entry succeeded)
+  *   alongside the numeric timings.
   */
 object Bench {
   // Headline set: one per operator family (join+window agg, per-key agg,
@@ -31,6 +35,17 @@ object Bench {
     Session.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
+    // "x10.q34_ivf_probe"). First failure wins per key; the message is
+    // sanitized so the JSON line stays one parseable line.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def recordErr(name: String, t: Throwable): Unit =
+      if (!errors.contains(name)) {
+        val msg = String.valueOf(t.getMessage)
+          .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+        errors(name) = s"${t.getClass.getSimpleName}: $msg"
+      }
+
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -38,9 +53,10 @@ object Bench {
     // Warm-up: compile/JIT the scan + join + agg machinery AND the text
     // path (tokenizer/md5/shingle codegen) off the clock — measured
     // run-to-run variance on the dedup queries traces to JIT state, not
-    // plan differences.
+    // plan differences. A warm-up failure is recorded (it means the
+    // timed pass starts cold) but doesn't abort the bench.
     try { force("q6_timeframe"); force("q1_total_margin_2m"); force("q19_fingerprint") }
-    catch { case _: Throwable => () }
+    catch { case t: Throwable => recordErr("warmup", t) }
 
     // Three timed repetitions per query, report the minimum: single-shot
     // local[N] timings swing 2-3x with JIT/GC/host noise (measured), and
@@ -54,7 +70,7 @@ object Bench {
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => () }
+        try force(name) catch { case t: Throwable => recordErr(name, t) }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -64,25 +80,36 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
-    // corpus (default 10x — ~50k docs / 20k vectors / 1M events at
-    // sf0.1), single rep per point (the 1x/10x RATIO is the figure of
-    // merit; both points share a warmed JVM so the comparison is fair).
-    // Near-linear ratios mean no hidden quadratic survives the 10x.
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
+    // 2M events at sf0.1). Each point is min-of-2 (the documented JIT
+    // bimodality makes single-shot scale points untrustworthy — round
+    // 4 shipped a 65x IVF ratio whose largest component was a one-rep
+    // timing); all points share a warmed JVM so the x1/xN RATIO is the
+    // figure of merit. Near-linear ratios mean no hidden quadratic
+    // survives the replication.
+    val factors: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt)))
+      .getOrElse(Seq(10, 20))
+      .filter(_ > 1)
     val scaleJson =
-      if (factor <= 1) ""
+      if (factors.isEmpty) ""
       else {
-        def time(f: => Unit): Double = {
-          val t0 = System.nanoTime()
-          try f catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
         def block(times: Int): String = {
           val docs = ScaleBench.documents(spark, sfDir, times)
           val emb = ScaleBench.embeddings(spark, sfDir, times)
           val ev = ScaleBench.events(spark, sfDir, times)
           def noop(df: org.apache.spark.sql.DataFrame): Unit =
             df.write.mode("overwrite").format("noop").save()
+          // Min-of-2 timing with failure capture, keyed per scale point.
+          def timed(name: String)(f: => Unit): (String, Double) = {
+            val ts = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try f catch { case t: Throwable => recordErr(s"x$times.$name", t) }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> ts.min
+          }
           // Untimed warm pass on a tiny slice of the SAME frames first:
           // first execution of each operator shape pays ~8s of one-time
           // codegen/JIT compile (measured: q24 rep1 10.2s, steady 1.5s),
@@ -91,28 +118,46 @@ object Bench {
           // x1 point absorbs the compile and the x1/xN ratio understates
           // true data scaling.
           val srpBits = graft.operators.Similarity.autoSrpBits(emb.count())
+          val warmPath = s"${sys.props("user.dir")}/target/bench_ivf_warm"
           try {
             noop(ScaleBench.minhashPairs(docs.limit(64)))
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
             noop(ScaleBench.clusters(docs.limit(64)))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
-          } catch { case _: Throwable => () }
+            val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
+            noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
+          } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
+          val layoutPath =
+            s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
+          var probeArgs: (org.apache.spark.sql.DataFrame,
+                          org.apache.spark.sql.DataFrame) = null
           Seq(
-            "q22_minhash_xx" -> time(noop(ScaleBench.minhashPairs(docs))),
-            "q24_srp_neardup" -> time(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
-            "q29_sessionization" -> time(noop(ScaleBench.sessionStats(ev))),
-            "q40_dedup_clusters" -> time(noop(ScaleBench.clusters(docs))),
-            "q34_ivf_topk" -> time(noop(ScaleBench.ivfTopK(emb))))
+            timed("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
+            timed("q24_srp_neardup")(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
+            timed("q29_sessionization")(noop(ScaleBench.sessionStats(ev))),
+            timed("q40_dedup_clusters")(noop(ScaleBench.clusters(docs))),
+            timed("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
+            // the 100 TB design evidence: build the cell-partitioned
+            // layout once, then probe it — probe cost tracks probed-cell
+            // volume, not corpus volume
+            timed("q34_ivf_build") {
+              probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
+            },
+            timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
+              spark, layoutPath, probeArgs._1, probeArgs._2))))
             .map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
         }
-        val x1 = block(1)
-        val xN = block(factor)
-        s""","scale":{"factor":$factor,"x1":$x1,"x$factor":$xN}"""
+        val blocks = (("x1" -> block(1)) +: factors.map(f => s"x$f" -> block(f)))
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+        val fList = factors.mkString("[", ",", "]")
+        s""","scale":{"factor":${factors.head},"factors":$fList,$blocks}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

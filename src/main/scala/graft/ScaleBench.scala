@@ -113,15 +113,48 @@ object ScaleBench {
     * with the corpus — letting it grow would add a quadratic
     * query x cell-size rerank term that says nothing about the
     * operator). Cost should scale with |corpus|: the assignment scan
-    * plus nProbe/nCells of the corpus per query. Deterministic sampled
-    * centroids (q34's construction). */
+    * plus ~nProbe * targetCellSize exact scores per query
+    * (autoNCells pins cell size). Deterministic sampled centroids
+    * (q34's construction, cell count auto-scaled).
+    *
+    * The replicated-union projection is EAGERLY CHECKPOINTED before
+    * anything else: it feeds the queries, the count, the centroid
+    * sample, and both sides of the assignment, and AQE materializes
+    * those subtrees in parallel jobs that each recompute the lazy
+    * 10x-union otherwise. Un-checkpointed + fixed 16 cells, this entry
+    * measured 65x wall-time at 10x in round 4 (BENCH_r04); the other
+    * four entries — all checkpoint-disciplined — sat at 2-3x. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 64): DataFrame = {
-    val c = emb.select(col("vec_id"),
-      Similarity.asDouble(col("embedding")).as("cv"))
-    val centroids = c.orderBy("vec_id").limit(16)
+    val e = emb.localCheckpoint(true)
+    Similarity.ivfSampledTopKAuto(e.orderBy("vec_id").limit(nQueries), e,
+      k = 5, nProbe = 4)
+  }
+
+  /** Index-build half of the layout-backed IVF (the actual 100 TB
+    * design): assign the replicated corpus to auto-scaled sampled cells
+    * and write it cell-partitioned (Warehouse.writeIvfLayout). Returns
+    * the tiny checkpointed centroid table + fixed query batch the probe
+    * step needs, so probe timing excludes every build-side cost. */
+  def ivfBuildLayout(emb: DataFrame, path: String,
+                     nQueries: Int = 64): (DataFrame, DataFrame) = {
+    val e = emb.localCheckpoint(true)
+    val c = e.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val nCells = Similarity.autoNCells(c.count())
+    val centroids = c.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
       .localCheckpoint(true)
-    Similarity.ivfTopKWith(emb.orderBy("vec_id").limit(nQueries), c,
-      centroids, k = 5, nProbe = 4)
+    graft.sources.Warehouse.writeIvfLayout(
+      Similarity.ivfAssign(c, centroids), path)
+    (centroids, e.orderBy("vec_id").limit(nQueries).localCheckpoint(true))
   }
+
+  /** Probe half: top-k against the persisted layout — the probe-cell
+    * list becomes a partition-pruning filter, so cost tracks probed-cell
+    * volume (~nProbe * targetCellSize rows per query), not |corpus|. */
+  def ivfProbeLayout(spark: SparkSession, path: String,
+                     centroids: DataFrame, queries: DataFrame): DataFrame =
+    Similarity.ivfTopKFromLayout(spark, path, queries, centroids,
+      k = 5, nProbe = 4)
 }

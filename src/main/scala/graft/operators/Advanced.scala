@@ -29,13 +29,20 @@ object Advanced {
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  // ---- q28: multimodal decode plumbing (stubbed kernel) --------------
+  // ---- q28: multimodal content features + frame sampling (no stub) ---
+  // Real byte-level work end to end: binary content + typed metadata
+  // (assetsFromText), per-asset sha256 + size (contentFeatures), and
+  // stride frame sampling with byte offsets computed from size and
+  // frame count (sampleFrames' explode — the shape a video pipeline
+  // uses). Round 4's fake width/height kernel is retired; real header
+  // decode is q52's job.
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
-    Multimodal.decodeFeatures(
-        Multimodal.assetsFromText(docs, "doc_id", "text"))
-      .withColumn("n_bytes", col("n_bytes").cast("long"))
-      .orderBy("asset_id")
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    Multimodal.contentFeatures(assets)
+      .join(Multimodal.sampleFrames(assets, stride = 4), Seq("asset_id"))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .orderBy("asset_id", "frame_idx")
   }
 
   val multimodalDecodeSql: String =
@@ -43,11 +50,12 @@ object Advanced {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  sha256(text) AS content_sha256,
-      |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-      |  CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height,
-      |  CAST(octet_length(encode(text)) AS DOUBLE)
-      |    / greatest(doc_id % 16 + 1, 1) AS bytes_per_frame
-      |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+      |  f.i AS frame_idx,
+      |  CAST(f.i * octet_length(encode(text))
+      |       // greatest(doc_id % 16 + 1, 1) AS BIGINT) AS frame_offset
+      |FROM documents, range(0, 16, 4) AS f(i)
+      |WHERE doc_id < 100 AND f.i <= doc_id % 16
+      |ORDER BY asset_id, frame_idx""".stripMargin
 
   // ---- q52: REAL BMP/WAV header decode (multimodal, no stub) ---------
   // Genuine spec-conformant media bytes (MediaFixture) are parsed

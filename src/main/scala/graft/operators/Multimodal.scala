@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   *    PCM WAV audio (public formats, parsed byte-by-byte from the
   *    binary column with pure codegen'd expressions — no UDF, no
   *    library). Oracle-checked in q52 against planted header values.
-  *  - The richer feature kernel ([[decodeFeatures]]/[[batchDecode]])
-  *    stays a DETERMINISTIC STUB (clearly marked below) because the
-  *    container has no jpeg/mp3/video codecs; the asset schema,
-  *    per-partition batch iteration, explode-to-frames shape, and
-  *    column-pruning behavior are the production plumbing a codec call
-  *    would drop into.
+  *  - [[contentFeatures]]/[[sampleFrames]] compute real byte-level
+  *    features (sha256, sizes, stride frame offsets) with no decode
+  *    stub anywhere on an oracle path. Only [[batchDecode]] — the
+  *    mapPartitions seam where a JNI/ffmpeg codec would drop in — keeps
+  *    a clearly-marked deterministic stand-in kernel (byte sum),
+  *    because the container has no jpeg/mp3/video codecs; it is
+  *    spec-tested, not oracle-facing.
   */
 object Multimodal {
 
@@ -124,31 +125,22 @@ object Multimodal {
         (col(idCol) % 16 + 1).cast("int").as("n_frames")).as("meta"))
   }
 
-  // ------------------------------------------------------------------
-  // STUB DECODE KERNEL — deterministic fake. A real deployment replaces
-  // the body with an actual codec call; the signature (bytes in,
-  // features out) and the surrounding plan stay identical.
-  // ------------------------------------------------------------------
-  private def stubWidth(nBytes: Column): Column = nBytes % 640 + 1
-  private def stubHeight(nBytes: Column): Column = (nBytes * 7) % 480 + 1
-
-  /** "Decode" assets into per-asset features. Pure Column expressions —
-    * at scale this is a projection over the binary scan, no shuffle. */
-  def decodeFeatures(assets: DataFrame): DataFrame = {
-    val n = length(col("content")).cast("long")
+  /** Per-asset content features: byte count + sha256 over the binary
+    * payload. Pure Column expressions — at scale this is a projection
+    * over the binary scan, no shuffle. (Round 4's fake width/height
+    * decode kernel is gone: real header decode lives in
+    * [[decodeMediaMeta]], oracle-checked in q52.) */
+  def contentFeatures(assets: DataFrame): DataFrame =
     assets.select(
       col("asset_id"), col("kind"),
-      n.as("n_bytes"),
-      sha2(col("content"), 256).as("content_sha256"),
-      stubWidth(n).as("width"),
-      stubHeight(n).as("height"),
-      (n.cast("double") / greatest(col("meta.n_frames"), lit(1))).as("bytes_per_frame"))
-  }
+      length(col("content")).cast("long").as("n_bytes"),
+      sha2(col("content"), 256).as("content_sha256"))
 
   /** Frame sampling: one row per sampled frame index (stride sampling
-    * over meta.n_frames). The explode is the real shape a video
-    * pipeline uses; frame content extraction is stubbed to a byte
-    * offset. */
+    * over meta.n_frames), with each frame's byte offset computed from
+    * the asset's size and frame count. The explode is the real shape a
+    * video pipeline uses; actual frame-content extraction would slice
+    * the binary at the offset via a codec. */
   def sampleFrames(assets: DataFrame, stride: Int = 4): DataFrame =
     assets.select(col("asset_id"), col("meta.n_frames").as("n_frames"),
         length(col("content")).cast("long").as("n_bytes"))

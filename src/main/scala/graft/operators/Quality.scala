@@ -144,6 +144,26 @@ object Quality {
        |FROM r""".stripMargin
   }
 
+  // ---- q74: delimiter sniffing vs DuckDB's sniffer (S5) --------------
+  // Two independent sniffer implementations over the same planted
+  // multi-delimiter files: ours (candidate counting over the head
+  // lines) must agree with DuckDB's sniff_csv on every file. The result
+  // frame is driver-built by nature — sniffing inspects bytes before
+  // any reader exists (like q15's metadata-only schema matrix).
+  def sniffDelimiters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = CsvSource.sniffFixture()
+    CsvSource.SniffTags.map { case (tag, _) =>
+      (tag, CsvSource.sniffDelimiter(spark, s"$base/$tag.csv"))
+    }.toDF("file_tag", "delimiter").orderBy("file_tag")
+  }
+
+  val sniffDelimitersSql: String =
+    CsvSource.SniffTags.map { case (tag, _) =>
+      s"""SELECT '$tag' AS file_tag, Delimiter AS delimiter
+         |FROM sniff_csv('${CsvSource.SniffFixtureDir}/$tag.csv')""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY file_tag"
+
   // ---- q69: fuzzy entity matching on fixed-width keys ----------------
   // Customer names within Hamming distance 2 — the typo/transcription
   // dedup of entity resolution. Candidates come from the pigeonhole
@@ -517,7 +537,8 @@ object Quality {
     "q62_hash_split"       -> (hashSplitQ _),
     "q63_seq_packing"      -> (seqPackingQ _),
     "q64_jsonl_corrupt"    -> (jsonlCorruptStats _),
-    "q69_fuzzy_names"      -> (fuzzyNamePairs _))
+    "q69_fuzzy_names"      -> (fuzzyNamePairs _),
+    "q74_sniff_delimiter"  -> (sniffDelimiters _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -539,5 +560,6 @@ object Quality {
     "q62_hash_split"       -> hashSplitSql,
     "q63_seq_packing"      -> seqPackingSql,
     "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql,
-    "q69_fuzzy_names"      -> fuzzyNamePairsSql)
+    "q69_fuzzy_names"      -> fuzzyNamePairsSql,
+    "q74_sniff_delimiter"  -> sniffDelimitersSql)
 }

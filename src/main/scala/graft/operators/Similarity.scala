@@ -320,6 +320,43 @@ object Similarity {
     ivfTopKWith(queries, c, centroids, k, nProbe)
   }
 
+  /** Cell count that holds IVF probe cost CONSTANT as the corpus grows
+    * (the autoSrpBits of IVF): cells = n / targetCellSize pins the
+    * expected cell size, so each query exactly-scores ~nProbe *
+    * targetCellSize vectors regardless of n. A FIXED cell count is a
+    * constant-fraction corpus scan per query (nProbe/nCells * n — a
+    * 25%-brute-force at the old 16-cell/4-probe defaults). The price is
+    * assignment cost (n * cells centroid dots), which is the ONE-TIME
+    * index build: at 100 TB it runs once per layout write
+    * (Warehouse.writeIvfLayout) and is amortized over every query
+    * batch; sqrt(n) cells is the standard compromise when build and
+    * probe share a budget (FAISS guideline), targetCellSize when probe
+    * latency rules — probes here read cells off a partition-pruned
+    * layout, so pinning bytes-per-probe is the right default. */
+  def autoNCells(n: Long, targetCellSize: Int = 128): Int =
+    math.max(4, math.ceil(n.toDouble / math.max(1, targetCellSize)).toInt)
+
+  /** [[ivfSampledTopK]] with the cell count chosen from the corpus size
+    * (one count — at 100 TB a metadata read, the index-build pattern).
+    * At the q34 oracle's corpus (2000 vectors) the auto choice is
+    * exactly its fixed nCells=16. The corpus projection is eagerly
+    * checkpointed: it feeds the count, the centroid sample, and BOTH
+    * sides of the assignment (crossJoin + join-back) — four consumers
+    * that AQE otherwise materializes in parallel, recomputing the
+    * upstream frame each time (measured 65x wall-time at a 10x corpus
+    * in round 4's scale block). */
+  def ivfSampledTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                         nProbe: Int = 4,
+                         targetCellSize: Int = 128): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val nCells = autoNCells(c.count(), targetCellSize)
+    val centroids = c.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    ivfTopKWith(queries, c, centroids, k, nProbe)
+  }
+
   /** Embedding near-duplicate pairs: all pairs within a subset with
     * cosine >= threshold. The library scale path buckets via
     * srpSignature first; this exact form is the verifier. */

@@ -117,4 +117,34 @@ object CsvSource {
     val head = spark.read.text(path).limit(5).collect().map(_.getString(0))
     candidates.maxBy(d => head.map(l => l.split(java.util.regex.Pattern.quote(d), -1).length - 1).sum)
   }
+
+  /** Planted multi-delimiter fixtures for the sniffing oracle (q74):
+    * the same 3-column table written four times, once per delimiter.
+    * Values carry no delimiter characters of any candidate, so each
+    * file's winning count is unambiguous for both sniffers (ours and
+    * DuckDB's sniff_csv). Deterministic bytes, memoized like the
+    * corrupt fixture. */
+  val SniffFixtureDir: String =
+    s"${sys.props("user.dir")}/target/sniff_csv"
+  val SniffTags: Seq[(String, String)] =
+    Seq("comma" -> ",", "pipe" -> "|", "semicolon" -> ";", "tab" -> "\t")
+
+  private lazy val sniffFixtureWritten: String = {
+    val dir = java.nio.file.Paths.get(SniffFixtureDir)
+    java.nio.file.Files.createDirectories(dir)
+    SniffTags.foreach { case (tag, d) =>
+      val sb = new StringBuilder(Seq("id", "name", "amount").mkString(d))
+      sb.append("\n")
+      (0 until 50).foreach { i =>
+        sb.append(Seq(i.toString, s"name_$i", s"${i * 3}.${i % 10}").mkString(d))
+        sb.append("\n")
+      }
+      java.nio.file.Files.write(dir.resolve(s"$tag.csv"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    SniffFixtureDir
+  }
+
+  /** Idempotent generate-once accessor. */
+  def sniffFixture(): String = sniffFixtureWritten
 }

@@ -120,9 +120,9 @@ class AdvancedSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 3L, 2L), (2L, 1L, 1L)))
   }
 
-  test("multimodal: decode features are deterministic over the binary payload") {
+  test("multimodal: content features are deterministic over the binary payload") {
     val docs = Seq((0L, "hello"), (1L, "höllo"), (2L, "x")).toDF("doc_id", "text")
-    val feats = Multimodal.decodeFeatures(
+    val feats = Multimodal.contentFeatures(
       Multimodal.assetsFromText(docs, "doc_id", "text"))
     val byId = feats.collect().map(r => r.getLong(0) -> r).toMap
     assert(byId(0L).getAs[String]("kind") === "image")

@@ -71,6 +71,36 @@ class ScaleBenchSpec extends SparkSpec {
     assert(Similarity.autoSrpBits(10) === 4) // floor
   }
 
+  test("autoNCells holds per-query scored-candidate volume ~flat as n grows") {
+    // the q34 oracle corpus (2000 vectors) auto-picks its fixed 16 cells
+    assert(Similarity.autoNCells(2000) === 16)
+    assert(Similarity.autoNCells(20000) === 157)
+    assert(Similarity.autoNCells(100) === 4) // floor
+    // With FIXED cells, candidates per query = nProbe/nCells * n — a
+    // constant fraction of the corpus. With auto cells the fraction
+    // shrinks as n grows, pinning scored-candidate volume ~constant
+    // (sampled centroids make cells uneven, so "~": bounded, not exact).
+    def candPerQuery(times: Int): Double = {
+      val nQ = 16
+      val e = ScaleBench.embeddings(spark, sf, times).localCheckpoint(true)
+      val c = e.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+        .localCheckpoint(true)
+      val cells = Similarity.autoNCells(c.count(), targetCellSize = 16)
+      val centroids = c.orderBy("vec_id").limit(cells)
+        .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      val probes = Similarity.ivfProbes(
+        e.orderBy("vec_id").limit(nQ), centroids, nProbe = 4)
+      Similarity.ivfAssign(c, centroids)
+        .join(probes.select("query_id", "cell"), Seq("cell"))
+        .count().toDouble / nQ
+    }
+    val c1 = candPerQuery(1)
+    val c10 = candPerQuery(10)
+    assert(c10 <= c1 * 3.0,
+      s"per-query scored-candidate volume grew with the corpus: x1=$c1 x10=$c10")
+  }
+
   test("scale-block plans stay cartesian-free at 10x") {
     def noCartesian(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val plan = df.queryExecution.executedPlan.toString
