@@ -285,6 +285,29 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- q75: STREAMING cross-corpus near-dup --------------------------
+  // q73's incremental-ingest dedup as a continuous stream: the existing
+  // corpus (doc_id < 250) becomes a PERSISTED index (built once), and
+  // the incoming documents (doc_id >= 250) stream against it — per-row
+  // signatures, stream-static band join, in-stream exact-Jaccard
+  // verify, zero streaming state. The oracle is the SAME batch SQL as
+  // q73: a bounded replay must reproduce the batch result exactly.
+  def streamingCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, dir)
+    val tag = math.abs(dir.hashCode).toString
+    val idxPath = s"${sys.props("user.dir")}/target/xcorpus_idx_$tag"
+    StreamOps.writeNearDupIndex(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", idxPath, n = 3, numHashes = NumHashes, bands = Bands)
+    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") >= 250)
+    StreamOps.streamNearDupAgainst(src, s"graft_xcorpus_$tag", idxPath,
+      n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+  }
+
   val crossCorpusNearDupSql: String = {
     val rows = NumHashes / Bands
     val minExprs = (0 until NumHashes)
@@ -492,6 +515,30 @@ object Llm {
       .orderBy("query_id", "rank")
   }
 
+  // ---- q76: IVF top-k against the PERSISTED cell-partitioned layout --
+  // The 100 TB serving path (write the assigned corpus partitioned by
+  // cell, probe with partition pruning) must return exactly what the
+  // in-memory q34 form returns — same sampled centroids, same exact
+  // assignment, same oracle SQL. IvfLayoutSpec proves the scan touches
+  // only probed cells; this entry proves the end-to-end RESULT against
+  // an independent engine.
+  def ivfLayoutTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val c = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true) // feeds centroid sample + both assign sides
+    val centroids = c.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    val path = s"${sys.props("user.dir")}/target/ivf_layout_q76_" +
+      math.abs(dir.hashCode).toString
+    graft.sources.Warehouse.writeIvfLayout(
+      Similarity.ivfAssign(c, centroids), path)
+    Similarity.ivfTopKFromLayout(spark, path,
+        emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val ivfTopKSql: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cc AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
@@ -642,12 +689,14 @@ object Llm {
     "q32_simhash_pairs"     -> (simhashPairs _),
     "q33_lsh_topk"          -> (lshTopKQuery _),
     "q34_ivf_topk"          -> (ivfTopKQuery _),
+    "q76_ivf_layout_topk"   -> (ivfLayoutTopKQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
     "q73_cross_corpus_dedup" -> (crossCorpusNearDup _),
+    "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -665,12 +714,16 @@ object Llm {
     "q32_simhash_pairs"     -> simhashPairsSql,
     "q33_lsh_topk"          -> lshTopKSql,
     "q34_ivf_topk"          -> ivfTopKSql,
+    // the layout path must reproduce the in-memory result bit-for-bit
+    "q76_ivf_layout_topk"   -> ivfTopKSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,
     "q73_cross_corpus_dedup" -> crossCorpusNearDupSql,
+    // q75 must equal the BATCH cross-corpus result — same oracle as q73
+    "q75_stream_cross_corpus" -> crossCorpusNearDupSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

@@ -256,6 +256,89 @@ object Similarity {
       .select("vec_id", "cv", "cn", "cell")
   }
 
+  /** Two-level (hierarchical) cell assignment for LARGE cell counts.
+    *
+    * Exact [[ivfAssign]] scores every vector against every centroid —
+    * n * nCells dots. With [[autoNCells]] (cells ~ n/targetCellSize)
+    * that is n^2/targetCellSize: quadratic in the corpus, and it showed
+    * — the x20 scale bench measured the exact build at 22.6x the x1
+    * wall-time. The standard fix (FAISS routes vectors through a coarse
+    * quantizer over its own nlist when nlist is large) is to index the
+    * centroids themselves: assign each centroid to one of nSuper
+    * super-cells, route each vector to its nearest super-cell
+    * (n * nSuper dots), then argmax only over that super-cell's
+    * centroids (n * nCells/nSuper expected dots). At nSuper =
+    * sqrt(nCells) the build is n * 2*sqrt(nCells) — subquadratic end
+    * to end.
+    *
+    * The routing is APPROXIMATE at super-cell boundaries: a vector
+    * whose true nearest centroid lives outside its routed super-cells
+    * gets the best cell within them instead — the standard IVF
+    * assignment trade (it moves probe recall, never correctness of the
+    * rerank, and the spec pins the agreement rate). `superProbes`
+    * (FAISS's multi-assign dial) routes each vector through its top-S
+    * super-cells — S * nCells/nSuper candidate cells — because a
+    * sampled (un-clustered) super layer misfiles boundary vectors
+    * often at S=1 (measured 0.42 agreement vs 0.8+ at S=3 on the
+    * synthetic corpus). With nSuper = nCells the router IS the exact
+    * argmax (every centroid is its own super-cell) — asserted in
+    * ScaleBenchSpec. */
+  def ivfAssignHierarchical(corpusCv: DataFrame, centroids: DataFrame,
+                            nSuper: Int, superProbes: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(corpusCv.sparkSession)
+    val cents = centroids.withColumn("cent_n", norm(col("centroid")))
+      .localCheckpoint(true) // feeds super sample, router, and level-2
+    val supers = cents.orderBy("cell").limit(nSuper)
+      .select(col("cell").as("super"), col("centroid").as("scent"),
+        col("cent_n").as("scent_n"))
+    // level 0: each centroid -> its nearest super-cell (tiny x tiny)
+    val centSuper = cents.crossJoin(broadcast(supers))
+      .withColumn("scos",
+        round(cosine(col("centroid"), col("scent"), col("cent_n"), col("scent_n")), 6))
+      .groupBy("cell")
+      .agg(max_by(col("super"),
+        struct(col("scos"), (-col("super")).as("ns"))).as("super"))
+      .join(cents, Seq("cell"))
+      .select("cell", "centroid", "cent_n", "super")
+      .localCheckpoint(true)
+    val c = corpusCv.withColumn("cn", norm(col("cv")))
+    // level 1: each vector -> its top-S super-cells (n x nSuper dots;
+    // the row_number window shuffles the same n x nSuper rows the dots
+    // already produced — no extra volume class)
+    val vecSuper = c.crossJoin(broadcast(supers))
+      .withColumn("scos",
+        round(cosine(col("cv"), col("scent"), col("cn"), col("scent_n")), 6))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("scos"), asc("super"))))
+      .filter(col("srank") <= superProbes)
+      .select("vec_id", "super")
+    // level 2: argmax over the routed super-cells' centroids only
+    // (n x S*nCells/nSuper expected — the join key prunes the
+    // expansion; each cell lives in exactly one super, so the multi-
+    // routed union never duplicates a (vec, cell) pair)
+    c.join(vecSuper, Seq("vec_id"))
+      .join(broadcast(centSuper), Seq("super"))
+      .withColumn("ccos",
+        round(cosine(col("cv"), col("centroid"), col("cn"), col("cent_n")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"))
+      .join(c, Seq("vec_id"))
+      .select("vec_id", "cv", "cn", "cell")
+  }
+
+  /** Assignment with the algorithm chosen by cell count: exact argmax
+    * up to 64 cells (where n * nCells is cheap and exactness is free),
+    * the hierarchical router with nSuper = sqrt(nCells) above it. The
+    * oracle-checked configurations (<= 16 cells) always take the exact
+    * path. */
+  def ivfAssignAuto(corpusCv: DataFrame, centroids: DataFrame): DataFrame = {
+    val nCells = centroids.count()
+    if (nCells <= 64) ivfAssign(corpusCv, centroids)
+    else ivfAssignHierarchical(corpusCv, centroids,
+      math.ceil(math.sqrt(nCells.toDouble)).toInt)
+  }
+
   /** Per-query probe cells: the nProbe centroids nearest each query.
     * Returns (query_id, qv, qn, cell). */
   def ivfProbes(queries: DataFrame, centroids: DataFrame,
@@ -354,7 +437,10 @@ object Similarity {
     val centroids = c.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
       .localCheckpoint(true)
-    ivfTopKWith(queries, c, centroids, k, nProbe)
+    // auto assignment: exact argmax at small cell counts, hierarchical
+    // routing when autoNCells grows past 64 (exact would be quadratic)
+    ivfRerank(ivfAssignAuto(c, centroids),
+      ivfProbes(queries, centroids, nProbe), k)
   }
 
   /** Embedding near-duplicate pairs: all pairs within a subset with

@@ -260,4 +260,107 @@ object StreamOps {
     // the sink-side distinct is batch work over the emitted pairs
     spark.table(queryName).distinct().orderBy("doc_a", "doc_b")
   }
+
+  /** Persist the existing-corpus near-dup index — the batch half of
+    * incremental-ingest dedup, built ONCE and reused by every streaming
+    * batch (the Warehouse story applied to the dedup index). Two
+    * tables: `bands` (band keys, candidate generation) and `docs`
+    * (per-doc shingle-hash set + size, the in-stream exact-Jaccard
+    * verify). Same md5 minhash lane as q22/q61/q73 so the DuckDB
+    * oracle can reproduce the pipeline. */
+  def writeNearDupIndex(existing: DataFrame, idCol: String, textCol: String,
+                        path: String, n: Int = 3, numHashes: Int = 12,
+                        bands: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val sh = Dedup.shingleTable(existing, idCol, textCol, n)
+      .withColumn("__h", md5(col("s").cast("binary")))
+      .select("doc_id", "h64", "__h")
+      .localCheckpoint(true) // feeds signatures AND the per-doc sets
+    Dedup.lshBands(Dedup.minhashSignatures(sh, numHashes), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.groupBy("doc_id")
+      .agg(collect_set(col("h64")).as("h64s"), count(lit(1)).as("szn"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** STREAMING incremental-ingest near-dup: new documents stream
+    * against the PERSISTED existing-corpus index ([[writeNearDupIndex]])
+    * — the production shape of continuous corpus ingest, composing
+    * q61's in-stream signatures with q73's new-vs-old band join.
+    *
+    * Every step is row-local or a stream-STATIC join: the per-row
+    * minhash signature (array_min over the shingle array — q61's
+    * trick), a stream-static equality join on (band, band-key) for
+    * candidates, and an in-stream exact-Jaccard verify that intersects
+    * the row's shingle-hash set with the matched old doc's persisted
+    * set (array_intersect — row-local, no aggregation). ZERO streaming
+    * state: nothing to evict, no watermark, and a bounded replay
+    * equals batch [[graft.operators.Dedup.minhashLshPairsAgainst]]
+    * exactly — asserted across microbatch boundaries in
+    * StreamCrossCorpusSpec; the q75 oracle is the batch SQL.
+    *
+    * At 100 TB/day: Kafka source, the index lives as a bucketed table
+    * keyed by (band, bkey), and each microbatch pays
+    * |batch| x bucket-occupancy — the same cost law as the batch
+    * incremental form (q73), paid incrementally. */
+  def streamNearDupAgainst(src: DataFrame, queryName: String,
+                           indexPath: String, n: Int = 3,
+                           numHashes: Int = 12, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    val spark = src.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_xcorpus_ckpt").toString
+    val bandIdx = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
+    val docIdx = spark.read.parquet(s"$indexPath/docs")
+      .select(col("doc_id").as("old_id"), col("h64s").as("old_h64s"),
+        col("szn"))
+    val rows = numHashes / bands
+
+    val toks = graft.plans.GraftFunctions.graft_tokens(lower(col("text")))
+    val withBands = src
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.word_shingles(toks, n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .withColumn("hh", transform(col("sh"), s => md5(s.cast("binary"))))
+      .withColumn("m", array((0 until numHashes).map(i =>
+        array_min(transform(col("hh"),
+          h => graft.plans.GraftFunctions.hex_window(h, i * 2, 15)))): _*))
+      .select(col("doc_id").as("new_id"),
+        transform(col("sh"), s => xxhash64(s)).as("h64s"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            array((0 until rows).map(r => col("m")(b * rows + r)): _*)
+              .as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("new_id"), col("h64s"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val verified = withBands
+      .join(bandIdx, Seq("band", "bkey"))
+      .select("new_id", "h64s", "old_id")
+      .join(docIdx, Seq("old_id"))
+      .withColumn("c",
+        size(array_intersect(col("h64s"), col("old_h64s"))).cast("long"))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("h64s")).cast("long") + col("szn") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"),
+        col("jaccard"))
+
+    val q = verified.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // a pair can candidate in several bands (at-least-once by design);
+    // the verified jaccard is identical on every emission, so the
+    // sink-side distinct collapses them exactly
+    spark.table(queryName).distinct().orderBy("doc_a", "doc_b")
+  }
 }

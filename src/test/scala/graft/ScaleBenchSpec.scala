@@ -101,6 +101,39 @@ class ScaleBenchSpec extends SparkSpec {
       s"per-query scored-candidate volume grew with the corpus: x1=$c1 x10=$c10")
   }
 
+  test("hierarchical IVF assignment: exact at nSuper=nCells, agrees at sqrt") {
+    val e = ScaleBench.embeddings(spark, sf, 1)
+    val c = e.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val nCells = 32
+    val centroids = c.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = cells(Similarity.ivfAssign(c, centroids))
+    // with every centroid its own super-cell the router IS exact argmax
+    val degenerate = cells(
+      Similarity.ivfAssignHierarchical(c, centroids, nSuper = nCells))
+    assert(degenerate === exact)
+    // the sqrt router misfiles only boundary vectors — pin the rate
+    val routed = cells(
+      Similarity.ivfAssignHierarchical(c, centroids, nSuper = 6))
+    assert(routed.keySet === exact.keySet) // exactly one cell per vector
+    val agree = exact.count { case (id, cl) => routed(id) == cl }
+      .toDouble / exact.size
+    assert(agree >= 0.7, s"routed assignment agreement too low: $agree")
+    // single-super routing (superProbes=1) is measurably worse — the
+    // multi-assign default exists for a reason; this guards the dial
+    val routed1 = cells(Similarity.ivfAssignHierarchical(
+      c, centroids, nSuper = 6, superProbes = 1))
+    val agree1 = exact.count { case (id, cl) => routed1(id) == cl }
+      .toDouble / exact.size
+    assert(agree >= agree1, s"multi-assign ($agree) beat by single ($agree1)")
+  }
+
   test("scale-block plans stay cartesian-free at 10x") {
     def noCartesian(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val plan = df.queryExecution.executedPlan.toString
