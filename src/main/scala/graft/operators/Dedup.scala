@@ -284,6 +284,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination check (train-test overlap): for each
+    * corpus document, how many of its distinct n-gram shingles appear
+    * ANYWHERE in the benchmark/eval set — the pre-training hygiene
+    * step that keeps eval answers out of the training corpus
+    * (published recipes flag documents sharing long n-grams with a
+    * benchmark, then drop or audit them).
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval suites are MBs, corpora are TBs) — one distinct projection,
+    * broadcast into a corpus-side LEFT join on the 8-byte shingle
+    * hash, then one per-doc aggregate. A single linear corpus pass,
+    * no self-join anywhere. Returns (doc_id, n_shingles, n_overlap,
+    * overlap_frac) for every corpus doc with at least one overlapping
+    * shingle. */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val shC = shingleTable(corpus, idCol, textCol, n)
+    val shB = shingleTable(benchmark, idCol, textCol, n)
+      .select(col("h64")).distinct()
+      .withColumn("__hit", lit(1))
+    shC.join(broadcast(shB), Seq("h64"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_overlap"))
+      .filter(col("n_overlap") >= 1)
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
   /** 32-bit SimHash per doc from distinct ASCII tokens. Bit p of the
     * token hash is the high bit of hex digit p of md5 (portable to any
     * engine with md5). Returns (doc_id, simhash bitstring, simhash_int). */

@@ -285,6 +285,42 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- q77: benchmark decontamination (train-test overlap) -----------
+  // Corpus docs (doc_id % 10 != 0) sharing 5-gram shingles with the
+  // "benchmark" slice (doc_id % 10 == 0): the eval-hygiene sweep a
+  // training pipeline runs before every corpus release. The benchmark
+  // shingle set broadcasts; the corpus pays one linear pass.
+  private val ContamN = 5
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationCheck(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = ContamN)
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String = {
+    val gram = (0 until ContamN).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toksC AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |               FROM documents WHERE doc_id % 10 != 0),
+       |idxC AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-${ContamN - 1})) AS i
+       |         FROM toksC WHERE len(t) >= $ContamN),
+       |shC AS (SELECT DISTINCT doc_id, $gram AS s FROM idxC),
+       |toksB AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |          FROM documents WHERE doc_id % 10 = 0),
+       |idxB AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-${ContamN - 1})) AS i
+       |         FROM toksB WHERE len(t) >= $ContamN),
+       |shB AS (SELECT DISTINCT $gram AS s FROM idxB)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |       CAST(COUNT(b.s) AS BIGINT) AS n_overlap,
+       |       round(CAST(COUNT(b.s) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+       |FROM shC c LEFT JOIN shB b ON c.s = b.s
+       |GROUP BY doc_id HAVING COUNT(b.s) >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q75: STREAMING cross-corpus near-dup --------------------------
   // q73's incremental-ingest dedup as a continuous stream: the existing
   // corpus (doc_id < 250) becomes a PERSISTED index (built once), and
@@ -697,6 +733,7 @@ object Llm {
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
     "q73_cross_corpus_dedup" -> (crossCorpusNearDup _),
     "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
+    "q77_contamination"     -> (contamination _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -724,6 +761,7 @@ object Llm {
     "q73_cross_corpus_dedup" -> crossCorpusNearDupSql,
     // q75 must equal the BATCH cross-corpus result — same oracle as q73
     "q75_stream_cross_corpus" -> crossCorpusNearDupSql,
+    "q77_contamination"     -> contaminationSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

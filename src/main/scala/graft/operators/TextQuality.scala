@@ -186,13 +186,83 @@ object TextQuality {
       |       n_bigrams, CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_frac
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- repeated-line removal (C4-style boilerplate dedup) ------------
+  // Drop every line whose document frequency exceeds `maxDf` — the
+  // public C4/RefinedWeb recipe for nav bars, cookie banners, and
+  // licence footers that exact- and near-dup passes miss because the
+  // surrounding document differs.
+  //
+  // Scale shape: one posexplode (line table), one groupBy on the line
+  // for document frequency, one join back (shuffle on the line key —
+  // NOT broadcast: at 100 TB the hot-line table is corpus-scale), one
+  // per-doc re-aggregation. The reassembly sorts each doc's surviving
+  // lines by original position inside a single collect_list aggregate —
+  // no window, no second shuffle.
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                        maxDf: Int = 1): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("page_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.groupBy("line")
+      .agg(countDistinct("page_id").as("line_df"))
+    lines.join(lineDf, Seq("line"))
+      .withColumn("keep", col("line_df") <= maxDf)
+      .groupBy("page_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"), col("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          "\n").as("cleaned"))
+  }
+
+  // ---- q78: the wrapper — deterministic multi-line "pages" -----------
+  // The synthetic documents are single-line, so the wrapper builds
+  // 5-doc pages (page i = texts of docs 5i..5i+4 joined by newline):
+  // planted exact-duplicate documents then reappear as repeated lines
+  // across DIFFERENT pages — exactly the boilerplate pattern the
+  // operator exists to strip.
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pages = graft.Tables.documents(spark, dir)
+      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")),
+        "\n").as("text"))
+    dropRepeatedLines(pages, "page_id", "text", maxDf = 1)
+      .orderBy("page_id")
+  }
+
+  val lineDedupSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 5 AS page_id,
+      |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+      |  FROM documents GROUP BY 1),
+      |sp AS (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+      |lines AS (SELECT page_id, i AS pos, ls[i] AS line
+      |          FROM sp, range(1, 6) r(i) WHERE i <= len(ls)),
+      |ldf AS (SELECT line, COUNT(DISTINCT page_id) AS line_df
+      |        FROM lines GROUP BY 1)
+      |SELECT page_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN line_df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN line_df <= 1 THEN line END,
+      |                      chr(10) ORDER BY pos), '') AS cleaned
+      |FROM lines JOIN ldf USING (line)
+      |GROUP BY page_id ORDER BY page_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_pii_redact" -> (piiRedact _),
     "q56_quality_signals" -> (qualitySignals _),
-    "q57_repetition" -> (repetitionStats _))
+    "q57_repetition" -> (repetitionStats _),
+    "q78_line_dedup" -> (lineDedup _))
 
   val oracles: Map[String, String] = Map(
     "q55_pii_redact" -> piiRedactSql,
     "q56_quality_signals" -> qualitySignalsSql,
-    "q57_repetition" -> repetitionStatsSql)
+    "q57_repetition" -> repetitionStatsSql,
+    "q78_line_dedup" -> lineDedupSql)
 }

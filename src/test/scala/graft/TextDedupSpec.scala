@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contaminationCheck counts benchmark shingle overlap per corpus doc") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // exact copy: frac 1.0
+      (2L, "prefix words alpha beta gamma delta epsilon then tail tokens"),
+      (3L, "completely different words with no benchmark overlap at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationCheck(corpus, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 2 distinct 5-shingles, both in the benchmark; doc 2: one of
+    // its 6 shingles ("alpha beta gamma delta epsilon") overlaps; doc 3
+    // is absent from the report entirely
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 6L, 1L)))
+  }
+
   test("tokens/shingles handle short and empty docs") {
     val df = Seq("one two three four", "a b", "", "  ", "ONE two!THREE")
       .toDF("text")

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("dropRepeatedLines strips cross-doc boilerplate, keeps order, empties fully-duplicated pages") {
+    val banner = "accept cookies to continue"
+    val pages = Seq(
+      (1L, s"unique alpha\n$banner\nunique beta"),
+      (2L, s"$banner\nunique gamma"),
+      (3L, banner)) // every line of page 3 is boilerplate
+      .toDF("page_id", "text")
+    val got = graft.operators.TextQuality
+      .dropRepeatedLines(pages, "page_id", "text", maxDf = 1)
+      .orderBy("page_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) === ((1L, 3L, 2L, "unique alpha\nunique beta"))) // order kept
+    assert(got(1) === ((2L, 2L, 1L, "unique gamma")))
+    assert(got(2) === ((3L, 1L, 0L, ""))) // page survives with empty text
+  }
+
   test("redactPii replaces emails, phones, and IPv4s everywhere they occur") {
     val got = Seq(
         "mail a.b+c@x-mail.co.uk or bob@y.io, dial 12-345-678-9012, host 192.168.0.1",
