@@ -41,8 +41,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
+        // strip EVERY control char (exception messages can embed raw
+        // file-content bytes) plus the JSON string metachars — the
+        // printed line must stay one strictly-parseable JSON object
         val msg = String.valueOf(t.getMessage)
-          .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+          .replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160)
         errors(name) = s"${t.getClass.getSimpleName}: $msg"
       }
 
@@ -87,11 +90,16 @@ object Bench {
     // timing); all points share a warmed JVM so the x1/xN RATIO is the
     // figure of merit. Near-linear ratios mean no hidden quadratic
     // survives the replication.
+    // Malformed env values must not kill a bench that already measured
+    // the headline suite: tolerate empty segments and garbage tokens,
+    // dedupe (duplicate factors would emit duplicate JSON keys).
     val factors: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
-      .map(_.split(",").toSeq.map(_.trim.toInt))
-      .orElse(sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(f => Seq(f.toInt)))
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_FACTOR"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .flatMap(_.toIntOption))
+      .filter(_.nonEmpty)
       .getOrElse(Seq(10, 20))
-      .filter(_ > 1)
+      .filter(_ > 1).distinct
     val scaleJson =
       if (factors.isEmpty) ""
       else {
@@ -149,7 +157,14 @@ object Bench {
             .map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
         }
-        val blocks = (("x1" -> block(1)) +: factors.map(f => s"x$f" -> block(f)))
+        // A scale point that dies during frame CONSTRUCTION (before any
+        // timed() guard exists) must not abort the bench and lose the
+        // measured headline suite — record it and emit a partial block.
+        def guardedBlock(times: Int): String =
+          try block(times)
+          catch { case t: Throwable => recordErr(s"x$times.block", t); "{}" }
+        val blocks = (("x1" -> guardedBlock(1)) +:
+            factors.map(f => s"x$f" -> guardedBlock(f)))
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
         val fList = factors.mkString("[", ",", "]")
         s""","scale":{"factor":${factors.head},"factors":$fList,$blocks}"""

@@ -146,7 +146,7 @@ object ScaleBench {
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
       .localCheckpoint(true)
     graft.sources.Warehouse.writeIvfLayout(
-      Similarity.ivfAssignAuto(c, centroids), path)
+      Similarity.ivfAssignAuto(c, centroids, nCells), path)
     (centroids, e.orderBy("vec_id").limit(nQueries).localCheckpoint(true))
   }
 

@@ -146,9 +146,12 @@ object Multimodal {
         length(col("content")).cast("long").as("n_bytes"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      // integral `div`, not double `/`+cast: idx * n_bytes for a
+      // tens-of-GB asset exceeds 2^53 and double rounding would drift
+      // the offset off the exact integer division a codec (and the
+      // DuckDB `//` oracle) computes
       .withColumn("frame_offset",
-        (col("frame_idx").cast("long") * col("n_bytes")
-          / greatest(col("n_frames"), lit(1))).cast("long"))
+        expr("CAST(frame_idx AS BIGINT) * n_bytes div CAST(greatest(n_frames, 1) AS BIGINT)"))
       .select("asset_id", "frame_idx", "frame_offset")
 
   /** Partition-level batch decode via mapPartitions — the seam where a

@@ -331,12 +331,15 @@ object Similarity {
     * up to 64 cells (where n * nCells is cheap and exactness is free),
     * the hierarchical router with nSuper = sqrt(nCells) above it. The
     * oracle-checked configurations (<= 16 cells) always take the exact
-    * path. */
-  def ivfAssignAuto(corpusCv: DataFrame, centroids: DataFrame): DataFrame = {
-    val nCells = centroids.count()
-    if (nCells <= 64) ivfAssign(corpusCv, centroids)
+    * path. Callers that already know the cell count pass it via
+    * `nCells` (both auto paths just computed it) — the default -1
+    * triggers one count over the (tiny) centroid table. */
+  def ivfAssignAuto(corpusCv: DataFrame, centroids: DataFrame,
+                    nCells: Long = -1L): DataFrame = {
+    val cells = if (nCells >= 0) nCells else centroids.count()
+    if (cells <= 64) ivfAssign(corpusCv, centroids)
     else ivfAssignHierarchical(corpusCv, centroids,
-      math.ceil(math.sqrt(nCells.toDouble)).toInt)
+      math.ceil(math.sqrt(cells.toDouble)).toInt)
   }
 
   /** Per-query probe cells: the nProbe centroids nearest each query.
@@ -439,7 +442,7 @@ object Similarity {
       .localCheckpoint(true)
     // auto assignment: exact argmax at small cell counts, hierarchical
     // routing when autoNCells grows past 64 (exact would be quadratic)
-    ivfRerank(ivfAssignAuto(c, centroids),
+    ivfRerank(ivfAssignAuto(c, centroids, nCells),
       ivfProbes(queries, centroids, nProbe), k)
   }
 

@@ -200,9 +200,15 @@ object TextQuality {
   // no window, no second shuffle.
   def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                         maxDf: Int = 1): DataFrame = {
+    // eager checkpoint: the line table feeds BOTH the df-count
+    // aggregation and the join-back — un-checkpointed, the upstream
+    // split/posexplode (and the caller's page construction) recomputes
+    // per consumer under AQE's parallel subtree materialization (the
+    // measured minhashLshPairs pathology)
     val lines = df
       .select(col(idCol).as("page_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(true)
     val lineDf = lines.groupBy("line")
       .agg(countDistinct("page_id").as("line_df"))
     lines.join(lineDf, Seq("line"))
