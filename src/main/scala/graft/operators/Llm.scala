@@ -3,7 +3,9 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) wired as oracle-checkable queries over `documents` and
@@ -284,6 +286,88 @@ object Llm {
         threshold = 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- q79: vocabulary build (tokenizer-training prep) ---------------
+  // Corpus token frequencies -> surviving vocab (n >= minCount) with
+  // deterministic frequency-ranked ids — the input every tokenizer
+  // trainer consumes. Scale shape: one explode + one groupBy over the
+  // corpus (map-side combinable counts); the ranking window is global
+  // but runs over the AGGREGATED vocab (bounded by distinct tokens
+  // after the cut, orders of magnitude smaller than the corpus) — the
+  // standard place a single-partition window is acceptable.
+  private val VocabMinCount = 5L
+
+  def vocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(desc("n"), asc("token"))) - 1)
+          .cast("long"))
+  }
+
+  def buildVocab(spark: SparkSession, dir: String): DataFrame =
+    vocab(Tables.documents(spark, dir), "text", VocabMinCount)
+      .orderBy("token_id")
+
+  val buildVocabSql: String =
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |              FROM documents),
+       |cnt AS (SELECT token, COUNT(*) AS n FROM toks
+       |        GROUP BY 1 HAVING COUNT(*) >= $VocabMinCount)
+       |SELECT token, n,
+       |       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
+       |FROM cnt ORDER BY token_id""".stripMargin
+
+  // ---- q80: unigram surprisal scoring (perplexity-style quality) -----
+  // Per-document total unigram surprisal (-log2 p(token) under the
+  // corpus unigram LM) plus the token count: the cheap LM-free
+  // stand-in for perplexity filtering (mean = sum/n, derivable).
+  // Determinism across engines: each token's surprisal is rounded to 6
+  // places and cast to DECIMAL(18,6) BEFORE the per-doc sum (decimal
+  // addition is exact and order-independent — the float rule every
+  // oracle query here follows), and the OUTPUT is that exact sum cast
+  // to double: a final rounded MEAN was measured landing exactly on a
+  // 6th-decimal .5 boundary at sf0.1 (sum/34 = 4.9104755), where
+  // Spark's BigDecimal HALF_UP and DuckDB's binary-double rounding
+  // disagree by 1e-6 — division after rounding reintroduces exactly
+  // the nondeterminism the decimal discipline removes. The corpus
+  // total is a driver scalar (one count, the index-build pattern);
+  // token counts join back on the token key.
+  def surprisalScores(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("token"))
+      .localCheckpoint(true) // feeds the LM counts, the total, AND the scoring join
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = toks.count()
+    toks.join(counts, Seq("token"))
+      .withColumn("sp",
+        round(-log2(col("n").cast("double") / lit(total.toDouble)), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("sp")).cast("double").as("surprisal_sum"))
+  }
+
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisalScores(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val unigramSurprisalSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t FROM toks),
+      |s AS (SELECT doc_id,
+      |    CAST(round(-log2(CAST(n AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS sp
+      |  FROM toks JOIN cnt USING (token) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       CAST(SUM(sp) AS DOUBLE) AS surprisal_sum
+      |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // ---- q77: benchmark decontamination (train-test overlap) -----------
   // Corpus docs (doc_id % 10 != 0) sharing 5-gram shingles with the
@@ -734,6 +818,8 @@ object Llm {
     "q73_cross_corpus_dedup" -> (crossCorpusNearDup _),
     "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
     "q77_contamination"     -> (contamination _),
+    "q79_vocab_build"       -> (buildVocab _),
+    "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
@@ -762,6 +848,8 @@ object Llm {
     // q75 must equal the BATCH cross-corpus result — same oracle as q73
     "q75_stream_cross_corpus" -> crossCorpusNearDupSql,
     "q77_contamination"     -> contaminationSql,
+    "q79_vocab_build"       -> buildVocabSql,
+    "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q50_tfidf_top_terms"   -> tfidfSql)

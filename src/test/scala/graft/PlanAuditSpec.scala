@@ -80,6 +80,27 @@ class PlanAuditSpec extends SparkSpec {
       "intervalOverlapJoin")
   }
 
+  test("round-5 operators stay cartesian-free") {
+    val docs = Tables.documents(spark, sf)
+    assertNoCartesian(
+      Dedup.contaminationCheck(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"),
+      "contaminationCheck")
+    assertNoCartesian(
+      Dedup.minhashLshPairsAgainst(docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        3, 12, 4, 0.5),
+      "minhashLshPairsAgainst")
+    assertNoCartesian(
+      graft.operators.TextQuality.dropRepeatedLines(
+        docs.select(col("doc_id").as("page_id"), col("text")),
+        "page_id", "text"),
+      "dropRepeatedLines")
+    assertNoCartesian(
+      graft.operators.Llm.surprisalScores(docs, "doc_id", "text"),
+      "surprisalScores")
+  }
+
   test("retail window predicate is pushed to the parquet scan") {
     val plan = physical(
       graft.operators.Retail.totalMarginLast2Months(spark, sf))

@@ -7,6 +7,30 @@ import org.apache.spark.sql.functions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocab ranks by frequency then token, applies the min-count cut") {
+    val docs = Seq("b b b a a c", "a b rare").toDF("text")
+    val got = graft.operators.Llm.vocab(docs, "text", minCount = 2)
+      .orderBy("token_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b: 4, a: 3; c and rare fall to the cut; ids are 0-based by rank
+    assert(got.toSeq === Seq(("b", 4L, 0L), ("a", 3L, 1L)))
+  }
+
+  test("surprisalScores: rare-token docs score above common-token docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare")).toDF("doc_id", "text")
+    val got = graft.operators.Llm.surprisalScores(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq === Seq(4L, 2L))
+    // p(common)=5/6, p(rare)=1/6: doc 2's MEAN surprisal must dominate
+    assert(got(1)._3 / 2 > got(0)._3 / 4)
+    // doc 1 is four copies of the same token: exact 4x the rounded unit
+    assert(got(0)._3 ===
+      4 * math.rint(-math.log(5.0 / 6) / math.log(2) * 1e6) / 1e6)
+  }
+
   test("contaminationCheck counts benchmark shingle overlap per corpus doc") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
