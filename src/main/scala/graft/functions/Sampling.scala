@@ -48,6 +48,25 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Corpus mixture sampling (domain mixing): each group keeps its own
+    * deterministic fraction of rows — the "40% web, 30% code, 5%
+    * wiki-dialect" assembly step of training-corpus construction,
+    * expressed as per-group [[hashKeep]] thresholds. One codegen'd
+    * when-chain over the group column, zero shuffles; groups absent
+    * from `fractions` are dropped (an unconfigured source must never
+    * leak into the mix silently). Same md5-threshold rule as
+    * [[deterministicSample]], so mixtures compose with global sampling
+    * and [[hashSplit]] on the same key. */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "at least one group fraction")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (g, f)) =>
+      when(col(groupCol) === lit(g), hashKeep(col(keyCol), f)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Greedy-by-order sequence packing: assign documents to fixed
     * token-budget training packs. Docs are taken in `orderCol` order
     * (deterministic!); a doc goes to pack floor(previous cumulative

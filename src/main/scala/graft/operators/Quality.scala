@@ -459,6 +459,37 @@ object Quality {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q81: corpus mixture sampling (domain mixing) ------------------
+  // Per-language keep fractions — the "X% of each source" assembly step
+  // of corpus construction. Deterministic md5-threshold per group, so
+  // the mix is bit-reproducible and composes with q41/q62's sampling
+  // and splitting on the same key. `zh` is deliberately absent from the
+  // mixture: unconfigured sources must drop, not leak.
+  private val MixFractions: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1)
+
+  def mixtureSampleQ(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling
+      .mixtureSample(Tables.documents(spark, dir), "lang", "doc_id",
+        MixFractions.toMap)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+
+  val mixtureSampleSql: String = {
+    val cases = MixFractions.map { case (g, f) =>
+      s"WHEN lang = '$g' THEN ${(f * 4294967296.0).toLong}"
+    }.mkString("\n      |      ")
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM documents
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      < CASE $cases
+       |      ELSE -1 END
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q63: sequence packing (fixed token-budget training packs) -----
   private val PackBudget = 512L
 
@@ -538,7 +569,8 @@ object Quality {
     "q63_seq_packing"      -> (seqPackingQ _),
     "q64_jsonl_corrupt"    -> (jsonlCorruptStats _),
     "q69_fuzzy_names"      -> (fuzzyNamePairs _),
-    "q74_sniff_delimiter"  -> (sniffDelimiters _))
+    "q74_sniff_delimiter"  -> (sniffDelimiters _),
+    "q81_mixture_sample"   -> (mixtureSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -561,5 +593,6 @@ object Quality {
     "q63_seq_packing"      -> seqPackingSql,
     "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql,
     "q69_fuzzy_names"      -> fuzzyNamePairsSql,
-    "q74_sniff_delimiter"  -> sniffDelimitersSql)
+    "q74_sniff_delimiter"  -> sniffDelimitersSql,
+    "q81_mixture_sample"   -> mixtureSampleSql)
 }

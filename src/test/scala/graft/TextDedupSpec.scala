@@ -194,6 +194,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got === Seq((1L, 3L), (4L, 3L), (10L, 2L)))
   }
 
+  test("mixtureSample: per-group fractions, unconfigured groups drop, composes with sampling") {
+    val docs = Tables.documents(spark, sf)
+    val mix = graft.functions.Sampling.mixtureSample(
+      docs, "lang", "doc_id", Map("en" -> 0.5, "de" -> 1.0))
+    val byLang = mix.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction 1.0 keeps the whole group; unlisted langs never appear
+    assert(byLang("de") === docs.filter(col("lang") === "de").count())
+    assert(byLang.keySet === Set("en", "de"))
+    // the en slice IS deterministicSample(en, 0.5): same hash rule
+    val enIds = mix.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dsIds = graft.functions.Sampling
+      .deterministicSample(docs.filter(col("lang") === "en"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enIds === dsIds)
+  }
+
   test("deterministicSample: stable across runs and entity-coherent") {
     val li = Tables.lineitem(spark, sf)
     val s1 = graft.functions.Sampling.deterministicSample(li, "l_orderkey", 0.2)
