@@ -76,10 +76,10 @@ object Sampling {
     * The assignment is a pure function of the (order, token count)
     * pairs, so any engine derives the identical packing. NOTE the
     * global-order window serializes into one partition — packing by a
-    * total order is inherently sequential; at 100 TB add a shard
-    * column and run the same rule per shard (Window.partitionBy),
-    * which this form composes with. Returns the input plus
-    * (n_tokens, pack_id, pack_offset). */
+    * total order is inherently sequential; at 100 TB use
+    * [[packSequencesSharded]], which runs this exact rule per shard in
+    * parallel. Returns the input plus (n_tokens, pack_id,
+    * pack_offset). */
   def packSequences(df: DataFrame, orderCol: String, tokensCol: Column,
                     budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
@@ -92,6 +92,26 @@ object Sampling {
       // division, which truncates wrongly once cumulative tokens pass
       // 2^53 — the exactness bug Events.floorDiv documents. __cum is
       // non-negative so plain div IS the floor.
+      .withColumn("pack_id", call_function("div", col("__cum"), lit(budget)))
+      .withColumn("pack_offset", col("__cum") % budget)
+      .drop("__cum")
+  }
+
+  /** [[packSequences]] per shard — the form that actually runs at
+    * 100 TB: the global-order pack rule is inherently sequential, so
+    * production packing shards first (any deterministic shard key) and
+    * packs each shard independently in parallel; pack ids are
+    * (shard, local pack) pairs. One shuffle on the shard column; each
+    * shard's window sorts only its own rows. */
+  def packSequencesSharded(df: DataFrame, shardCol: String, orderCol: String,
+                           tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("__cum",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("pack_id", call_function("div", col("__cum"), lit(budget)))
       .withColumn("pack_offset", col("__cum") % budget)
       .drop("__cum")

@@ -515,6 +515,38 @@ object Quality {
        |       CAST(cum % $PackBudget AS BIGINT) AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- q82: sharded sequence packing (the parallel 100 TB form) ------
+  // q63's pack rule per shard: documents shard by hash (4 shards), each
+  // shard packs independently — pack identity is (shard, pack_id). The
+  // global form's single-partition window disappears; each shard's
+  // window sorts only its rows.
+  private val ShardPackBudget = 512L
+
+  def shardedPackingQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .withColumn("shard", (col("doc_id") % 4).cast("int"))
+    graft.functions.Sampling.packSequencesSharded(
+        docs, "shard", "doc_id",
+        graft.functions.Text.tokenCount(col("text")), ShardPackBudget)
+      .select("shard", "doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  val shardedPackingSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id % 4 AS INTEGER) AS shard, doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id < 300),
+       |c AS (SELECT shard, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT shard, doc_id, n_tokens,
+       |       CAST(cum // $ShardPackBudget AS BIGINT) AS pack_id,
+       |       CAST(cum % $ShardPackBudget AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- q16: CSV round-trip: decimal-comma, null tokens, drift (S1/S8/F11/U1) --
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -570,7 +602,8 @@ object Quality {
     "q64_jsonl_corrupt"    -> (jsonlCorruptStats _),
     "q69_fuzzy_names"      -> (fuzzyNamePairs _),
     "q74_sniff_delimiter"  -> (sniffDelimiters _),
-    "q81_mixture_sample"   -> (mixtureSampleQ _))
+    "q81_mixture_sample"   -> (mixtureSampleQ _),
+    "q82_sharded_packing"  -> (shardedPackingQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -594,5 +627,6 @@ object Quality {
     "q64_jsonl_corrupt"    -> jsonlCorruptStatsSql,
     "q69_fuzzy_names"      -> fuzzyNamePairsSql,
     "q74_sniff_delimiter"  -> sniffDelimitersSql,
-    "q81_mixture_sample"   -> mixtureSampleSql)
+    "q81_mixture_sample"   -> mixtureSampleSql,
+    "q82_sharded_packing"  -> shardedPackingSql)
 }

@@ -376,6 +376,45 @@ object Similarity {
     ivfRerank(ivfAssign(corpusCv, centroids),
       ivfProbes(queries, centroids, nProbe), k)
 
+  /** Production IVF index build: k-means centroids trained on a
+    * DETERMINISTIC corpus sample, cell count auto-scaled, assignment
+    * auto-routed (exact small, hierarchical large). Returns
+    * (assigned corpus, centroids) — feed the first to
+    * Warehouse.writeIvfLayout and probe via [[ivfTopKFromLayout]].
+    *
+    * Training on a sample is the standard coarse-quantizer recipe
+    * (FAISS guideline: tens-to-hundreds of points per centroid
+    * suffice); fitting on the full corpus costs iterations x n x cells
+    * for no recall gain. The sample is hash-threshold
+    * (Sampling.hashKeep) so the index build is bit-reproducible —
+    * rand()-sampled training would make every rebuild a different
+    * index. Falls back to the full corpus when the sample is too thin
+    * to seed every cell. */
+  def ivfBuildKMeans(corpus: DataFrame, targetCellSize: Int = 128,
+                     trainPerCell: Int = 64,
+                     seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true) // feeds count, training sample, assignment
+    val n = c.count()
+    val nCells = autoNCells(n, targetCellSize)
+    val trainFrac = math.min(1.0, nCells.toDouble * trainPerCell / math.max(1L, n))
+    val sampled = c.filter(graft.functions.Sampling.hashKeep(col("vec_id"), trainFrac))
+      .localCheckpoint(true) // KMeans iterates over it
+    val train = if (sampled.count() < nCells * 2L) c else sampled
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(train.select(array_to_vector(col("cv")).as("features")))
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .localCheckpoint(true)
+    (ivfAssignAuto(c, centroids, nCells), centroids)
+  }
+
   /** IVF top-k against a PERSISTED cell-partitioned layout
     * (Warehouse.writeIvfLayout): the probed cell ids become a
     * partition-pruning filter on the parquet scan, so each query batch

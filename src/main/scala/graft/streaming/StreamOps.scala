@@ -201,9 +201,18 @@ object StreamOps {
     * source (maxFilesPerTrigger=1) to prove the per-bucket STATE path:
     * pairs spanning microbatch boundaries must come out identical to a
     * single-batch replay. */
+  /** `maxBucketHistory` bounds per-bucket state DETERMINISTICALLY: each
+    * bucket keeps only its most recent K doc ids, so a pathologically
+    * hot bucket (boilerplate shingles — the streaming analog of the
+    * jaccardPairs maxPostings guard) cannot grow state without bound;
+    * pairs against evicted history are the documented recall trade. A
+    * count cap, unlike a wall-clock TTL, makes the bounded-replay
+    * output a pure function of arrival order — spec-able exactly. The
+    * default keeps full history (q61's oracle-checked behavior). */
   def nearDupCandidatesFrom(src: DataFrame, queryName: String,
                             n: Int = 3, numHashes: Int = 12,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4,
+                            maxBucketHistory: Int = Int.MaxValue): DataFrame = {
     val spark = src.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -242,7 +251,7 @@ object StreamOps {
             prev <- seen.iterator ++ incoming.iterator.take(idx)
             if prev != d
           } yield (math.min(prev, d), math.max(prev, d))
-          state.update(seen ++ incoming)
+          state.update((seen ++ incoming).takeRight(maxBucketHistory))
           pairs.iterator
       }
       .toDF("doc_a", "doc_b")

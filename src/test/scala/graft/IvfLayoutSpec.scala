@@ -45,4 +45,30 @@ class IvfLayoutSpec extends SparkSpec {
     assert(cellsTouched === probed,
       s"scan touched $cellsTouched but probes were $probed")
   }
+
+  test("ivfBuildKMeans end-to-end: sampled training, hierarchical assign, layout probe recall") {
+    val emb = Tables.embeddings(spark, sf)
+    // targetCellSize 4 on the 500-vector corpus -> 125 cells: exercises
+    // the hierarchical (>64 cells) assignment path end to end
+    val (assigned, centroids) = Similarity.ivfBuildKMeans(
+      emb, targetCellSize = 4, trainPerCell = 8)
+    assert(centroids.count() === 125)
+    // every vector lands in exactly one existing cell
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cell").distinct()
+      .join(centroids.select("cell"), Seq("cell"), "left_anti").count() === 0)
+
+    val path = "/tmp/graft_ivf_kmeans_layout"
+    Warehouse.writeIvfLayout(assigned, path)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKFromLayout(spark, path, queries, centroids,
+      k = 5, nProbe = 25)
+    val brute = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect hits).size.toDouble / brute.size
+    // 25 of 125 cells probed (20% of the corpus scanned): clustered
+    // cells must beat the random-scan baseline by a wide margin
+    assert(recall >= 0.4, s"recall=$recall")
+  }
 }

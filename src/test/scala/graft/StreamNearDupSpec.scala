@@ -33,4 +33,27 @@ class StreamNearDupSpec extends SparkSpec {
       s"state path diverged: multi=${multiBatch.size}, single=${oneBatch.size}")
     assert(oneBatch.nonEmpty, "corpus must produce candidate pairs")
   }
+
+  test("maxBucketHistory bounds state: capped output is a strict subset") {
+    val dir = "/tmp/graft_stream_neardup_cap"
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    def run(cap: Int, name: String) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"/tmp/graft_stream_neardup_cap/docs")
+      StreamOps.nearDupCandidatesFrom(src, name, maxBucketHistory = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val unbounded = run(Int.MaxValue, "nd_nocap")
+    val capped = run(1, "nd_cap1")
+    // a K=1 history still pairs each arrival with its predecessor, but
+    // loses pairs against older evicted members of >=3-doc buckets
+    assert(capped.subsetOf(unbounded))
+    assert(capped.nonEmpty, "adjacent-arrival pairs must survive the cap")
+    assert(capped.size < unbounded.size,
+      "fixture must contain a bucket with >= 3 docs for eviction to bite")
+  }
 }
