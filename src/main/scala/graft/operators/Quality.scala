@@ -515,6 +515,20 @@ object Quality {
        |       CAST(cum % $PackBudget AS BIGINT) AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- q83: heavy-hitter key diagnostics (skew planning input) -------
+  // The 20 hottest event users by exact count + corpus share: the
+  // report that tells an operator which keys to salt (q31's paths)
+  // before a shuffle straggles at scale.
+  def heavyHittersQ(spark: SparkSession, dir: String): DataFrame =
+    Profiler.heavyHitters(Tables.events(spark, dir), "user_id", k = 20)
+
+  val heavyHittersSql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL) AS share
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20""".stripMargin
+
   // ---- q82: sharded sequence packing (the parallel 100 TB form) ------
   // q63's pack rule per shard: documents shard by hash (4 shards), each
   // shard packs independently — pack identity is (shard, pack_id). The
@@ -603,7 +617,8 @@ object Quality {
     "q69_fuzzy_names"      -> (fuzzyNamePairs _),
     "q74_sniff_delimiter"  -> (sniffDelimiters _),
     "q81_mixture_sample"   -> (mixtureSampleQ _),
-    "q82_sharded_packing"  -> (shardedPackingQ _))
+    "q82_sharded_packing"  -> (shardedPackingQ _),
+    "q83_heavy_hitters"    -> (heavyHittersQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -628,5 +643,6 @@ object Quality {
     "q69_fuzzy_names"      -> fuzzyNamePairsSql,
     "q74_sniff_delimiter"  -> sniffDelimitersSql,
     "q81_mixture_sample"   -> mixtureSampleSql,
-    "q82_sharded_packing"  -> shardedPackingSql)
+    "q82_sharded_packing"  -> shardedPackingSql,
+    "q83_heavy_hitters"    -> heavyHittersSql)
 }

@@ -173,6 +173,24 @@ object Profiler {
   /** U2: column-presence matrix across a set of named schemas
     * (compare_schemas, dataset_profiling.py:438-469). Metadata-only —
     * no data is scanned. */
+  /** Heavy-hitter report for a join/grouping key: the k hottest keys
+    * with exact counts and their corpus share — the diagnostic that
+    * decides WHICH keys need the salted paths (functions/Skew) before
+    * a 100 TB job hits a straggler. One groupBy (map-side combinable)
+    * plus a driver-scalar total; share is an exact integer ratio
+    * (bit-identical across engines, no rounding needed). Null keys are
+    * excluded — they route to the null-handling operators, and engines
+    * disagree on null ordering. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val total = nonNull.count()
+    nonNull.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / lit(total.toDouble))
+      .orderBy(desc("n"), col(keyCol))
+      .limit(k)
+  }
+
   def schemaPresence(dfs: Seq[(String, DataFrame)]): DataFrame = {
     val spark = dfs.head._2.sparkSession
     import spark.implicits._
