@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordered-data analytics plus record-linkage and privacy
+  * audits (q84-q89) — beyond-parity operators a training-data or
+  * warehouse pipeline needs that the reference has no analog for.
+  *
+  * Scale notes, per operator:
+  *  - Every windowed form here runs over a PRE-AGGREGATED frame (one
+  *    row per day / per change event), never over the raw fact table:
+  *    the only full-data pass is a grouped aggregation that shuffles
+  *    once on its key and combines map-side. The unpartitioned window
+  *    that follows sees |days| or |changes-per-entity| rows, not |facts|.
+  *  - The edit-distance join never goes quadratic: deletion-neighborhood
+  *    keys (FastSS / SymSpell family, public literature) make candidate
+  *    generation an equality join, with an exact `levenshtein` verify.
+  */
+object Temporal {
+
+  // ---- q84: exact percentiles (quartiles) per group -------------------
+  // Spark's exact `percentile` aggregates counts per DISTINCT value, so
+  // executor memory is O(distinct), not O(rows) — safe for bounded-
+  // cardinality metrics like quantities; unbounded-cardinality columns
+  // take approx_percentile (a sketch, spec-only since no cross-engine
+  // hash can match). The p-values are dyadic (1/4, 1/2, 3/4) and the
+  // input is floored to integral doubles, so the linear interpolation
+  // `lo + (hi-lo)*frac` is exact in binary in both engines — this is
+  // what makes a cross-engine hash match possible at all.
+  def quartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(floor(l_quantity), array(0.25D, 0.5D, 0.75D))").as("qs"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        col("n"))
+      .orderBy("l_returnflag")
+
+  val quartilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(floor(l_quantity), 0.25) AS p25,
+      |  quantile_cont(floor(l_quantity), 0.50) AS p50,
+      |  quantile_cont(floor(l_quantity), 0.75) AS p75,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q85: time-series gap fill (calendar densification) -------------
+  // Sparse per-day aggregate -> dense daily series with explicit zero
+  // rows. The calendar dimension is generated from the aggregate's own
+  // min/max (driver scalars -> a few-row exploded sequence), so the
+  // left join is a broadcast of the TINY side against the already-
+  // aggregated daily frame; the raw events table is scanned exactly
+  // once, by the grouped aggregation.
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+    val cal = daily.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    cal.join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0 GROUP BY 1),
+      |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+      |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM bounds)
+      |SELECT cal.day AS day, COALESCE(n, 0) AS n, COALESCE(total_value, 0.0) AS total_value
+      |FROM cal LEFT JOIN daily ON cal.day = daily.day ORDER BY 1""".stripMargin
+
+  // ---- q86: rolling 7-day revenue (RANGE window over day numbers) -----
+  // The raw fact table collapses to one row per day FIRST (one map-side-
+  // combined shuffle); the rolling window then runs over |days| rows —
+  // a frame bounded by the calendar, not the data volume, so the
+  // unpartitioned window is deliberate and safe at any scale. Ordering
+  // by an integer day number makes the frame a true RANGE (value) frame:
+  // missing days do NOT contribute phantom rows, matching the SQL
+  // definition of "trailing 7 calendar days".
+  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily.select(
+        col("day"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("rolling_7d"))
+      .orderBy("day")
+  }
+
+  val rollingRevenue7dSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS rolling_7d
+      |FROM daily ORDER BY 1""".stripMargin
+
+  // ---- q87: SCD2 change-history construction --------------------------
+  // Builds a slowly-changing-dimension type-2 table from an ordered
+  // attribute stream: run-length encode consecutive equal values (lag),
+  // then stitch validity intervals (lead). Both windows partition by the
+  // entity key — one key shuffle, per-entity frames stay small. The
+  // (o_orderdate, o_orderkey) composite sort makes same-day changes
+  // deterministic in both engines.
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val h = Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderpriority"))
+      .withColumn("prev", lag("o_orderpriority", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val w2 = Window.partitionBy("o_custkey").orderBy("rn")
+    h.filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .select(
+        col("o_custkey").as("custkey"),
+        row_number().over(w2).cast("long").as("version"),
+        col("o_orderpriority").as("priority"),
+        col("d").as("valid_from"),
+        lead(col("d"), 1).over(w2).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("custkey", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH h AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+      |         lag(o_orderpriority) OVER w AS prev,
+      |         ROW_NUMBER() OVER w AS rn
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |chg AS (
+      |  SELECT o_custkey, o_orderpriority, d AS valid_from, rn,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY rn) AS version,
+      |         lead(d) OVER (PARTITION BY o_custkey ORDER BY rn) AS valid_to
+      |  FROM h WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+      |       o_orderpriority AS priority, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM chg ORDER BY 1, 2""".stripMargin
+
+  // ---- q88: edit-distance<=1 join via deletion neighborhoods ----------
+  // Variable-length fuzzy join (vs q69's fixed-width pigeonhole keys).
+  // Candidate keys are the string itself plus every single-character
+  // deletion (FastSS / SymSpell, public literature): two strings within
+  // edit distance 1 ALWAYS share a key (substitution -> same-position
+  // deletions collide; insert/delete -> the shorter string IS a deletion
+  // of the longer), so recall is exact; an explicit `levenshtein <= 1`
+  // verify removes the false positives (e.g. transpositions). Per-row
+  // fan-out is len+1 keys and the join is pure equality — linear
+  // candidates where the oracle's definitional form is the full
+  // quadratic self-join.
+  def edit1NamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val variants = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        explode(array_union(
+          array(col("c_name")),
+          expr("transform(sequence(0, length(c_name) - 1)," +
+            " i -> concat(substr(c_name, 1, i), substr(c_name, i + 2)))"))).as("key"))
+    val a = variants.select(
+      col("c_custkey").as("custkey_a"), col("c_name").as("name_a"), col("key"))
+    val b = variants.select(
+      col("c_custkey").as("custkey_b"), col("c_name").as("name_b"), col("key"))
+    a.join(b, Seq("key"))
+      .filter(col("custkey_a") < col("custkey_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("custkey_a", "custkey_b")
+      .distinct()
+      .orderBy("custkey_a", "custkey_b")
+  }
+
+  val edit1NamePairsSql: String =
+    """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q89: k-anonymity audit over quasi-identifiers ------------------
+  // Privacy-side complement to the PII redaction lane (q55): how many
+  // quasi-identifier groups are small enough to re-identify. One grouped
+  // count then a driver-sized summary aggregate — the group count is
+  // bounded by the quasi-identifier domain, not the row count.
+  val KAnonThreshold = 12
+
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < KAnonThreshold, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n") < KAnonThreshold, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min("n").as("min_group_size"))
+
+  val kAnonymityAuditSql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN n < $KAnonThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       |  CAST(SUM(CASE WHEN n < $KAnonThreshold THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(MIN(n) AS BIGINT) AS min_group_size
+       |FROM g""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_quartiles"      -> (quartiles _),
+    "q85_gapfill_daily"  -> (gapFillDaily _),
+    "q86_rolling_7d"     -> (rollingRevenue7d _),
+    "q87_scd2_history"   -> (scd2History _),
+    "q88_edit1_pairs"    -> (edit1NamePairs _),
+    "q89_kanonymity"     -> (kAnonymityAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q84_quartiles"      -> quartilesSql,
+    "q85_gapfill_daily"  -> gapFillDailySql,
+    "q86_rolling_7d"     -> rollingRevenue7dSql,
+    "q87_scd2_history"   -> scd2HistorySql,
+    "q88_edit1_pairs"    -> edit1NamePairsSql,
+    "q89_kanonymity"     -> kAnonymityAuditSql)
+}

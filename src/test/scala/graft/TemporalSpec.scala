@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quartiles: match a hand-sorted exact computation per group") {
+    val got = Temporal.quartiles(spark, sf).collect()
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("double").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    def interp(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (xs(lo + 1) - xs(lo)) * (pos - lo)
+    }
+    got.foreach { r =>
+      val xs = qty(r.getString(0))
+      assert(r.getDouble(1) === interp(xs, 0.25))
+      assert(r.getDouble(2) === interp(xs, 0.50))
+      assert(r.getDouble(3) === interp(xs, 0.75))
+      assert(r.getLong(4) === xs.length)
+    }
+  }
+
+  test("gapFillDaily: dense calendar, zeros on missing days, agg preserved") {
+    val rows = Temporal.gapFillDaily(spark, sf).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    // dense: every consecutive pair is exactly one day apart
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) === 1L)
+    }
+    val sparse = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) === sparse.getOrElse(d, 0L))
+      if (!sparse.contains(d)) assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("rollingRevenue7d: equals a brute-force trailing-7-day self sum") {
+    val rows = Temporal.rollingRevenue7d(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getDouble(2)))
+    val byDay = rows.map(r => r._1 -> BigDecimal(r._2)).toMap
+    rows.foreach { case (d, _, roll) =>
+      val brute = (0 to 6).flatMap(k => byDay.get(d.minusDays(k))).sum
+      assert(BigDecimal(roll) === brute, s"day $d")
+    }
+    // the windows genuinely differ from the plain daily values somewhere
+    assert(rows.exists { case (_, rev, roll) => roll > rev })
+  }
+
+  test("scd2History: contiguous versions, stitched intervals, one current row") {
+    val rows = Temporal.scd2History(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3).toLocalDate, Option(r.getDate(4)).map(_.toLocalDate),
+        r.getBoolean(5))
+    }
+    rows.groupBy(_._1).foreach { case (ck, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n with no gaps
+      assert(sorted.map(_._2).toSeq === (1L to vs.length).toSeq, s"custkey $ck")
+      // exactly one open (current) interval, and it is the last version
+      assert(vs.count(_._6) === 1 && sorted.last._6, s"custkey $ck")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // valid_to of version k is valid_from of version k+1
+          assert(a._5.contains(b._4), s"custkey $ck v${a._2}")
+          // consecutive versions always change the tracked attribute
+          assert(a._3 !== b._3, s"custkey $ck v${a._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("edit1NamePairs: equals the brute-force quadratic levenshtein join") {
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val a = c.select(col("c_custkey").as("ka"), col("c_name").as("na"))
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"))
+    val brute = a.crossJoin(b)
+      .filter(col("ka") < col("kb") && levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ka"), col("kb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Temporal.edit1NamePairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("kAnonymityAudit: summary re-derives from the grouped counts") {
+    val r = Temporal.kAnonymityAudit(spark, sf).collect().head
+    val counts = Tables.customer(spark, sf)
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(_.getLong(2))
+    val k = Temporal.KAnonThreshold
+    assert(r.getLong(0) === counts.length)
+    assert(r.getLong(1) === counts.count(_ < k))
+    assert(r.getLong(2) === counts.filter(_ < k).sum)
+    assert(r.getLong(3) === counts.min)
+  }
+}
