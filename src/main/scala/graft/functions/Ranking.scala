@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the scalable answer to
+  * `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY, which Spark
+  * executes on a SINGLE partition (the whole dataset funnels through one
+  * task — the classic 100 TB killer).
+  *
+  * Shape: range-repartition on the sort key (Spark's distributed sort
+  * machinery — sampled boundaries, equal keys land in one partition),
+  * rank WITHIN each partition in parallel, then add per-partition prefix
+  * offsets. The only driver-side data is one row per partition (the
+  * counts), bounded by the partition count, never the row count.
+  *
+  * The frame is localCheckpoint'ed once so the two consumers (the offset
+  * aggregation and the final projection) see the SAME materialized
+  * range partitioning — re-executing the sampled partitioner twice could
+  * otherwise disagree across jobs.
+  */
+object Ranking {
+
+  /** `df` plus a 1-based global row number `out`, ordered by `sortCols`
+    * (include a unique tiebreaker for a deterministic ranking). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+                      out: String = "rn"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val cols: Seq[Column] = sortCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // one row per partition -> driver; exclusive prefix-sum the offsets
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = acc; acc += n; pid -> o
+    }.toMap // offsets(pid) = rows in partitions before pid
+    val offsetExpr = counts.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val wIntra = Window.partitionBy("__pid").orderBy(cols: _*)
+    ranged
+      .withColumn(out, row_number().over(wIntra).cast("long") + offsetExpr)
+      .drop("__pid")
+  }
+
+  /** SQL NTILE(k) bucket (1-based) from a 1-based global row number:
+    * the first `n % k` buckets take `n/k + 1` rows, the rest `n/k` —
+    * exactly the ANSI definition, computed arithmetically so no
+    * single-partition window is ever needed. */
+  def ntileFromRowNumber(rn: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val r = n % k
+    // Column `/` on longs is DOUBLE division; make quotients exact by
+    // subtracting the remainder first (integral quotient -> exact)
+    def intDiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    when(rn <= lit(r * (q + 1)), intDiv(rn - 1, q + 1))
+      .otherwise(lit(r) + intDiv(rn - 1 - lit(r * (q + 1)), q)) + lit(1L)
+  }
+}

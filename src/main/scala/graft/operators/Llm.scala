@@ -536,6 +536,45 @@ object Llm {
        |WHERE round(list_inner_product(x.v, y.v) / (x.nn * y.nn), 6) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- q90: semantic dedup (embedding near-dup endgame) --------------
+  // SemDeDup-style (Abbas et al. 2023, public literature): near-dup
+  // pairs in EMBEDDING space (q24's SRP-bucketed candidates + exact
+  // cosine verify) collapse into clusters, each cluster keeps its
+  // lowest-id member. Same bucketed-candidates + CC + left-anti shape
+  // as the text dedup endgame (q59) — the entire pipeline is equality
+  // joins, so the 100 TB story is identical.
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.srpNearDupPairs(emb, threshold = 0.4,
+        bands = NdBands, bits = NdBits, dim = 64)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dedupedCorpus(emb.select("vec_id", "label"), "vec_id", pairs)
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nn FROM e),
+       |${planesCte(NdBands, NdBits, 64)},
+       |${sigCte(NdBits, 64)},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM sig a JOIN sig b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT vec_a, vec_b
+       |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+       |  WHERE round(list_inner_product(x.v, y.v) / (x.nn * y.nn), 6) >= 0.4),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS vec FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT vec, vec FROM nodes
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON e2.a = r.dst),
+       |labels AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY 1)
+       |SELECT d.vec_id, d.label FROM embeddings d
+       |WHERE d.vec_id NOT IN (SELECT vec_id FROM labels WHERE vec_id <> rep)
+       |ORDER BY d.vec_id""".stripMargin
+
   // ---- q25: brute-force cosine top-k (ANN baseline) ------------------
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -805,6 +844,7 @@ object Llm {
     "q22x_minhash_xxhash"   -> (minhashLshXx _),
     "q23_simhash"           -> (simhash _),
     "q24_embedding_neardup" -> (embeddingNearDup _),
+    "q90_semantic_dedup"    -> (semanticDedup _),
     "q25_cosine_topk"       -> (cosineTopK _),
     "q32_simhash_pairs"     -> (simhashPairs _),
     "q33_lsh_topk"          -> (lshTopKQuery _),
@@ -833,6 +873,7 @@ object Llm {
     "q22_minhash_lsh"       -> minhashLshSql,
     "q23_simhash"           -> simhashSql,
     "q24_embedding_neardup" -> embeddingNearDupSql,
+    "q90_semantic_dedup"    -> semanticDedupSql,
     "q25_cosine_topk"       -> cosineTopKSql,
     "q32_simhash_pairs"     -> simhashPairsSql,
     "q33_lsh_topk"          -> lshTopKSql,

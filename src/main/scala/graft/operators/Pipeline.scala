@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Ranking
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-pipeline operators (q91-q95): distributed global ranking /
+  * NTILE, fixed-width histograms, data-contract expectation suites,
+  * incremental (partial re-aggregation) rollups, and CDC last-wins
+  * apply — the maintenance half of a production lakehouse, each with a
+  * cross-engine oracle.
+  */
+object Pipeline {
+
+  // ---- q91: decile stats via DISTRIBUTED global ranking ---------------
+  // `NTILE(k) OVER (ORDER BY ...)` with no PARTITION BY runs on ONE
+  // partition in Spark — the whole table through a single task. The
+  // scalable form (functions/Ranking.scala): range-repartition on the
+  // sort key, rank within partitions in parallel, add per-partition
+  // prefix offsets (driver sees one count per partition), then compute
+  // the NTILE bucket arithmetically from the global row number. The
+  // oracle is the definitional single-window NTILE.
+  def decileStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val ranked = Ranking.globalRowNumber(
+      orders, Seq("o_totalprice", "o_orderkey"))
+    val n = ranked.agg(max("rn")).head.getLong(0) // driver scalar (bounded)
+    ranked
+      .withColumn("decile", Ranking.ntileFromRowNumber(col("rn"), n, 10))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("decile")
+  }
+
+  val decileStatsSql: String =
+    """WITH r AS (SELECT o_totalprice,
+      |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile FROM orders)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q92: fixed-width histogram (integer cent math) -----------------
+  // Bin assignment goes through exact decimal cents, never double
+  // division: CAST to DECIMAL(18,2) is exact for money-typed data, *100
+  // stays decimal, the BIGINT conversion is integral, and `div` is
+  // integer division in both engines — so bin edges cannot drift by an
+  // ulp between engines (double-divide-then-floor can).
+  private val BinCents = 5000000L // $50,000 per bin
+
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bin",
+        expr(s"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div $BinCents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo_dollars", col("bin") * lit(BinCents / 100L))
+      .orderBy("bin")
+
+  val priceHistogramSql: String =
+    s"""SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // $BinCents AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // $BinCents
+       |       * ${BinCents / 100L} AS BIGINT) AS bin_lo_dollars
+       |FROM orders GROUP BY 1, 3 ORDER BY 1""".stripMargin
+
+  // ---- q93: data-contract expectation suite ---------------------------
+  // dbt-test-style contract checks as ONE declarative union of bounded
+  // aggregates — each check is a single pass over its table (the FK
+  // check is a left-anti join), and the result is one row per check, so
+  // the operator's output is bounded by the contract size, not the data.
+  def expectationSuite(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).cast("long").as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    val checks = Seq(
+      check("accepted_values_l_returnflag",
+        li.filter(!col("l_returnflag").isin("A", "N", "R"))),
+      check("fk_orders_customer",
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")),
+      check("not_null_c_name", cust.filter(col("c_name").isNull)),
+      check("range_l_discount",
+        li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)),
+      check("unique_o_orderkey",
+        orders.groupBy("o_orderkey").count().filter(col("count") > 1)))
+    checks.reduce(_ unionByName _).orderBy("check")
+  }
+
+  val expectationSuiteSql: String =
+    """SELECT 'accepted_values_l_returnflag' AS "check",
+      |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT) AS violations
+      |UNION ALL SELECT 'fk_orders_customer',
+      |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |UNION ALL SELECT 'not_null_c_name',
+      |  CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+      |UNION ALL SELECT 'range_l_discount',
+      |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0) AS BIGINT)
+      |UNION ALL SELECT 'unique_o_orderkey',
+      |  CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+      |ORDER BY "check"""".stripMargin
+
+  // ---- q94: incremental aggregate merge (partial re-aggregation) ------
+  // Materialized-view maintenance shape: two independently-computed
+  // partial rollups (here: even/odd order-key shards — in production,
+  // yesterday's materialized state + today's delta) merge by
+  // re-aggregating the partials. COUNT merges as SUM, decimal SUM
+  // merges as SUM — both commutative, so the merged view is exactly the
+  // direct aggregate, which is the oracle. The merge input is day-grain
+  // partials, never raw facts.
+  def incrementalDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+    partial(li.filter(col("l_orderkey") % 2 === 0))
+      .unionByName(partial(li.filter(col("l_orderkey") % 2 === 1)))
+      .groupBy("day")
+      .agg(sum("n").as("n"), sum("rev").as("rev"))
+      .select(col("day"), col("n"), col("rev").cast("double").as("revenue"))
+      .orderBy("day")
+  }
+
+  val incrementalDailyMergeSql: String =
+    """SELECT CAST(l_shipdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q95: CDC apply (last-wins upsert/delete merge) -----------------
+  // The MERGE half of a CDC pipeline: a change stream of upserts and
+  // deletes collapses to final table state by keeping each key's LAST
+  // change (one per-key window — one shuffle on the key) and dropping
+  // keys whose last op is a delete. The change stream is derived
+  // deterministically from lineitem ((seq, val, op) descending breaks
+  // the synthetic data's duplicate (key, seq) ties, so "last" is
+  // well-defined in both engines).
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("key"),
+      col("l_linenumber").as("seq"),
+      when(col("l_returnflag") === "R", lit("D")).otherwise(lit("U")).as("op"),
+      col("l_extendedprice").cast("decimal(18,4)").as("val"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("seq").desc, col("val").desc, col("op").desc)
+    ch.withColumn("rrn", row_number().over(w))
+      .filter(col("rrn") === 1 && col("op") === "U")
+      .agg(
+        count(lit(1)).as("n_live"),
+        sum("val").cast("double").as("total_value"))
+  }
+
+  val cdcApplySql: String =
+    """WITH ch AS (
+      |  SELECT l_orderkey AS key, l_linenumber AS seq,
+      |         CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(l_extendedprice AS DECIMAL(18,4)) AS val
+      |  FROM lineitem),
+      |last AS (
+      |  SELECT op, val,
+      |         ROW_NUMBER() OVER (PARTITION BY key
+      |                            ORDER BY seq DESC, val DESC, op DESC) AS rrn
+      |  FROM ch)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+      |  CAST(SUM(val) AS DOUBLE) AS total_value
+      |FROM last WHERE rrn = 1 AND op = 'U'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_decile_stats"    -> (decileStats _),
+    "q92_price_histogram" -> (priceHistogram _),
+    "q93_expectations"    -> (expectationSuite _),
+    "q94_incremental_agg" -> (incrementalDailyMerge _),
+    "q95_cdc_apply"       -> (cdcApply _))
+
+  val oracles: Map[String, String] = Map(
+    "q91_decile_stats"    -> decileStatsSql,
+    "q92_price_histogram" -> priceHistogramSql,
+    "q93_expectations"    -> expectationSuiteSql,
+    "q94_incremental_agg" -> incrementalDailyMergeSql,
+    "q95_cdc_apply"       -> cdcApplySql)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Ranking
+import graft.operators.{Dedup, Llm, Pipeline, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber: equals the single-partition window row_number") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val got = Ranking.globalRowNumber(orders, Seq("o_totalprice", "o_orderkey"))
+      .select("o_orderkey", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    val want = orders.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("ntileFromRowNumber: matches SQL NTILE for uneven bucket sizes") {
+    // n = 17, k = 5 -> first two buckets get 4 rows, the rest 3
+    val df = (1L to 17L).toDF("rn")
+    val got = df.select(col("rn"),
+        Ranking.ntileFromRowNumber(col("rn"), 17L, 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.sql(
+      "SELECT id + 1 AS rn, NTILE(5) OVER (ORDER BY id) AS b FROM range(17)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got === want)
+  }
+
+  test("decileStats: buckets partition the table and cover the value range") {
+    val rows = Pipeline.decileStats(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // deciles are ordered and non-overlapping on price
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2), s"decile ${a.getLong(0)}")
+    }
+  }
+
+  test("priceHistogram: bins cover all rows with exact integer edges") {
+    val rows = Pipeline.priceHistogram(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * 50000L)
+    }
+  }
+
+  test("expectationSuite: clean synthetic data passes every contract check") {
+    val rows = Pipeline.expectationSuite(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size === 5)
+    assert(rows.values.forall(_ === 0L), s"violations: $rows")
+  }
+
+  test("incrementalDailyMerge: merged partials equal the direct aggregate") {
+    val got = Pipeline.incrementalDailyMerge(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("cdcApply: keys whose last change is a delete are absent") {
+    val r = Pipeline.cdcApply(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+    val keys = li.select("l_orderkey").distinct().count()
+    assert(r.getLong(0) > 0 && r.getLong(0) < keys)
+    assert(r.getDouble(1) > 0.0)
+  }
+
+  test("semanticDedup: drops exactly the non-canonical members of SRP clusters") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.srpNearDupPairs(emb, threshold = 0.4,
+        bands = 12, bits = 6, dim = 64)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val losers = Dedup.connectedComponents(pairs).labels
+      .filter(col("doc_id") =!= col("rep"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = Llm.semanticDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- losers)
+    assert(losers.nonEmpty)
+  }
+}
