@@ -224,13 +224,87 @@ object Temporal {
        |  CAST(MIN(n) AS BIGINT) AS min_group_size
        |FROM g""".stripMargin
 
+  // ---- q97: anomaly (spike) detection with exact integer arithmetic --
+  // Flags days whose event count exceeds 9/8 of the trailing-7-day
+  // mean. The comparison `8*n*k > 9*sum` stays in integers — no
+  // float mean, so no cross-engine ulp drift and no false boundary
+  // flips. Same pre-aggregate-then-window shape as q86: the RANGE
+  // frame (7 PRECEDING .. 1 PRECEDING — strictly historical, so a
+  // spike never dilutes its own baseline) runs over day-grain rows.
+  def spikeDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("day_num").rangeBetween(-7, -1)
+    daily
+      .withColumn("prev7", sum("n").over(w))
+      .withColumn("prev7_days", count("n").over(w))
+      .filter(col("prev7_days") >= 3 &&
+        col("n") * lit(8) * col("prev7_days") > lit(9) * col("prev7"))
+      .select("day", "n", "prev7", "prev7_days")
+      .orderBy("day")
+  }
+
+  val spikeDaysSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |         COUNT(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, n,
+      |         SUM(n) OVER (ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev7,
+      |         COUNT(n) OVER (ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev7_days
+      |  FROM daily)
+      |SELECT day, CAST(n AS BIGINT) AS n, CAST(prev7 AS BIGINT) AS prev7,
+      |       CAST(prev7_days AS BIGINT) AS prev7_days
+      |FROM r WHERE prev7_days >= 3 AND n * 8 * prev7_days > 9 * prev7
+      |ORDER BY day""".stripMargin
+
+  // ---- q98: top-k per group (rank pushdown) ---------------------------
+  // Per-group top-3 parts by decimal-exact revenue. The plan matters as
+  // much as the result: Spark lowers the rank-filter idiom to
+  // WindowGroupLimit, which keeps only k rows PER GROUP PER PARTITION
+  // before the window's sort-shuffle — the full ranked table never
+  // materializes (asserted in PlanAuditSpec for the q25 family; same
+  // operator here). Input is the (group, part) aggregate, one shuffle.
+  def topPartsPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("rev").desc, col("l_partkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("l_returnflag"), col("rk"), col("l_partkey"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  val topPartsPerFlagSql: String =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_partkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, l_partkey, rev,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY rev DESC, l_partkey) AS rk
+      |      FROM rev)
+      |SELECT l_returnflag, CAST(rk AS BIGINT) AS rk, l_partkey,
+      |       CAST(rev AS DOUBLE) AS revenue
+      |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_quartiles"      -> (quartiles _),
     "q85_gapfill_daily"  -> (gapFillDaily _),
     "q86_rolling_7d"     -> (rollingRevenue7d _),
     "q87_scd2_history"   -> (scd2History _),
     "q88_edit1_pairs"    -> (edit1NamePairs _),
-    "q89_kanonymity"     -> (kAnonymityAudit _))
+    "q89_kanonymity"     -> (kAnonymityAudit _),
+    "q97_spike_days"     -> (spikeDays _),
+    "q98_top_per_group"  -> (topPartsPerFlag _))
 
   val oracles: Map[String, String] = Map(
     "q84_quartiles"      -> quartilesSql,
@@ -238,5 +312,7 @@ object Temporal {
     "q86_rolling_7d"     -> rollingRevenue7dSql,
     "q87_scd2_history"   -> scd2HistorySql,
     "q88_edit1_pairs"    -> edit1NamePairsSql,
-    "q89_kanonymity"     -> kAnonymityAuditSql)
+    "q89_kanonymity"     -> kAnonymityAuditSql,
+    "q97_spike_days"     -> spikeDaysSql,
+    "q98_top_per_group"  -> topPartsPerFlagSql)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Graph, Temporal}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCount: degree-ordered count equals the definitional 3-way join") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, b) <- e
+      c <- e.collect { case (`b`, x) => x }
+      if e.contains((a, c))
+    } yield (a, b, c)).size
+    val row = Graph.triangleCount(spark, sf).collect().head
+    assert(row.getLong(0) === e.size)
+    assert(row.getLong(1) === brute)
+    assert(row.getLong(1) > 0)
+  }
+
+  test("triangleCount: a planted 4-clique yields exactly 4 triangles") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    // same pipeline as triangleCount from the edge list down
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("x"), col("e2.t").as("y"))
+    val n = wedges.join(edges, col("x") === col("u") && col("y") === col("v")).count()
+    assert(n === 4L)
+  }
+
+  test("spikeDays: every flagged day beats 9/8 of its trailing mean") {
+    val rows = Temporal.spikeDays(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, prev7, k) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 3 && n * 8 * k > 9 * prev7)
+    }
+    // flags are rare by construction: strictly fewer than half the days
+    val nDays = Tables.events(spark, sf).filter(col("event_type") === "error")
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length < nDays / 2)
+  }
+
+  test("topPartsPerFlag: exactly 3 ranked rows per flag, descending revenue") {
+    val rows = Temporal.topPartsPerFlag(spark, sf).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    byFlag.foreach { case (f, vs) =>
+      assert(vs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L), s"flag $f")
+      assert(vs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+        .sliding(2).forall { case Seq(a, b) => a >= b; case _ => true }, s"flag $f")
+    }
+    assert(byFlag.keySet === Set("A", "N", "R"))
+  }
+}
