@@ -121,6 +121,49 @@ object Dedup {
                     n: Int = 3, threshold: Double = 0.5): DataFrame =
     jaccardPairs(df, idCol, textCol, n, threshold, maxPostings = Int.MaxValue)
 
+  /** All-pairs Jaccard with PREFIX FILTERING (the PPJoin family —
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08, public literature):
+    * same exact result set as [[exactAllPairs]], a fraction of the
+    * candidates.
+    *
+    * Order every document's shingles by global rarity (document
+    * frequency, ties by hash — one TOTAL order everywhere); a pair with
+    * Jaccard >= t must share a shingle within each side's first
+    * |s| - ceil(t*|s|) + 1 shingles, so only those PREFIX tokens enter
+    * the inverted-index self-join. Hot shingles are almost never
+    * prefix tokens (rarest-first order), which is what deflates the
+    * postings^2 cost — a principled alternative to the recall-trading
+    * `maxPostings` cap: exact recall with no cap to tune. Candidates
+    * still verify with full exact Jaccard over ALL shingles.
+    *
+    * (For thresholds like 0.2 whose binary double sits ABOVE the
+    * rational value, `ceil` can only lengthen the prefix — the safe
+    * direction. The spec pins pair-set equality with exactAllPairs.) */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val dfTok = sh.groupBy("h64").agg(count(lit(1)).as("tdf"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("tdf"), col("h64"))
+    val prefix = sh.join(dfTok, "h64")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("szn") - ceil(lit(threshold) * col("szn")) + lit(1))
+      .select("doc_id", "h64")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    withJaccard(inter, sz, threshold)
+  }
+
   private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
     val j = col("c").cast("double") /
       (col("za.szn") + col("zb.szn") - col("c")).cast("double")

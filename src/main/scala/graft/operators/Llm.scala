@@ -108,6 +108,15 @@ object Llm {
        |WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q99: prefix-filtered Jaccard (PPJoin family) ------------------
+  // Same exact result as q21 through rarest-first prefix candidates —
+  // exact recall with no postings cap to tune; shares q21's oracle.
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") < 300),
+        "doc_id", "text", n = 3, threshold = 0.2)
+      .orderBy("doc_a", "doc_b")
+
   // ---- q39: n-gram Jaccard with stop-shingle cap (scale guard) -------
   // Same subset as q21 but the candidate index drops shingles shared by
   // more than MaxPost docs (postings^2 guard); candidates still verify
@@ -840,6 +849,7 @@ object Llm {
     "q19_fingerprint"       -> (fingerprint _),
     "q20_exact_dedup"       -> (exactDedup _),
     "q21_ngram_jaccard"     -> (ngramJaccard _),
+    "q99_prefix_jaccard"    -> (ngramJaccardPrefix _),
     "q22_minhash_lsh"       -> (minhashLsh _),
     "q22x_minhash_xxhash"   -> (minhashLshXx _),
     "q23_simhash"           -> (simhash _),
@@ -870,6 +880,8 @@ object Llm {
     "q19_fingerprint"       -> fingerprintSql,
     "q20_exact_dedup"       -> exactDedupSql,
     "q21_ngram_jaccard"     -> ngramJaccardSql,
+    // q99 must equal the exact all-pairs result — same oracle as q21
+    "q99_prefix_jaccard"    -> ngramJaccardSql,
     "q22_minhash_lsh"       -> minhashLshSql,
     "q23_simhash"           -> simhashSql,
     "q24_embedding_neardup" -> embeddingNearDupSql,

@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("jaccardPrefixPairs: exact pair-set and values of exactAllPairs") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val exact = asSet(Dedup.exactAllPairs(docs, "doc_id", "text", 3, 0.2))
+    val pref = asSet(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 3, 0.2))
+    assert(pref === exact)
+    assert(pref.nonEmpty)
+  }
+
+  test("jaccardPrefixPairs: prefix index is a strict subset of the shingles") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val total = sh.count()
+    // rebuild the prefix the operator uses and confirm it prunes
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val dfTok = sh.groupBy("h64").agg(count(lit(1)).as("tdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tdf"), col("h64"))
+    val nPrefix = sh.join(dfTok, "h64")
+      .withColumn("rn", row_number().over(w)).join(sz, "doc_id")
+      .filter(col("rn") <= col("szn") - ceil(lit(0.2) * col("szn")) + lit(1))
+      .count()
+    assert(nPrefix < total, s"prefix $nPrefix vs total $total")
+  }
+
   test("vocab ranks by frequency then token, applies the min-count cut") {
     val docs = Seq("b b b a a c", "a b rare").toDF("text")
     val got = graft.operators.Llm.vocab(docs, "text", minCount = 2)
