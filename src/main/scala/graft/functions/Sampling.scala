@@ -31,6 +31,26 @@ object Sampling {
     df.filter(hashKeep(col(keyCol), fraction))
   }
 
+  /** Deterministic weighted-sampling key (Efraimidis-Spirakis A-ES,
+    * public literature): sampling weight w maps to key u^(1/w); the
+    * top-k keys are a weighted random sample without replacement.
+    * Engine-reproducible by construction, which normally dies on
+    * floating-point `pow` — avoided here by restricting weights to
+    * {1, 2, 4}: u is a DYADIC uniform in (0,1) ((2*h32+1)/2^33, exactly
+    * representable), and u^(1/2) / u^(1/4) are sqrt chains, which IEEE
+    * 754 requires to be CORRECTLY ROUNDED — so every engine computes
+    * bit-identical keys. Weights outside {2, 4} sample at weight 1.
+    * Top-k by this key is a TakeOrderedAndProject — distributed
+    * per-partition top-k, no global sort materializes. */
+  def weightedSampleKey(key: Column, weight: Column): Column = {
+    val h = graft.plans.GraftFunctions.hex_window(
+      md5(key.cast("string").cast("binary")), 0, 8)
+    val u = (h * 2 + 1).cast("double") / lit(8589934592.0) // / 2^33
+    when(weight === 4, sqrt(sqrt(u)))
+      .when(weight === 2, sqrt(u))
+      .otherwise(u)
+  }
+
   /** Deterministic train/val/test split: the md5-uniform of the key
     * lands each entity in exactly one split, with the SAME assignment
     * on every engine, rerun, and partitioning. Thresholds are

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Validate
+import graft.functions.{Sampling, Validate}
 import graft.quality.Profiler
 import graft.sources.CsvSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -594,6 +594,45 @@ object Quality {
       |       ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_price
       |FROM lineitem""".stripMargin
 
+  // ---- q100: deterministic weighted sampling (A-ES top-k) ------------
+  // Quality-weighted corpus selection: higher-weight sources win
+  // proportionally more of the top-k slots, deterministically (same
+  // sample on every engine/rerun — see Sampling.weightedSampleKey for
+  // why the keys are bit-exact across engines).
+  private val WeightedK = 50
+  private def sourceWeight = {
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 4)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 2)
+      .otherwise(1)
+  }
+
+  def weightedSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("weight", sourceWeight)
+      .withColumn("skey",
+        Sampling.weightedSampleKey(col("doc_id"), col("weight")))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select("doc_id", "source", "weight", "skey")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 4
+       |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+       |         ELSE 1 END AS weight,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 2 + 1)
+       |      / 8589934592.0 AS u
+       |  FROM documents),
+       |k AS (SELECT doc_id, source, weight,
+       |        CASE WHEN weight = 4 THEN sqrt(sqrt(u))
+       |             WHEN weight = 2 THEN sqrt(u) ELSE u END AS skey
+       |      FROM d)
+       |SELECT doc_id, source, weight, skey FROM k
+       |ORDER BY skey DESC, doc_id LIMIT $WeightedK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_invalid_counts"   -> (invalidCounts _),
     "q08_profile_stats"    -> (profileStats _),
@@ -618,7 +657,8 @@ object Quality {
     "q74_sniff_delimiter"  -> (sniffDelimiters _),
     "q81_mixture_sample"   -> (mixtureSampleQ _),
     "q82_sharded_packing"  -> (shardedPackingQ _),
-    "q83_heavy_hitters"    -> (heavyHittersQ _))
+    "q83_heavy_hitters"    -> (heavyHittersQ _),
+    "q100_weighted_sample" -> (weightedSampleQ _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -644,5 +684,6 @@ object Quality {
     "q74_sniff_delimiter"  -> sniffDelimitersSql,
     "q81_mixture_sample"   -> mixtureSampleSql,
     "q82_sharded_packing"  -> shardedPackingSql,
-    "q83_heavy_hitters"    -> heavyHittersSql)
+    "q83_heavy_hitters"    -> heavyHittersSql,
+    "q100_weighted_sample" -> weightedSampleSql)
 }

@@ -77,6 +77,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("weightedSampleKey: exact A-ES keys, heavier weights overrepresented") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val rows = docs
+      .withColumn("w", lit(4))
+      .withColumn("k4", Ranking4Key(col("doc_id")))
+      .collect()
+    // spot-check the closed form: k4 = sqrt(sqrt(u)), u = (2*h+1)/2^33
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(md5hex, 16) * 2 + 1) / 8589934592.0
+      assert(r.getDouble(r.length - 1) === math.sqrt(math.sqrt(u)), s"doc $id")
+    }
+    // weight-4 sources take most of the weighted top-k
+    val top = graft.operators.Quality.weightedSampleQ(spark, sf).collect()
+    val n4 = top.count(_.getInt(2) === 4)
+    val n1 = top.count(_.getInt(2) === 1)
+    assert(n4 > n1, s"w4=$n4 vs w1=$n1")
+  }
+  private def Ranking4Key(key: org.apache.spark.sql.Column) =
+    graft.functions.Sampling.weightedSampleKey(key, lit(4))
+
   test("semanticDedup: drops exactly the non-canonical members of SRP clusters") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = Similarity.srpNearDupPairs(emb, threshold = 0.4,
