@@ -132,6 +132,7 @@ object Bench {
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
             noop(ScaleBench.clusters(docs.limit(64)))
+            noop(ScaleBench.prefixJaccard(docs.limit(64)))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
             val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
             noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
@@ -145,6 +146,7 @@ object Bench {
             timed("q24_srp_neardup")(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
             timed("q29_sessionization")(noop(ScaleBench.sessionStats(ev))),
             timed("q40_dedup_clusters")(noop(ScaleBench.clusters(docs))),
+            timed("q99_prefix_jaccard")(noop(ScaleBench.prefixJaccard(docs))),
             timed("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
             // the 100 TB design evidence: build the cell-partitioned
             // layout once, then probe it — probe cost tracks probed-cell

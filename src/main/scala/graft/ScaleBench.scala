@@ -102,6 +102,15 @@ object ScaleBench {
     Similarity.srpNearDupPairs(emb, threshold = 0.4, bands = 12, bits = bits,
       dim = 64)
 
+  /** q99's operating point: prefix-filtered exact Jaccard. Candidates
+    * are rarest-first prefix tokens, so hot shingles never enter the
+    * index self-join; with vowel-permuted replicas the shingle/prefix
+    * structure repeats N times (cross-replica prefix collisions are
+    * incidental), so candidate volume — and wall-time — should track
+    * the replication factor ~linearly, NOT postings^2. */
+  def prefixJaccard(docs: DataFrame): DataFrame =
+    Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+
   def sessionStats(ev: DataFrame): DataFrame =
     Events.sessionStats(ev, gap = 30L * 60 * 1000 * 1000 * 1000, tsCol = "ts_ns")
 

@@ -101,6 +101,37 @@ class PlanAuditSpec extends SparkSpec {
       "surprisalScores")
   }
 
+  test("round-5 batch-2 operators stay cartesian-free") {
+    assertNoCartesian(
+      Dedup.jaccardPrefixPairs(
+        Tables.documents(spark, sf).filter(col("doc_id") < 200),
+        "doc_id", "text", 3, 0.2),
+      "jaccardPrefixPairs")
+    // triangleCount/edit1NamePairs end in bounded summaries/sorted
+    // oracle output, so only the cartesian checks apply (the
+    // library-level no-global-sort rule is for unsorted operators)
+    def noCartesianOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    // triangleCount's only nested-loop join is the deliberate 1-row x
+    // 1-row summary attachment at the very end — assert the heavy path
+    // (edges/wedges/closure) never goes cartesian
+    assert(!physical(graft.operators.Graph.triangleCount(spark, sf))
+      .contains("CartesianProduct"), "triangleCount cartesian")
+    noCartesianOnly(graft.operators.Temporal.edit1NamePairs(spark, sf),
+      "edit1NamePairs")
+    noCartesianOnly(graft.operators.Llm.semanticDedup(spark, sf),
+      "semanticDedup")
+  }
+
+  test("topPartsPerFlag plan: rank filter lowers to WindowGroupLimit") {
+    val plan = physical(graft.operators.Temporal.topPartsPerFlag(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pushdown missing:\n$plan")
+  }
+
   test("retail window predicate is pushed to the parquet scan") {
     val plan = physical(
       graft.operators.Retail.totalMarginLast2Months(spark, sf))

@@ -27,6 +27,23 @@ class ScaleBenchSpec extends SparkSpec {
     assert(pN === expected)
   }
 
+  test("prefixJaccard on replicas: pair structure is exactly N copies of 1x") {
+    val times = 3
+    val p1 = ScaleBench.prefixJaccard(ScaleBench.documents(spark, sf, 1))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pN = ScaleBench.prefixJaccard(ScaleBench.documents(spark, sf, times))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = for {
+      (a, b) <- p1; i <- 0 until times
+    } yield (a * times + i, b * times + i)
+    // exact-recall operator: result volume must scale linearly with the
+    // replication factor (the quadratic failure mode would surface as
+    // cross-replica pairs that don't exist in the 1x structure)
+    assert(pN === expected)
+  }
+
   test("embedding replicas: isometry preserves intra-replica cosines") {
     val times = 3
     val e1 = ScaleBench.embeddings(spark, sf, 1)
