@@ -102,12 +102,13 @@ object ScaleBench {
     Similarity.srpNearDupPairs(emb, threshold = 0.4, bands = 12, bits = bits,
       dim = 64)
 
-  /** q99's operating point: prefix-filtered exact Jaccard. Candidates
-    * are rarest-first prefix tokens, so hot shingles never enter the
-    * index self-join; with vowel-permuted replicas the shingle/prefix
-    * structure repeats N times (cross-replica prefix collisions are
-    * incidental), so candidate volume — and wall-time — should track
-    * the replication factor ~linearly, NOT postings^2. */
+  /** q99's operating point: prefix-filtered exact Jaccard. Used by
+    * ScaleBenchSpec to prove replica-correctness (pair set = N re-keyed
+    * copies of 1x); deliberately NOT a timed scale entry — exact
+    * set-similarity joins keep a sum-of-postings^2 candidate term on
+    * rare tokens shared across documents (measured 6.6x @ x10,
+    * 22.8x @ x20), which is the documented reason the 100 TB near-dup
+    * lane is MinHash+LSH (see PLANS.md round-5 batch-2 notes). */
   def prefixJaccard(docs: DataFrame): DataFrame =
     Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
 

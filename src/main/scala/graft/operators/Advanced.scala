@@ -93,6 +93,12 @@ object Advanced {
         GapUs, tsCol = "ts_us")
       .orderBy("user_id")
 
+  // ---- q101: STREAMING sessionization (stream == batch parity) -------
+  // q29's gap rule computed incrementally with O(1)-per-user state
+  // (mapGroupsWithState); must reproduce the batch oracle exactly.
+  def streamingSessionStats(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.streamingSessionStats(spark, dir, GapUs)
+
   val sessionStatsSql: String =
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tn FROM events WHERE user_id < 100),
        |m AS (SELECT user_id, tn,
@@ -482,6 +488,7 @@ object Advanced {
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
+    "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q31_salted_agg"        -> (saltedAgg _),
     "q42_stream_dedup"      -> (streamDedup _),
@@ -503,6 +510,8 @@ object Advanced {
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
+    // q101 must equal the BATCH sessionization — same oracle as q29
+    "q101_stream_sessions"  -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q31_salted_agg"        -> saltedAggSql,
     "q42_stream_dedup"      -> streamDedupSql,

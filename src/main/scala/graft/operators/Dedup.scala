@@ -136,6 +136,12 @@ object Dedup {
     * `maxPostings` cap: exact recall with no cap to tune. Candidates
     * still verify with full exact Jaccard over ALL shingles.
     *
+    * Scale lane guidance: this optimizes the postings^2 CONSTANT, not
+    * the asymptotics — rare tokens shared across documents still pay
+    * quadratic candidates (measured 22.8x wall-time at a 20x corpus).
+    * For unbounded corpora use [[minhashLshPairs]]; use this where the
+    * result must be exact and the corpus is bounded.
+    *
     * (For thresholds like 0.2 whose binary double sits ABOVE the
     * rational value, `ceil` can only lengthen the prefix — the safe
     * direction. The spec pins pair-set equality with exactAllPairs.) */

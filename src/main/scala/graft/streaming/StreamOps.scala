@@ -164,6 +164,79 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** STREAMING gap-based sessionization over an in-order event stream:
+    * per-user state is just (last event time, event count, session
+    * count) — O(1) per user, evicted never (a production job adds a
+    * state TTL; the bounded replay doesn't need one). Each microbatch
+    * merges its (sorted) new events into the running state: an event
+    * more than `gapUs` after the previous one opens a new session —
+    * exactly the batch `lag`-window rule, computed incrementally. Emits
+    * the updated totals every batch; the caller keeps the latest per
+    * user (both counters are monotone).
+    *
+    * Contract: batch parity (q29's oracle) requires per-user event-time
+    * order ACROSS microbatches (in-order ingest — the file/Kafka
+    * ordering a sessionization pipeline assumes); order WITHIN a batch
+    * is restored by the sort. StreamSessionSpec proves multi-batch ==
+    * single-batch == the batch operator. */
+  def sessionStatsFrom(src: DataFrame, queryName: String,
+                       gapUs: Long): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sess_ckpt").toString
+    val updates = src
+      .select(col("user_id").cast("long"), col("ts_us").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (last, ne, ns) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          rows.map(_._2).toArray.sorted.foreach { t =>
+            if (last == Long.MinValue || t - last > gapUs) ns += 1
+            ne += 1
+            if (t > last) last = t
+          }
+          state.update((last, ne, ns))
+          (uid, ne, ns)
+      }
+      .toDF("user_id", "n_events", "n_sessions")
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // update mode appends one row per user per batch; counters are
+    // monotone, so max(struct) selects the final state atomically
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"),
+        col("s.n_events").as("n_events"), col("s.n_sessions").as("n_sessions"))
+  }
+
+  /** [[sessionStatsFrom]] over the testdata events file — the q101
+    * oracle entry (same oracle as the batch q29). */
+  def streamingSessionStats(spark: SparkSession, dir: String,
+                            gapUs: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = "graft_sess_" + math.abs(dir.hashCode).toString
+    val raw = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val tsUs =
+      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val src = raw.filter(col("user_id") < 100).withColumn("ts_us", tsUs)
+    sessionStatsFrom(src, queryName, gapUs).orderBy("user_id")
+  }
+
   /** STREAMING near-dup candidate detection: MinHash+LSH banding as an
     * incremental stream, emitting each candidate pair the moment its
     * second member arrives.

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** The q101 oracle proves stream == batch over a single-file replay; a
+  * single microbatch hands each user's full timeline to ONE group call,
+  * so the cross-batch state merge never runs. This spec splits the
+  * timeline at its median timestamp into two time-ordered files and
+  * throttles to one file per trigger: sessions spanning the split can
+  * only be stitched by state, and the result must still equal both the
+  * one-batch replay and the batch window operator. */
+class StreamSessionSpec extends SparkSpec {
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  test("sessions spanning microbatch boundaries equal batch sessionization") {
+    val dir = "/tmp/graft_stream_sess"
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 100)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val cut = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    // two TIME-ORDERED files: all early events, then all late events —
+    // the in-order-ingest contract the operator documents
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/__tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/in"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    writeOne(ev.filter(col("ts_us") <= cut), "0.parquet")
+    writeOne(ev.filter(col("ts_us") > cut), "1.parquet")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    def run(throttle: Boolean, name: String) = {
+      val rd = spark.readStream.schema(schema)
+      val src = (if (throttle) rd.option("maxFilesPerTrigger", "1") else rd)
+        .parquet(s"$dir/in")
+      StreamOps.sessionStatsFrom(src, name, GapUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+
+    val multi = run(throttle = true, "sess_multi")
+    val single = run(throttle = false, "sess_single")
+    val batch = graft.operators.Events.sessionStats(
+        Tables.events(spark, sf).filter(col("user_id") < 100)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        GapUs, tsCol = "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi === batch, "multi-batch stream diverged from batch")
+    assert(single === batch, "single-batch stream diverged from batch")
+    // the split must actually cut through sessions for the test to bite
+    assert(batch.exists(_._3 > 1), "fixture needs multi-session users")
+  }
+}
