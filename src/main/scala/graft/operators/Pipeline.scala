@@ -175,17 +175,111 @@ object Pipeline {
       |  CAST(SUM(val) AS DOUBLE) AS total_value
       |FROM last WHERE rrn = 1 AND op = 'U'""".stripMargin
 
+  // ---- q102: IQR outlier trim (Tukey fences, exact arithmetic) --------
+  // Statistical cleaning for the curation pipeline: per-order totals
+  // outside [q1 - 1.5*IQR, q3 + 1.5*IQR] are trimmed. The metric is an
+  // integer (summed floored quantities), its quartiles are dyadic-exact
+  // (q84's argument), and 1.5*IQR over dyadic quartiles is still dyadic
+  // — every comparison is exact in both engines. The fences are driver
+  // scalars (two bounded aggregates, the q1 bound-attachment pattern),
+  // so the final pass is one scan with pushable predicates.
+  def iqrTrim(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(
+        sum(floor(col("l_quantity")).cast("long")).as("tq"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("rev"))
+      .localCheckpoint(true) // consumed by the fence agg AND the trim pass
+    val qs = t.agg(expr("percentile(tq, array(0.25D, 0.75D))").as("qs"))
+      .select(
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q3"))
+      .head()
+    val (q1, q3) = (qs.getDouble(0), qs.getDouble(1))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    val kept = col("tq") >= lo && col("tq") <= hi
+    t.agg(
+      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(kept, 0L).otherwise(1L)).as("n_trimmed"),
+      sum(when(kept, col("rev"))).cast("double").as("kept_revenue"))
+  }
+
+  val iqrTrimSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, CAST(SUM(floor(l_quantity)) AS BIGINT) AS tq,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |q AS (SELECT quantile_cont(tq, 0.25) AS q1, quantile_cont(tq, 0.75) AS q3 FROM t),
+      |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      |SELECT
+      |  CAST(SUM(CASE WHEN tq BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN tq BETWEEN lo AND hi THEN 0 ELSE 1 END) AS BIGINT) AS n_trimmed,
+      |  CAST(SUM(CASE WHEN tq BETWEEN lo AND hi THEN rev END) AS DOUBLE) AS kept_revenue
+      |FROM t, b""".stripMargin
+
+  // ---- q103: table diff / reconciliation (snapshot compare) -----------
+  // The regression-testing primitive for pipeline migrations: two
+  // versions of a keyed table -> added / removed / changed / unchanged
+  // counts in ONE full-outer hash join on the key (never a row-by-row
+  // driver compare). Versions are derived deterministically from orders
+  // so both engines see identical inputs.
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(col("o_orderkey") % 100 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("9-CHANGED"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        col("o_totalprice"))
+    val j = v1.as("a").join(v2.as("b"),
+      col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+    val both = col("a.o_orderkey").isNotNull && col("b.o_orderkey").isNotNull
+    val same = col("a.o_orderpriority") === col("b.o_orderpriority") &&
+      col("a.o_totalprice") === col("b.o_totalprice")
+    j.agg(
+      sum(when(col("a.o_orderkey").isNull, 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("b.o_orderkey").isNull, 1L).otherwise(0L)).as("n_removed"),
+      sum(when(both && !same, 1L).otherwise(0L)).as("n_changed"),
+      sum(when(both && same, 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
+  val tableDiffSql: String =
+    """WITH v1 AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |            WHERE o_orderkey % 100 <> 0),
+      |v2 AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN '9-CHANGED'
+      |              ELSE o_orderpriority END AS o_orderpriority,
+      |         o_totalprice
+      |       FROM orders WHERE o_orderkey % 97 <> 0)
+      |SELECT
+      |  CAST(SUM(CASE WHEN v1.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN v2.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+      |       AND (v1.o_orderpriority <> v2.o_orderpriority
+      |            OR v1.o_totalprice <> v2.o_totalprice)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN v1.o_orderkey IS NOT NULL AND v2.o_orderkey IS NOT NULL
+      |       AND v1.o_orderpriority = v2.o_orderpriority
+      |       AND v1.o_totalprice = v2.o_totalprice
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_decile_stats"    -> (decileStats _),
     "q92_price_histogram" -> (priceHistogram _),
     "q93_expectations"    -> (expectationSuite _),
     "q94_incremental_agg" -> (incrementalDailyMerge _),
-    "q95_cdc_apply"       -> (cdcApply _))
+    "q95_cdc_apply"       -> (cdcApply _),
+    "q102_iqr_trim"       -> (iqrTrim _),
+    "q103_table_diff"     -> (tableDiff _))
 
   val oracles: Map[String, String] = Map(
     "q91_decile_stats"    -> decileStatsSql,
     "q92_price_histogram" -> priceHistogramSql,
     "q93_expectations"    -> expectationSuiteSql,
     "q94_incremental_agg" -> incrementalDailyMergeSql,
-    "q95_cdc_apply"       -> cdcApplySql)
+    "q95_cdc_apply"       -> cdcApplySql,
+    "q102_iqr_trim"       -> iqrTrimSql,
+    "q103_table_diff"     -> tableDiffSql)
 }

@@ -77,6 +77,38 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("iqrTrim: fences re-derive from the collected metric, trims the tails") {
+    val r = Pipeline.iqrTrim(spark, sf).collect().head
+    val tq = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("tq"))
+      .collect().map(_.getLong(1)).sorted
+    def interp(p: Double): Double = {
+      val pos = p * (tq.length - 1); val lo = pos.toInt
+      if (lo == tq.length - 1) tq(lo).toDouble
+      else tq(lo) + (tq(lo + 1) - tq(lo)) * (pos - lo)
+    }
+    val (q1, q3) = (interp(0.25), interp(0.75))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    val kept = tq.count(t => t >= lo && t <= hi)
+    assert(r.getLong(0) === kept)
+    assert(r.getLong(1) === tq.length - kept)
+  }
+
+  test("tableDiff: counts partition the key universe of both versions") {
+    val r = Pipeline.tableDiff(spark, sf).collect().head
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val v1 = keys.filter(_ % 100 != 0).toSet
+    val v2 = keys.filter(_ % 97 != 0).toSet
+    assert(r.getLong(0) === (v2 -- v1).size) // added
+    assert(r.getLong(1) === (v1 -- v2).size) // removed
+    // changed + unchanged = surviving intersection
+    assert(r.getLong(2) + r.getLong(3) === (v1 & v2).size)
+    // every %7==0 surviving key is a change (priority rewritten)
+    assert(r.getLong(2) >= (v1 & v2).count(_ % 7 == 0))
+  }
+
   test("weightedSampleKey: exact A-ES keys, heavier weights overrepresented") {
     graft.plans.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)
