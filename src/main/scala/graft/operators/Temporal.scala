@@ -263,6 +263,47 @@ object Temporal {
       |FROM r WHERE prev7_days >= 3 AND n * 8 * prev7_days > 9 * prev7
       |ORDER BY day""".stripMargin
 
+  // ---- q104: gaps and islands (activity-run analysis) -----------------
+  // The classic contiguity pattern: consecutive active days share
+  // day_num - row_number(), so islands fall out of one groupBy. Both
+  // windows run over the DAY-GRAIN frame (<= |days| rows after the
+  // distinct — q86's pre-aggregate-first argument), never the raw
+  // events; at 100 TB the only full-data pass is the distinct-day
+  // aggregation.
+  def gapsAndIslands(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("day_num"))
+      .distinct()
+    val w = Window.orderBy("day_num")
+    val islands = daily
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy("grp")
+      .agg(min("day_num").as("s"), max("day_num").as("e"),
+        count(lit(1)).as("len"))
+    val wI = Window.orderBy("s")
+    islands
+      .withColumn("gap", col("s") - lag("e", 1).over(wI) - 1)
+      .agg(
+        count(lit(1)).as("n_islands"),
+        max("len").as("longest_island"),
+        max("gap").as("longest_gap"))
+  }
+
+  val gapsAndIslandsSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0),
+      |r AS (SELECT day_num,
+      |        day_num - ROW_NUMBER() OVER (ORDER BY day_num) AS grp FROM daily),
+      |isl AS (SELECT grp, MIN(day_num) AS s, MAX(day_num) AS e, COUNT(*) AS len
+      |        FROM r GROUP BY 1),
+      |g AS (SELECT s - lag(e) OVER (ORDER BY s) - 1 AS gap FROM isl)
+      |SELECT CAST((SELECT COUNT(*) FROM isl) AS BIGINT) AS n_islands,
+      |       CAST((SELECT MAX(len) FROM isl) AS BIGINT) AS longest_island,
+      |       CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS longest_gap""".stripMargin
+
   // ---- q98: top-k per group (rank pushdown) ---------------------------
   // Per-group top-3 parts by decimal-exact revenue. The plan matters as
   // much as the result: Spark lowers the rank-filter idiom to
@@ -304,7 +345,8 @@ object Temporal {
     "q88_edit1_pairs"    -> (edit1NamePairs _),
     "q89_kanonymity"     -> (kAnonymityAudit _),
     "q97_spike_days"     -> (spikeDays _),
-    "q98_top_per_group"  -> (topPartsPerFlag _))
+    "q98_top_per_group"  -> (topPartsPerFlag _),
+    "q104_gaps_islands"  -> (gapsAndIslands _))
 
   val oracles: Map[String, String] = Map(
     "q84_quartiles"      -> quartilesSql,
@@ -314,5 +356,6 @@ object Temporal {
     "q88_edit1_pairs"    -> edit1NamePairsSql,
     "q89_kanonymity"     -> kAnonymityAuditSql,
     "q97_spike_days"     -> spikeDaysSql,
-    "q98_top_per_group"  -> topPartsPerFlagSql)
+    "q98_top_per_group"  -> topPartsPerFlagSql,
+    "q104_gaps_islands"  -> gapsAndIslandsSql)
 }

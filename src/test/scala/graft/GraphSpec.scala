@@ -62,6 +62,26 @@ class GraphSpec extends SparkSpec {
     assert(rows.length < nDays / 2)
   }
 
+  test("gapsAndIslands: islands and gaps re-derive from the day set") {
+    val r = Temporal.gapsAndIslands(spark, sf).collect().head
+    val days = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    // split into runs of consecutive day numbers
+    val runs = days.foldLeft(List.empty[List[Long]]) {
+      case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 =>
+        (d :: acc.head) :: acc.tail
+      case (acc, d) => List(d) :: acc
+    }
+    assert(r.getLong(0) === runs.size)
+    assert(r.getLong(1) === runs.map(_.size).max)
+    val starts = runs.map(_.last).sorted // runs are built reversed
+    val ends = runs.map(_.head).sorted
+    val gaps = starts.drop(1).zip(ends.dropRight(1)).map { case (s, e) => s - e - 1 }
+    assert(r.getLong(2) === gaps.max)
+  }
+
   test("topPartsPerFlag: exactly 3 ranked rows per flag, descending revenue") {
     val rows = Temporal.topPartsPerFlag(spark, sf).collect()
     val byFlag = rows.groupBy(_.getString(0))
