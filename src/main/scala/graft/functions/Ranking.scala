@@ -39,14 +39,18 @@ object Ranking {
     var acc = 0L
     val offsets = counts.map { case (pid, n) =>
       val o = acc; acc += n; pid -> o
-    }.toMap // offsets(pid) = rows in partitions before pid
-    val offsetExpr = counts.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
-      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
-    }
+    } // offsets(pid) = rows in partitions before pid
+    // rejoin the offsets as a BROADCAST dim (one row per partition) —
+    // a when-chain over thousands of partitions would blow codegen's
+    // method-size limit; a broadcast hash join is flat at any count
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
     val wIntra = Window.partitionBy("__pid").orderBy(cols: _*)
     ranged
-      .withColumn(out, row_number().over(wIntra).cast("long") + offsetExpr)
-      .drop("__pid")
+      .join(broadcast(offDf), "__pid")
+      .withColumn(out, row_number().over(wIntra).cast("long") + col("__off"))
+      .drop("__pid", "__off")
   }
 
   /** SQL NTILE(k) bucket (1-based) from a 1-based global row number:
