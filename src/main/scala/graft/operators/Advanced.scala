@@ -254,6 +254,30 @@ object Advanced {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---- q105: CUBE with GROUPING() disambiguation ----------------------
+  // Completes the grouping-set family (q65 is ROLLUP): all 2^k subtotal
+  // combinations in ONE pass (Catalyst's Expand), with grouping_id
+  // distinguishing "NULL because subtotal" from "NULL in the data" —
+  // the standard-SQL answer to the subtotal-ambiguity problem.
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val cubeSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---- q66: pivot (long -> wide conditional aggregation) -------------
   // Spark's pivot with EXPLICIT values (never let the engine scan for
   // the value set at 100 TB — that is a whole extra pass); the oracle
@@ -498,6 +522,7 @@ object Advanced {
     "q58_jsonl_ingest"      -> (jsonlIngest _),
     "q60_orc_roundtrip"     -> (orcRoundtrip _),
     "q65_rollup"            -> (rollupSummary _),
+    "q105_cube"             -> (cubeSummary _),
     "q66_pivot"             -> (pivotEvents _),
     "q67_json_extract"      -> (jsonExtract _),
     "q68_set_ops"           -> (setOps _),
@@ -521,6 +546,7 @@ object Advanced {
     "q58_jsonl_ingest"      -> jsonlIngestSql,
     "q60_orc_roundtrip"     -> orcRoundtripSql,
     "q65_rollup"            -> rollupSummarySql,
+    "q105_cube"             -> cubeSummarySql,
     "q66_pivot"             -> pivotEventsSql,
     "q67_json_extract"      -> jsonExtractSql,
     "q68_set_ops"           -> setOpsSql,

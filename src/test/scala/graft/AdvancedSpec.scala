@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 class AdvancedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cubeSummary: 2^k grouping sets, gid disambiguates subtotal NULLs") {
+    val rows = graft.operators.Advanced.cubeSummary(spark, sf).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L))
+    // the grand total row counts everything once
+    val total = byGid(3L).head.getLong(3)
+    assert(total === Tables.lineitem(spark, sf).count())
+    // each grouping set partitions the same universe
+    byGid.values.foreach(g => assert(g.map(_.getLong(3)).sum === total))
+  }
+
   test("QueryRunner: all six reference builtins run over registered views") {
     QueryRunner.register(spark, sf)
     assert(QueryRunner.builtins.size === 6)
