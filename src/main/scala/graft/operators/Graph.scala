@@ -76,9 +76,41 @@ object Graph {
       |SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
       |       CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles""".stripMargin
 
+  /** q106: frequent co-occurrence mining (market-basket pairwise
+    * support): top-k part pairs by the number of orders containing
+    * both. One self-join on the (distinct) basket contents — the same
+    * shuffle shape as q96's edge build — then a grouped count and a
+    * TakeOrderedAndProject top-k with full tiebreak. At scale the
+    * standard guard is pre-filtering items below minimum support
+    * (A-Priori's first pass) before the pair join; the synthetic
+    * baskets are small enough that the raw join is the honest shape. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(10)
+  }
+
+  val basketPairsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+      |FROM pairs ORDER BY n_orders DESC, part_a, part_b LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q96_triangle_count" -> (triangleCount _))
+    "q96_triangle_count" -> (triangleCount _),
+    "q106_basket_pairs"  -> (basketPairs _))
 
   val oracles: Map[String, String] = Map(
-    "q96_triangle_count" -> triangleCountSql)
+    "q96_triangle_count" -> triangleCountSql,
+    "q106_basket_pairs"  -> basketPairsSql)
 }

@@ -62,6 +62,23 @@ class GraphSpec extends SparkSpec {
     assert(rows.length < nDays / 2)
   }
 
+  test("basketPairs: top pair counts re-derive from the basket contents") {
+    val rows = Graph.basketPairs(spark, sf).collect()
+    assert(rows.length === 10)
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, vs) => vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(baskets.count(s => s.contains(a) && s.contains(b)) === n)
+    }
+    // descending support with deterministic tiebreak
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getLong(2) >= y.getLong(2))
+    }
+  }
+
   test("gapsAndIslands: islands and gaps re-derive from the day set") {
     val r = Temporal.gapsAndIslands(spark, sf).collect().head
     val days = Tables.events(spark, sf)
