@@ -25,12 +25,22 @@ object Ranking {
   /** `df` plus a 1-based global row number `out`, ordered by `sortCols`
     * (include a unique tiebreaker for a deterministic ranking). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[String],
-                      out: String = "rn"): DataFrame = {
+                      out: String = "rn"): DataFrame =
+    globalRowNumberWithCount(df, sortCols, out)._1
+
+  /** [[globalRowNumber]] plus the total row count — already on the
+    * driver from the per-partition count pass, so callers needing n
+    * (NTILE, percent_rank) don't pay a second full execution. */
+  def globalRowNumberWithCount(df: DataFrame, sortCols: Seq[String],
+                               out: String = "rn"): (DataFrame, Long) = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cols: Seq[Column] = sortCols.map(col)
+    // no sortWithinPartitions here: the intra-partition window below
+    // re-sorts after its own __pid exchange anyway (localCheckpoint
+    // erases ordering metadata), so a pre-sort would be paid and thrown
+    // away — range partitioning alone is what the ranking needs
     val ranged = df
       .repartitionByRange(parts, cols: _*)
-      .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     // one row per partition -> driver; exclusive prefix-sum the offsets
@@ -47,10 +57,11 @@ object Ranking {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
     val wIntra = Window.partitionBy("__pid").orderBy(cols: _*)
-    ranged
+    val ranked = ranged
       .join(broadcast(offDf), "__pid")
       .withColumn(out, row_number().over(wIntra).cast("long") + col("__off"))
       .drop("__pid", "__off")
+    (ranked, acc)
   }
 
   /** SQL NTILE(k) bucket (1-based) from a 1-based global row number:

@@ -142,9 +142,13 @@ object Dedup {
     * For unbounded corpora use [[minhashLshPairs]]; use this where the
     * result must be exact and the corpus is bounded.
     *
-    * (For thresholds like 0.2 whose binary double sits ABOVE the
-    * rational value, `ceil` can only lengthen the prefix — the safe
-    * direction. The spec pins pair-set equality with exactAllPairs.) */
+    * (Float care: a `threshold * |s|` product that rounds ABOVE an
+    * integral value raises the ceil and SHORTENS the prefix — the
+    * recall-losing direction. The bound therefore subtracts a guard
+    * epsilon (far above the product's max rounding error, ~2e-7 at
+    * |s|=1e9) before the ceil: at worst the prefix lengthens by one
+    * token — more candidates, never lost recall. The spec pins
+    * pair-set equality with exactAllPairs.) */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -156,7 +160,7 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .join(sz, "doc_id")
       .filter(col("rn") <=
-        col("szn") - ceil(lit(threshold) * col("szn")) + lit(1))
+        col("szn") - ceil(lit(threshold) * col("szn") - lit(1e-6)) + lit(1))
       .select("doc_id", "h64")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))

@@ -28,16 +28,11 @@ object Graph {
     * scale and one that doesn't. The oracle counts the same triangles
     * with the definitional a<b<c 3-way join.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") % 10 === 0)
-      .select("l_orderkey", "l_partkey").distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-      .localCheckpoint(true) // one materialization; consumed 4x below
+  /** Degree-ordered triangles from an id-ordered (u < v) undirected
+    * edge list — the reusable core (also what the planted-clique spec
+    * drives, so the test exercises THIS code, not a copy). */
+  def trianglesFromEdges(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true) // consumed 4x below
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -61,6 +56,18 @@ object Graph {
       col("x") === col("u") && col("y") === col("v"))
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    trianglesFromEdges(edges)
   }
 
   val triangleCountSql: String =

@@ -24,9 +24,10 @@ object Pipeline {
   // oracle is the definitional single-window NTILE.
   def decileStats(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
-    val ranked = Ranking.globalRowNumber(
+    // n comes back with the ranking (it's on the driver from the
+    // per-partition count pass) — no second execution of the pipeline
+    val (ranked, n) = Ranking.globalRowNumberWithCount(
       orders, Seq("o_totalprice", "o_orderkey"))
-    val n = ranked.agg(max("rn")).head.getLong(0) // driver scalar (bounded)
     ranked
       .withColumn("decile", Ranking.ntileFromRowNumber(col("rn"), n, 10))
       .groupBy("decile")

@@ -30,24 +30,9 @@ class GraphSpec extends SparkSpec {
   test("triangleCount: a planted 4-clique yields exactly 4 triangles") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L)).toDF("u", "v")
-    // same pipeline as triangleCount from the edge list down
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val oriented = edges
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-      .select(
-        when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("x"), col("e2.t").as("y"))
-    val n = wedges.join(edges, col("x") === col("u") && col("y") === col("v")).count()
-    assert(n === 4L)
+    val row = Graph.trianglesFromEdges(edges).collect().head
+    assert(row.getLong(0) === 7L)
+    assert(row.getLong(1) === 4L)
   }
 
   test("spikeDays: every flagged day beats 9/8 of its trailing mean") {

@@ -21,19 +21,25 @@ class StreamSessionSpec extends SparkSpec {
     // two TIME-ORDERED files: all early events, then all late events —
     // the in-order-ingest contract the operator documents
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                 mtimeMs: Long): Unit = {
       val tmp = s"$dir/__tmp"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/in/$name"),
+      val dst = java.nio.file.Paths.get(s"$dir/in/$name")
+      java.nio.file.Files.move(part.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // FileStreamSource orders by modification time (ms granularity;
+      // ties break arbitrarily) — pin distinct mtimes so the two files
+      // cannot tie and arrive out of order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/in"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
-    writeOne(ev.filter(col("ts_us") <= cut), "0.parquet")
-    writeOne(ev.filter(col("ts_us") > cut), "1.parquet")
+    writeOne(ev.filter(col("ts_us") <= cut), "0.parquet", 1000000L)
+    writeOne(ev.filter(col("ts_us") > cut), "1.parquet", 2000000L)
     val schema = spark.read.parquet(s"$dir/in").schema
 
     def run(throttle: Boolean, name: String) = {

@@ -29,7 +29,8 @@ class TextDedupSpec extends SparkSpec {
       .partitionBy("doc_id").orderBy(col("tdf"), col("h64"))
     val nPrefix = sh.join(dfTok, "h64")
       .withColumn("rn", row_number().over(w)).join(sz, "doc_id")
-      .filter(col("rn") <= col("szn") - ceil(lit(0.2) * col("szn")) + lit(1))
+      .filter(col("rn") <=
+        col("szn") - ceil(lit(0.2) * col("szn") - lit(1e-6)) + lit(1))
       .count()
     assert(nPrefix < total, s"prefix $nPrefix vs total $total")
   }
