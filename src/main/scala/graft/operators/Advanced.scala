@@ -254,6 +254,45 @@ object Advanced {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---- q107: parquet schema evolution on read (mergeSchema) ----------
+  // The lakehouse counterpart of q16's CSV drift: two parquet writes
+  // with DIFFERENT schemas (an old producer with quantity, a new one
+  // with price+flag) read back as one evolved table via mergeSchema —
+  // columns align by name, absent columns are null. The summary must
+  // equal a direct computation over the original rows, which is the
+  // oracle. At scale mergeSchema reads every footer once (schema
+  // union), then scans normally; a production table pins the merged
+  // schema in the catalog instead of re-deriving it per read.
+  def parquetEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val tmp = s"/tmp/graft_pqevo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    li.filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    li.filter(col("l_linenumber") > 3)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/v1", s"$tmp/v2")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_with_qty"),
+        count(col("l_extendedprice")).as("n_with_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("total_price"))
+  }
+
+  val parquetEvolutionSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_linenumber <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_qty,
+      |  CAST(SUM(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+      |  CAST(SUM(CASE WHEN l_linenumber <= 3
+      |       THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CASE WHEN l_linenumber > 3
+      |       THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_price
+      |FROM lineitem""".stripMargin
+
   // ---- q105: CUBE with GROUPING() disambiguation ----------------------
   // Completes the grouping-set family (q65 is ROLLUP): all 2^k subtotal
   // combinations in ONE pass (Catalyst's Expand), with grouping_id
@@ -523,6 +562,7 @@ object Advanced {
     "q60_orc_roundtrip"     -> (orcRoundtrip _),
     "q65_rollup"            -> (rollupSummary _),
     "q105_cube"             -> (cubeSummary _),
+    "q107_parquet_evolution" -> (parquetEvolution _),
     "q66_pivot"             -> (pivotEvents _),
     "q67_json_extract"      -> (jsonExtract _),
     "q68_set_ops"           -> (setOps _),
@@ -547,6 +587,7 @@ object Advanced {
     "q60_orc_roundtrip"     -> orcRoundtripSql,
     "q65_rollup"            -> rollupSummarySql,
     "q105_cube"             -> cubeSummarySql,
+    "q107_parquet_evolution" -> parquetEvolutionSql,
     "q66_pivot"             -> pivotEventsSql,
     "q67_json_extract"      -> jsonExtractSql,
     "q68_set_ops"           -> setOpsSql,

@@ -18,6 +18,15 @@ class AdvancedSpec extends SparkSpec {
     byGid.values.foreach(g => assert(g.map(_.getLong(3)).sum === total))
   }
 
+  test("parquetEvolution: merged schema unions by name, absent columns null") {
+    val r = graft.operators.Advanced.parquetEvolution(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+    assert(r.getLong(0) === li.count())
+    assert(r.getLong(1) === li.filter(col("l_linenumber") <= 3).count())
+    assert(r.getLong(2) === li.filter(col("l_linenumber") > 3).count())
+    assert(r.getLong(1) + r.getLong(2) === r.getLong(0))
+  }
+
   test("QueryRunner: all six reference builtins run over registered views") {
     QueryRunner.register(spark, sf)
     assert(QueryRunner.builtins.size === 6)
