@@ -211,6 +211,32 @@ object Llm {
        |FROM labels GROUP BY 1 HAVING COUNT(*) > 1
        |ORDER BY canonical_doc""".stripMargin
 
+  // ---- q109: cluster-size histogram (dedup diagnostics) --------------
+  // The distribution of near-dup cluster sizes — the first thing a
+  // curation run inspects (a fat tail means a boilerplate family or a
+  // bucketing bug). One extra grouped count over q40's clusters; the
+  // oracle extends the same recursive-CTE closure.
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(minhashPairs(spark, dir))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val clusterSizeHistogramSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |sizes AS (SELECT rep, COUNT(*) AS cluster_size FROM labels
+       |          GROUP BY 1 HAVING COUNT(*) > 1)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q59: deduplicated corpus (the endgame over q22+q40) -----------
   // Survivors = every doc except non-canonical cluster members. The
   // oracle derives the same survivor set through the recursive-CTE
@@ -862,6 +888,7 @@ object Llm {
     "q76_ivf_layout_topk"   -> (ivfLayoutTopKQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
+    "q109_cluster_sizes"    -> (clusterSizeHistogram _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
@@ -894,6 +921,7 @@ object Llm {
     "q76_ivf_layout_topk"   -> ivfTopKSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
+    "q109_cluster_sizes"    -> clusterSizeHistogramSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,

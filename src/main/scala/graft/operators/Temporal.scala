@@ -304,6 +304,40 @@ object Temporal {
       |       CAST((SELECT MAX(len) FROM isl) AS BIGINT) AS longest_island,
       |       CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS longest_gap""".stripMargin
 
+  // ---- q108: sliding-window COUNT DISTINCT (rolling active users) -----
+  // Window functions cannot express COUNT(DISTINCT) over a frame; the
+  // scalable form EXPANDS each (day, user) activity fact to the 7
+  // window positions it contributes to (explode of a 7-element
+  // sequence — a bounded fan-out equal to the window length), then one
+  // grouped distinct count per day. Input is the DISTINCT day-grain
+  // activity (the only full-data pass); window-length x |active-days|
+  // rows feed the final aggregate, never raw events.
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("d"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // consumed by the bounds agg AND the expand
+    val b = du.agg(min("d").as("mn"), max("d").as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    du.select(explode(expr("sequence(d, d + 6)")).as("day_num"), col("user_id"))
+      .filter(col("day_num") >= mn && col("day_num") <= mx)
+      .groupBy("day_num")
+      .agg(countDistinct("user_id").as("n_users_7d"))
+      .orderBy("day_num")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |         user_id
+      |  FROM events WHERE event_type = 'view'),
+      |b AS (SELECT min(d) AS mn, max(d) AS mx FROM du),
+      |ex AS (SELECT unnest(generate_series(d, d + 6)) AS day_num, user_id FROM du)
+      |SELECT day_num, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+      |FROM ex, b WHERE day_num BETWEEN mn AND mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q98: top-k per group (rank pushdown) ---------------------------
   // Per-group top-3 parts by decimal-exact revenue. The plan matters as
   // much as the result: Spark lowers the rank-filter idiom to
@@ -346,7 +380,8 @@ object Temporal {
     "q89_kanonymity"     -> (kAnonymityAudit _),
     "q97_spike_days"     -> (spikeDays _),
     "q98_top_per_group"  -> (topPartsPerFlag _),
-    "q104_gaps_islands"  -> (gapsAndIslands _))
+    "q104_gaps_islands"  -> (gapsAndIslands _),
+    "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
     "q84_quartiles"      -> quartilesSql,
@@ -357,5 +392,6 @@ object Temporal {
     "q89_kanonymity"     -> kAnonymityAuditSql,
     "q97_spike_days"     -> spikeDaysSql,
     "q98_top_per_group"  -> topPartsPerFlagSql,
-    "q104_gaps_islands"  -> gapsAndIslandsSql)
+    "q104_gaps_islands"  -> gapsAndIslandsSql,
+    "q108_rolling_users" -> rollingActiveUsersSql)
 }

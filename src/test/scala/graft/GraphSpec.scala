@@ -64,6 +64,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("rollingActiveUsers: each day's count equals the brute trailing-7 set") {
+    val rows = Temporal.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val du = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"),
+        col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (day, n) =>
+      val brute = du.filter { case (d, _) => d >= day - 6 && d <= day }
+        .map(_._2).toSet.size
+      assert(n === brute, s"day $day")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("clusterSizeHistogram: sizes sum back to the clustered doc count") {
+    val hist = graft.operators.Llm.clusterSizeHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val clusters = graft.operators.Llm.dedupClusters(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(hist.map(_._2).sum === clusters.length)
+    assert(hist.map { case (sz, n) => sz * n }.sum === clusters.sum)
+    hist.foreach { case (sz, _) => assert(sz > 1) }
+  }
+
   test("gapsAndIslands: islands and gaps re-derive from the day set") {
     val r = Temporal.gapsAndIslands(spark, sf).collect().head
     val days = Tables.events(spark, sf)
