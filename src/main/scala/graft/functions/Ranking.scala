@@ -28,13 +28,23 @@ object Ranking {
                       out: String = "rn"): DataFrame =
     globalRowNumberWithCount(df, sortCols, out)._1
 
+  /** [[globalRowNumber]] with explicit sort-direction expressions
+    * (`desc("n"), asc("token")`) — named (not overloaded) because
+    * `Seq[String]` and `Seq[Column]` erase to the same signature. */
+  def globalRowNumberSorted(df: DataFrame, sortCols: Seq[Column],
+                            out: String = "rn"): DataFrame =
+    rankImpl(df, sortCols, out)._1
+
   /** [[globalRowNumber]] plus the total row count — already on the
     * driver from the per-partition count pass, so callers needing n
     * (NTILE, percent_rank) don't pay a second full execution. */
   def globalRowNumberWithCount(df: DataFrame, sortCols: Seq[String],
-                               out: String = "rn"): (DataFrame, Long) = {
+                               out: String = "rn"): (DataFrame, Long) =
+    rankImpl(df, sortCols.map(col), out)
+
+  private def rankImpl(df: DataFrame, cols: Seq[Column],
+                       out: String): (DataFrame, Long) = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val cols: Seq[Column] = sortCols.map(col)
     // no sortWithinPartitions here: the intra-partition window below
     // re-sorts after its own __pid exchange anyway (localCheckpoint
     // erases ordering metadata), so a pre-sort would be paid and thrown

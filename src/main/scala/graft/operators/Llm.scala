@@ -326,20 +326,22 @@ object Llm {
   // Corpus token frequencies -> surviving vocab (n >= minCount) with
   // deterministic frequency-ranked ids — the input every tokenizer
   // trainer consumes. Scale shape: one explode + one groupBy over the
-  // corpus (map-side combinable counts); the ranking window is global
-  // but runs over the AGGREGATED vocab (bounded by distinct tokens
-  // after the cut, orders of magnitude smaller than the corpus) — the
-  // standard place a single-partition window is acceptable.
+  // corpus (map-side combinable counts); the ranking runs over the
+  // aggregated vocab — which at the 100 TB north-star (minCount=5 on a
+  // web corpus) is still 10^8-10^9 distinct tokens, so it uses the
+  // distributed ranker (range-repartition + per-partition rank +
+  // prefix offsets, Ranking.scala) — no single-partition ORDER BY
+  // window anywhere in the plan.
   private val VocabMinCount = 5L
 
   def vocab(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs.select(explode(Text.tokens(col(textCol))).as("token"))
+    val agg = docs.select(explode(Text.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("token_id",
-        (row_number().over(Window.orderBy(desc("n"), asc("token"))) - 1)
-          .cast("long"))
+    graft.functions.Ranking
+      .globalRowNumberSorted(agg, Seq(desc("n"), asc("token")), "token_id")
+      .withColumn("token_id", col("token_id") - 1L)
   }
 
   def buildVocab(spark: SparkSession, dir: String): DataFrame =

@@ -64,6 +64,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs: guard equals unguarded-then-filter; hub basket pruned") {
+    // one hub basket (id 1) with 60 singleton-support items — the skew
+    // shape that makes the unguarded join emit C(60,2)=1770 pairs from
+    // a single row — plus small baskets whose items repeat
+    val rows = (1 to 60).map(i => (1L, 1000L + i)) ++
+      Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 3L),
+        (5L, 1L), (5L, 2L), (5L, 3L))
+    val df = rows.toDF("basket", "item")
+    val guarded = Graph.frequentPairs(df, "basket", "item", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute: all pairs from the raw baskets, then filter support >= 2
+    val baskets = rows.groupBy(_._1).map { case (_, vs) => vs.map(_._2).toSet }
+    val brute = baskets.toSeq
+      .flatMap(s => for (a <- s; b <- s if a < b) yield (a, b))
+      .groupBy(identity).map { case (p, os) => (p._1, p._2, os.size.toLong) }
+      .filter(_._3 >= 2L).toSet
+    assert(guarded === brute)
+    assert(guarded === Set((1L, 2L, 3L), (1L, 3L, 2L)))
+    // candidate volume tracks SURVIVING items (1,2,3), not basket size²:
+    // baskets 2,3,4 contribute 1 candidate each, basket 5 contributes 3,
+    // the 60-item hub contributes ZERO
+    assert(Graph.frequentPairCandidates(df, "basket", "item", 2L).count() === 6L)
+    // and the prune is in the physical plan, not an accident of the data
+    val plan = Graph.frequentPairs(df, "basket", "item", 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"A-Priori semi-join prune missing:\n$plan")
+  }
+
   test("rollingActiveUsers: each day's count equals the brute trailing-7 set") {
     val rows = Temporal.rollingActiveUsers(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -126,6 +126,17 @@ class PlanAuditSpec extends SparkSpec {
       "semanticDedup")
   }
 
+  test("vocab plan: ranking has no single-partition exchange") {
+    // q79's token_id must come from the distributed ranker — a
+    // row_number() OVER (ORDER BY ...) would show up here as
+    // `Exchange SinglePartition` feeding a Window, the whole vocab
+    // through one task
+    val plan = physical(
+      graft.operators.Llm.vocab(Tables.documents(spark, sf), "text", 5L))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"vocab ranking funnels through one partition:\n$plan")
+  }
+
   test("topPartsPerFlag plan: rank filter lowers to WindowGroupLimit") {
     val plan = physical(graft.operators.Temporal.topPartsPerFlag(spark, sf))
     assert(plan.contains("WindowGroupLimit"),
