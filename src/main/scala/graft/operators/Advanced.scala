@@ -172,16 +172,23 @@ object Advanced {
   def warehouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Warehouse
     val li = Tables.lineitem(spark, dir)
-    val path = s"/tmp/graft_wh_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // per-session scratch (applicationId): concurrent sessions on the
+    // same dataset must not race on the overwrite; summary materialized
+    // so the scratch warehouse can be deleted before returning
+    val path = s"/tmp/graft_wh_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
     Warehouse.writeMonthlyTransactions(li, path)
     val wh = Warehouse.read(spark, path)
     val maxMonth = wh.agg(max("sale_month")).head().getString(0)
     // Filter on the partition column: only that month's directory is read
     // (PartitionFilters in the plan — the "index" at work).
-    wh.filter(col("sale_month") === maxMonth)
+    val out = wh.filter(col("sale_month") === maxMonth)
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    out
   }
 
   val warehouseRoundtripSql: String =
@@ -265,14 +272,19 @@ object Advanced {
   // schema in the catalog instead of re-deriving it per read.
   def parquetEvolution(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val tmp = s"/tmp/graft_pqevo_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // per-session scratch path (applicationId) so concurrent sessions
+    // verifying the same dataset never race on the overwrite writes;
+    // the 1-row summary is materialized below so the scratch can be
+    // deleted before returning
+    val tmp = s"/tmp/graft_pqevo_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
     li.filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey"), col("l_quantity"))
       .write.mode("overwrite").parquet(s"$tmp/v1")
     li.filter(col("l_linenumber") > 3)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
       .write.mode("overwrite").parquet(s"$tmp/v2")
-    spark.read.option("mergeSchema", "true")
+    val out = spark.read.option("mergeSchema", "true")
       .parquet(s"$tmp/v1", s"$tmp/v2")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -281,6 +293,9 @@ object Advanced {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"),
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
           .as("total_price"))
+      .localCheckpoint(true) // cut lineage to the scratch files
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
   }
 
   val parquetEvolutionSql: String =

@@ -196,6 +196,11 @@ object Pipeline {
         element_at(col("qs"), 1).as("q1"),
         element_at(col("qs"), 2).as("q3"))
       .head()
+    // empty input -> empty frame (the percentile row is null; getDouble
+    // would NPE on the driver)
+    if (qs.isNullAt(0))
+      return t.agg(count(lit(1)).as("n_kept"), count(lit(1)).as("n_trimmed"),
+        lit(null).cast("double").as("kept_revenue")).limit(0)
     val (q1, q3) = (qs.getDouble(0), qs.getDouble(1))
     val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
     val kept = col("tq") >= lo && col("tq") <= hi

@@ -572,18 +572,25 @@ object Quality {
         .otherwise(regexp_replace(
           col("l_extendedprice").cast(DecimalType(18, 2)).cast("string"),
           "\\.", ",")).as("PRICE"))
-    val tmp = s"/tmp/graft_csv_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    // per-session scratch (applicationId): concurrent sessions on the
+    // same dataset must not race on the overwrite; summary materialized
+    // so the scratch CSVs can be deleted before returning
+    val tmp = s"/tmp/graft_csv_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
     CsvSource.write(base.filter(col("LINENUMBER") <= 3), s"$tmp/a")
     CsvSource.write(base.filter(col("LINENUMBER") > 3).drop("QTY"), s"$tmp/b")
     val target = StructType(Seq(
       StructField("orderkey", LongType), StructField("linenumber", IntegerType),
       StructField("qty", IntegerType), StructField("price", DecimalType(18, 2))))
-    CsvSource.readAligned(spark, Seq(s"$tmp/a", s"$tmp/b"), target)
+    val out = CsvSource.readAligned(spark, Seq(s"$tmp/a", s"$tmp/b"), target)
       .agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("qty"))).as("n_missing_qty"),
         (count(lit(1)) - count(col("price"))).as("n_null_price"),
         sum("price").cast("double").as("total_price"))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
   }
 
   val csvRoundtripSql: String =

@@ -320,6 +320,14 @@ object Temporal {
       .distinct()
       .localCheckpoint(true) // consumed by the bounds agg AND the expand
     val b = du.agg(min("d").as("mn"), max("d").as("mx")).head()
+    // no activity at all -> empty frame (not a driver NPE on the null
+    // bounds row). Output contract is SPARSE: an in-range day whose
+    // trailing 7-day window saw no activity emits no row (the DuckDB
+    // oracle does the same expansion); left-join q85's gap-fill
+    // calendar for a dense zero-filled series.
+    if (b.isNullAt(0))
+      return du.select(col("d").as("day_num"),
+        lit(0L).as("n_users_7d")).limit(0)
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     du.select(explode(expr("sequence(d, d + 6)")).as("day_num"), col("user_id"))
       .filter(col("day_num") >= mn && col("day_num") <= mx)

@@ -17,18 +17,63 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
   */
 object StreamOps {
 
+  // -------- shared harness plumbing ---------------------------------
+
+  private val queryCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Collision-free memory-sink query name: `abs(dir.hashCode)` alone
+    * can collide across distinct dirs (and repeats across runs), so a
+    * process-wide monotonic counter disambiguates. */
+  private def freshName(prefix: String, dir: String): String =
+    prefix + math.abs(dir.hashCode).toString + "_" +
+      queryCounter.incrementAndGet().toString
+
+  /** Run `f` with `spark.sql.legacy.parquet.nanosAsLong=true`, then
+    * restore the previous value — the testdata events file carries
+    * TIMESTAMP(NANOS), but the session-global conf must not leak into
+    * unrelated reads. */
+  private def withNanosAsLong[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Drain a bounded stream through a memory sink and return the sink
+    * table; the per-run checkpoint temp dir is deleted afterwards (a
+    * leaked dir per call adds up over a long-lived driver). */
+  private def drain(df: DataFrame, queryName: String,
+                    mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window counts + exact value sums over the events
     * stream, executed with the AvailableNow-style drain (memory sink)
     * so a bounded parquet replay terminates. */
-  def hourlyEventRollup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def hourlyEventRollup(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
     // Static schema probe (cheap; metadata only) so readStream needs no
     // inference. ts arrives as LongType nanos (TIMESTAMP(NANOS) parquet).
     val fileSchema: StructType =
       spark.read.parquet(s"$dir/events.parquet").schema
-    val queryName = "graft_stream_" + math.abs(dir.hashCode).toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
+    val queryName = freshName("graft_stream_", dir)
 
     val tsCol =
       if (fileSchema("ts").dataType == LongType)
@@ -50,16 +95,7 @@ object StreamOps {
         unix_millis(col("window.start")).as("hour_start_ms"),
         col("event_type"), col("n"), col("total_value"))
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
-    spark.table(queryName).orderBy("hour_start_ms", "event_type")
+    drain(stream, queryName, "complete").orderBy("hour_start_ms", "event_type")
   }
 
   /** Streaming deduplication with bounded state:
@@ -72,13 +108,11 @@ object StreamOps {
     * groupBy at 100 TB/day. Downstream, a per-type count must equal the
     * batch count over the original (un-doubled) events — the q42
     * oracle. */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
     val fileSchema: StructType =
       spark.read.parquet(s"$dir/events.parquet").schema
-    val queryName = "graft_dedup_" + math.abs(dir.hashCode).toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_dedup_ckpt").toString
+    val queryName = freshName("graft_dedup_", dir)
 
     def src: DataFrame = {
       val s = spark.readStream.schema(fileSchema)
@@ -97,16 +131,7 @@ object StreamOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
 
-    val q = deduped.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
-    spark.table(queryName).orderBy("event_type")
+    drain(deduped, queryName, "complete").orderBy("event_type")
   }
 
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
@@ -116,117 +141,177 @@ object StreamOps {
     * AdvancedSpec.
     *
     * Scale: state is one small tuple per user, partitioned by the
-    * grouping key; eviction policy would hang off GroupStateTimeout in a
-    * production job (unbounded key spaces need TTLs or it's a leak).
-    */
-  def statefulUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    * grouping key, and EVICTED by an event-time TTL
+    * (GroupStateTimeout.EventTimeTimeout): a user idle past `ttlUs`
+    * emits its final segment and is removed — the property that keeps
+    * state bounded by ACTIVE users, not ever-seen users, on an
+    * unbounded key space. A re-appearing user opens a fresh segment;
+    * because counts and cents are additive, summing a user's segments
+    * equals the batch GROUP BY for ANY ttl — eviction never trades
+    * correctness, only state size. */
+  def statefulUserTotals(spark: SparkSession, dir: String,
+                         ttlUs: Long = 3600L * 1000000L): DataFrame =
+    withNanosAsLong(spark) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val queryName = "graft_state_" + math.abs(dir.hashCode).toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_state_ckpt").toString
+    val queryName = freshName("graft_state_", dir)
+    val tsUs =
+      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
+      else unix_micros(col("ts"))
 
     val updates = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .as[(Long, Long)]
+        round(col("value") * 100).cast("long").as("cents"),
+        tsUs.cast("long").as("ts_us"))
+      // the watermark column must flow INTO the stateful operator (the
+      // streaming checker rejects an event-time timeout whose watermark
+      // attribute was projected away), so ts_event rides along unused
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "0 seconds")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
-          var n = n0; var c = c0
-          rows.foreach { r => n += 1; c += r._2 }
-          state.update((n, c))
-          (uid, n, c)
+      // state = (segment start ts, last ts, n, cents); segment start
+      // identifies the segment in the output so the sink-side rollup
+      // can take max-per-segment then sum across segments
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, _, n, c) = state.get
+            state.remove() // evict: final segment row already emitted
+            (uid, s0, n, c)
+          } else {
+            var (s0, last, n, c) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0L, 0L))
+            rows.foreach { r =>
+              if (s0 == Long.MinValue) s0 = r._3
+              n += 1; c += r._2
+              if (r._3 > last) last = r._3
+            }
+            state.update((s0, last, n, c))
+            // event-time TTL anchored at the segment's last event; the
+            // max() guard keeps Spark's timestamp>watermark invariant
+            // if an out-of-contract late row ever slips through
+            state.setTimeoutTimestamp(
+              math.max((last + ttlUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            (uid, s0, n, c)
+          }
       }
-      .toDF("user_id", "n_events", "total_cents")
+      .toDF("user_id", "seg_start", "n_events", "total_cents")
 
-    val q = updates.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
-    // keep the latest state per user (update mode appends one row per
-    // batch; the event count is monotone, so max(struct) picks the
-    // final state atomically)
-    spark.table(queryName)
-      .groupBy("user_id")
+    // update mode appends one row per user-segment per batch; counters
+    // are monotone WITHIN a segment, so max(struct) picks each
+    // segment's final state, and segments sum exactly (additive)
+    drain(updates, queryName, "update")
+      .groupBy("user_id", "seg_start")
       .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
-      .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+      .groupBy("user_id")
+      .agg(sum(col("s.n_events")).as("n_events"),
+        sum(col("s.total_cents")).as("total_cents"))
       .orderBy("user_id")
   }
 
   /** STREAMING gap-based sessionization over an in-order event stream:
-    * per-user state is just (last event time, event count, session
-    * count) — O(1) per user, evicted never (a production job adds a
-    * state TTL; the bounded replay doesn't need one). Each microbatch
-    * merges its (sorted) new events into the running state: an event
-    * more than `gapUs` after the previous one opens a new session —
-    * exactly the batch `lag`-window rule, computed incrementally. Emits
-    * the updated totals every batch; the caller keeps the latest per
-    * user (both counters are monotone).
+    * per-user state is just (segment start, last event time, event
+    * count, session count) — O(1) per user — and EVICTED by an
+    * event-time TTL: a user idle past `ttlUs` (watermark-driven,
+    * GroupStateTimeout.EventTimeTimeout) emits its final segment and
+    * is removed; a re-appearing user opens a fresh segment. Each
+    * microbatch merges its (sorted) new events into the running state:
+    * an event more than `gapUs` after the previous one opens a new
+    * session — exactly the batch `lag`-window rule, computed
+    * incrementally.
+    *
+    * TTL correctness: with `ttlUs >= gapUs` (enforced), an eviction
+    * boundary implies idle > gap, i.e. exactly where the batch rule
+    * starts a new session anyway — so summing a user's segments equals
+    * the batch result, which is why the TTL path IS the q101 oracle
+    * path, not a side lane. State size is bounded by users active
+    * within the TTL horizon, not users ever seen.
     *
     * Contract: batch parity (q29's oracle) requires per-user event-time
     * order ACROSS microbatches (in-order ingest — the file/Kafka
     * ordering a sessionization pipeline assumes); order WITHIN a batch
     * is restored by the sort. StreamSessionSpec proves multi-batch ==
-    * single-batch == the batch operator. */
-  def sessionStatsFrom(src: DataFrame, queryName: String,
-                       gapUs: Long): DataFrame = {
+    * single-batch == the batch operator, and that an idle user is
+    * really evicted (two segments) with totals unchanged. */
+  def sessionStatsFrom(src: DataFrame, queryName: String, gapUs: Long,
+                       ttlUs: Long = -1L): DataFrame =
+    sessionSegmentsFrom(src, queryName, gapUs,
+        if (ttlUs >= 0) ttlUs else 2L * gapUs)
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_sessions")).as("n_sessions"))
+
+  /** The per-segment form of [[sessionStatsFrom]]: one row per
+    * (user, TTL-delimited state segment). Exposed so tests can observe
+    * eviction directly — an evicted-then-returning user shows two
+    * segments whose stats sum to the batch answer. */
+  def sessionSegmentsFrom(src: DataFrame, queryName: String, gapUs: Long,
+                          ttlUs: Long): DataFrame = {
+    require(ttlUs >= gapUs,
+      s"state TTL ($ttlUs us) must be >= session gap ($gapUs us): " +
+        "eviction below the gap would split sessions batch would merge")
     val spark = src.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_sess_ckpt").toString
     val updates = src
       .select(col("user_id").cast("long"), col("ts_us").cast("long"))
-      .as[(Long, Long)]
+      // the watermark column must flow INTO the stateful operator (the
+      // streaming checker rejects an event-time timeout whose watermark
+      // attribute was projected away), so ts_event rides along unused
+      .withColumn("ts_event", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_event", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[(Long, Long, Long)]) =>
-          var (last, ne, ns) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          rows.map(_._2).toArray.sorted.foreach { t =>
-            if (last == Long.MinValue || t - last > gapUs) ns += 1
-            ne += 1
-            if (t > last) last = t
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, _, ne, ns) = state.get
+            state.remove() // evict: final segment row already emitted
+            (uid, s0, ne, ns)
+          } else {
+            var (s0, last, ne, ns) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0L, 0L))
+            rows.map(_._2).toArray.sorted.foreach { t =>
+              if (s0 == Long.MinValue) s0 = t
+              if (last == Long.MinValue || t - last > gapUs) ns += 1
+              ne += 1
+              if (t > last) last = t
+            }
+            state.update((s0, last, ne, ns))
+            // TTL anchored at the segment's last event; the max() guard
+            // keeps Spark's timestamp>watermark invariant if an
+            // out-of-contract late row ever slips through
+            state.setTimeoutTimestamp(
+              math.max((last + ttlUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            (uid, s0, ne, ns)
           }
-          state.update((last, ne, ns))
-          (uid, ne, ns)
       }
-      .toDF("user_id", "n_events", "n_sessions")
-    val q = updates.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    // update mode appends one row per user per batch; counters are
-    // monotone, so max(struct) selects the final state atomically
-    spark.table(queryName)
-      .groupBy("user_id")
+      .toDF("user_id", "seg_start", "n_events", "n_sessions")
+    // update mode appends one row per user-segment per batch; counters
+    // are monotone WITHIN a segment, so max(struct) selects each
+    // segment's final state atomically
+    drain(updates, queryName, "update")
+      .groupBy("user_id", "seg_start")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
-      .select(col("user_id"),
+      .select(col("user_id"), col("seg_start"),
         col("s.n_events").as("n_events"), col("s.n_sessions").as("n_sessions"))
   }
 
   /** [[sessionStatsFrom]] over the testdata events file — the q101
     * oracle entry (same oracle as the batch q29). */
   def streamingSessionStats(spark: SparkSession, dir: String,
-                            gapUs: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                            gapUs: Long): DataFrame =
+    withNanosAsLong(spark) {
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val queryName = "graft_sess_" + math.abs(dir.hashCode).toString
+    val queryName = freshName("graft_sess_", dir)
     val raw = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -264,8 +349,7 @@ object StreamOps {
     val src = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    nearDupCandidatesFrom(src,
-      "graft_neardup_" + math.abs(dir.hashCode).toString,
+    nearDupCandidatesFrom(src, freshName("graft_neardup_", dir),
       n, numHashes, bands)
   }
 
@@ -290,8 +374,6 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     graft.plans.GraftFunctions.register(spark)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_neardup_ckpt").toString
     val rows = numHashes / bands
 
     val toks = graft.plans.GraftFunctions.graft_tokens(lower(col("text")))
@@ -329,18 +411,9 @@ object StreamOps {
       }
       .toDF("doc_a", "doc_b")
 
-    val q = paired.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
     // a pair can surface from several bands (at-least-once by design);
     // the sink-side distinct is batch work over the emitted pairs
-    spark.table(queryName).distinct().orderBy("doc_a", "doc_b")
+    drain(paired, queryName, "append").distinct().orderBy("doc_a", "doc_b")
   }
 
   /** Persist the existing-corpus near-dup index — the batch half of
@@ -391,8 +464,6 @@ object StreamOps {
                            threshold: Double = 0.5): DataFrame = {
     val spark = src.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_xcorpus_ckpt").toString
     val bandIdx = spark.read.parquet(s"$indexPath/bands")
       .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
     val docIdx = spark.read.parquet(s"$indexPath/docs")
@@ -431,18 +502,9 @@ object StreamOps {
       .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"),
         col("jaccard"))
 
-    val q = verified.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-
     // a pair can candidate in several bands (at-least-once by design);
     // the verified jaccard is identical on every emission, so the
     // sink-side distinct collapses them exactly
-    spark.table(queryName).distinct().orderBy("doc_a", "doc_b")
+    drain(verified, queryName, "append").distinct().orderBy("doc_a", "doc_b")
   }
 }
