@@ -33,6 +33,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     Session.tune(spark)
+    graft.plans.PlanGuard.installWarn(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
@@ -132,6 +133,9 @@ object Bench {
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
             noop(ScaleBench.clusters(docs.limit(64)))
+            noop(ScaleBench.lineDedup(docs.limit(64)))
+            noop(ScaleBench.vocab(docs.limit(64)))
+            noop(ScaleBench.globalRank(ev.limit(64)))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
             val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
             noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
@@ -145,6 +149,9 @@ object Bench {
             timed("q24_srp_neardup")(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
             timed("q29_sessionization")(noop(ScaleBench.sessionStats(ev))),
             timed("q40_dedup_clusters")(noop(ScaleBench.clusters(docs))),
+            timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
+            timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
+            timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
             // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
             // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
             // set-similarity joins carry an irreducible postings^2
@@ -178,7 +185,13 @@ object Bench {
 
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$scaleJson}""")
+    // PlanGuard ran in warn mode for the whole bench: any keyless-join
+    // warning it fired is part of the round's recorded artifact (expect
+    // an empty list — PlanAuditSpec pins the library plans in CI).
+    val pwJson = graft.plans.PlanGuard.drainWarnings()
+      .map(w => "\"" + w.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
+      .take(10).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

@@ -13,13 +13,18 @@ import graft.operators.{Dedup, Events, Similarity}
   * Replica construction is chosen so the WORKLOAD scales linearly, not
   * just the row count:
   *
-  *  - documents: each replica applies a distinct vowel permutation to
-  *    the text (`translate` — codegen'd, bijective per replica). Within
-  *    a replica every shingle relation is preserved exactly, across
-  *    replicas shingles almost never collide, so the near-dup pair
-  *    structure (candidates, verified pairs, clusters) is exactly N
-  *    copies of the 1x structure. Identical copies would instead create
-  *    N-cliques of exact duplicates and grow the pair output O(N^2).
+  *  - documents: each replica applies a distinct Caesar rotation of the
+  *    full letter alphabet (`translate` — codegen'd, bijective per
+  *    replica). Within a replica every shingle relation is preserved
+  *    exactly (a bijection on characters is a bijection on shingles);
+  *    across replicas a shingle can only collide if it contains no
+  *    letters, so the near-dup pair structure (candidates, verified
+  *    pairs, clusters) is exactly N copies of the 1x structure up to
+  *    x26. Identical copies would instead create N-cliques of exact
+  *    duplicates and grow the pair output O(N^2) — which is precisely
+  *    what the previous 10-entry vowel-permutation table did at x20
+  *    (replicas i and i+10 carried IDENTICAL text: ~55k manufactured
+  *    cross-replica pairs, inflating round-5's x20 ratios for q22/q40).
   *  - embeddings: replica i applies a per-replica ISOMETRY (dimension
   *    permutation + sign flips — an orthogonal transform). Intra-replica
   *    inner products and norms are preserved exactly, so each replica
@@ -32,11 +37,13 @@ import graft.operators.{Dedup, Events, Similarity}
   *    copy, so sessionization work is exactly N times the 1x work.
   */
 object ScaleBench {
-  /** 10 distinct permutations of "aeiou": 5 rotations + 5 rotations of
-    * the reversal. Index i is replica i's vowel alphabet. */
-  private val VowelPerms = Vector(
-    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
-    "uoiea", "oieau", "ieauo", "eauoi", "auoie")
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  /** Caesar-rotate an alphabet by i (replica 0 = identity). */
+  private def rot(s: String, i: Int): String = {
+    val k = i % s.length
+    s.drop(k) + s.take(k)
+  }
 
   /** Union of `times` re-keyed copies (id -> id*times + i: collision-free
     * without scanning for max). `mk` builds replica i. */
@@ -47,7 +54,8 @@ object ScaleBench {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     replicate(times)(i => d.select(
       (col("doc_id") * times + i).as("doc_id"),
-      translate(col("text"), "aeiou", VowelPerms(i % VowelPerms.size)).as("text")))
+      translate(col("text"), Lower + Upper,
+        rot(Lower, i) + rot(Upper, i)).as("text")))
   }
 
   def embeddings(spark: SparkSession, dir: String, times: Int,
@@ -115,6 +123,30 @@ object ScaleBench {
   def sessionStats(ev: DataFrame): DataFrame =
     Events.sessionStats(ev, gap = 30L * 60 * 1000 * 1000 * 1000, tsCol = "ts_ns")
 
+  // Round-5-family corpus-wide entries (the verdict asked for measured
+  // scale evidence, not just structure proofs, on the new operators):
+
+  /** q78's operating point: boilerplate line removal. The vowel
+    * permutation makes each replica's lines distinct, so the line
+    * doc-frequency join carries exactly N copies of the 1x structure. */
+  def lineDedup(docs: DataFrame): DataFrame =
+    graft.operators.TextQuality.dropRepeatedLines(
+      docs.select(col("doc_id").as("page_id"), col("text")),
+      "page_id", "text")
+
+  /** q79's operating point: corpus vocabulary with distributed ranking.
+    * Replica vocabularies are (near-)disjoint under the vowel
+    * permutation, so the ranked vocab itself grows ~Nx — exactly the
+    * shape the distributed ranker exists for. */
+  def vocab(docs: DataFrame): DataFrame =
+    graft.operators.Llm.vocab(docs, "text", minCount = 5L)
+
+  /** q91's core: global row_number over the replicated events (range
+    * repartition + per-partition rank + broadcast prefix offsets) —
+    * the no-single-partition-window primitive, timed raw. */
+  def globalRank(ev: DataFrame): DataFrame =
+    graft.functions.Ranking.globalRowNumber(ev, Seq("ts_ns", "event_id"), "rn")
+
   def clusters(docs: DataFrame): DataFrame =
     Dedup.dedupClusters(minhashPairs(docs))
 
@@ -136,8 +168,12 @@ object ScaleBench {
     * four entries — all checkpoint-disciplined — sat at 2-3x. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 64): DataFrame = {
     val e = emb.localCheckpoint(true)
+    // nProbe auto-scales as sqrt(nCells) (Similarity.autoNProbe):
+    // fixed-4 probing over a growing auto cell count measured recall@5
+    // 0.64 at x10 — the bench must time the operating point that holds
+    // recall, or the sublinear curve is bought with accuracy
     Similarity.ivfSampledTopKAuto(e.orderBy("vec_id").limit(nQueries), e,
-      k = 5, nProbe = 4)
+      k = 5)
   }
 
   /** Index-build half of the layout-backed IVF (the actual 100 TB
@@ -166,5 +202,5 @@ object ScaleBench {
   def ivfProbeLayout(spark: SparkSession, path: String,
                      centroids: DataFrame, queries: DataFrame): DataFrame =
     Similarity.ivfTopKFromLayout(spark, path, queries, centroids,
-      k = 5, nProbe = 4)
+      k = 5, nProbe = Similarity.autoNProbe(centroids.count().toInt))
 }

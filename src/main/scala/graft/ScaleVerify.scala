@@ -1,0 +1,109 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Recorded correctness pass for the AUTO-SCALING lanes at replicated
+  * gate scale (x10/x20) — the operating points the tri-scale oracle
+  * gate never reaches, because autoSrpBits/autoNCells change with n.
+  * Each lane is checked by ITS OWN correctness definition (the same
+  * definitions RecallSpec pins at test scale), and the result prints as
+  * one JSON line per factor so a round can log it as an artifact:
+  *
+  *  - q22 (xxhash64 MinHash+LSH): the emitted pair set at xN must be a
+  *    SUBSET of the N re-keyed copies of the x1 pair set (the Caesar
+  *    replica construction preserves intra-replica Jaccard exactly and
+  *    cross-replica shingles never collide, so any extra pair is a
+  *    false positive) with recall >= 0.99 (each replica's hashes
+  *    differ, so a borderline pair — j barely over 0.5 — can miss all
+  *    4 bands in SOME replica; that per-replica banding recall is the
+  *    lane's documented probabilistic contract, not drift).
+  *  - q24 (SRP near-dup, auto bits): every emitted pair re-verified
+  *    against raw-vector cosine (no false positives), and the
+  *    per-replica yield must not collapse as autoSrpBits widens.
+  *  - q34 (IVF top-k, auto cells): recall@5 vs brute-force exact for
+  *    the same fixed query batch.
+  *
+  * Usage: runMain graft.ScaleVerify [sfDir] [factors-csv]
+  */
+object ScaleVerify {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors =
+      if (args.length > 1) args(1).split(",").toSeq.flatMap(_.trim.toIntOption)
+      else Seq(10, 20)
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    Session.tune(spark)
+    graft.plans.PlanGuard.installWarn(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // x1 references, computed once
+    val docs1 = ScaleBench.documents(spark, sfDir, 1).localCheckpoint(true)
+    val emb1 = ScaleBench.embeddings(spark, sfDir, 1).localCheckpoint(true)
+    val p22x1 = pairSet(ScaleBench.minhashPairs(docs1), "doc_a", "doc_b")
+    val n24x1 = Similarity.srpNearDupPairsAuto(emb1, threshold = 0.4,
+      bands = 12, dim = 64).count()
+
+    for (times <- factors) {
+      val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
+      val embN = ScaleBench.embeddings(spark, sfDir, times).localCheckpoint(true)
+
+      // ---- q22 xx lane: subset of replica copies + recall ------------
+      val p22xN = pairSet(ScaleBench.minhashPairs(docsN), "doc_a", "doc_b")
+      val expected = for { (a, b) <- p22x1; i <- 0 until times }
+        yield (a * times + i, b * times + i)
+      val q22Recall = (p22xN intersect expected).size.toDouble / expected.size
+      val q22Pass = p22xN.subsetOf(expected) && q22Recall >= 0.99
+
+      // ---- q24 SRP auto lane: verified pairs + yield stability -------
+      val sp = Similarity.srpNearDupPairsAuto(embN, threshold = 0.4,
+        bands = 12, dim = 64).localCheckpoint(true)
+      val nPairs = sp.count()
+      // re-verify every emitted pair against the raw vectors: the
+      // exact-cosine check is the lane's no-false-positive contract
+      val v = embN.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("n", Similarity.norm(col("v")))
+      val nBad = sp
+        .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("n").as("na")), "vec_a")
+        .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("n").as("nb")), "vec_b")
+        .filter(round(Similarity.cosine(col("va"), col("vb"), col("na"),
+          col("nb")), 6) < 0.4)
+        .count()
+      // per-replica yield: autoSrpBits widens with n to hold bucket
+      // occupancy; the intra-replica pair yield must track N (a
+      // collapse means the wider signature lost the structure)
+      val yieldOk = nPairs >= (0.6 * times * n24x1).toLong
+      val q24Pass = nBad == 0L && yieldOk
+
+      // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
+      val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
+      def topkSet(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = topkSet(Similarity.bruteForceTopK(queries, embN, k = 5))
+      val ivf = topkSet(ScaleBench.ivfTopK(embN))
+      val recall = (brute intersect ivf).size.toDouble / brute.size
+      val q34Pass = recall >= 0.8
+
+      println(
+        s"""{"scale_verify":{"sf":"$sfDir","factor":$times,""" +
+        f""""q22_xx_replica_subset":{"pass":$q22Pass%s,"n_pairs":${p22xN.size}%d,"expected":${expected.size}%d,"recall":$q22Recall%.4f},""" +
+        s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
+        f""""q34_ivf_auto":{"pass":$q34Pass%s,"recall_at_5":$recall%.3f}}}""")
+    }
+    spark.stop()
+  }
+}

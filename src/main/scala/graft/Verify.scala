@@ -24,6 +24,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Session.tune(spark)
+    graft.plans.PlanGuard.installWarn(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(8)
@@ -54,6 +55,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // q22x (production xxhash64 minhash lane) has no DuckDB oracle BY
+    // DESIGN — seeded xxhash64 isn't cross-engine reproducible — so its
+    // gate row would read `no_oracle`, indistinguishable from broken.
+    // Record the lane's own correctness definition as an artifact
+    // instead: its PAIR SET must equal the oracled md5 lane's (both
+    // hash families Chernoff-bound the same Jaccard estimate; the spec
+    // proves this at test scale, this proves it on the gate data).
+    val selfCheck = try {
+      val xx = spark.read.parquet(s"$outDir/q22x_minhash_xxhash")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val md5 = spark.read.parquet(s"$outDir/q22_minhash_lsh")
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      s"""{"q22x_minhash_xxhash": {"check": "pair_set_equals_md5_lane", """ +
+        s""""pass": ${xx == md5}, "n_pairs_xx": ${xx.size}, "n_pairs_md5": ${md5.size}}}"""
+    } catch { case e: Throwable =>
+      s"""{"q22x_minhash_xxhash": {"check": "pair_set_equals_md5_lane", """ +
+        s""""pass": false, "error": ${q(String.valueOf(e.getMessage).take(160))}}}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/selfcheck.json"), selfCheck)
     spark.stop()
   }
 }

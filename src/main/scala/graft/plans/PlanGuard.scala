@@ -33,12 +33,15 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
     if (m == "warn" || m == "fail") {
       plan.foreach {
         case j: Join if !j.condition.exists(hasEquality) &&
-            !boundedSide(j) =>
+            !boundedSide(j) && !broadcastHinted(j) =>
           val msg = "graft plan guard: join with no equality condition " +
             s"(${j.joinType}) — cartesian/nested-loop at scale:\n" +
             j.simpleString(3)
           if (m == "fail") throw new IllegalStateException(msg)
-          else logWarning(msg)
+          else {
+            logWarning(msg)
+            PlanGuard.record(s"join with no equality condition (${j.joinType})")
+          }
         case _ => ()
       }
     }
@@ -47,6 +50,19 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def boundedSide(j: Join): Boolean =
     j.left.maxRows.exists(_ <= 1000L) || j.right.maxRows.exists(_ <= 1000L)
+
+  /** An explicit broadcast() hint is an engineer's signed statement
+    * that the side is dim-sized — the library's own bounded
+    * cross-attachments (query batches, centroids, super-cells) all
+    * carry it, and it survives into Join.hint by the time user-provided
+    * optimizer rules run. */
+  private def broadcastHinted(j: Join): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    def hinted(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.exists(
+        _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    hinted(j.hint.leftHint) || hinted(j.hint.rightHint)
+  }
 
   /** A condition counts as keyed if ANY conjunct is an equality —
     * what the planner needs for a hash or sort-merge join. */
@@ -66,4 +82,23 @@ object PlanGuard {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
         .filterNot(_.isInstanceOf[PlanGuard]) :+ PlanGuard(spark)
+
+  /** Install AND arm in warn mode — what Verify/Bench run under, so a
+    * plan regression becomes a recorded artifact (the bench JSON's
+    * `plan_warnings`), not a per-round manual plan read. */
+  def installWarn(spark: SparkSession): Unit = {
+    spark.conf.set("spark.graft.planGuard", "warn")
+    install(spark)
+  }
+
+  // Warn-mode findings, bounded; drained by Bench into its JSON line.
+  private val warnings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[graft] def record(msg: String): Unit =
+    if (warnings.size < 100) warnings.add(msg)
+  def drainWarnings(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var m = warnings.poll()
+    while (m != null) { b += m; m = warnings.poll() }
+    b.result().distinct
+  }
 }

@@ -21,11 +21,23 @@ import scala.collection.mutable
   */
 object XlsxSource {
 
+  /** Hard ceiling on the compressed artifact this driver-side reader
+    * accepts (256 MiB ≈ several million rows — far past any
+    * hand-authored dimension). Above it the read REFUSES with a clear
+    * remediation instead of silently OOM-ing the driver: fact-sized
+    * data belongs in CSV/parquet (S1/S3), which read distributed. */
+  val MaxFileBytes: Long = 256L * 1024 * 1024
+
   /** Read the first worksheet: first row = header; empty rows and
     * columns with empty headers are dropped (reference semantics);
     * every cell surfaces as a nullable string for CsvSource.alignTo
     * to type. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val sz = new java.io.File(path).length()
+    require(sz <= MaxFileBytes,
+      s"xlsx $path is $sz bytes (> $MaxFileBytes): this reader parses on " +
+        "the driver and is for dimension-sized artifacts only — convert " +
+        "fact-scale data to CSV/parquet and use the distributed sources")
     val rows = readRows(path)
     require(rows.nonEmpty, s"empty worksheet in $path")
     val width = rows.map(_.length).max

@@ -59,4 +59,22 @@ class XlsxSourceSpec extends SparkSpec {
     assert(XlsxSource.colIndex("AA3") === 26)
     assert(XlsxSource.colIndex("AB12") === 27)
   }
+
+  test("refuses an over-limit file instead of parsing it on the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx3")
+    val path = dir.resolve("huge.xlsx")
+    // sparse file: size() reports past the limit without writing 256 MiB
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.position(XlsxSource.MaxFileBytes) // 1 byte past the ceiling
+      ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    } finally ch.close()
+    val e = intercept[IllegalArgumentException] {
+      XlsxSource.read(spark, path.toString)
+    }
+    assert(e.getMessage.contains("dimension-sized"))
+    java.nio.file.Files.deleteIfExists(path)
+  }
 }
