@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / curation operators over the documents corpus (q111-q116):
+  * the selection-and-labeling half of a training-data pipeline —
+  * group-relative filtering, term retrieval, deterministic negative
+  * sampling, inverted-index statistics, majority-vote labeling, and
+  * mixture composition reporting. Reference scope: none of these exist
+  * in the reference (beyond-parity, like the rest of the LLM-pipeline
+  * block); the data model is the synthetic documents table.
+  *
+  * Every query keeps the cross-engine exactness discipline: integer
+  * arithmetic end-to-end (integer division via `div`//`//`, per-mille
+  * integers instead of float shares, the md5 hex-window hash channel),
+  * dyadic percentiles on integral inputs where a threshold is needed.
+  */
+object Retrieval {
+
+  private def toks(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+  }
+
+  /** The shared DuckDB tokenizer CTE (mirrors Text.tokens). */
+  private val TokCte =
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)"
+
+  // ---- q111: group-relative quality filter ---------------------------
+  // Per-language MEDIAN token-count cut: the group-relative form of
+  // length filtering (an absolute cut over a multilingual corpus
+  // systematically biases against terse scripts — the per-group
+  // threshold is the standard fix). Median via dyadic percentile over
+  // INTEGRAL token counts: the 0.5-interpolation midpoint of two
+  // integers is exactly representable, so Spark and DuckDB agree
+  // bit-for-bit. Shape at scale: one bounded aggregate per language
+  // (the threshold frame is |langs| rows, broadcast back), one corpus
+  // pass — no window, no shuffle beyond the two grouped aggregates.
+  def groupFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    val t = docs.select(col("lang"), col("n_chars"),
+      Text.tokenCount(col("text")).cast("long").as("tok_n"))
+    val med = t.groupBy("lang")
+      .agg(expr("percentile(tok_n, 0.5D)").as("med"))
+    val kept = col("tok_n") >= col("med")
+    t.join(broadcast(med), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  val groupFilterSql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok_n
+      |  FROM documents),
+      |m AS (SELECT lang, quantile_cont(tok_n, 0.5) AS med FROM t GROUP BY 1)
+      |SELECT t.lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN tok_n >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN tok_n >= med THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM t JOIN m ON t.lang = m.lang
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q112: term retrieval (integer-scaled tf-idf top-k) ------------
+  // Fixed-term retrieval with an INTEGER idf: idf(t) = (N*1000) div
+  // df(t) — floor division both engines compute identically, where a
+  // float ln()-idf would differ in the last ulp and flip tie-ordering.
+  // Shape at scale: the posting filter prunes to the query terms
+  // BEFORE any aggregation (a 3-term scan of a 100 TB corpus is a
+  // predicate-pushdown scan, not an index build); the df/N frames are
+  // term-count-sized and broadcast; top-k is TakeOrderedAndProject.
+  private val Terms = Seq("spark", "table", "hash")
+
+  def termRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = toks(docs).filter(col("token").isin(Terms: _*))
+      .localCheckpoint(true) // feeds tf AND df
+    val tf = t.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = t.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", expr("(n_docs * 1000) div df"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("idf")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val termRetrievalSql: String =
+    s"""WITH $TokCte,
+       |t AS (SELECT doc_id, token FROM tok WHERE token IN ('spark','table','hash')),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, CAST(SUM(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score
+       |FROM tf JOIN df USING (token), n
+       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- q113: deterministic negative sampling -------------------------
+  // Contrastive-training prep: for each anchor doc in a deterministic
+  // 10% hash sample, k=3 negatives drawn by the md5 hex-window channel
+  // (the q41 hash), mapped to (anchor + 1 + h mod (N-1)) mod N — the
+  // +1 ring offset guarantees a negative never equals its anchor
+  // without rejection sampling (which would be engine-order-dependent).
+  // doc_ids are dense 0..N-1 in this corpus; a sparse id space would
+  // first rank through Ranking.globalRowNumber. Zero shuffles: one
+  // scan, a 1-row count attachment, a 3-way explode.
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.filter(graft.functions.Sampling.hashKeep(col("doc_id"), 0.1))
+      .select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_docs"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+      .withColumn("h", graft.plans.GraftFunctions.hex_window(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string")).cast("binary")), 0, 8))
+      .select(col("doc_id"), col("j"),
+        pmod(col("doc_id") + 1L + pmod(col("h"), col("n_docs") - 1L),
+          col("n_docs")).as("neg_id"))
+      .orderBy("doc_id", "j")
+  }
+
+  val negativeSamplingSql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(j AS BIGINT) AS j,
+      |       (doc_id + 1 + (('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT
+      |          % (n_docs - 1))) % n_docs AS neg_id
+      |FROM documents, (SELECT unnest([0, 1, 2]) AS j), n
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 429496729
+      |ORDER BY doc_id, j""".stripMargin
+
+  // ---- q114: inverted-index posting statistics -----------------------
+  // The summary a posting-list build emits per term: document
+  // frequency, total term frequency, first/last posting. Top-20 by df
+  // with full tiebreak. One explode + one grouped aggregate (map-side
+  // combinable) + TakeOrderedAndProject — the same shape as the vocab
+  // build, all integers.
+  def postingStats(spark: SparkSession, dir: String): DataFrame =
+    toks(Tables.documents(spark, dir))
+      .groupBy("token")
+      .agg(
+        countDistinct("doc_id").as("df"),
+        count(lit(1)).as("tf"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy(desc("df"), desc("tf"), asc("token"))
+      .limit(20)
+
+  val postingStatsSql: String =
+    s"""WITH $TokCte
+       |SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |       COUNT(*) AS tf,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM tok GROUP BY 1
+       |ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin
+
+  // ---- q115: majority-vote label aggregation -------------------------
+  // Weak-supervision consensus: three synthetic annotators (the md5
+  // channel mod 3 — deterministic stand-ins for model/heuristic
+  // labelers) vote per doc; majority wins, full three-way ties resolve
+  // to the smallest label. max_by over (count, -label) picks the
+  // winner in ONE grouped aggregate — no per-doc window. Output is the
+  // consensus label distribution.
+  def majorityVote(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    docs.select(col("doc_id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("a"))
+      .withColumn("label", pmod(graft.plans.GraftFunctions.hex_window(
+        md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("a").cast("string")).cast("binary")), 0, 8), lit(3L)))
+      .groupBy("doc_id", "label").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max_by(col("label"),
+        struct(col("n"), (-col("label")).as("nl"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs"))
+      .orderBy("label")
+  }
+
+  val majorityVoteSql: String =
+    """WITH ann AS (
+      |  SELECT doc_id, a,
+      |         ('0x' || substr(md5(doc_id || '#' || a), 1, 8))::BIGINT % 3 AS label
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS a)),
+      |cnt AS (SELECT doc_id, label, COUNT(*) AS n FROM ann GROUP BY 1, 2),
+      |pick AS (SELECT doc_id, label,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rn
+      |  FROM cnt)
+      |SELECT label, COUNT(*) AS n_docs FROM pick WHERE rn = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q116: training-mixture composition report ---------------------
+  // The (lang, source) token-share grid a mixture designer reads before
+  // setting sampling weights (q81's input, basically). Shares as
+  // PER-MILLE INTEGERS of the corpus token total — integer floor
+  // division, not a float ratio, so the grid hash-matches cross-engine.
+  // Two grouped aggregates + a 1-row total attachment.
+  def composition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    val t = docs.select(col("lang"), col("source"),
+      Text.tokenCount(col("text")).cast("long").as("tok_n"))
+    val grid = t.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_n").as("tokens"))
+    val total = grid.agg(sum("tokens").as("total_tokens"))
+    grid.crossJoin(broadcast(total))
+      .withColumn("share_pm", expr("(tokens * 1000) div total_tokens"))
+      .select("lang", "source", "n_docs", "tokens", "share_pm")
+      .orderBy("lang", "source")
+  }
+
+  val compositionSql: String =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok_n
+      |  FROM documents),
+      |g AS (SELECT lang, source, COUNT(*) AS n_docs,
+      |             CAST(SUM(tok_n) AS BIGINT) AS tokens
+      |      FROM t GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM g)
+      |SELECT lang, source, n_docs, tokens,
+      |       CAST((tokens * 1000) // total_tokens AS BIGINT) AS share_pm
+      |FROM g, tot ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_group_filter"      -> (groupFilter _),
+    "q112_term_retrieval"    -> (termRetrieval _),
+    "q113_negative_sampling" -> (negativeSampling _),
+    "q114_posting_stats"     -> (postingStats _),
+    "q115_majority_vote"     -> (majorityVote _),
+    "q116_composition"       -> (composition _))
+
+  val oracles: Map[String, String] = Map(
+    "q111_group_filter"      -> groupFilterSql,
+    "q112_term_retrieval"    -> termRetrievalSql,
+    "q113_negative_sampling" -> negativeSamplingSql,
+    "q114_posting_stats"     -> postingStatsSql,
+    "q115_majority_vote"     -> majorityVoteSql,
+    "q116_composition"       -> compositionSql)
+}

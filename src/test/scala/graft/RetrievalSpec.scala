@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Semantic assertions for the retrieval/curation block (q111-q116):
+  * brute-force re-derivations of the thresholds, scores, and votes the
+  * grouped-aggregate plans compute distributed. */
+class RetrievalSpec extends SparkSpec {
+
+  test("negativeSampling: negatives valid, never the anchor, deterministic") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = Retrieval.negativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _, neg) =>
+      assert(neg >= 0 && neg < n, s"neg $neg out of range")
+      assert(neg != d, s"doc $d drew itself as a negative")
+    }
+    // exactly 3 negatives per sampled anchor
+    rows.groupBy(_._1).foreach { case (d, ns) =>
+      assert(ns.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L), s"doc $d")
+    }
+    // deterministic: a rerun draws the identical sample
+    val again = Retrieval.negativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("majorityVote: label distribution re-derives from per-doc brute votes") {
+    graft.plans.GraftFunctions.register(spark)
+    val votes = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("a"))
+      .withColumn("label", pmod(graft.plans.GraftFunctions.hex_window(
+        md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("a").cast("string")).cast("binary")), 0, 8), lit(3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val brute = votes.groupBy(_._1).map { case (_, vs) =>
+      val counts = vs.map(_._2).groupBy(identity).map { case (l, o) => (l, o.size) }
+      counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+    }.groupBy(identity).map { case (l, ds) => (l, ds.size.toLong) }
+    val got = Retrieval.majorityVote(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === brute)
+    assert(got.values.sum === Tables.documents(spark, sf).count())
+  }
+
+  test("groupFilter: kept counts re-derive from collected per-lang medians") {
+    graft.plans.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2).toDouble
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val meds = toks.groupBy(_._1).map { case (l, vs) => l -> median(vs.map(_._2).toSeq) }
+    val brute = toks.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.count(_._2 >= meds(l)).toLong
+    }
+    val got = Retrieval.groupFilter(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === brute)
+    // a median cut keeps at least half of every group
+    got.foreach { case (l, k) =>
+      assert(k * 2 >= toks.count(_._1 == l), s"lang $l kept only $k")
+    }
+  }
+
+  test("termRetrieval: top score re-derives from brute tf-idf") {
+    graft.plans.GraftFunctions.register(spark)
+    val terms = Set("spark", "table", "hash")
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(p => terms(p._2))
+    val n = Tables.documents(spark, sf).count()
+    val df = tok.groupBy(_._2).map { case (t, o) => t -> o.map(_._1).distinct.size }
+    val scores = tok.groupBy(_._1).map { case (d, o) =>
+      d -> o.groupBy(_._2).map { case (t, tf) =>
+        tf.size.toLong * (n * 1000L / df(t))
+      }.sum
+    }
+    val expectedTop = scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Retrieval.termRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expectedTop)
+  }
+
+  test("composition: per-mille shares are floor-exact and sum near 1000") {
+    val rows = Retrieval.composition(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = rows.map(_._4).sum
+    rows.foreach { case (_, _, _, tok, pm) =>
+      assert(pm === tok * 1000L / total)
+    }
+    // floor division loses at most one per-mille per cell
+    val pmSum = rows.map(_._5).sum
+    assert(pmSum <= 1000 && pmSum >= 1000 - rows.length)
+  }
+}
