@@ -568,6 +568,7 @@ object Advanced {
     "q29_sessionization"    -> (sessionStats _),
     "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
+    "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q31_salted_agg"        -> (saltedAgg _),
     "q42_stream_dedup"      -> (streamDedup _),
     "q45_asof_join"         -> (purchaseAsOfView _),
@@ -593,6 +594,7 @@ object Advanced {
     // q101 must equal the BATCH sessionization — same oracle as q29
     "q101_stream_sessions"  -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
+    "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q31_salted_agg"        -> saltedAggSql,
     "q42_stream_dedup"      -> streamDedupSql,
     "q45_asof_join"         -> purchaseAsOfViewSql,

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed (hash-clustered) tables and the co-located join they buy —
+  * the "reuse a partitioning across stages" lever: two fact tables
+  * bucketed on their join keys with the same bucket count sort-merge
+  * join WITHOUT either side shuffling, because the on-disk layout IS
+  * the required hash partitioning. At 100 TB this converts the
+  * biggest fact-fact join from two full-data exchanges into a
+  * partition-local merge — the difference between a join bounded by
+  * network bisection and one bounded by disk scan.
+  *
+  * Reference scope: the reference stages everything through PostgreSQL
+  * tables (load.py); bucketing is the lakehouse analog of its indexed
+  * warehouse, re-expressed as Spark's native clustered layout.
+  *
+  * The tables live in the session catalog (in-memory, no Hive) with
+  * per-application names; `ensureTables` is idempotent per session.
+  */
+object Bucketed {
+  private val NumBuckets = 8
+
+  private def tag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** Write lineitem/orders bucketed by their join keys (idempotent per
+    * session). Returns the two table names. */
+  def ensureTables(spark: SparkSession, dir: String): (String, String) = {
+    val t = tag(spark) + "_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val (liT, ordT) = (s"graft_li_bkt_$t", s"graft_ord_bkt_$t")
+    if (!spark.catalog.tableExists(liT)) {
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)
+    }
+    (liT, ordT)
+  }
+
+  /** The co-located joined frame (pre-aggregation), exposed so the plan
+    * audit can assert the join itself runs with NO exchange on either
+    * side (PlanAuditSpec pins `SortMergeJoin` with zero
+    * `Exchange hashpartitioning` below it when broadcast is disabled —
+    * the fact-fact shape where bucketing pays). The merge hint pins the
+    * strategy the layout was built for; at toy scale the optimizer
+    * would otherwise broadcast the small side, which is also correct
+    * but demonstrates nothing. */
+  def colocatedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureTables(spark, dir)
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** q117: revenue per order priority over the co-located join. The
+    * only exchange in the whole plan is the 5-row aggregate's. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    colocatedJoinFrame(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

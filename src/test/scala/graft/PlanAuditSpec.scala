@@ -126,6 +126,31 @@ class PlanAuditSpec extends SparkSpec {
       "semanticDedup")
   }
 
+  test("bucketed co-located join: SortMergeJoin with no shuffle exchange") {
+    // the q117 layout promise: both sides bucketed on the join key with
+    // the same bucket count -> the scan output IS the join partitioning,
+    // so the fact-fact join runs with zero exchanges. Broadcast is
+    // disabled for the assertion window (at toy scale the optimizer
+    // would broadcast the small side, which demonstrates nothing).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = graft.sources.Bucketed.colocatedJoinFrame(spark, sf)
+      joined.write.mode("overwrite").format("noop").save() // final AQE plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and the result is the same join the shuffling plan computes
+      val n = joined.count()
+      val expected = Tables.lineitem(spark, sf).join(
+        Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(n === expected)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("vocab plan: ranking has no single-partition exchange") {
     // q79's token_id must come from the distributed ranker — a
     // row_number() OVER (ORDER BY ...) would show up here as
