@@ -247,6 +247,78 @@ object Advanced {
   // Spark's rollup == GROUP BY ROLLUP: per-(flag, status) rows plus
   // per-flag subtotals plus the grand total. Null-marker rows sort
   // first on both engines (explicit NULLS FIRST).
+  // ---- q118: dynamic partition overwrite (correction batch) ----------
+  // The lakehouse incremental-restate pattern: a correction batch
+  // overwrites ONLY the partitions it contains
+  // (partitionOverwriteMode=dynamic), leaving every other partition's
+  // files untouched — at 100 TB, restating one month must not rewrite
+  // the other 119. Here: full monthly load, then the latest month is
+  // re-stated with quantity+1; the read-back per-month summary must
+  // equal the oracle's CASE-adjusted aggregate, and WarehouseSpec
+  // asserts the untouched partitions' files are byte-identical
+  // (same names, sizes, mtimes) after the overwrite.
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = dynamicOverwriteLoad(spark, dir)
+    val out = spark.read.parquet(path) // sale_month is the partition col
+      .groupBy("sale_month")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy("sale_month")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    out
+  }
+
+  /** The load + correction halves, separately callable so WarehouseSpec
+    * can fingerprint the partition files BETWEEN the full load and the
+    * correction and prove only the corrected month was rewritten. */
+  def dynamicOverwriteLoad(spark: SparkSession, dir: String): String = {
+    val path = dpoFullLoad(spark, dir)
+    dpoCorrection(spark, dir, path)
+    path
+  }
+
+  def dpoFullLoad(spark: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_dpo_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    graft.sources.Warehouse
+      .writeMonthlyTransactions(Tables.lineitem(spark, dir), path)
+    path
+  }
+
+  /** Re-state the latest month with quantity+1 under
+    * partitionOverwriteMode=dynamic (conf scoped + restored): the write
+    * carries ONLY that month's rows, so only that partition directory
+    * is replaced. */
+  def dpoCorrection(spark: SparkSession, dir: String, path: String): Unit = {
+    val li = Tables.lineitem(spark, dir)
+    val maxMonth = li.agg(max(date_format(col("l_shipdate"), "yyyy-MM")))
+      .head().getString(0)
+    val correction = li
+      .withColumn("sale_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("sale_month") === maxMonth)
+      .withColumn("l_quantity", col("l_quantity") + 1.0)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try correction.write.mode("overwrite")
+      .partitionBy("sale_month").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  val dynamicOverwriteSql: String =
+    """WITH mm AS (SELECT MAX(strftime(l_shipdate, '%Y-%m')) AS m FROM lineitem)
+      |SELECT strftime(l_shipdate, '%Y-%m') AS sale_month, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity +
+      |         CASE WHEN strftime(l_shipdate, '%Y-%m') = (SELECT m FROM mm)
+      |              THEN 1 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
@@ -569,6 +641,9 @@ object Advanced {
     "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
+    "q118_dynamic_overwrite" -> (dynamicOverwrite _),
+    "q119_stream_stream_join" ->
+      ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
     "q42_stream_dedup"      -> (streamDedup _),
     "q45_asof_join"         -> (purchaseAsOfView _),
@@ -595,6 +670,17 @@ object Advanced {
     "q101_stream_sessions"  -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
+    "q118_dynamic_overwrite" -> dynamicOverwriteSql,
+    "q119_stream_stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
+        |           WHERE user_id < 100 AND event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS purchase_us FROM events
+        |      WHERE user_id < 100 AND event_type = 'purchase')
+        |SELECT v.user_id, view_us, purchase_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND purchase_us >= view_us
+        |  AND purchase_us <= view_us + 3600000000
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q31_salted_agg"        -> saltedAggSql,
     "q42_stream_dedup"      -> streamDedupSql,
     "q45_asof_join"         -> purchaseAsOfViewSql,

@@ -32,14 +32,13 @@ object Bucketed {
     val t = tag(spark) + "_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
     val (liT, ordT) = (s"graft_li_bkt_$t", s"graft_ord_bkt_$t")
     if (!spark.catalog.tableExists(liT)) {
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_extendedprice", "l_quantity")
-        .write.bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(liT)
-      Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ordT)
+      Warehouse.writeBucketed(
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_extendedprice", "l_quantity"),
+        liT, "l_orderkey", NumBuckets, Some("l_orderkey"))
+      Warehouse.writeBucketed(
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        ordT, "o_orderkey", NumBuckets, Some("o_orderkey"))
     }
     (liT, ordT)
   }

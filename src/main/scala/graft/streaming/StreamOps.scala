@@ -322,6 +322,63 @@ object StreamOps {
     sessionStatsFrom(src, queryName, gapUs).orderBy("user_id")
   }
 
+  /** STREAM-STREAM inner join with an event-time bound (q119): every
+    * (view, purchase) pair of the same user where the purchase lands
+    * within one hour after the view — streaming attribution, the one
+    * join shape that needs state on BOTH sides. Watermarks on both
+    * inputs plus the time-bound condition let Spark derive how long
+    * each side's rows can still match (a view older than
+    * watermark - 1h can never join a future purchase), so state is
+    * bounded by the join window, not the stream length. A bounded
+    * replay must equal the equivalent batch join — the q119 oracle.
+    *
+    * At 100 TB/day both sides come from Kafka partitioned by user_id;
+    * state per side is the in-window rows of its stream — the exact
+    * quantity the watermark evicts. */
+  def streamStreamAttribution(spark: SparkSession, dir: String,
+                              windowUs: Long = 3600L * 1000000L): DataFrame =
+    withNanosAsLong(spark) {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = freshName("graft_ss_join_", dir)
+    val tsUs =
+      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
+      else unix_micros(col("ts"))
+
+    def side(eventType: String): DataFrame =
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("user_id") < 100 && col("event_type") === eventType)
+        .select(col("user_id"), tsUs.cast("long").as("ts_us"))
+
+    streamStreamAttributionFrom(side("view"), side("purchase"),
+      queryName, windowUs)
+  }
+
+  /** The join core over ANY two streaming (user_id, ts_us) frames —
+    * lets a test drive throttled multi-file sources to prove matches
+    * spanning microbatch boundaries come out identical to a
+    * single-batch replay. */
+  def streamStreamAttributionFrom(views: DataFrame, purchases: DataFrame,
+                                  queryName: String,
+                                  windowUs: Long): DataFrame = {
+    def side(src: DataFrame, prefix: String): DataFrame = src
+      .select(col("user_id").cast("long").as(s"${prefix}_user"),
+        col("ts_us").cast("long").as(s"${prefix}_us"))
+      .withColumn(s"${prefix}_ts", timestamp_micros(col(s"${prefix}_us")))
+      .withWatermark(s"${prefix}_ts", "0 seconds")
+
+    val joined = side(views, "v").join(side(purchases, "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("v_user").as("user_id"), col("v_us").as("view_us"),
+        col("p_us").as("purchase_us"))
+
+    drain(joined, queryName, "append")
+      .orderBy("user_id", "view_us", "purchase_us")
+  }
+
   /** STREAMING near-dup candidate detection: MinHash+LSH banding as an
     * incremental stream, emitting each candidate pair the moment its
     * second member arrives.

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** The q119 oracle proves stream-stream join == batch over a one-file
+  * replay; this spec splits views and purchases into time-ordered files
+  * and throttles to one file per trigger, so pairs whose view and
+  * purchase arrive in DIFFERENT microbatches can only be produced by
+  * the join state — and the result must still equal the batch join. */
+class StreamJoinSpec extends SparkSpec {
+  private val WindowUs = 3600L * 1000000L
+
+  test("matches spanning microbatch boundaries equal the batch join") {
+    import spark.implicits._
+    val min = 60L * 1000000
+    val t0 = 1700000000L * 1000000
+    // user 1: view at t0, purchases at t0+30min (in-window, later batch)
+    // and t0+90min (out of window); user 2: view+purchase in one batch;
+    // user 3: purchase BEFORE its view (must not match)
+    val views = Seq((1L, t0), (2L, t0 + 10 * min), (3L, t0 + 50 * min))
+    val purchases = Seq((1L, t0 + 30 * min), (1L, t0 + 90 * min),
+      (2L, t0 + 15 * min), (3L, t0 + 40 * min))
+    val dir = "/tmp/graft_ss_join_spec"
+    def plant(rows: Seq[(Long, Long)], sub: String): Unit = {
+      val d = s"$dir/$sub"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      // one file per event, time-ordered mtimes: maximal batch splitting
+      rows.sortBy(_._2).zipWithIndex.foreach { case (r, i) =>
+        val tmp = s"$dir/__tmp"
+        Seq(r).toDF("user_id", "ts_us").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$d/$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L))
+      }
+    }
+    plant(views, "v")
+    plant(purchases, "p")
+    val schema = spark.read.parquet(s"$dir/v").schema
+    def run(throttle: Boolean, name: String): Set[(Long, Long, Long)] = {
+      def src(sub: String) = {
+        val rd = spark.readStream.schema(schema)
+        (if (throttle) rd.option("maxFilesPerTrigger", "1") else rd)
+          .parquet(s"$dir/$sub")
+      }
+      StreamOps.streamStreamAttributionFrom(src("v"), src("p"), name, WindowUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val multi = run(throttle = true, "ssj_multi")
+    val single = run(throttle = false, "ssj_single")
+    val batch = (for {
+      (vu, vt) <- views; (pu, pt) <- purchases
+      if vu == pu && pt >= vt && pt <= vt + WindowUs
+    } yield (vu, vt, pt)).toSet
+    assert(batch === Set((1L, t0, t0 + 30 * min),
+      (2L, t0 + 10 * min, t0 + 15 * min)), "fixture sanity")
+    assert(single === batch, "single-batch stream diverged from batch")
+    assert(multi === batch, "multi-batch stream diverged from batch")
+  }
+}

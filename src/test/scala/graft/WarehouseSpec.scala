@@ -86,4 +86,53 @@ class WarehouseSpec extends SparkSpec {
     }
     assert(back.count() === li.count())
   }
+
+  test("dynamic partition overwrite leaves untouched partitions byte-stable") {
+    import graft.operators.Advanced
+    // fingerprint every data file: (path -> size, mtime) — a rewritten
+    // file changes mtime (and usually size)
+    def fingerprint(root: String): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forEach { p =>
+          val f = p.toFile
+          out(p.toString) = (f.length(), f.lastModified())
+        }
+      out.toMap
+    }
+    val path = Advanced.dpoFullLoad(spark, sf)
+    try {
+      val maxMonth = spark.read.parquet(path)
+        .agg(max("sale_month")).head().getString(0)
+      val before = fingerprint(path)
+      Thread.sleep(1100) // mtime granularity can be 1s
+      Advanced.dpoCorrection(spark, sf, path)
+      val after = fingerprint(path)
+      def untouched(m: Map[String, (Long, Long)]) =
+        m.filterNot(_._1.contains(s"sale_month=$maxMonth"))
+      // every untouched month's files survive with identical size+mtime
+      assert(untouched(before).nonEmpty)
+      assert(untouched(after) === untouched(before),
+        "dynamic overwrite rewrote partitions the correction never touched")
+      // and the corrected month really was replaced
+      val touchedBefore = before.keySet -- untouched(before).keySet
+      val touchedAfter = after.keySet -- untouched(after).keySet
+      assert(touchedBefore.nonEmpty)
+      assert(touchedBefore.intersect(touchedAfter).isEmpty ||
+        touchedBefore.exists(p => after.get(p) != before.get(p)),
+        "correction wrote nothing")
+      // read-back equals the corrected expectation
+      val got = spark.read.parquet(path)
+        .filter(col("sale_month") === maxMonth)
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .head().getDouble(0)
+      val want = Tables.lineitem(spark, sf)
+        .filter(date_format(col("l_shipdate"), "yyyy-MM") === maxMonth)
+        .agg(sum((col("l_quantity") + 1.0).cast("decimal(18,4)")).cast("double"))
+        .head().getDouble(0)
+      assert(got === want)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
 }
