@@ -271,6 +271,84 @@ object Pipeline {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
       |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey""".stripMargin
 
+  // ---- q120: MAD outlier detection (robust statistics) ---------------
+  // Median absolute deviation: the robust spread measure IQR fences
+  // approximate — unlike stdev it ignores the outliers it is hunting.
+  // Exactness chain: the metric (per-order total quantity) is INTEGER;
+  // its dyadic median is k/2-exact; |x - med| is then k/2-exact; the
+  // median of those is k/4-exact; and the 2.5x threshold multiplies by
+  // 5/2 — every value in the pipeline is exactly representable, so the
+  // outlier SET is engine-identical. Same two-driver-scalar shape as
+  // iqrTrim (bounded aggregates -> pushable final predicate).
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("tq"))
+      .localCheckpoint(true) // consumed by 2 threshold aggs + final pass
+    val med = t.agg(expr("percentile(tq, 0.5D)")).head().getDouble(0)
+    val dev = abs(col("tq") - lit(med))
+    val mad = t.agg(expr(s"percentile(abs(tq - ${med}D), 0.5D)"))
+      .head().getDouble(0)
+    t.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(dev > lit(2.5) * lit(mad), 1L).otherwise(0L)).as("n_outliers"),
+      lit(med).as("med"),
+      lit(mad).as("mad"))
+  }
+
+  val madOutliersSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, CAST(SUM(floor(l_quantity)) AS BIGINT) AS tq
+      |  FROM lineitem GROUP BY 1),
+      |m AS (SELECT quantile_cont(tq, 0.5) AS med FROM t),
+      |d AS (SELECT abs(tq - med) AS dev FROM t, m),
+      |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+      |SELECT COUNT(*) AS n_orders,
+      |       CAST(SUM(CASE WHEN dev > 2.5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers,
+      |       (SELECT med FROM m) AS med,
+      |       (SELECT mad FROM md) AS mad
+      |FROM d, md""".stripMargin
+
+  // ---- q121: exact sufficient statistics (distributed moments) -------
+  // The one-pass, map-side-combinable sufficient statistics every
+  // downstream regression/correlation needs: n, Σx, Σy, Σxy, Σx², Σy²
+  // per group — INTEGER-EXACT, which is the only way moment sums
+  // hash-match across engines (float Σxy depends on addition order).
+  // x = integral quantity (<= 50), y = whole-dollar price (<= ~10^5):
+  // Σy² <= 10^10 per row * ~10^7 rows stays under 2^63 through ~sf100;
+  // past that the same sums go DECIMAL(38,0) — exactness survives, only
+  // the output type widens. Downstream: var/cov/corr/OLS slope are
+  // driver arithmetic on these six numbers.
+  def sufficientStats(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_quantity")).cast("long").as("x"),
+      floor(col("l_extendedprice") / 100.0).cast("long").as("y"))
+    xy.groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .orderBy("flag")
+  }
+
+  val sufficientStatsSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(floor(l_quantity) AS BIGINT) AS x,
+      |         CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS y
+      |  FROM lineitem)
+      |SELECT flag, COUNT(*) AS n,
+      |       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |       CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |       CAST(SUM(x * x) AS BIGINT) AS sx2,
+      |       CAST(SUM(y * y) AS BIGINT) AS sy2
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_decile_stats"    -> (decileStats _),
     "q92_price_histogram" -> (priceHistogram _),
@@ -278,7 +356,9 @@ object Pipeline {
     "q94_incremental_agg" -> (incrementalDailyMerge _),
     "q95_cdc_apply"       -> (cdcApply _),
     "q102_iqr_trim"       -> (iqrTrim _),
-    "q103_table_diff"     -> (tableDiff _))
+    "q103_table_diff"     -> (tableDiff _),
+    "q120_mad_outliers"   -> (madOutliers _),
+    "q121_sufficient_stats" -> (sufficientStats _))
 
   val oracles: Map[String, String] = Map(
     "q91_decile_stats"    -> decileStatsSql,
@@ -287,5 +367,7 @@ object Pipeline {
     "q94_incremental_agg" -> incrementalDailyMergeSql,
     "q95_cdc_apply"       -> cdcApplySql,
     "q102_iqr_trim"       -> iqrTrimSql,
-    "q103_table_diff"     -> tableDiffSql)
+    "q103_table_diff"     -> tableDiffSql,
+    "q120_mad_outliers"   -> madOutliersSql,
+    "q121_sufficient_stats" -> sufficientStatsSql)
 }

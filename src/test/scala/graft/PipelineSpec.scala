@@ -147,4 +147,47 @@ class PipelineSpec extends SparkSpec {
     assert(kept === all -- losers)
     assert(losers.nonEmpty)
   }
+
+  test("madOutliers: med/mad/outlier count re-derive from collected metric") {
+    val tq = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("tq"))
+      .collect().map(_.getLong(1)).sorted
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val med = median(tq.map(_.toDouble))
+    val mad = median(tq.map(v => math.abs(v - med)))
+    val row = graft.operators.Pipeline.madOutliers(spark, sf).collect().head
+    assert(row.getLong(0) === tq.length)
+    assert(row.getDouble(2) === med)
+    assert(row.getDouble(3) === mad)
+    assert(row.getLong(1) ===
+      tq.count(v => math.abs(v - med) > 2.5 * mad).toLong)
+  }
+
+  test("sufficientStats: Pearson r derives on the driver and lands in [-1,1]") {
+    val rows = graft.operators.Pipeline.sufficientStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sx, sy, sxy, sx2, sy2) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // the whole point of the six sums: downstream stats are driver
+      // arithmetic. BigDecimal keeps the covariance numerators exact.
+      val (bn, bsx, bsy) = (BigDecimal(n), BigDecimal(sx), BigDecimal(sy))
+      val cov = bn * BigDecimal(sxy) - bsx * bsy
+      val vx = bn * BigDecimal(sx2) - bsx * bsx
+      val vy = bn * BigDecimal(sy2) - bsy * bsy
+      assert(vx > 0 && vy > 0)
+      val r2 = (cov * cov) / (vx * vy)
+      // Cauchy-Schwarz: cov² <= vx*vy — holds iff the sums are the real
+      // moments of SOME dataset (a corrupted sum breaks the bound);
+      // this synthetic corpus draws qty and price independently, so r²
+      // should also be near zero
+      assert(r2 >= 0 && r2 <= 1, s"r^2 out of range: $r2")
+      assert(r2 < BigDecimal(0.1), s"independent columns correlated: $r2")
+    }
+  }
 }
