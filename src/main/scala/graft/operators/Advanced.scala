@@ -319,6 +319,66 @@ object Advanced {
       |              THEN 1 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q122: manifest-based incremental file ingest ------------------
+  // The "process only what's new" loop every continuously-loaded lake
+  // table runs: LIST the landing dir, anti-diff against the processed
+  // manifest, aggregate ONLY the fresh files into partial rollups,
+  // append the file names to the manifest. Cost per pass tracks the NEW
+  // data, never the table height; the final answer re-aggregates the
+  // partials (q94's merge law: COUNT->SUM, decimal SUM->SUM). Here two
+  // landing batches arrive between passes; the merged result must equal
+  // the oracle's one-shot aggregate over everything, and WarehouseSpec
+  // asserts pass 2 touched exactly the batch-2 files and a third pass
+  // touches zero.
+  /** One incremental pass: aggregate fresh files into a partial, extend
+    * the manifest. Returns how many new files were processed. */
+  def ingestNewFiles(spark: SparkSession, dataDir: String,
+                     manifestDir: String, partialsDir: String): Int = {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val files = Warehouse.listDataFiles(dataDir)
+    val processed: Set[String] =
+      if (new java.io.File(manifestDir).exists())
+        spark.read.parquet(manifestDir).as[String].collect().toSet
+      else Set.empty
+    val fresh = files.filterNot(processed)
+    if (fresh.nonEmpty) {
+      spark.read.parquet(fresh: _*)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+        .write.mode("append").parquet(partialsDir)
+      fresh.toDF("path").write.mode("append").parquet(manifestDir)
+    }
+    fresh.size
+  }
+
+  def manifestIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_manifest_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (data, man, parts) = (s"$root/data", s"$root/manifest", s"$root/partials")
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_linenumber") <= 3).write.mode("append").parquet(data)
+    ingestNewFiles(spark, data, man, parts)
+    // batch 2 lands as NEW part files (append leaves batch 1 untouched)
+    li.filter(col("l_linenumber") > 3).write.mode("append").parquet(data)
+    ingestNewFiles(spark, data, man, parts)
+    val out = spark.read.parquet(parts)
+      .groupBy("l_returnflag")
+      .agg(sum("n").as("n_rows"),
+        sum("qty").cast("double").as("total_qty"))
+      .orderBy("l_returnflag")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    out
+  }
+
+  val manifestIngestSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
@@ -642,6 +702,7 @@ object Advanced {
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
+    "q122_manifest_ingest" -> (manifestIngest _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -671,6 +732,7 @@ object Advanced {
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
+    "q122_manifest_ingest" -> manifestIngestSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
         |           WHERE user_id < 100 AND event_type = 'view'),

@@ -86,4 +86,29 @@ object Warehouse {
       .bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** List a directory's parquet data files (driver-side metadata walk —
+    * one name per file, never data; at 100 TB this is the object-store
+    * LIST call every table format starts from). */
+  def listDataFiles(root: String): Seq[String] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.map(_.getPath)
+      .filter(_.endsWith(".parquet")).sorted
+  }
+
+  /** Small-file compaction: rewrite a directory into ~`targetFiles`
+    * files (the OPTIMIZE/rewrite-data-files maintenance op — thousands
+    * of ingest-sized files are a namenode/planning tax and kill scan
+    * throughput). Writes to a scratch sibling then swaps, so a reader
+    * never sees a half-compacted directory. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path + "__compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
 }

@@ -358,10 +358,18 @@ object StreamOps {
   /** The join core over ANY two streaming (user_id, ts_us) frames —
     * lets a test drive throttled multi-file sources to prove matches
     * spanning microbatch boundaries come out identical to a
-    * single-batch replay. */
+    * single-batch replay.
+    *
+    * `joinType = "left_outer"` additionally emits (view, null) for
+    * views that never matched — but ONLY once the watermark passes
+    * view_ts + window (before that a match could still arrive), which
+    * means a bounded replay needs watermark-advancing later data after
+    * the last real view or trailing unmatched views stay in state
+    * forever. StreamJoinSpec demonstrates exactly that contract with
+    * sentinel rows; the oracle lane (q119) stays inner. */
   def streamStreamAttributionFrom(views: DataFrame, purchases: DataFrame,
-                                  queryName: String,
-                                  windowUs: Long): DataFrame = {
+                                  queryName: String, windowUs: Long,
+                                  joinType: String = "inner"): DataFrame = {
     def side(src: DataFrame, prefix: String): DataFrame = src
       .select(col("user_id").cast("long").as(s"${prefix}_user"),
         col("ts_us").cast("long").as(s"${prefix}_us"))
@@ -371,7 +379,8 @@ object StreamOps {
     val joined = side(views, "v").join(side(purchases, "p"),
         col("v_user") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowUs MICROSECOND"),
+        joinType)
       .select(col("v_user").as("user_id"), col("v_us").as("view_us"),
         col("p_us").as("purchase_us"))
 

@@ -63,4 +63,52 @@ class StreamJoinSpec extends SparkSpec {
     assert(single === batch, "single-batch stream diverged from batch")
     assert(multi === batch, "multi-batch stream diverged from batch")
   }
+
+  test("left-outer emits unmatched views once the watermark passes them") {
+    import spark.implicits._
+    val min = 60L * 1000000
+    val t0 = 1700000000L * 1000000
+    // user 1's view converts; user 3's never does. The user -1 sentinel
+    // rows (10h later, both streams) advance the watermark past every
+    // real view's window — the contract a production job gets for free
+    // from continuously-arriving data, and a bounded replay must plant.
+    val views = Seq((1L, t0), (3L, t0 + 50 * min),
+      (-1L, t0 + 600 * min), (-1L, t0 + 601 * min))
+    val purchases = Seq((1L, t0 + 30 * min),
+      (-1L, t0 + 600 * min), (-1L, t0 + 601 * min))
+    val dir = "/tmp/graft_ss_outer_spec"
+    def plant(rows: Seq[(Long, Long)], sub: String): Unit = {
+      val d = s"$dir/$sub"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      rows.sortBy(_._2).zipWithIndex.foreach { case (r, i) =>
+        val tmp = s"$dir/__tmp"
+        Seq(r).toDF("user_id", "ts_us").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$d/$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L))
+      }
+    }
+    plant(views, "v")
+    plant(purchases, "p")
+    val schema = spark.read.parquet(s"$dir/v").schema
+    def src(sub: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/$sub")
+    val got = graft.streaming.StreamOps
+      .streamStreamAttributionFrom(src("v"), src("p"), "ssj_outer",
+        WindowUs, joinType = "left_outer")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === Set(
+      (1L, t0, Some(t0 + 30 * min)),     // converted
+      (3L, t0 + 50 * min, None)),        // evicted unmatched -> null row
+      s"got $got")
+  }
 }

@@ -87,6 +87,45 @@ class WarehouseSpec extends SparkSpec {
     assert(back.count() === li.count())
   }
 
+  test("manifest ingest: each pass touches only new files; third pass zero") {
+    import graft.operators.Advanced
+    val root = "/tmp/graft_test_manifest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (data, man, parts) = (s"$root/data", s"$root/manifest", s"$root/partials")
+    val li = Tables.lineitem(spark, sf)
+    li.filter(col("l_linenumber") <= 3).write.mode("append").parquet(data)
+    val files1 = Warehouse.listDataFiles(data).size
+    assert(Advanced.ingestNewFiles(spark, data, man, parts) === files1)
+    li.filter(col("l_linenumber") > 3).write.mode("append").parquet(data)
+    val files2 = Warehouse.listDataFiles(data).size - files1
+    assert(files2 > 0)
+    assert(Advanced.ingestNewFiles(spark, data, man, parts) === files2)
+    // nothing new -> nothing processed (the incremental-cost contract)
+    assert(Advanced.ingestNewFiles(spark, data, man, parts) === 0)
+    // merged partials equal the direct aggregate
+    val got = spark.read.parquet(parts).groupBy("l_returnflag")
+      .agg(sum("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("compact: collapses small files, preserves every row") {
+    val path = "/tmp/graft_test_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(16).write.mode("overwrite").parquet(path)
+    val before = Warehouse.listDataFiles(path).size
+    assert(before >= 16)
+    val total = li.count()
+    Warehouse.compact(spark, path, targetFiles = 2)
+    assert(Warehouse.listDataFiles(path).size <= 2)
+    assert(spark.read.parquet(path).count() === total)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("dynamic partition overwrite leaves untouched partitions byte-stable") {
     import graft.operators.Advanced
     // fingerprint every data file: (path -> size, mtime) — a rewritten
