@@ -104,6 +104,51 @@ object Retrieval {
        |FROM tf JOIN df USING (token), n
        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- q123: sparse tf-idf document similarity -----------------------
+  // The LEXICAL retrieval twin of the dense ANN lanes (q25/q33/q34):
+  // top-10 documents most similar to a fixed query document by tf-idf
+  // dot product over shared tokens — all INTEGER arithmetic
+  // (score = Σ_t tf_d * tf_q * idf(t)², idf = (N*1000) div df), so the
+  // ranking is engine-identical. Shape at scale: the query doc's term
+  // vector is a broadcast dim; candidates come from the posting join on
+  // shared tokens only (documents sharing nothing never pair — the
+  // inverted-index sparsity the dense path can't exploit); one grouped
+  // sum + TakeOrderedAndProject.
+  private val SimQueryDoc = 0L
+
+  def docSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = toks(docs).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds df, the query vector, and candidates
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val qvec = tf.filter(col("doc_id") === SimQueryDoc)
+      .select(col("token"), col("tf").as("tf_q"))
+    tf.filter(col("doc_id") =!= SimQueryDoc)
+      .join(broadcast(qvec), Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", expr("(n_docs * 1000) div df"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf_q") * col("idf") * col("idf")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val docSimilaritySql: String =
+    s"""WITH $TokCte,
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (SELECT token, tf AS tf_q FROM tf WHERE doc_id = $SimQueryDoc)
+       |SELECT tf.doc_id,
+       |       CAST(SUM(tf.tf * q.tf_q * ((n_docs * 1000) // df)
+       |                * ((n_docs * 1000) // df)) AS BIGINT) AS score
+       |FROM tf JOIN q USING (token) JOIN df USING (token), n
+       |WHERE tf.doc_id <> $SimQueryDoc
+       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   // ---- q113: deterministic negative sampling -------------------------
   // Contrastive-training prep: for each anchor doc in a deterministic
   // 10% hash sample, k=3 negatives drawn by the md5 hex-window channel
@@ -239,7 +284,8 @@ object Retrieval {
     "q113_negative_sampling" -> (negativeSampling _),
     "q114_posting_stats"     -> (postingStats _),
     "q115_majority_vote"     -> (majorityVote _),
-    "q116_composition"       -> (composition _))
+    "q116_composition"       -> (composition _),
+    "q123_doc_similarity"    -> (docSimilarity _))
 
   val oracles: Map[String, String] = Map(
     "q111_group_filter"      -> groupFilterSql,
@@ -247,5 +293,6 @@ object Retrieval {
     "q113_negative_sampling" -> negativeSamplingSql,
     "q114_posting_stats"     -> postingStatsSql,
     "q115_majority_vote"     -> majorityVoteSql,
-    "q116_composition"       -> compositionSql)
+    "q116_composition"       -> compositionSql,
+    "q123_doc_similarity"    -> docSimilaritySql)
 }

@@ -28,6 +28,9 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
   private def mode: String =
     spark.conf.get("spark.graft.planGuard", "off").toLowerCase
 
+  private def windowMode: String =
+    spark.conf.get("spark.graft.planGuard.windows", "off").toLowerCase
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val m = mode
     if (m == "warn" || m == "fail") {
@@ -41,6 +44,31 @@ case class PlanGuard(spark: SparkSession) extends Rule[LogicalPlan] {
           else {
             logWarning(msg)
             PlanGuard.record(s"join with no equality condition (${j.joinType})")
+          }
+        case _ => ()
+      }
+    }
+    // Separate dial (default off): a window with no PARTITION BY runs
+    // the whole input through ONE task — the q79-class scale bug. Off
+    // by default because the guard cannot see that a frame was already
+    // reduced to a bounded grain (day-level rollups, a capped pack
+    // queue): maxRows is unknown past any aggregate, and warning on
+    // every documented-bounded window would bury real findings. Turn
+    // it on when auditing NEW query code; the library's own global
+    // windows are each justified at the use site.
+    val wm = windowMode
+    if (wm == "warn" || wm == "fail") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            !w.child.maxRows.exists(_ <= 1000L) =>
+          val msg = "graft plan guard: window with no PARTITION BY — " +
+            "single-partition execution at scale (use " +
+            "graft.functions.Ranking for global ranks):\n" + w.simpleString(3)
+          if (wm == "fail") throw new IllegalStateException(msg)
+          else {
+            logWarning(msg)
+            PlanGuard.record("window with no PARTITION BY (single partition)")
           }
         case _ => ()
       }

@@ -41,4 +41,32 @@ class PlanGuardSpec extends SparkSpec with BeforeAndAfterEach {
     spark.conf.set("spark.graft.planGuard", "warn")
     assert(big.join(big2, col("a") < col("b")).limit(1).count() >= 0)
   }
+
+  test("window dial catches a global ORDER BY window, passes partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.graft.planGuard", "fail")
+    spark.conf.set("spark.graft.planGuard.windows", "fail")
+    try {
+      // consume rn: an unused window column is pruned before the
+      // optimizer rule ever sees a Window node
+      val e = intercept[IllegalStateException] {
+        big.withColumn("rn",
+          row_number().over(Window.orderBy("a")))
+          .agg(max("rn")).head()
+      }
+      assert(e.getMessage.contains("no PARTITION BY"))
+      // partitioned window: fine
+      assert(big.withColumn("g", col("a") % 7)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("a")))
+        .agg(max("rn")).head().getInt(0) > 0)
+      // bounded child (LIMIT): exempt — a top-k sort frame is legit
+      assert(big.limit(100).withColumn("rn",
+        row_number().over(Window.orderBy("a")))
+        .agg(max("rn")).head().getInt(0) === 100)
+      // the distributed ranker must survive its own guard
+      assert(graft.functions.Ranking
+        .globalRowNumber(big, Seq("a")).count() === 5000)
+    } finally spark.conf.set("spark.graft.planGuard.windows", "off")
+  }
 }
