@@ -121,4 +121,46 @@ class PropertySpec extends SparkSpec {
     val ids = packed.map(_.getAs[Long]("pack_id"))
     assert(ids.toSet === (ids.min to ids.max).toSet, "pack ids must be dense")
   }
+
+  test("frequentPairs law: guarded == unguarded-then-filter on random baskets") {
+    // A-Priori anti-monotonicity, checked as an algebraic law over
+    // random basket universes (not just the one hand-built fixture)
+    val gen = for {
+      nRows <- Gen.chooseNum(5, 60)
+      rows <- Gen.listOfN(nRows, for {
+        b <- Gen.chooseNum(1L, 8L)
+        i <- Gen.chooseNum(1L, 12L)
+      } yield (b, i))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, k) =>
+      val df = rows.toDF("basket", "item")
+      for (minSupport <- Seq(1L, 2L, 3L)) {
+        val guarded = graft.operators.Graph
+          .frequentPairs(df, "basket", "item", minSupport)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val baskets = rows.distinct.groupBy(_._1)
+          .map { case (_, vs) => vs.map(_._2).toSet }
+        val brute = baskets.toSeq
+          .flatMap(s => for (a <- s; b <- s if a < b) yield (a, b))
+          .groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+          .filter(_._3 >= minSupport).toSet
+        assert(guarded === brute, s"case $k minSupport=$minSupport")
+      }
+    }
+  }
+
+  test("globalRowNumberSorted law: equals single-window rank for any direction") {
+    val gen = Gen.listOfN(80, Gen.chooseNum(-50L, 50L))
+    samples(gen, 5).zipWithIndex.foreach { case (xs, k) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("v", "id")
+      val got = graft.functions.Ranking
+        .globalRowNumberSorted(df, Seq(desc("v"), asc("id")), "rn")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      val want = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .sortBy { case (v, id) => (-v, id) }
+        .zipWithIndex.map { case ((_, id), r) => id -> (r + 1L) }.toMap
+      assert(got === want, s"case $k")
+    }
+  }
 }
