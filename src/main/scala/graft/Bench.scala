@@ -83,6 +83,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // One measured (untimed) pass per headline query: shuffle-write MB,
+    // recorded so "minimize shuffles" is a per-round artifact — a plan
+    // regression that starts shuffling the fact table shows up as a
+    // number, not a prose claim.
+    val shuffleMb = headline.filter(SparkEntry.queries.contains).map { name =>
+      val io = try Metrics.measure(spark)(force(name))
+        catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
+      name -> io.shuffleWriteBytes / 1e6
+    }
+    val ioJson = shuffleMb
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+
     // Scale-up evidence: the expensive bucketed designs on a replicated
     // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
     // 2M events at sf0.1). Each point is min-of-2 (the documented JIT
@@ -191,7 +204,7 @@ object Bench {
     val pwJson = graft.plans.PlanGuard.drainWarnings()
       .map(w => "\"" + w.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
       .take(10).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$ioJson,"errors":$errJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** Task-level I/O accounting for a block of Spark actions: input bytes
+  * read, shuffle bytes written, shuffle bytes read — summed across
+  * every task the block runs. This turns the engine's "minimize
+  * shuffles / push down scans" claims from plan-reading into MEASURED
+  * numbers: Bench records per-query shuffle volume in its JSON, and
+  * MetricsSpec pins that a broadcast dim join moves orders of
+  * magnitude less shuffle data than the same join forced to
+  * shuffle-merge.
+  *
+  * Implementation: a SparkListener accumulating TaskEnd metrics. The
+  * listener bus is asynchronous, so `measure` polls until the sums go
+  * quiet (two consecutive equal reads) before returning — bounded by a
+  * 5 s cap; at bench granularity (whole queries, tens of MB) the
+  * settle is immediate.
+  */
+object Metrics {
+  final case class IoStats(inputBytes: Long, shuffleWriteBytes: Long,
+                           shuffleReadBytes: Long)
+
+  def measure(spark: SparkSession)(f: => Unit): IoStats = {
+    val in = new AtomicLong; val sw = new AtomicLong; val sr = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          in.addAndGet(m.inputMetrics.bytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      // drain the async listener bus: stop once two consecutive polls
+      // agree (all TaskEnd events for the block delivered)
+      var prev = (-1L, -1L, -1L)
+      var cur = (in.get, sw.get, sr.get)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(100)
+        cur = (in.get, sw.get, sr.get)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    IoStats(in.get, sw.get, sr.get)
+  }
+}
