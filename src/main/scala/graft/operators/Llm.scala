@@ -858,6 +858,63 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  // ---- q124: int8-quantized exact top-k (the SQ8 serving lane) -------
+  // q44's quantization actually SERVING queries: brute-force top-5 over
+  // the int8 codes — 4x less memory/bandwidth than float32, which is
+  // what the rerank kernel inside an IVF probe actually streams. The
+  // heavy inner product is pure INTEGER (exact, engine-identical); the
+  // per-pair dequantization dot8/(scale_q*scale_d) is two
+  // correctly-rounded IEEE ops + a 6-place round — the same
+  // deterministic float channel every cosine lane here uses. Same plan
+  // shape as q25 (corpus scans once, queries broadcast); int8-vs-float
+  // ranking agreement is pinned in RetrievalSpec.
+  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        round(lit(127.0) / array_max(transform(col("v"), x => abs(x))), 6))
+      .withColumn("q8", transform(col("v"),
+        x => round(x * col("scale"), 0).cast("int")))
+      .select("vec_id", "scale", "q8")
+      .localCheckpoint(true) // feeds the query batch AND the corpus side
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+        col("q8").as("qq"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot8", aggregate(
+        zip_with(col("q8"), col("qq"), (a, b) => (a * b).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        round(col("dot8") / (col("scale") * col("qscale")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  val int8TopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        round(127.0 / list_max(list_transform(v, x -> abs(x))), 6) AS scale
+      |      FROM e),
+      |q8 AS (SELECT vec_id, scale,
+      |         list_transform(v, x -> CAST(round(x * scale, 0) AS INTEGER)) AS qv
+      |       FROM m),
+      |qs AS (SELECT vec_id AS query_id, scale AS qscale, qv AS qq
+      |       FROM q8 WHERE vec_id < 5),
+      |s AS (SELECT query_id, e.vec_id,
+      |        round(CAST(list_sum(list_transform(list_zip(e.qv, qq),
+      |          t -> t[1] * t[2])) AS BIGINT) / (e.scale * qscale), 6) AS score
+      |      FROM q8 e, qs WHERE e.vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, score,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score DESC, vec_id) AS rk
+      |      FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, score
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
   val embedQuantSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings WHERE vec_id < 20),
@@ -901,6 +958,7 @@ object Llm {
     "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
+    "q124_int8_topk"        -> (int8TopK _),
     "q50_tfidf_top_terms"   -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -935,5 +993,6 @@ object Llm {
     "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
+    "q124_int8_topk"        -> int8TopKSql,
     "q50_tfidf_top_terms"   -> tfidfSql)
 }

@@ -91,6 +91,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got === expectedTop)
   }
 
+  test("int8TopK: dequantized ranking agrees with float dot-product rank") {
+    import graft.operators.{Llm, Similarity}
+    // float reference under the SAME metric (raw inner product — the
+    // SQ8 rerank approximates dot, not cosine)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val brute = (for {
+      q <- vecs.keys.filter(_ < 5)
+      qv = vecs(q)
+      top = vecs.toSeq.filter(_._1 != q)
+        .map { case (d, dv) => (d, qv.zip(dv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (d, s) => (-s, d) }.take(5).map(_._1)
+      d <- top
+    } yield (q, d)).toSet
+    val int8 = Llm.int8TopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // SQ8 keeps ~1% relative error per dot; neighbor-set recall@5 must
+    // stay high; floor leaves room for boundary flips
+    val recall = (brute intersect int8).size.toDouble / brute.size
+    info(f"int8 vs float-dot recall@5: $recall%.3f")
+    assert(recall >= 0.8, f"recall=$recall%.3f")
+  }
+
   test("composition: per-mille shares are floor-exact and sum near 1000") {
     val rows = Retrieval.composition(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
