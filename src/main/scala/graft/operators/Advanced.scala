@@ -81,6 +81,34 @@ object Advanced {
       |  CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS n_samples
       |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
 
+  // ---- q125: full PCM sample decode -> audio features ----------------
+  // One level below q52: every 16-bit sample of each planted WAV is
+  // decoded from the raw bytes (Multimodal.pcm16Sample) and reduced to
+  // integer signal features. The fixture's data bytes follow a closed
+  // form ((i*37) mod 256), so the oracle recomputes the exact samples
+  // arithmetically — agreement proves the byte-level PCM decode, not
+  // just the header walk.
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.audioEnergy(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val audioEnergySql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST((doc_id % 3 + 1) * (doc_id % 100 + 1) AS BIGINT) AS n_vals
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1),
+      |s AS (SELECT asset_id, n_vals,
+      |        CAST((2 * r.k * 37) % 256 + 256 * (((2 * r.k + 1) * 37) % 256)
+      |          AS BIGINT) AS u
+      |      FROM w, range(0, 300) AS r(k) WHERE r.k < w.n_vals),
+      |v AS (SELECT asset_id, n_vals,
+      |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s)
+      |SELECT asset_id, n_vals, CAST(SUM(x * x) AS BIGINT) AS energy,
+      |       CAST(MAX(abs(x)) AS BIGINT) AS max_abs
+      |FROM v GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   // ---- q29: gap-based sessionization (window functions) --------------
   // Microsecond timeline on both engines: Spark truncates the parquet
   // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
@@ -703,6 +731,7 @@ object Advanced {
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
     "q122_manifest_ingest" -> (manifestIngest _),
+    "q125_audio_energy" -> (audioEnergy _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -733,6 +762,7 @@ object Advanced {
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
     "q122_manifest_ingest" -> manifestIngestSql,
+    "q125_audio_energy" -> audioEnergySql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
         |           WHERE user_id < 100 AND event_type = 'view'),

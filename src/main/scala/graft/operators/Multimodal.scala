@@ -76,6 +76,39 @@ object Multimodal {
         .as("n_samples"))
   }
 
+  /** 16-bit little-endian signed PCM sample at 0-based index `k` of a
+    * canonical WAV's data chunk (data starts at byte 45, 1-based).
+    * Pure Column arithmetic — dynamic-position substr + hex + conv —
+    * so full-file sample decode stays inside whole-stage codegen. */
+  def pcm16Sample(content: Column, k: Column): Column = {
+    val lo = conv(hex(content.substr(lit(45) + k * 2, lit(1))), 16, 10)
+      .cast("long")
+    val hi = conv(hex(content.substr(lit(46) + k * 2, lit(1))), 16, 10)
+      .cast("long")
+    val u = lo + hi * 256L
+    when(u >= 32768L, u - 65536L).otherwise(u)
+  }
+
+  /** REAL audio feature extraction (q125): decode EVERY 16-bit PCM
+    * sample of each WAV asset from the raw bytes and reduce to integer
+    * signal features — total energy (sum of squares) and peak
+    * amplitude. Integer end-to-end, so the features hash-match the
+    * oracle's closed-form recomputation of the planted samples. This is
+    * the level below q52's header decode: the actual DSP input path a
+    * loudness/silence/clipping filter runs on, as a projection over the
+    * binary scan — no UDF, no shuffle. */
+  def audioEnergy(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    assets
+      .filter(sniffKind(c) === "wav" && length(c) >= 44)
+      .withColumn("n_vals", (leUInt(c, 41, 4) / 2).cast("long"))
+      .withColumn("s",
+        transform(sequence(lit(0L), col("n_vals") - 1), k => pcm16Sample(c, k)))
+      .select(col("asset_id"), col("n_vals"),
+        aggregate(col("s"), lit(0L), (acc, x) => acc + x * x).as("energy"),
+        array_max(transform(col("s"), x => abs(x))).as("max_abs"))
+  }
+
   /** Planted media assets for the q52 oracle: each id becomes a REAL
     * BMP (even ids) or WAV (odd ids) whose header fields derive from
     * the id by fixed formulas — the fixture side; generation is

@@ -84,4 +84,21 @@ class MediaDecodeSpec extends SparkSpec {
       assert(img.getWidth === w && img.getHeight === h, s"($w,$h)")
     }
   }
+
+  test("audioEnergy: features equal a JVM-side decode of the same bytes") {
+    import spark.implicits._
+    val bytes = MediaFixture.wav(channels = 2, sampleRate = 8000,
+      bitsPerSample = 16, nSamples = 10)
+    // reference decode straight off the byte array (little-endian i16)
+    val data = bytes.drop(44)
+    val samples = data.grouped(2).map { p =>
+      val u = (p(0) & 0xff) | ((p(1) & 0xff) << 8)
+      if (u >= 32768) u - 65536 else u
+    }.toArray
+    val assets = Seq((7L, bytes)).toDF("asset_id", "content")
+    val row = graft.operators.Multimodal.audioEnergy(assets).collect().head
+    assert(row.getLong(1) === samples.length.toLong)
+    assert(row.getLong(2) === samples.map(s => s.toLong * s).sum)
+    assert(row.getLong(3) === samples.map(math.abs).max.toLong)
+  }
 }
