@@ -109,6 +109,37 @@ object Advanced {
       |       CAST(MAX(abs(x)) AS BIGINT) AS max_abs
       |FROM v GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---- q126: full BMP pixel decode -> image channel stats ------------
+  // The image twin of q125: every pixel of each planted 24bpp BMP is
+  // decoded from the raw bytes (bottom-up rows, 4-byte padding, BGR)
+  // and reduced to per-channel integer sums. The fixture's pixel
+  // pattern is closed-form, so the oracle recomputes the exact bytes
+  // arithmetically.
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.imageStats(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val imageStatsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0),
+      |px AS (SELECT asset_id, w, h, r.p % w AS x, r.p // w AS y
+      |       FROM b, range(0, 3072) AS r(p) WHERE r.p < w * h),
+      |c AS (SELECT asset_id, w * h AS n_pixels,
+      |        (x * 5 + y * 3 + 2) % 256 AS rr,
+      |        (x * 13 + y * 7 + 1) % 256 AS gg,
+      |        (x * 31 + y * 17) % 256 AS bb
+      |      FROM px)
+      |SELECT asset_id, CAST(n_pixels AS BIGINT) AS n_pixels,
+      |       CAST(SUM(rr) AS BIGINT) AS sum_r,
+      |       CAST(SUM(gg) AS BIGINT) AS sum_g,
+      |       CAST(SUM(bb) AS BIGINT) AS sum_b
+      |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   // ---- q29: gap-based sessionization (window functions) --------------
   // Microsecond timeline on both engines: Spark truncates the parquet
   // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
@@ -732,6 +763,7 @@ object Advanced {
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
     "q122_manifest_ingest" -> (manifestIngest _),
     "q125_audio_energy" -> (audioEnergy _),
+    "q126_image_stats" -> (imageStats _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -763,6 +795,7 @@ object Advanced {
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
     "q122_manifest_ingest" -> manifestIngestSql,
     "q125_audio_energy" -> audioEnergySql,
+    "q126_image_stats" -> imageStatsSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
         |           WHERE user_id < 100 AND event_type = 'view'),

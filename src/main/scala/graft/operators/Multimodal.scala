@@ -109,6 +109,44 @@ object Multimodal {
         array_max(transform(col("s"), x => abs(x))).as("max_abs"))
   }
 
+  /** Single byte of a binary column at 1-based dynamic position, as an
+    * unsigned long. */
+  private def byteAt(content: Column, pos: Column): Column =
+    conv(hex(content.substr(pos, lit(1))), 16, 10).cast("long")
+
+  /** REAL image feature extraction (q126): decode EVERY pixel of each
+    * 24bpp BMP from the raw bytes — bottom-up rows, 4-byte row padding,
+    * BGR order — and reduce to integer channel statistics (sum per
+    * channel + pixel count). The mean-brightness / channel-balance
+    * filters an image-curation pipeline runs start exactly here; pure
+    * Column arithmetic, a projection over the binary scan. */
+  def imageStats(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    val w = leUInt(c, 19, 4)
+    val h = leUInt(c, 23, 4)
+    // pad w*3 up to a multiple of 4 with pure integer ops (Column `/`
+    // on longs is DOUBLE division — never use it for strides)
+    val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    def channel(offset: Int): Column = aggregate(
+      transform(sequence(lit(0L), col("n_pixels") - 1), p => {
+        val x = pmod(p, col("w"))
+        // (p - x) is an exact multiple of w, so the double division is
+        // exact and the long cast is lossless
+        val y = ((p - x) / col("w")).cast("long")
+        byteAt(c, lit(55 + offset) + y * col("rb") + x * 3)
+      }),
+      lit(0L), (acc, v) => acc + v)
+    assets
+      .filter(sniffKind(c) === "bmp" && length(c) >= 54)
+      .withColumn("w", w).withColumn("h", h)
+      .withColumn("rb", rowBytes)
+      .withColumn("n_pixels", (col("w") * col("h")).cast("long"))
+      .select(col("asset_id"), col("n_pixels"),
+        channel(2).as("sum_r"), // BGR on disk: R is the 3rd byte
+        channel(1).as("sum_g"),
+        channel(0).as("sum_b"))
+  }
+
   /** Planted media assets for the q52 oracle: each id becomes a REAL
     * BMP (even ids) or WAV (odd ids) whose header fields derive from
     * the id by fixed formulas — the fixture side; generation is

@@ -101,4 +101,20 @@ class MediaDecodeSpec extends SparkSpec {
     assert(row.getLong(2) === samples.map(s => s.toLong * s).sum)
     assert(row.getLong(3) === samples.map(math.abs).max.toLong)
   }
+
+  test("imageStats: channel sums equal ImageIO's decode of the same bytes") {
+    import spark.implicits._
+    val bytes = MediaFixture.bmp(5, 4) // odd width: padding branch
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (yy <- 0 until img.getHeight; xx <- 0 until img.getWidth) {
+      val rgb = img.getRGB(xx, yy)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    val assets = Seq((2L, bytes)).toDF("asset_id", "content")
+    val row = graft.operators.Multimodal.imageStats(assets).collect().head
+    assert(row.getLong(1) === 20L)
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) === ((sr, sg, sb)))
+  }
 }
