@@ -140,6 +140,38 @@ object Advanced {
       |       CAST(SUM(bb) AS BIGINT) AS sum_b
       |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---- q127: nearest-neighbor image resize (2x decimation) -----------
+  // The multimodal "resize" verb against real encoded bytes: output
+  // pixel (ox, oy) samples source pixel (2ox, 2oy); the oracle
+  // recomputes the decimated frame from the closed-form pixel pattern.
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.imageResizeStats(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val imageResizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0),
+      |d AS (SELECT asset_id, w, h,
+      |        (w + 1) // 2 AS out_w, (h + 1) // 2 AS out_h FROM b),
+      |px AS (SELECT asset_id, out_w, out_h,
+      |         2 * (r.p % out_w) AS x, 2 * (r.p // out_w) AS y
+      |       FROM d, range(0, 768) AS r(p) WHERE r.p < out_w * out_h),
+      |c AS (SELECT asset_id, out_w, out_h,
+      |        (x * 5 + y * 3 + 2) % 256 AS rr,
+      |        (x * 13 + y * 7 + 1) % 256 AS gg,
+      |        (x * 31 + y * 17) % 256 AS bb
+      |      FROM px)
+      |SELECT asset_id, out_w, out_h,
+      |       CAST(SUM(rr) AS BIGINT) AS sum_r,
+      |       CAST(SUM(gg) AS BIGINT) AS sum_g,
+      |       CAST(SUM(bb) AS BIGINT) AS sum_b
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ---- q29: gap-based sessionization (window functions) --------------
   // Microsecond timeline on both engines: Spark truncates the parquet
   // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
@@ -764,6 +796,7 @@ object Advanced {
     "q122_manifest_ingest" -> (manifestIngest _),
     "q125_audio_energy" -> (audioEnergy _),
     "q126_image_stats" -> (imageStats _),
+    "q127_image_resize" -> (imageResize _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -796,6 +829,7 @@ object Advanced {
     "q122_manifest_ingest" -> manifestIngestSql,
     "q125_audio_energy" -> audioEnergySql,
     "q126_image_stats" -> imageStatsSql,
+    "q127_image_resize" -> imageResizeSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
         |           WHERE user_id < 100 AND event_type = 'view'),

