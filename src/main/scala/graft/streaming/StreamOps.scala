@@ -388,6 +388,44 @@ object StreamOps {
       .orderBy("user_id", "view_us", "purchase_us")
   }
 
+  /** Exactly-once parquet sink via foreachBatch + epoch-partitioned
+    * idempotent writes: each microbatch lands under
+    * `epoch_id=<batchId>` with DYNAMIC partition overwrite, so a
+    * REPLAYED batch (the at-least-once redelivery every
+    * failure/restart produces) overwrites its own partition instead of
+    * appending duplicates — exactly-once achieved as idempotence, the
+    * standard production recipe when the sink itself has no
+    * transactions. The per-batch writer is exposed standalone so
+    * StreamJoinSpec can re-invoke a batch and prove the replay is a
+    * no-op. */
+  def epochUpsert(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.withColumn("epoch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("epoch_id").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Drain `src` through the exactly-once epoch sink into `path`. */
+  def runEpochSink(src: DataFrame, path: String): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_epoch_ckpt")
+    val q = src.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => epochUpsert(path)(b.toDF(), id))
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+  }
+
   /** STREAMING near-dup candidate detection: MinHash+LSH banding as an
     * incremental stream, emitting each candidate pair the moment its
     * second member arrives.

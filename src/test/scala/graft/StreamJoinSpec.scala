@@ -111,4 +111,41 @@ class StreamJoinSpec extends SparkSpec {
       (3L, t0 + 50 * min, None)),        // evicted unmatched -> null row
       s"got $got")
   }
+
+  test("epoch sink: a replayed microbatch is a no-op (exactly-once)") {
+    import spark.implicits._
+    val inDir = "/tmp/graft_epoch_in"
+    val outDir = "/tmp/graft_epoch_out"
+    Seq(inDir, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    (0 until 3).foreach { i =>
+      val tmp = s"$inDir/__tmp"
+      (0 until 10).map(j => (i * 10L + j, s"v$i-$j")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$inDir/in_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L))
+    }
+    val schema = spark.read.parquet(s"$inDir/in_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "in_*.parquet").parquet(inDir)
+    graft.streaming.StreamOps.runEpochSink(src, outDir)
+    def state() = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val afterRun = state()
+    assert(afterRun.map(_._1) === (0L until 30L), s"got ${afterRun.size} rows")
+    // simulate the at-least-once failure path: batch 1 is DELIVERED AGAIN
+    val replay = afterRun.filter(p => p._1 >= 10 && p._1 < 20)
+      .toDF("id", "v")
+    graft.streaming.StreamOps.epochUpsert(outDir)(replay, 1L)
+    assert(state() === afterRun, "replaying an epoch changed the sink")
+    Seq(inDir, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
 }
