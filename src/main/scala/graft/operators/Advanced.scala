@@ -172,6 +172,49 @@ object Advanced {
       |       CAST(SUM(bb) AS BIGINT) AS sum_b
       |FROM c GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ---- q128: exactly-once epoch sink round trip ----------------------
+  // The events stream drains through the idempotent foreachBatch sink
+  // (StreamOps.epochUpsert: epoch-partitioned dynamic overwrite), then
+  // the landed table re-aggregates; the result must equal the batch
+  // GROUP BY over the same events — proving the sink neither lost nor
+  // duplicated rows across microbatches. StreamJoinSpec additionally
+  // replays a batch and proves the replay is a no-op.
+  def epochSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val out = s"/tmp/graft_epoch_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val src = spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      StreamOps.runEpochSink(src, out)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+    val res = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+      .orderBy("user_id")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    res
+  }
+
+  val epochSinkRoundtripSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |         AS total_cents
+      |FROM events WHERE user_id < 50
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q29: gap-based sessionization (window functions) --------------
   // Microsecond timeline on both engines: Spark truncates the parquet
   // TIMESTAMP(NANOS) to micros, and so does DuckDB's read_parquet.
@@ -797,6 +840,7 @@ object Advanced {
     "q125_audio_energy" -> (audioEnergy _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
+    "q128_epoch_sink" -> (epochSinkRoundtrip _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -830,6 +874,7 @@ object Advanced {
     "q125_audio_energy" -> audioEnergySql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
+    "q128_epoch_sink" -> epochSinkRoundtripSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events
         |           WHERE user_id < 100 AND event_type = 'view'),
