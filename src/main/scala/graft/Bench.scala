@@ -92,8 +92,11 @@ object Bench {
         catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
       name -> io.shuffleWriteBytes / 1e6
     }
+    // Locale.ROOT: the scala f-interpolator is locale-sensitive and a
+    // comma decimal separator would corrupt the one-line JSON artifact
     val ioJson = shuffleMb
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
@@ -178,8 +181,15 @@ object Bench {
             timed("q34_ivf_build") {
               probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
             },
-            timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
-              spark, layoutPath, probeArgs._1, probeArgs._2))))
+            // nProbe precomputed OUTSIDE the timed lambda: the centroid
+            // count is tiny but it is still a Spark action that doesn't
+            // belong inside the probe-latency measurement
+            {
+              val np = graft.operators.Similarity
+                .autoNProbe(probeArgs._1.count().toInt)
+              timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
+                spark, layoutPath, probeArgs._1, probeArgs._2, np)))
+            })
             .map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
         }

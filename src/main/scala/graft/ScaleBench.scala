@@ -126,8 +126,8 @@ object ScaleBench {
   // Round-5-family corpus-wide entries (the verdict asked for measured
   // scale evidence, not just structure proofs, on the new operators):
 
-  /** q78's operating point: boilerplate line removal. The vowel
-    * permutation makes each replica's lines distinct, so the line
+  /** q78's operating point: boilerplate line removal. The Caesar
+    * rotation makes each replica's lines distinct, so the line
     * doc-frequency join carries exactly N copies of the 1x structure. */
   def lineDedup(docs: DataFrame): DataFrame =
     graft.operators.TextQuality.dropRepeatedLines(
@@ -135,8 +135,8 @@ object ScaleBench {
       "page_id", "text")
 
   /** q79's operating point: corpus vocabulary with distributed ranking.
-    * Replica vocabularies are (near-)disjoint under the vowel
-    * permutation, so the ranked vocab itself grows ~Nx — exactly the
+    * Replica vocabularies are (near-)disjoint under the Caesar
+    * rotation, so the ranked vocab itself grows ~Nx — exactly the
     * shape the distributed ranker exists for. */
   def vocab(docs: DataFrame): DataFrame =
     graft.operators.Llm.vocab(docs, "text", minCount = 5L)
@@ -200,7 +200,12 @@ object ScaleBench {
     * list becomes a partition-pruning filter, so cost tracks probed-cell
     * volume (~nProbe * targetCellSize rows per query), not |corpus|. */
   def ivfProbeLayout(spark: SparkSession, path: String,
-                     centroids: DataFrame, queries: DataFrame): DataFrame =
-    Similarity.ivfTopKFromLayout(spark, path, queries, centroids,
-      k = 5, nProbe = Similarity.autoNProbe(centroids.count().toInt))
+                     centroids: DataFrame, queries: DataFrame,
+                     nProbe: Int = -1): DataFrame =
+    Similarity.ivfTopKFromLayout(spark, path, queries, centroids, k = 5,
+      // callers on the timed bench path precompute nProbe: the count
+      // here, though tiny, is an extra Spark action inside a timed
+      // region otherwise
+      nProbe = if (nProbe > 0) nProbe
+        else Similarity.autoNProbe(centroids.count().toInt))
 }

@@ -98,11 +98,15 @@ object ScaleVerify {
       val recall = (brute intersect ivf).size.toDouble / brute.size
       val q34Pass = recall >= 0.8
 
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+      // decimal separator would corrupt the JSON artifact
+      def d(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       println(
         s"""{"scale_verify":{"sf":"$sfDir","factor":$times,""" +
-        f""""q22_xx_replica_subset":{"pass":$q22Pass%s,"n_pairs":${p22xN.size}%d,"expected":${expected.size}%d,"recall":$q22Recall%.4f},""" +
+        s""""q22_xx_replica_subset":{"pass":$q22Pass,"n_pairs":${p22xN.size},"expected":${expected.size},"recall":${d("%.4f", q22Recall)}},""" +
         s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
-        f""""q34_ivf_auto":{"pass":$q34Pass%s,"recall_at_5":$recall%.3f}}}""")
+        s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()
   }

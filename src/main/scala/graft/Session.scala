@@ -33,6 +33,11 @@ object Session {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every partitioned overwrite in the engine targets either a
+      // fresh scratch path or an intentional partition restate, so
+      // dynamic mode is a session-wide invariant (per-operator
+      // set/restore would race across Verify's concurrent query pool)
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
   }
 
   def get(appName: String = "graft"): SparkSession = {
@@ -49,6 +54,12 @@ object Session {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // session-wide invariants, NOT per-operator scoped confs: Verify
+    // runs every query concurrently on this one session, and a
+    // set/try/restore in one thread can flip the conf out from under
+    // another thread's in-flight write or microbatch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark
   }
 }

@@ -184,21 +184,17 @@ object Advanced {
     val out = s"/tmp/graft_epoch_${spark.sparkContext.applicationId}_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    // session-wide invariant, set idempotently (see Session.tune — a
+    // scoped restore here would race across Verify's concurrent pool)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-      val src = spark.readStream.schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .filter(col("user_id") < 50)
-        .select(col("user_id"),
-          round(col("value") * 100).cast("long").as("cents"))
-      StreamOps.runEpochSink(src, out)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    }
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    StreamOps.runEpochSink(src, out)
     val res = spark.read.parquet(out)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
@@ -434,15 +430,12 @@ object Advanced {
       .withColumn("sale_month", date_format(col("l_shipdate"), "yyyy-MM"))
       .filter(col("sale_month") === maxMonth)
       .withColumn("l_quantity", col("l_quantity") + 1.0)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try correction.write.mode("overwrite")
+    // dynamic overwrite is a session-wide invariant (Session.tune); set
+    // idempotently, never restored — a restore would race with other
+    // concurrently-executing partitioned writes on the shared session
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    correction.write.mode("overwrite")
       .partitionBy("sale_month").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
   }
 
   val dynamicOverwriteSql: String =

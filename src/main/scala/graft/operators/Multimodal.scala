@@ -102,6 +102,10 @@ object Multimodal {
     assets
       .filter(sniffKind(c) === "wav" && length(c) >= 44)
       .withColumn("n_vals", (leUInt(c, 41, 4) / 2).cast("long"))
+      // empty data chunk: sequence(0, -1) would FALL BACK to a
+      // descending [0,-1] (Spark defaults step to -1) and decode
+      // garbage — an empty recording has no features, not zero ones
+      .filter(col("n_vals") > 0)
       .withColumn("s",
         transform(sequence(lit(0L), col("n_vals") - 1), k => pcm16Sample(c, k)))
       .select(col("asset_id"), col("n_vals"),
@@ -123,7 +127,14 @@ object Multimodal {
   def imageStats(assets: DataFrame): DataFrame = {
     val c = col("content")
     val w = leUInt(c, 19, 4)
-    val h = leUInt(c, 23, 4)
+    // biHeight is SIGNED: a negative value marks a top-down BMP (row 0
+    // at the top). Read unsigned it becomes ~2^32, n_pixels ~10^11,
+    // and sequence() blows past Spark's max length — decode the sign
+    // instead; top-down row order is out of scope for the planted
+    // fixture, so non-positive dims are filtered out below (the same
+    // underparsed contract decodeMediaMeta documents).
+    val hu = leUInt(c, 23, 4)
+    val h = when(hu >= 2147483648L, hu - 4294967296L).otherwise(hu)
     // pad w*3 up to a multiple of 4 with pure integer ops (Column `/`
     // on longs is DOUBLE division — never use it for strides)
     val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
@@ -139,6 +150,7 @@ object Multimodal {
     assets
       .filter(sniffKind(c) === "bmp" && length(c) >= 54)
       .withColumn("w", w).withColumn("h", h)
+      .filter(col("w") > 0 && col("h") > 0)
       .withColumn("rb", rowBytes)
       .withColumn("n_pixels", (col("w") * col("h")).cast("long"))
       .select(col("asset_id"), col("n_pixels"),
@@ -157,7 +169,9 @@ object Multimodal {
   def imageResizeStats(assets: DataFrame): DataFrame = {
     val c = col("content")
     val w = leUInt(c, 19, 4)
-    val h = leUInt(c, 23, 4)
+    // signed biHeight + positive-dims filter: see imageStats
+    val hu = leUInt(c, 23, 4)
+    val h = when(hu >= 2147483648L, hu - 4294967296L).otherwise(hu)
     val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
     def channel(offset: Int): Column = aggregate(
       transform(sequence(lit(0L), col("out_n") - 1), p => {
@@ -169,6 +183,7 @@ object Multimodal {
     assets
       .filter(sniffKind(c) === "bmp" && length(c) >= 54)
       .withColumn("w", w).withColumn("h", h)
+      .filter(col("w") > 0 && col("h") > 0)
       .withColumn("rb", rowBytes)
       .withColumn("out_w", ((col("w") + 1) - pmod(col("w") + 1, lit(2L))) / 2)
       .withColumn("out_h", ((col("h") + 1) - pmod(col("h") + 1, lit(2L))) / 2)

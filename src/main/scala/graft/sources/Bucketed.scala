@@ -59,15 +59,24 @@ object Bucketed {
   }
 
   /** q117: revenue per order priority over the co-located join. The
-    * only exchange in the whole plan is the 5-row aggregate's. */
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
-    colocatedJoinFrame(spark, dir)
+    * only exchange in the whole plan is the 5-row aggregate's. The
+    * 5-row summary is materialized so the managed bucketed tables can
+    * be DROPPED before returning — otherwise every Verify/Bench run
+    * leaks two fact-table copies into the warehouse dir (table names
+    * embed the applicationId, so nothing ever reuses them). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureTables(spark, dir)
+    val out = colocatedJoinFrame(spark, dir)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
           .as("revenue"))
-      .orderBy("o_orderpriority")
+      .localCheckpoint(true) // cut lineage to the catalog tables
+    spark.sql(s"DROP TABLE IF EXISTS $liT")  // managed: drop deletes data
+    spark.sql(s"DROP TABLE IF EXISTS $ordT")
+    out.orderBy("o_orderpriority")
+  }
 
   val bucketedJoinSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_items,

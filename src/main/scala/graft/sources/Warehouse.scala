@@ -100,15 +100,24 @@ object Warehouse {
   /** Small-file compaction: rewrite a directory into ~`targetFiles`
     * files (the OPTIMIZE/rewrite-data-files maintenance op — thousands
     * of ingest-sized files are a namenode/planning tax and kill scan
-    * throughput). Writes to a scratch sibling then swaps, so a reader
-    * never sees a half-compacted directory. */
+    * throughput). Swap order matters: the ORIGINAL moves aside first,
+    * the compacted scratch renames in, and only then is the original
+    * deleted — so a crash at any point leaves the full data at either
+    * `path` or `path__old`, never gone (delete-then-rename would
+    * destroy the table if the rename failed). */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
-    val tmp = path + "__compacting"
+    val tmp = new java.io.File(path + "__compacting")
+    val old = new java.io.File(path + "__old")
     spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.getPath)
     val dir = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(old) // stale crash debris
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compaction: cannot move $path aside")
+    if (!tmp.renameTo(dir)) {
+      old.renameTo(dir) // roll back; data never left
       throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 }

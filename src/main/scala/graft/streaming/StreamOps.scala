@@ -28,19 +28,15 @@ object StreamOps {
     prefix + math.abs(dir.hashCode).toString + "_" +
       queryCounter.incrementAndGet().toString
 
-  /** Run `f` with `spark.sql.legacy.parquet.nanosAsLong=true`, then
-    * restore the previous value — the testdata events file carries
-    * TIMESTAMP(NANOS), but the session-global conf must not leak into
-    * unrelated reads. */
+  /** Ensure `spark.sql.legacy.parquet.nanosAsLong=true` for `f` — the
+    * testdata events file carries TIMESTAMP(NANOS). Deliberately NO
+    * restore: the flag is a session-wide invariant (Session.tune sets
+    * it too), and a set/try/restore here would race across Verify's
+    * concurrent query pool — one query's restore can unset the flag
+    * while another query's microbatch is mid-plan. */
   private def withNanosAsLong[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    f
   }
 
   /** Drain a bounded stream through a memory sink and return the sink
@@ -399,16 +395,13 @@ object StreamOps {
     * StreamJoinSpec can re-invoke a batch and prove the replay is a
     * no-op. */
   def epochUpsert(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try batch.withColumn("epoch_id", lit(batchId))
+    // dynamic overwrite is a session-wide invariant (Session.tune); set
+    // idempotently, never restored — a restore would race with other
+    // concurrently-executing partitioned writes on the shared session
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("epoch_id", lit(batchId))
       .write.mode("overwrite").partitionBy("epoch_id").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
   }
 
   /** Drain `src` through the exactly-once epoch sink into `path`. */
