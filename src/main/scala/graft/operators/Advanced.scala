@@ -223,6 +223,28 @@ object Advanced {
         GapUs, tsCol = "ts_us")
       .orderBy("user_id")
 
+  // ---- q129: native session_window sessionization --------------------
+  // The third sessionization lane: Spark's BUILT-IN session_window
+  // aggregation (one row per gap-delimited session, merged by the
+  // engine) must agree with the lag-window operator (q29) and the
+  // stateful stream (q101) on the same events — three independent
+  // implementations, one oracle. Boundary semantics differ by one
+  // microsecond: session_window's window is [start, start+gap)
+  // EXCLUSIVE, so an event at exactly t-last == gap starts a NEW
+  // session, while the lag rule (`t - last > gap`, strict) keeps it in
+  // the same one — gap+1us here makes the two rules coincide exactly.
+  def sessionWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 100)
+      .withColumn("ts_utc", timestamp_micros(unix_micros(col("ts"))))
+    val sessions = ev
+      .groupBy(session_window(col("ts_utc"),
+        s"${GapUs + 1} microseconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    sessions.groupBy("user_id")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
   // ---- q101: STREAMING sessionization (stream == batch parity) -------
   // q29's gap rule computed incrementally with O(1)-per-user state
   // (mapGroupsWithState); must reproduce the batch oracle exactly.
@@ -834,6 +856,7 @@ object Advanced {
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
+    "q129_session_window" -> (sessionWindowStats _),
     "q119_stream_stream_join" ->
       ((s: SparkSession, d: String) => StreamOps.streamStreamAttribution(s, d)),
     "q31_salted_agg"        -> (saltedAgg _),
@@ -858,6 +881,7 @@ object Advanced {
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
+    "q129_session_window"   -> sessionStatsSql,
     // q101 must equal the BATCH sessionization — same oracle as q29
     "q101_stream_sessions"  -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
