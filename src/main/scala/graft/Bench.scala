@@ -183,12 +183,23 @@ object Bench {
             },
             // nProbe precomputed OUTSIDE the timed lambda: the centroid
             // count is tiny but it is still a Spark action that doesn't
-            // belong inside the probe-latency measurement
+            // belong inside the probe-latency measurement. A failed
+            // build leaves probeArgs null — record the probe as failed
+            // WITHOUT throwing here, or the NPE would abort the whole
+            // block and discard every timing already measured above.
             {
-              val np = graft.operators.Similarity
-                .autoNProbe(probeArgs._1.count().toInt)
-              timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
-                spark, layoutPath, probeArgs._1, probeArgs._2, np)))
+              if (probeArgs != null) {
+                val np = try graft.operators.Similarity
+                    .autoNProbe(probeArgs._1.count().toInt)
+                  catch { case t: Throwable =>
+                    recordErr(s"x$times.q34_ivf_probe", t); 4 }
+                timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
+                  spark, layoutPath, probeArgs._1, probeArgs._2, np)))
+              } else {
+                recordErr(s"x$times.q34_ivf_probe",
+                  new IllegalStateException("skipped: q34_ivf_build failed"))
+                "q34_ivf_probe" -> 0.0
+              }
             })
             .map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")

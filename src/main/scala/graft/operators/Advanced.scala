@@ -441,9 +441,10 @@ object Advanced {
   }
 
   /** Re-state the latest month with quantity+1 under
-    * partitionOverwriteMode=dynamic (conf scoped + restored): the write
-    * carries ONLY that month's rows, so only that partition directory
-    * is replaced. */
+    * partitionOverwriteMode=dynamic (a session-wide invariant, ensured
+    * idempotently — NOT scoped/restored, which would race across
+    * Verify's concurrent pool): the write carries ONLY that month's
+    * rows, so only that partition directory is replaced. */
   def dpoCorrection(spark: SparkSession, dir: String, path: String): Unit = {
     val li = Tables.lineitem(spark, dir)
     val maxMonth = li.agg(max(date_format(col("l_shipdate"), "yyyy-MM")))

@@ -33,6 +33,13 @@ object Multimodal {
     conv(concat((0 until nBytes).reverse.map(i =>
       hex(substring(content, pos + i, 1))): _*), 16, 10).cast("long")
 
+  /** Signed little-endian 32-bit read (two's complement) — BMP's
+    * biHeight is signed: negative marks a top-down bitmap. */
+  def leSInt32(content: Column, pos: Int): Column = {
+    val u = leUInt(content, pos, 4)
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
   /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav. */
   def sniffKind(content: Column): Column =
     when(hex(substring(content, 1, 2)) === "424D", lit("bmp"))
@@ -133,8 +140,7 @@ object Multimodal {
     // instead; top-down row order is out of scope for the planted
     // fixture, so non-positive dims are filtered out below (the same
     // underparsed contract decodeMediaMeta documents).
-    val hu = leUInt(c, 23, 4)
-    val h = when(hu >= 2147483648L, hu - 4294967296L).otherwise(hu)
+    val h = leSInt32(c, 23)
     // pad w*3 up to a multiple of 4 with pure integer ops (Column `/`
     // on longs is DOUBLE division — never use it for strides)
     val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
@@ -170,8 +176,7 @@ object Multimodal {
     val c = col("content")
     val w = leUInt(c, 19, 4)
     // signed biHeight + positive-dims filter: see imageStats
-    val hu = leUInt(c, 23, 4)
-    val h = when(hu >= 2147483648L, hu - 4294967296L).otherwise(hu)
+    val h = leSInt32(c, 23)
     val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
     def channel(offset: Int): Column = aggregate(
       transform(sequence(lit(0L), col("out_n") - 1), p => {

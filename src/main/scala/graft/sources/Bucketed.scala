@@ -53,10 +53,14 @@ object Bucketed {
     * but demonstrates nothing. */
   def colocatedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
     val (liT, ordT) = ensureTables(spark, dir)
+    joinFrame(spark, liT, ordT)
+  }
+
+  private def joinFrame(spark: SparkSession, liT: String,
+                        ordT: String): DataFrame =
     spark.table(liT).hint("merge")
       .join(spark.table(ordT).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
-  }
 
   /** q117: revenue per order priority over the co-located join. The
     * only exchange in the whole plan is the 5-row aggregate's. The
@@ -66,7 +70,7 @@ object Bucketed {
     * embed the applicationId, so nothing ever reuses them). */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (liT, ordT) = ensureTables(spark, dir)
-    val out = colocatedJoinFrame(spark, dir)
+    val out = joinFrame(spark, liT, ordT)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),

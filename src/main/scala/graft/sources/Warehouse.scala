@@ -22,6 +22,11 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
                        sortCol: Option[String] = None): Unit = {
+    // FULL-load semantics: truncate explicitly (the session runs with
+    // partitionOverwriteMode=dynamic — see Session.tune — under which
+    // a bare overwrite would leave partitions absent from `df` behind);
+    // the partition-level restate path is Advanced.dpoCorrection
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val sorted = sortCol.map(c => df.sortWithinPartitions(c)).getOrElse(df)
     sorted.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
@@ -68,9 +73,16 @@ object Warehouse {
     * files from 32 tasks and the write dominated index-build time);
     * clustering by cell bounds output at one file per cell — the
     * standard small-files discipline for partitioned lake layouts. */
-  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit = {
+    // FULL-rebuild semantics: under the session-wide dynamic
+    // partition-overwrite invariant (Session.tune) a partitioned
+    // overwrite only replaces the partitions present in the data, so a
+    // rebuild with FEWER cells than a previous layout at the same path
+    // would leave stale cell directories behind — truncate explicitly
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     assigned.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
 
   /** Bucketed catalog table: pre-hash-partitioned on the join key so
     * repeated joins/aggregations on that key skip their shuffle
@@ -115,8 +127,11 @@ object Warehouse {
     if (!dir.renameTo(old))
       throw new java.io.IOException(s"compaction: cannot move $path aside")
     if (!tmp.renameTo(dir)) {
-      old.renameTo(dir) // roll back; data never left
-      throw new java.io.IOException(s"compaction swap failed for $path")
+      if (old.renameTo(dir)) // roll back; data never left
+        throw new java.io.IOException(s"compaction swap failed for $path " +
+          "(rolled back; original data intact)")
+      throw new java.io.IOException(s"compaction swap failed for $path " +
+        s"AND rollback failed: full data preserved at ${old.getPath}")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
