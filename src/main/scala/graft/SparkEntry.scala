@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Advanced, Golden, Graph, Llm, Pipeline, Quality, Retail, Retrieval, Temporal, TextQuality}
+import graft.operators.{Advanced, Golden, Graph, Integrity, Lexical, Llm, Pipeline, Quality, Retail, Retrieval, Temporal, TextQuality}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Retail.queries ++ Quality.queries ++ Llm.queries ++ Advanced.queries ++
       Golden.queries ++ TextQuality.queries ++ Temporal.queries ++
-      Pipeline.queries ++ Graph.queries ++ Retrieval.queries
+      Pipeline.queries ++ Graph.queries ++ Retrieval.queries ++
+      Lexical.queries ++ Integrity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Retail.oracles ++ Quality.oracles ++ Llm.oracles ++ Advanced.oracles ++
       Golden.oracles ++ TextQuality.oracles ++ Temporal.oracles ++
-      Pipeline.oracles ++ Graph.oracles ++ Retrieval.oracles
+      Pipeline.oracles ++ Graph.oracles ++ Retrieval.oracles ++
+      Lexical.oracles ++ Integrity.oracles
 }

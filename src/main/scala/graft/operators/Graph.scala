@@ -7,9 +7,84 @@ import org.apache.spark.sql.functions._
 /** Graph analytics over derived relationship graphs (q96): the
   * co-occurrence graph construction + triangle counting, the standard
   * large-graph building block (clustering coefficient, community
-  * detection preprocessing).
+  * detection preprocessing), and multi-source BFS hop distances
+  * (q130) — the reachability primitive behind crawl-frontier scoring
+  * and seed-set expansion over web-scale link graphs.
   */
 object Graph {
+
+  /** Multi-source BFS hop distances over an undirected (u, v) edge
+    * list: every node reachable from `seeds` within `maxHops` hops,
+    * labeled with its EXACT minimum hop count. Unweighted BFS settles
+    * a node the first time the frontier reaches it, so each iteration
+    * joins only the CURRENT frontier (not all settled nodes) against
+    * the edge list and anti-joins out already-settled nodes — per-hop
+    * cost tracks the frontier's edge cut, not |V|. The loop is the
+    * same checkpoint-disciplined driver iteration as the CC operator
+    * (labels stay distributed; the driver sees one is-empty probe per
+    * hop), and `maxHops` bounds worst-case work on small-diameter
+    * graphs the way the CC loop's maxIter does. Returns (node, dist),
+    * dist in [0, maxHops].
+    */
+  def bfsDistances(edges0: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    // symmetrize once; consumed every hop
+    val edges = edges0.select(col("u"), col("v"))
+      .unionAll(edges0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && frontier.head(1).nonEmpty) {
+      hop += 1
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(true)
+      settled = settled.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    settled
+  }
+
+  /** q130: BFS hop distance from the 1-in-50 seed parts over the q96
+    * co-purchase graph. The oracle recomputes the same distances with
+    * a bounded recursive CTE (path enumeration + MIN(d)) — a genuinely
+    * different algorithm, so agreement checks the reachability
+    * semantics, not the implementation twice. */
+  def bfsFromSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    val seeds = nodes.filter(col("node") % 50 === 0)
+    bfsDistances(edges, seeds, maxHops = 4)
+      .select(col("node").cast("long").as("node"), col("dist"))
+      .orderBy("node")
+  }
+
+  val bfsFromSeedsSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+      |e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |walk(node, d) AS (
+      |  SELECT node, 0 FROM nodes WHERE node % 50 = 0
+      |  UNION
+      |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node WHERE w.d < 4)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q96: triangle count on the part co-purchase graph.
     *
@@ -174,10 +249,12 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_triangle_count"        -> (triangleCount _),
     "q106_basket_pairs"         -> (basketPairs _),
-    "q110_basket_pairs_guarded" -> (basketPairsGuarded _))
+    "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
+    "q130_bfs_distance"         -> (bfsFromSeeds _))
 
   val oracles: Map[String, String] = Map(
     "q96_triangle_count"        -> triangleCountSql,
     "q106_basket_pairs"         -> basketPairsSql,
-    "q110_basket_pairs_guarded" -> basketPairsGuardedSql)
+    "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
+    "q130_bfs_distance"         -> bfsFromSeedsSql)
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus integrity operators: order-independent table fingerprints
+  * (q132) — the anti-entropy primitive for comparing replicas /
+  * migration targets without sorting either side — and bloom-filter
+  * semi-join reduction (q133) — the shuffle-avoidance pattern for
+  * "tiny dirty fraction" joins at 100 TB. Reference scope: none
+  * (beyond-parity); data model is the synthetic documents table.
+  */
+object Integrity {
+
+  // ---- q132: order-independent table fingerprint ---------------------
+  // Per-group (and grand-total, via ROLLUP) content checksum:
+  // canonical row serialization -> md5 -> 60-bit hex window as i64 ->
+  // two commutative aggregates (BIT_XOR, which no reordering or
+  // spill-merge order can change, plus a DECIMAL(38,0) SUM that
+  // additionally catches the duplicated-row-pair case XOR is blind
+  // to). Comparing two 100 TB replicas becomes comparing a
+  // |groups|-row frame — no sort, no shuffle beyond one
+  // map-side-combinable aggregate. Cross-engine exact: md5 and the
+  // hex window are byte-reproducible, XOR/SUM are order-independent,
+  // so DuckDB computes the identical signature from the identical
+  // rows.
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // \u0001 separator cannot appear in the corpus columns; every
+    // non-string renders through an explicit BIGINT cast so both
+    // engines print the identical canonical form.
+    val repr = concat_ws("\u0001",
+      col("doc_id").cast("long").cast("string"), col("lang"), col("source"),
+      col("n_chars").cast("long").cast("string"), col("text"))
+    val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10).cast("long")
+    d.select(col("lang"), h.as("h"))
+      .rollup("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("sum_sig"),
+        expr("bit_xor(h)").as("xor_sig"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  val tableFingerprintSql: String =
+    """WITH h AS (
+      |  SELECT lang,
+      |         CAST('0x' || substr(md5(
+      |           CAST(doc_id AS BIGINT)::VARCHAR || chr(1) || lang || chr(1) ||
+      |           source || chr(1) || CAST(n_chars AS BIGINT)::VARCHAR || chr(1) || text
+      |         ), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_rows,
+      |       SUM(CAST(h AS DECIMAL(38,0))) AS sum_sig,
+      |       bit_xor(h) AS xor_sig
+      |FROM h GROUP BY ROLLUP(lang)
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  // ---- q133: bloom-prefiltered decontamination -----------------------
+  // The DELIVERY half of q77's contamination report: the corpus with
+  // every doc sharing a 5-gram with the benchmark set REMOVED,
+  // summarized per language. The scale point is the join shape: at
+  // 100 TB almost every doc is clean, so shuffling all corpus
+  // shingles into an exact semi-join wastes the whole exchange on
+  // rows that match nothing. Instead the benchmark shingle set
+  // aggregates into ONE bloom filter cell (TypedImperativeAggregate,
+  // map-side combined), the corpus pays a codegen'd in-scan membership
+  // probe, and ONLY the flagged sliver (true hits + the fpp-bounded
+  // false positives) enters the exact verify join. False positives
+  // die in the verify, so the result is EXACTLY the unguarded
+  // anti-join — which is what the oracle computes, and what
+  // IntegritySpec asserts against the bloom-free form.
+  //
+  // The bloom attaches as a driver-collected literal (same
+  // driver-scalar idiom as q1's date bounds — one bounded row moves,
+  // sized ~numBits/8 bytes). Spark's own InjectRuntimeFilter plants
+  // the identical expression pair via a scalar subquery; the explicit
+  // form here keys the filter on a derived column (the shingle hash)
+  // across a groupBy, which the automatic rule cannot see.
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val benchSet = Dedup.shingleTable(bench, "doc_id", "text", n = 5)
+      .select("h64").distinct()
+      .localCheckpoint(true) // consumed by the bloom build AND the verify
+    val row = benchSet
+      .agg(GraftFunctions.bloom_agg(col("h64"), 1L << 20, 1L << 24).as("bf"))
+      .head()
+    val contaminated =
+      if (row.isNullAt(0)) corpus.select(col("doc_id")).limit(0)
+      else {
+        val bf = lit(row.getAs[Array[Byte]](0))
+        Dedup.shingleTable(corpus, "doc_id", "text", n = 5)
+          .filter(GraftFunctions.might_contain(bf, col("h64")))
+          .join(benchSet, Seq("h64"), "left_semi") // exact verify
+          .select("doc_id").distinct()
+      }
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
+      .orderBy("lang")
+  }
+
+  val bloomDecontaminateSql: String = {
+    val gram = (0 until 5).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toksC AS (SELECT doc_id, lang, n_chars,
+       |                      regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |               FROM documents WHERE doc_id % 10 != 0),
+       |shC AS (SELECT DISTINCT doc_id, $gram AS s
+       |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+       |              FROM toksC WHERE len(t) >= 5)),
+       |toksB AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |          FROM documents WHERE doc_id % 10 = 0),
+       |shB AS (SELECT DISTINCT $gram AS s
+       |        FROM (SELECT t, unnest(generate_series(1, len(t)-4)) AS i
+       |              FROM toksB WHERE len(t) >= 5)),
+       |bad AS (SELECT DISTINCT doc_id FROM shC JOIN shB USING (s))
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM toksC ANTI JOIN bad USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_table_fingerprint"  -> (tableFingerprint _),
+    "q133_bloom_decontaminate" -> (bloomDecontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "q132_table_fingerprint"  -> tableFingerprintSql,
+    "q133_bloom_decontaminate" -> bloomDecontaminateSql)
+}

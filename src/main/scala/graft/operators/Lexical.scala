@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical corpus statistics beyond the unigram vocab (q79) and
+  * surprisal (q80): collocation mining (q131) — the adjacent-bigram
+  * association pass a corpus-analysis pipeline runs to find
+  * multi-word expressions, tokenizer-merge candidates, and boilerplate
+  * phrases. Reference scope: none (beyond-parity, LLM-pipeline block);
+  * data model is the synthetic documents table.
+  */
+object Lexical {
+
+  /** q131: top collocations by integer-exact lift.
+    *
+    * lift(a,b) = P(ab) / (P(a)P(b)) — the PMI family's association
+    * measure — computed entirely in integer arithmetic so Spark and
+    * DuckDB agree bit-for-bit: lift_ppm = floor(n_ab * N * 10^6 /
+    * (n_a * n_b)), with the cross-products taken in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) so the 100 TB operating point
+    * (N ~ 10^14) cannot overflow the i64 a float log-PMI would have
+    * silently rounded anyway.
+    *
+    * Shape at scale: bigram extraction is ZERO-shuffle — a single
+    * `transform(sequence(...))` projection per document (no
+    * posexplode self-join); both count passes are map-side-combinable
+    * hash aggregates; the n_a/n_b attachment joins are vocab-sized
+    * (broadcast at dimension scale, plain hash joins at web-vocab
+    * scale); the corpus total attaches as a 1-row broadcast; top-k is
+    * TakeOrderedAndProject with full (lift, a, b) tiebreak so the
+    * LIMIT boundary is deterministic.
+    */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame =
+    collocationsFrom(Tables.documents(spark, dir), "text", minCount, k)
+
+  /** The reusable core over any (..., textCol) corpus frame. */
+  def collocationsFrom(docs: DataFrame, textCol: String,
+                       minCount: Long, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val toks = docs
+      .select(Text.tokens(col(textCol)).as("t"))
+      .localCheckpoint(true) // consumed by the unigram AND bigram passes
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tot = toks.select(sum(size(col("t"))).cast("decimal(38,0)").as("n_total"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bi.join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("n", "n_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("n", "n_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        call_function("div",
+          col("n_ab").cast("decimal(38,0)") * col("n_total") * lit(1000000L),
+          col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)"))
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_total FROM uni),
+      |bi AS (
+      |  SELECT t[i] AS a, t[i+1] AS b
+      |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |bcnt AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2
+      |         HAVING COUNT(*) >= 5)
+      |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+      |       CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+      |       CAST((CAST(n_ab AS HUGEINT) * n_total * 1000000)
+      |            // (CAST(ua.n AS HUGEINT) * CAST(ub.n AS HUGEINT)) AS BIGINT) AS lift_ppm
+      |FROM bcnt JOIN ucnt ua ON bcnt.a = ua.w
+      |          JOIN ucnt ub ON bcnt.b = ub.w, tot
+      |ORDER BY lift_ppm DESC, a, b LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_collocations" -> ((s, d) => collocations(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q131_collocations" -> collocationsSql)
+}

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.call_function
 
 /** Engine extensions: registers graft's custom Catalyst expressions for
@@ -41,6 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
       (exprs: Seq[Expression]) => GraftFunctions.mkSrpSig(exprs)))
+    // Spark's own (non-public-registry) bloom expressions, surfaced
+    // under graft names: the build side of a semi-join reduction as a
+    // TypedImperativeAggregate, and the codegen'd membership probe.
+    // Same machinery Spark's InjectRuntimeFilter plants — exposed here
+    // so an operator can build the filter over an EXPLICIT key set.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     // scale guardrail (inert until spark.graft.planGuard=warn|fail)
     e.injectOptimizerRule(session => PlanGuard(session))
   }
@@ -77,6 +92,12 @@ object GraftFunctions {
       "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_sig", mkSrpSig, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API handles. Each helper self-registers on the thread's
@@ -122,5 +143,20 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     ensureRegistered()
     call_function("graft_srp_sig", vec, lit(band), lit(bits), lit(dim))
+  }
+
+  /** Bloom build aggregate over a LONG key column (use xxhash64 for
+    * other types). Returns one BINARY cell. */
+  def bloom_agg(key: Column, estimatedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensureRegistered()
+    call_function("graft_bloom_agg", key, lit(estimatedItems), lit(numBits))
+  }
+
+  /** Membership probe. `bloom` must be foldable (a `lit` of collected
+    * bytes) or a scalar subquery — Catalyst enforces this. */
+  def might_contain(bloom: Column, key: Column): Column = {
+    ensureRegistered()
+    call_function("graft_might_contain", bloom, key)
   }
 }

@@ -148,4 +148,47 @@ class GraphSpec extends SparkSpec {
     }
     assert(byFlag.keySet === Set("A", "N", "R"))
   }
+
+  test("bfsDistances: exact hop counts on a handcrafted graph") {
+    // path 1-2-3-4-5, branch 3-6, disconnected pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L),
+      (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsDistances(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 is 4 hops out -> excluded by maxHops; 10/11 unreachable
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 6L -> 3L))
+  }
+
+  test("bfsDistances: multi-source takes the minimum over seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val got = Graph.bfsDistances(edges, seeds, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsFromSeeds: distances match a driver-side BFS over the same graph") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    var dist = nodes.filter(_ % 50 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = Graph.bfsFromSeeds(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+  }
 }
