@@ -152,6 +152,7 @@ object Bench {
             noop(ScaleBench.lineDedup(docs.limit(64)))
             noop(ScaleBench.vocab(docs.limit(64)))
             noop(ScaleBench.globalRank(ev.limit(64)))
+            noop(ScaleBench.bloomDecon(docs.limit(64), times))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
             val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
             noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
@@ -168,6 +169,7 @@ object Bench {
             timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
             timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
             timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
+            timed("q133_bloom_decon")(noop(ScaleBench.bloomDecon(docs, times))),
             // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
             // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
             // set-similarity joins carry an irreducible postings^2

@@ -150,6 +150,23 @@ object ScaleBench {
   def clusters(docs: DataFrame): DataFrame =
     Dedup.dedupClusters(minhashPairs(docs))
 
+  /** q133's operating point: bloom-prefiltered decontamination over
+    * the replicated corpus. Both sides grow with the replication
+    * factor (the benchmark split recovers the ORIGINAL 1-in-10 class
+    * through the re-keying, so every replica carries the 1x
+    * contamination structure), timing the whole guarded shape: bloom
+    * build over the benchmark shingles, in-scan probe over the corpus
+    * shingles, exact verify on the flagged sliver. The Caesar
+    * rotation keeps replica shingle sets disjoint — the bloom
+    * genuinely holds N times the keys, the probe pass N times the
+    * rows. */
+  def bloomDecon(docs: DataFrame, times: Int): DataFrame =
+    graft.operators.Integrity.bloomDecontaminateFrom(
+      docs.withColumn("lang", lit("xx"))
+        .withColumn("n_chars", length(col("text"))),
+      benchClass =
+        call_function("div", col("doc_id"), lit(times.toLong)) % 10 === 0)
+
   /** IVF assignment + probe over the replicated corpus with a FIXED
     * query batch (a real serving workload's query count doesn't grow
     * with the corpus — letting it grow would add a quadratic

@@ -86,6 +86,103 @@ object Graph {
       |SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS dist
       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bounded k-core (onion) peeling over an undirected (u, v) edge
+    * list: `rounds` synchronized rounds of "remove every node whose
+    * CURRENT degree is < k", labeling removed nodes with their peel
+    * round; nodes still standing after the last round are the
+    * (provisional) core, labeled 0. Bounded-round peeling is the
+    * standard distributed formulation (each round is one grouped
+    * degree count + two anti-joins — all equality operations; the
+    * round count bounds the driver loop exactly like the CC loop's
+    * maxIter), and the fixed round count is what makes the semantics
+    * expressible engine-independently (the oracle unrolls the same
+    * rounds as nested CTEs — no fixpoint needed). Early-exits when a
+    * round removes nothing: every later round is then provably a
+    * no-op, so the output is identical to running all `rounds`.
+    * Returns (node, peel_round), peel_round in {1..rounds, 0=core}. */
+  def onionPeel(edges0: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var edges = edges0.select(col("u"), col("v"))
+      .unionAll(edges0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var nodes = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(true)
+    var peeled: DataFrame = null
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val deg = edges.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val cur = nodes.join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val removed = cur.filter(col("deg") < k).select("node")
+        .localCheckpoint(true)
+      if (removed.head(1).isEmpty) done = true
+      else {
+        val tagged = removed.withColumn("peel_round", lit(r.toLong))
+        peeled = if (peeled == null) tagged else peeled.unionAll(tagged)
+        nodes = cur.filter(col("deg") >= k).select("node")
+          .localCheckpoint(true)
+        edges = edges
+          .join(removed.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(removed.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    val core = nodes.withColumn("peel_round", lit(0L))
+    if (peeled == null) core else peeled.unionAll(core)
+  }
+
+  /** q134: 3-round 4-core peeling of the 1-in-20-orders co-purchase
+    * graph (sparser than q96's 1-in-10 so the peel actually layers:
+    * at sf0.01 the rounds strip 302/41/10 nodes around a 1212-node
+    * core — k=2 on the denser graph converged in one round). */
+  def onionLayers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 20 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    onionPeel(edges, k = 4L, rounds = 3)
+      .select(col("node").cast("long").as("node"), col("peel_round"))
+      .orderBy("node")
+  }
+
+  val onionLayersSql: String = {
+    // unroll the three synchronized peel rounds as chained CTEs: the
+    // same semantics by a different construction (set subtraction vs
+    // the Spark side's iterative anti-joins)
+    def round(i: Int): String = {
+      val (e, n) = (s"e${i - 1}", s"n${i - 1}")
+      s"""d$i AS (SELECT u AS node, COUNT(*) AS deg FROM $e GROUP BY 1),
+         |rm$i AS (SELECT $n.node FROM $n LEFT JOIN d$i USING (node)
+         |         WHERE COALESCE(deg, 0) < 4),
+         |e$i AS (SELECT u, v FROM $e
+         |        WHERE u NOT IN (SELECT node FROM rm$i)
+         |          AND v NOT IN (SELECT node FROM rm$i)),
+         |n$i AS (SELECT node FROM $n ANTI JOIN rm$i USING (node))""".stripMargin
+    }
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+       |eu AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS (SELECT u, v FROM eu UNION SELECT v, u FROM eu),
+       |n0 AS (SELECT DISTINCT u AS node FROM e0),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(peel_round AS BIGINT) AS peel_round
+       |FROM (SELECT node, 1 AS peel_round FROM rm1
+       |      UNION ALL SELECT node, 2 FROM rm2
+       |      UNION ALL SELECT node, 3 FROM rm3
+       |      UNION ALL SELECT node, 0 FROM n3)
+       |ORDER BY node""".stripMargin
+  }
+
   /** q96: triangle count on the part co-purchase graph.
     *
     * Graph: distinct undirected edges between parts appearing in the
@@ -250,11 +347,13 @@ object Graph {
     "q96_triangle_count"        -> (triangleCount _),
     "q106_basket_pairs"         -> (basketPairs _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
-    "q130_bfs_distance"         -> (bfsFromSeeds _))
+    "q130_bfs_distance"         -> (bfsFromSeeds _),
+    "q134_onion_layers"         -> (onionLayers _))
 
   val oracles: Map[String, String] = Map(
     "q96_triangle_count"        -> triangleCountSql,
     "q106_basket_pairs"         -> basketPairsSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
-    "q130_bfs_distance"         -> bfsFromSeedsSql)
+    "q130_bfs_distance"         -> bfsFromSeedsSql,
+    "q134_onion_layers"         -> onionLayersSql)
 }

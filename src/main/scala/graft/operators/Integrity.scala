@@ -78,11 +78,20 @@ object Integrity {
   // the identical expression pair via a scalar subquery; the explicit
   // form here keys the filter on a derived column (the shingle hash)
   // across a groupBy, which the automatic rule cannot see.
-  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminateFrom(Tables.documents(spark, dir))
+
+  /** The reusable core over any documents-shaped frame (ScaleBench
+    * drives the replicated corpus through this same code; its re-keyed
+    * replicas pass a predicate that recovers the ORIGINAL 1-in-10
+    * split so every replica carries the 1x contamination structure). */
+  def bloomDecontaminateFrom(docs: DataFrame,
+      benchClass: org.apache.spark.sql.Column = col("doc_id") % 10 === 0)
+      : DataFrame = {
+    val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(!benchClass)
+    val bench = docs.filter(benchClass)
     val benchSet = Dedup.shingleTable(bench, "doc_id", "text", n = 5)
       .select("h64").distinct()
       .localCheckpoint(true) // consumed by the bloom build AND the verify
@@ -93,10 +102,16 @@ object Integrity {
       if (row.isNullAt(0)) corpus.select(col("doc_id")).limit(0)
       else {
         val bf = lit(row.getAs[Array[Byte]](0))
+        // localCheckpoint: the contaminated-doc list is tiny (it IS the
+        // dirty sliver), but un-checkpointed its subtree — a full
+        // corpus shingle scan — re-executes inside the downstream
+        // anti-join plan per consumer (the round-4 IVF lesson: AQE
+        // materializes shared subtrees per query stage, not once).
         Dedup.shingleTable(corpus, "doc_id", "text", n = 5)
           .filter(GraftFunctions.might_contain(bf, col("h64")))
           .join(benchSet, Seq("h64"), "left_semi") // exact verify
           .select("doc_id").distinct()
+          .localCheckpoint(true)
       }
     corpus.join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("lang")

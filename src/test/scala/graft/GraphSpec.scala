@@ -149,6 +149,28 @@ class GraphSpec extends SparkSpec {
     assert(byFlag.keySet === Set("A", "N", "R"))
   }
 
+  test("onionPeel: layers match hand-computed synchronized peeling") {
+    // star (hub 1; leaves 2..4) + triangle 5-6-7 + tail 7-8
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (7L, 8L)).toDF("u", "v")
+    val got = Graph.onionPeel(edges, k = 2L, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: leaves 2,3,4 (deg 1) and 8 (deg 1) peel; hub 1 keeps
+    // deg 3 until its leaves go, so it peels round 2; triangle stands
+    assert(got === Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 1L,
+      1L -> 2L, 5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("onionPeel: early-exit equals running all rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    // triangle at k=2: nothing ever peels; any round budget returns all-core
+    val a = Graph.onionPeel(edges, 2L, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.onionPeel(edges, 2L, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b && a === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("bfsDistances: exact hop counts on a handcrafted graph") {
     // path 1-2-3-4-5, branch 3-6, disconnected pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L),

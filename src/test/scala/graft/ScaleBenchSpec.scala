@@ -44,6 +44,20 @@ class ScaleBenchSpec extends SparkSpec {
     assert(pN === expected)
   }
 
+  test("bloomDecon on replicas: survivor counts are exactly N times 1x") {
+    val times = 3
+    val r1 = ScaleBench.bloomDecon(ScaleBench.documents(spark, sf, 1), 1)
+      .collect()
+    val rN = ScaleBench.bloomDecon(ScaleBench.documents(spark, sf, times), times)
+      .collect()
+    assert(r1.length === 1 && rN.length === 1)
+    // the benchClass predicate recovers the original 1-in-10 split and
+    // the Caesar rotation keeps replica shingle sets disjoint, so each
+    // replica decontaminates exactly like 1x
+    assert(rN.head.getLong(1) === times * r1.head.getLong(1))
+    assert(rN.head.getLong(2) === times * r1.head.getLong(2))
+  }
+
   test("embedding replicas: isometry preserves intra-replica cosines") {
     val times = 3
     val e1 = ScaleBench.embeddings(spark, sf, 1)
