@@ -146,7 +146,7 @@ object Llm {
   private val NumHashes = 12
   private val Bands = 4
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
       n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
 
@@ -236,6 +236,64 @@ object Llm {
        |          GROUP BY 1 HAVING COUNT(*) > 1)
        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q135: dedup-aware (cluster-atomic) train/val/test split -------
+  // The leakage-proof split: near-dups must never straddle splits (a
+  // test doc with a train near-twin is benchmark contamination from
+  // the inside), so the unit of assignment is the near-dup CLUSTER,
+  // not the document — each doc inherits the md5 hash-split (q62's
+  // exact channel) of its CC representative; singletons are their own
+  // cluster. Leakage-freedom is STRUCTURAL: any near-dup pair shares a
+  // rep, hence a split, by construction. Cost over the plain doc-hash
+  // split is one left join against the CC labels — a pairs-sized
+  // (dirty-sliver) frame, not a corpus-sized one; the split decision
+  // itself stays zero-shuffle.
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.connectedComponents(minhashPairs(spark, dir)) match {
+      case Dedup.Components(l, _, converged) =>
+        if (!converged)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "clusterSplit: CC hit maxIter without converging; splits of " +
+              "partially-merged components may straddle")
+        l
+    }
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("rep"), 0.8, 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        countDistinct("rep").as("n_clusters"))
+      .orderBy("split")
+  }
+
+  val clusterSplitSql: String = {
+    val t1 = (0.8 * 4294967296.0).toLong
+    val t2 = (0.9 * 4294967296.0).toLong
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep, d.n_chars
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |spl AS (SELECT rep, n_chars,
+       |          CASE WHEN h < $t1 THEN 'train'
+       |               WHEN h < $t2 THEN 'val' ELSE 'test' END AS split
+       |        FROM (SELECT rep, n_chars,
+       |                ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT AS h
+       |              FROM lab) t)
+       |SELECT split, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+       |FROM spl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---- q59: deduplicated corpus (the endgame over q22+q40) -----------
   // Survivors = every doc except non-canonical cluster members. The
@@ -948,6 +1006,7 @@ object Llm {
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q109_cluster_sizes"    -> (clusterSizeHistogram _),
+    "q135_cluster_split"    -> (clusterSplit _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
@@ -982,6 +1041,7 @@ object Llm {
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q109_cluster_sizes"    -> clusterSizeHistogramSql,
+    "q135_cluster_split"    -> clusterSplitSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,

@@ -240,6 +240,31 @@ class TextDedupSpec extends SparkSpec {
     assert(enIds === dsIds)
   }
 
+  test("clusterSplit: no near-dup pair ever straddles a split") {
+    import graft.operators.{Dedup, Llm}
+    val docs = Tables.documents(spark, sf)
+    val pairs = Llm.minhashPairs(spark, sf).localCheckpoint(true)
+    val labels = Dedup.connectedComponents(pairs).labels
+    val splitOf = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("rep"), 0.8, 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ps = pairs.select("doc_a", "doc_b").collect()
+    assert(ps.nonEmpty)
+    ps.foreach { r =>
+      assert(splitOf(r.getLong(0)) === splitOf(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} straddles splits")
+    }
+    // the summary accounts for every doc and every cluster exactly once
+    val rows = Llm.clusterSplit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val nClusters = docs.join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("rep"), col("doc_id"))).distinct().count()
+    assert(rows.map(_.getLong(3)).sum === nClusters)
+  }
+
   test("deterministicSample: stable across runs and entity-coherent") {
     val li = Tables.lineitem(spark, sf)
     val s1 = graft.functions.Sampling.deterministicSample(li, "l_orderkey", 0.2)
