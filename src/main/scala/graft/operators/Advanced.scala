@@ -529,6 +529,81 @@ object Advanced {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q136: manifest time travel (snapshot read at a version) -------
+  // The lakehouse snapshot-isolation primitive on top of q122's
+  // manifest: each ingest pass stamps the files it admits with a
+  // monotone version, and a reader at version v plans from the
+  // MANIFEST (files with version <= v), never from the directory
+  // listing — exactly how Delta/Iceberg time travel works, and why a
+  // reader mid-ingest can never see a half-committed batch. The query
+  // lands two batches as versions 1 and 2 and reads BOTH snapshots:
+  // v1 must see only batch 1 regardless of what has landed since.
+  /** One versioned ingest pass: admit unseen files under the next
+    * version number. Returns that version (0 if nothing was new). */
+  def versionedIngest(spark: SparkSession, dataDir: String,
+                      manifestDir: String): Int = {
+    import graft.sources.Warehouse
+    val files = Warehouse.listDataFiles(dataDir)
+    val existing =
+      if (new java.io.File(manifestDir).exists()) {
+        val m = spark.read.parquet(manifestDir)
+        (m.select("path").collect().map(_.getString(0)).toSet,
+          m.agg(max("version")).head().getInt(0))
+      } else (Set.empty[String], 0)
+    val fresh = files.filterNot(existing._1)
+    if (fresh.isEmpty) 0
+    else {
+      val v = existing._2 + 1
+      import spark.implicits._
+      fresh.toDF("path").withColumn("version", lit(v))
+        .write.mode("append").parquet(manifestDir)
+      v
+    }
+  }
+
+  /** Snapshot read at `version`: plan from the manifest's file set. */
+  def snapshotAt(spark: SparkSession, manifestDir: String,
+                 version: Int): DataFrame = {
+    val paths = spark.read.parquet(manifestDir)
+      .filter(col("version") <= version)
+      .select("path").collect().map(_.getString(0))
+    spark.read.parquet(paths.toSeq: _*)
+  }
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_timetravel_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (data, man) = (s"$root/data", s"$root/manifest")
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_linenumber") <= 3).write.mode("append").parquet(data)
+    versionedIngest(spark, data, man)
+    li.filter(col("l_linenumber") > 3).write.mode("append").parquet(data)
+    versionedIngest(spark, data, man)
+    def snap(v: Int): DataFrame =
+      snapshotAt(spark, man, v)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("total_qty"))
+        .select(lit(v.toLong).as("version"), col("l_returnflag"),
+          col("n_rows"), col("total_qty"))
+    val out = snap(1).unionAll(snap(2))
+      .orderBy("version", "l_returnflag").localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    out
+  }
+
+  val timeTravelSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, l_returnflag, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem WHERE l_linenumber <= 3 GROUP BY 2
+      |UNION ALL
+      |SELECT 2, l_returnflag, COUNT(*),
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |FROM lineitem GROUP BY 2
+      |ORDER BY version, l_returnflag""".stripMargin
+
   def rollupSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
@@ -853,6 +928,7 @@ object Advanced {
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
     "q122_manifest_ingest" -> (manifestIngest _),
+    "q136_time_travel"     -> (timeTravel _),
     "q125_audio_energy" -> (audioEnergy _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
@@ -889,6 +965,7 @@ object Advanced {
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
     "q122_manifest_ingest" -> manifestIngestSql,
+    "q136_time_travel"     -> timeTravelSql,
     "q125_audio_energy" -> audioEnergySql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,

@@ -174,4 +174,29 @@ class WarehouseSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
+
+  test("time travel: a v1 reader is isolated from files landed after v1") {
+    import graft.operators.Advanced
+    val root = "/tmp/graft_tt_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (data, man) = (s"$root/data", s"$root/manifest")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      li.filter(col("l_linenumber") <= 3).write.mode("append").parquet(data)
+      assert(Advanced.versionedIngest(spark, data, man) === 1)
+      val v1Before = Advanced.snapshotAt(spark, man, 1).count()
+      // batch 2 lands in the DIRECTORY but is not yet admitted to the
+      // manifest: a v1 reader must not see it (plans from the manifest)
+      li.filter(col("l_linenumber") > 3).write.mode("append").parquet(data)
+      assert(Advanced.snapshotAt(spark, man, 1).count() === v1Before)
+      assert(Advanced.versionedIngest(spark, data, man) === 2)
+      // after admission: v1 STILL pinned to batch 1; v2 sees everything
+      assert(Advanced.snapshotAt(spark, man, 1).count() === v1Before)
+      assert(Advanced.snapshotAt(spark, man, 2).count() === li.count())
+      assert(v1Before === li.filter(col("l_linenumber") <= 3).count())
+      // idle pass admits nothing and mints no version
+      assert(Advanced.versionedIngest(spark, data, man) === 0)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
