@@ -126,6 +126,68 @@ class PlanAuditSpec extends SparkSpec {
       "semanticDedup")
   }
 
+  test("round-6 session-2 operators stay cartesian-free") {
+    def noCartesianOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    // oracle wrappers sort their (bounded) outputs, so cartesian
+    // checks only — the heavy paths inside are all equality joins
+    noCartesianOnly(graft.operators.Graph.bfsFromSeeds(spark, sf),
+      "bfsFromSeeds")
+    noCartesianOnly(graft.operators.Graph.onionLayers(spark, sf),
+      "onionLayers")
+    noCartesianOnly(graft.operators.Integrity.bloomDecontaminate(spark, sf),
+      "bloomDecontaminate")
+    noCartesianOnly(graft.operators.Integrity.tableFingerprint(spark, sf),
+      "tableFingerprint")
+    noCartesianOnly(graft.operators.Llm.clusterSplit(spark, sf),
+      "clusterSplit")
+  }
+
+  test("collocations plan: zero-shuffle bigram extraction, one agg exchange") {
+    // q131's scale claim: nothing between the corpus scan and the
+    // bigram partial aggregate shuffles, and the 1-row total attaches
+    // as a broadcast (the only nested-loop is that bounded crossJoin)
+    val df = graft.operators.Lexical.collocationsFrom(
+      Tables.documents(spark, sf), "text", minCount = 5L, k = 50)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"vocab joins must broadcast at dim scale:\n$plan")
+    // the bigram side reaches its partial aggregate without a shuffle:
+    // no Exchange may appear below the first HashAggregate of the
+    // bigram branch — equivalently, the explode feeds an aggregate
+    // with partial mode in the same codegen'd stage
+    assert(plan.contains("Generate explode"), s"no explode stage:\n$plan")
+  }
+
+  test("bloom probe plan: might_contain runs in-scan before any join") {
+    val docs = Tables.documents(spark, sf)
+    val benchSet = Dedup.shingleTable(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 5)
+      .select("h64").distinct().localCheckpoint(true)
+    // small bloom: the literal's hex rendering lands in the plan
+    // string, and a failure message carrying 2 MB of hex helps no one
+    val bf = lit(benchSet
+      .agg(graft.plans.GraftFunctions.bloom_agg(col("h64"), 1L << 10, 1L << 13))
+      .head().getAs[Array[Byte]](0))
+    val flagged = Dedup.shingleTable(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 5)
+      .filter(graft.plans.GraftFunctions.might_contain(bf, col("h64")))
+      .join(benchSet, Seq("h64"), "left_semi")
+    val plan = physical(flagged)
+    // the probe is a Filter, and it sits BELOW the semi join (the
+    // whole point: the exchange moves only bloom-flagged rows)
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(probeAt >= 0, "no bloom probe in plan")
+    assert(joinAt >= 0, "no semi join in plan")
+    assert(probeAt > joinAt,
+      "bloom probe not below the semi join (plan prints top-down)")
+  }
+
   test("bucketed co-located join: SortMergeJoin with no shuffle exchange") {
     // the q117 layout promise: both sides bucketed on the join key with
     // the same bucket count -> the scan output IS the join partitioning,

@@ -149,6 +149,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bfsDistances law: equals driver-side BFS on random graphs") {
+    val gen = for {
+      nEdges <- Gen.chooseNum(3, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        u <- Gen.chooseNum(1L, 15L)
+        v <- Gen.chooseNum(1L, 15L) if u != v
+      } yield if (u < v) (u, v) else (v, u))
+      nSeeds <- Gen.chooseNum(1, 3)
+      seeds <- Gen.listOfN(nSeeds, Gen.chooseNum(1L, 15L))
+    } yield (edges.distinct, seeds.distinct)
+    samples(gen, 6).zipWithIndex.foreach { case ((edges, seeds), k) =>
+      val maxHops = 4
+      val got = graft.operators.Graph
+        .bfsDistances(edges.toDF("u", "v"), seeds.toDF("node"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver BFS
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        dist = dist ++ next.map(_ -> h.toLong)
+        frontier = next
+      }
+      assert(got === dist, s"case $k edges=$edges seeds=$seeds")
+    }
+  }
+
+  test("onionPeel law: equals driver-side synchronized peeling") {
+    val gen = for {
+      nEdges <- Gen.chooseNum(3, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        u <- Gen.chooseNum(1L, 12L)
+        v <- Gen.chooseNum(1L, 12L) if u != v
+      } yield if (u < v) (u, v) else (v, u))
+      k <- Gen.chooseNum(1L, 3L)
+    } yield (edges.distinct, k)
+    samples(gen, 6).zipWithIndex.foreach { case ((edges, k), i) =>
+      val rounds = 3
+      val got = graft.operators.Graph
+        .onionPeel(edges.toDF("u", "v"), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side synchronized peel
+      var alive = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      var peel = Map.empty[Long, Long]
+      for (r <- 1 to rounds) {
+        val deg = alive.map(n => n ->
+          edges.count(e => (e._1 == n && alive(e._2)) ||
+            (e._2 == n && alive(e._1)))).toMap
+        val rm = alive.filter(deg(_) < k)
+        peel = peel ++ rm.map(_ -> r.toLong)
+        alive = alive -- rm
+      }
+      assert(got === peel ++ alive.map(_ -> 0L).toMap,
+        s"case $i k=$k edges=$edges")
+    }
+  }
+
   test("globalRowNumberSorted law: equals single-window rank for any direction") {
     val gen = Gen.listOfN(80, Gen.chooseNum(-50L, 50L))
     samples(gen, 5).zipWithIndex.foreach { case (xs, k) =>
