@@ -86,9 +86,71 @@ object Lexical {
       |          JOIN ucnt ub ON bcnt.b = ub.w, tot
       |ORDER BY lift_ppm DESC, a, b LIMIT 50""".stripMargin
 
+  // ---- q138: vocabulary drift between corpus snapshots ---------------
+  // The distribution-shift monitor a continuously-ingested corpus
+  // runs: which tokens' relative frequencies moved most between two
+  // snapshots (here the deterministic doc_id-parity halves)? The
+  // score is the cross-multiplied share delta |n_a*N_b - n_b*N_a| —
+  // algebraically N_a*N_b*|share_a - share_b|, so it ranks identically
+  // to the float share delta but stays in DECIMAL(38,0)/HUGEINT
+  // integer arithmetic (no division, no epsilon, no ulp-flip at the
+  // top-k boundary). Tokens absent from one side count 0 there (the
+  // new-word / vanished-word cases rank naturally). Shape at scale:
+  // two map-side-combinable unigram counts, one full-outer join on
+  // the token (vocab-sized), top-k as TakeOrderedAndProject.
+  def vocabDrift(spark: SparkSession, dir: String,
+                 minCount: Long = 10L, k: Int = 40): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    def uni(side: DataFrame): DataFrame = side
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val a = uni(docs.filter(col("doc_id") % 2 === 0))
+      .withColumnRenamed("n", "n_a")
+    val b = uni(docs.filter(col("doc_id") % 2 === 1))
+      .withColumnRenamed("n", "n_b")
+    val joined = a.join(b, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint(true) // consumed by the totals agg AND the rank
+    val tot = joined.agg(
+      sum("n_a").cast("decimal(38,0)").as("na_tot"),
+      sum("n_b").cast("decimal(38,0)").as("nb_tot"))
+    joined.filter(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("w"), col("n_a"), col("n_b"),
+        abs(col("n_a").cast("decimal(38,0)") * col("nb_tot") -
+          col("n_b").cast("decimal(38,0)") * col("na_tot")).as("drift"))
+      .orderBy(col("drift").desc, col("w"))
+      .limit(k)
+  }
+
+  val vocabDriftSql: String =
+    """WITH ua AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ub AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT w, COUNT(*) AS n_a FROM ua GROUP BY 1),
+      |cb AS (SELECT w, COUNT(*) AS n_b FROM ub GROUP BY 1),
+      |j AS (SELECT COALESCE(ca.w, cb.w) AS w,
+      |             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |      FROM ca FULL JOIN cb ON ca.w = cb.w),
+      |tot AS (SELECT CAST(SUM(n_a) AS HUGEINT) AS na_tot,
+      |               CAST(SUM(n_b) AS HUGEINT) AS nb_tot FROM j)
+      |SELECT w, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       CAST(abs(CAST(n_a AS HUGEINT) * nb_tot
+      |                - CAST(n_b AS HUGEINT) * na_tot) AS DECIMAL(38,0)) AS drift
+      |FROM j, tot WHERE n_a + n_b >= 10
+      |ORDER BY drift DESC, w LIMIT 40""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q131_collocations" -> ((s, d) => collocations(s, d)))
+    "q131_collocations" -> ((s, d) => collocations(s, d)),
+    "q138_vocab_drift"  -> ((s, d) => vocabDrift(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "q131_collocations" -> collocationsSql)
+    "q131_collocations" -> collocationsSql,
+    "q138_vocab_drift"  -> vocabDriftSql)
 }

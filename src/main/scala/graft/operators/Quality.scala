@@ -459,6 +459,60 @@ object Quality {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q137: temperature-rebalanced mixture (UniMax-style, T=2) ------
+  // q81 takes the mixture as GIVEN; this operator DERIVES it from the
+  // corpus: source shares proportional to sqrt(token mass) — the
+  // T=2 temperature flattening multilingual recipes use so head
+  // languages stop drowning the tail — then down-samples each source
+  // to its derived budget with the md5-threshold channel. The whole
+  // derivation is engine-exact integer arithmetic: isqrt via
+  // floor(sqrt(n)) (IEEE sqrt is correctly rounded, so floor(sqrt) IS
+  // integer sqrt for n < 2^52), budgets and per-mille keeps via floor
+  // division, the keep threshold as (pm * 2^32) div 1000 in int64 —
+  // no float fraction ever touches the decision. Shape at scale: two
+  // bounded aggregates (|langs| rows, broadcast back), one corpus
+  // pass for the keep filter — the same zero-shuffle decision plane
+  // as q81.
+  def temperatureMixQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val t = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tok_n"))
+    val agg = t.groupBy("lang").agg(sum("tok_n").as("n"))
+    val tot = agg.agg(sum("n").as("nn"),
+      sum(floor(sqrt(col("n"))).cast("long")).as("ss"))
+    val thr = agg.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(1000L), call_function("div",
+          call_function("div",
+            floor(sqrt(col("n"))).cast("long") * col("nn"), col("ss")) * 1000L,
+          col("n"))).as("pm"))
+    val h = graft.plans.GraftFunctions.hex_window(
+      md5(col("doc_id").cast("string").cast("binary")), 0, 8)
+    t.join(broadcast(thr), Seq("lang"))
+      .filter(h < call_function("div", col("pm") * 4294967296L, lit(1000L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_n").as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  val temperatureMixSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok_n
+      |  FROM documents),
+      |agg AS (SELECT lang, SUM(tok_n) AS n FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS nn,
+      |               SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS ss FROM agg),
+      |thr AS (SELECT lang,
+      |          LEAST(1000, ((CAST(FLOOR(SQRT(n)) AS BIGINT) * nn // ss) * 1000) // n) AS pm
+      |        FROM agg, tot)
+      |SELECT t.lang, COUNT(*) AS n_docs, CAST(SUM(tok_n) AS BIGINT) AS n_tokens
+      |FROM t JOIN thr ON t.lang = thr.lang
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        < (pm * 4294967296) // 1000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q81: corpus mixture sampling (domain mixing) ------------------
   // Per-language keep fractions — the "X% of each source" assembly step
   // of corpus construction. Deterministic md5-threshold per group, so
@@ -663,6 +717,7 @@ object Quality {
     "q69_fuzzy_names"      -> (fuzzyNamePairs _),
     "q74_sniff_delimiter"  -> (sniffDelimiters _),
     "q81_mixture_sample"   -> (mixtureSampleQ _),
+    "q137_temperature_mix" -> (temperatureMixQ _),
     "q82_sharded_packing"  -> (shardedPackingQ _),
     "q83_heavy_hitters"    -> (heavyHittersQ _),
     "q100_weighted_sample" -> (weightedSampleQ _))
@@ -690,6 +745,7 @@ object Quality {
     "q69_fuzzy_names"      -> fuzzyNamePairsSql,
     "q74_sniff_delimiter"  -> sniffDelimitersSql,
     "q81_mixture_sample"   -> mixtureSampleSql,
+    "q137_temperature_mix" -> temperatureMixSql,
     "q82_sharded_packing"  -> shardedPackingSql,
     "q83_heavy_hitters"    -> heavyHittersSql,
     "q100_weighted_sample" -> weightedSampleSql)

@@ -379,7 +379,48 @@ object Temporal {
       |       CAST(rev AS DOUBLE) AS revenue
       |FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
 
+  // ---- q139: per-entity rate cap (first-k per user per day) ----------
+  // The ingestion throttle every abuse-resistant pipeline runs: keep at
+  // most k events per user per day, FIRST-k by event time (not an
+  // arbitrary k — replayable), report kept/dropped per event type.
+  // Shape at scale: the window partitions by (user, hour) — millions of
+  // tiny partitions, each a handful of rows, so no skew and no global
+  // sort; Spark lowers the rank-filter idiom to WindowGroupLimit (only
+  // k rows per group per partition survive into the window shuffle —
+  // the q98 mechanism on a composite key). The day bucket is integer
+  // floor-division on the int96-free ns channel; ordering tiebreaks on
+  // event_id so the kept set is unique and engine-identical.
+  private val RateCapK = 3
+
+  def rateCap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window
+      .partitionBy(col("user_id"), expr("ts_ns div 86400000000000"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    ev.withColumn("__rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("__rn") <= RateCapK, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") > RateCapK, 1L).otherwise(0L)).as("n_dropped"),
+        countDistinct(when(col("__rn") > RateCapK, col("user_id"))).as("n_capped_users"))
+      .orderBy("event_type")
+  }
+
+  val rateCapSql: String =
+    s"""WITH r AS (
+       |  SELECT event_type, user_id,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+       |           ORDER BY epoch_ns(ts), event_id) AS rn
+       |  FROM events)
+       |SELECT event_type,
+       |       CAST(SUM(CASE WHEN rn <= $RateCapK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN rn > $RateCapK THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(COUNT(DISTINCT CASE WHEN rn > $RateCapK THEN user_id END) AS BIGINT)
+       |         AS n_capped_users
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
     "q85_gapfill_daily"  -> (gapFillDaily _),
     "q86_rolling_7d"     -> (rollingRevenue7d _),
@@ -392,6 +433,7 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,
     "q85_gapfill_daily"  -> gapFillDailySql,
     "q86_rolling_7d"     -> rollingRevenue7dSql,

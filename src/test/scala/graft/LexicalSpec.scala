@@ -34,6 +34,30 @@ class LexicalSpec extends SparkSpec {
     assert(key.sameElements(key.sorted))
   }
 
+  test("vocabDrift: drift re-derives from brute-force half-corpus counts") {
+    val rows = Lexical.vocabDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tok = "[a-z0-9]+".r
+    def counts(parity: Int): Map[String, Long] =
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") % 2 === parity).select("text").collect()
+        .flatMap(r => tok.findAllIn(r.getString(0).toLowerCase))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (ca, cb) = (counts(0), counts(1))
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      assert(r.getLong(1) === ca.getOrElse(w, 0L))
+      assert(r.getLong(2) === cb.getOrElse(w, 0L))
+      val drift = (BigInt(ca.getOrElse(w, 0L)) * nb -
+        BigInt(cb.getOrElse(w, 0L)) * na).abs
+      assert(BigInt(r.getDecimal(3).toBigInteger) === drift, s"drift($w)")
+    }
+    // descending with full tiebreak
+    val key = rows.map(r => (BigInt(r.getDecimal(3).toBigInteger), r.getString(0)))
+    assert(key.sameElements(key.sortBy { case (d, w) => (-d, w) }))
+  }
+
   test("collocations: a planted rare-word bigram dominates by lift") {
     val docs = (Seq.fill(6)("zq xw common words here") ++
       Seq.fill(40)("common words appear again and again and again"))

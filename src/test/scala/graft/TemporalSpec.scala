@@ -105,4 +105,22 @@ class TemporalSpec extends SparkSpec {
     assert(r.getLong(2) === counts.filter(_ < k).sum)
     assert(r.getLong(3) === counts.min)
   }
+
+  test("rateCap: kept+dropped partitions events; no user-day keeps over k") {
+    val rows = graft.operators.Temporal.rateCap(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === ev.count())
+    // brute recomputation: first-3 per (user, day) by (ts_ns, event_id)
+    val byUserDay = ev.select("user_id", "ts_ns", "event_id", "event_type")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1) / 86400000000000L),
+        (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+    val keptBrute = byUserDay.values.flatMap(
+      _.map(_._2).sortBy(t => (t._1, t._2)).take(3)).toSeq
+    val keptByType = keptBrute.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) === keptByType(r.getString(0)),
+      s"kept(${r.getString(0)})"))
+    assert(rows.map(_.getLong(2)).sum > 0, "cap must bind on this data")
+  }
 }

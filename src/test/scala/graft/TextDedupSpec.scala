@@ -265,6 +265,38 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum === nClusters)
   }
 
+  test("temperatureMix: budgets re-derive from driver-side integer math") {
+    val rows = graft.operators.Quality.temperatureMixQ(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute with the same integer channel, driver-side
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tok_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nn = byLang.values.sum
+    def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val ss = byLang.values.map(isqrt).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(key: Long): Long = {
+      val hex = md.digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val kept = docs.filter { case (lang, id, _) =>
+      val n = byLang(lang)
+      val pm = math.min(1000L, isqrt(n) * nn / ss * 1000L / n)
+      h32(id) < pm * 4294967296L / 1000L
+    }
+    val expect = kept.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._3).sum)).toMap
+    assert(rows === expect)
+    // the head language is genuinely flattened; a tail one is not
+    val head = byLang.maxBy(_._2)._1
+    assert(rows(head)._2 < byLang(head),
+      "temperature flattening must down-sample the head language")
+  }
+
   test("deterministicSample: stable across runs and entity-coherent") {
     val li = Tables.lineitem(spark, sf)
     val s1 = graft.functions.Sampling.deterministicSample(li, "l_orderkey", 0.2)
