@@ -430,6 +430,60 @@ object Dedup {
     Components(labels, i, changed == 0L)
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * pairs into an existing (doc_id, rep) labeling without recomputing
+    * from scratch — the continuous-dedup-ingest shape at 100 TB, where
+    * the standing corpus labeling is petabyte-derived state and each
+    * arriving slice contributes a few edges.
+    *
+    * Construction: every existing component CONTRACTS to its rep
+    * supernode; each new pair rewrites to (rep(a), rep(b)) (endpoints
+    * unknown to the labeling stay themselves); CC runs over that
+    * contracted graph only — its size tracks the NEW pairs and the
+    * reps they touch, never |labels|; the final labeling composes the
+    * old mapping through the supernode relabeling with one join.
+    *
+    * Exactness (the law TextDedupSpec + the q140 oracle check):
+    * incremental == full recompute over (old ∪ new) pairs, EXACTLY —
+    * reps are canonical min-ids, and min over a merged component
+    * equals min over its supernodes' mins, so even the rep CHOICE
+    * agrees, not just the partition. Old-old pairs inside one
+    * component contract to self-loops and drop; a new id can never
+    * self-loop (its partner's rep is an old doc id), so no node is
+    * lost. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val l = labels.select(col("doc_id"), col("rep")).localCheckpoint(true)
+    val la = l.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
+    val lb = l.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
+    val contracted = newPairs.select("doc_a", "doc_b")
+      .join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint(true)
+    if (contracted.head(1).isEmpty) return l
+    val superCC = starContractComponents(contracted)
+    if (!superCC.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "incrementalComponents: star contraction hit maxIter; labels " +
+          "of the touched components may be partially merged")
+    // remap: touched supernode -> its merged component's canonical rep
+    val remap = superCC.labels
+      .select(col("doc_id").as("rep"), col("rep").as("new_rep"))
+      .localCheckpoint(true)
+    val updatedOld = l.join(remap, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+    val newIds = newPairs.select(col("doc_a").as("doc_id"))
+      .unionAll(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(l, Seq("doc_id"), "left_anti")
+    val newLabeled = newIds
+      .join(remap.withColumnRenamed("rep", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_rep"), col("doc_id")).as("rep"))
+    updatedOld.unionAll(newLabeled)
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (the
     * large-star/small-star algorithm of Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14 — public

@@ -295,6 +295,23 @@ object Llm {
        |FROM spl GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q140: incremental component maintenance (continuous dedup) ----
+  // q40's clustering as a maintenance problem: the corpus labeling
+  // already exists (built from the pairs among the 90% standing docs),
+  // and the 1-in-10 "new arrivals" contribute fresh pairs. The
+  // incremental fold contracts touched components to supernodes and
+  // runs CC over new-pairs-sized state only — then must produce
+  // EXACTLY q40's from-scratch clustering, which is what the oracle
+  // (the same recursive-CTE closure over ALL pairs) checks.
+  def incrementalCC(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).localCheckpoint(true)
+    val isNew = col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0
+    val base = Dedup.starContractComponents(pairs.filter(!isNew)).labels
+    Dedup.clustersFromLabels(
+        Dedup.incrementalComponents(base, pairs.filter(isNew)))
+      .orderBy("canonical_doc")
+  }
+
   // ---- q59: deduplicated corpus (the endgame over q22+q40) -----------
   // Survivors = every doc except non-canonical cluster members. The
   // oracle derives the same survivor set through the recursive-CTE
@@ -1007,6 +1024,7 @@ object Llm {
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q109_cluster_sizes"    -> (clusterSizeHistogram _),
     "q135_cluster_split"    -> (clusterSplit _),
+    "q140_incremental_cc"   -> (incrementalCC _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
@@ -1042,6 +1060,8 @@ object Llm {
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q109_cluster_sizes"    -> clusterSizeHistogramSql,
     "q135_cluster_split"    -> clusterSplitSql,
+    // the law IS the oracle: incremental must equal the from-scratch closure
+    "q140_incremental_cc"   -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,

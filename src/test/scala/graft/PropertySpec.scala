@@ -209,6 +209,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents law: equals from-scratch CC on random splits") {
+    val gen = for {
+      nEdges <- Gen.chooseNum(4, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        u <- Gen.chooseNum(1L, 14L)
+        v <- Gen.chooseNum(1L, 14L) if u != v
+      } yield if (u < v) (u, v) else (v, u))
+      cut <- Gen.chooseNum(0, nEdges)
+    } yield (edges.distinct, cut)
+    samples(gen, 6).zipWithIndex.foreach { case ((edges, cut0), k) =>
+      val cut = math.min(cut0, edges.size)
+      val (oldE, newE) = edges.splitAt(cut)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val base = graft.operators.Dedup
+          .starContractComponents(oldE.toDF("doc_a", "doc_b")).labels
+        val inc = graft.operators.Dedup
+          .incrementalComponents(base, newE.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = graft.operators.Dedup
+          .starContractComponents(edges.toDF("doc_a", "doc_b")).labels
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // exact equality INCLUDING rep choice (both canonicalize min-id)
+        assert(inc === full, s"case $k cut=$cut edges=$edges")
+      }
+    }
+  }
+
   test("globalRowNumberSorted law: equals single-window rank for any direction") {
     val gen = Gen.listOfN(80, Gen.chooseNum(-50L, 50L))
     samples(gen, 5).zipWithIndex.foreach { case (xs, k) =>
