@@ -312,6 +312,28 @@ object Llm {
       .orderBy("canonical_doc")
   }
 
+  // ---- q141: STREAMING incremental clustering (continuous dedup) -----
+  // q140's fold as a live stream: the base labeling stands, arriving
+  // docs pair against the growing persisted index AND among
+  // themselves, and every microbatch folds its pairs into the labels
+  // — the full continuous-dedup state machine. Must still equal q40's
+  // from-scratch clustering exactly (same closure oracle).
+  def streamIncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables.documents(spark, dir)
+    val tag = math.abs(dir.hashCode).toString
+    val idxPath = s"${sys.props("user.dir")}/target/incc_idx_$tag"
+    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 10 === 0)
+    StreamOps.streamIncrementalClusters(
+        docs.filter(col("doc_id") % 10 =!= 0), src, idxPath,
+        n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5)
+      .orderBy("canonical_doc")
+  }
+
   // ---- q59: deduplicated corpus (the endgame over q22+q40) -----------
   // Survivors = every doc except non-canonical cluster members. The
   // oracle derives the same survivor set through the recursive-CTE
@@ -1025,6 +1047,7 @@ object Llm {
     "q109_cluster_sizes"    -> (clusterSizeHistogram _),
     "q135_cluster_split"    -> (clusterSplit _),
     "q140_incremental_cc"   -> (incrementalCC _),
+    "q141_stream_incremental_cc" -> (streamIncrementalCc _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
@@ -1062,6 +1085,7 @@ object Llm {
     "q135_cluster_split"    -> clusterSplitSql,
     // the law IS the oracle: incremental must equal the from-scratch closure
     "q140_incremental_cc"   -> dedupClustersSql,
+    "q141_stream_incremental_cc" -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,

@@ -604,4 +604,97 @@ object StreamOps {
     // sink-side distinct collapses them exactly
     drain(verified, queryName, "append").distinct().orderBy("doc_a", "doc_b")
   }
+
+  /** STREAMING incremental clustering — the full continuous-dedup
+    * state machine: each microbatch (a) discovers its near-dup pairs
+    * against the GROWING persisted band index (cross) and within
+    * itself (intra), (b) folds them into the standing labels with
+    * [[graft.operators.Dedup.incrementalComponents]] (state sized by
+    * the batch's pairs and the components they touch, never the
+    * corpus), and (c) appends its own bands/doc-sets to the index so
+    * LATER batches can pair against it. Because a pair's band keys
+    * depend only on its two documents, the union of base + cross +
+    * intra pairs over any batch partitioning equals the whole-corpus
+    * LSH pair set — so the final labels equal the from-scratch batch
+    * clustering EXACTLY (q141's oracle is q40's closure; the spec
+    * drives a 3-microbatch replay through the same code).
+    *
+    * At 100 TB/day: the index is a bucketed table keyed by
+    * (band, bkey), labels live in the lakehouse and fold per
+    * micro-batch — each batch pays |batch| x bucket-occupancy for
+    * discovery plus new-pairs-sized CC work, never a corpus pass. */
+  def streamIncrementalClusters(existing: DataFrame, src: DataFrame,
+      idxPath: String, n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val spark = existing.sparkSession
+    writeNearDupIndex(existing, "doc_id", "text", idxPath, n, numHashes,
+      bands)
+    var labels = Dedup.starContractComponents(
+        Dedup.minhashLshPairs(existing, "doc_id", "text", n, numHashes,
+          bands, threshold))
+      .labels.localCheckpoint(true)
+
+    def indexFrames(batch: DataFrame): (DataFrame, DataFrame) = {
+      val sh = Dedup.shingleTable(batch, "doc_id", "text", n)
+        .withColumn("__h", md5(col("s").cast("binary")))
+        .select("doc_id", "h64", "__h").localCheckpoint(true)
+      (Dedup.lshBands(Dedup.minhashSignatures(sh, numHashes), numHashes,
+          bands).localCheckpoint(true),
+        sh.groupBy("doc_id")
+          .agg(collect_set(col("h64")).as("h64s"), count(lit(1)).as("szn"))
+          .localCheckpoint(true))
+    }
+    def verified(cand: DataFrame, aDocs: DataFrame,
+                 bDocs: DataFrame): DataFrame =
+      cand.join(aDocs.select(col("doc_id").as("doc_a"),
+          col("h64s").as("ha"), col("szn").as("sa")), Seq("doc_a"))
+        .join(bDocs.select(col("doc_id").as("doc_b"),
+          col("h64s").as("hb"), col("szn").as("sb")), Seq("doc_b"))
+        .withColumn("c",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .filter(col("c").cast("double") /
+          (col("sa") + col("sb") - col("c")).cast("double") >= threshold)
+        .select("doc_a", "doc_b")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incc_ckpt")
+    val q = src.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     _: Long) => {
+        val b = batch.toDF().select("doc_id", "text").localCheckpoint(true)
+        if (b.head(1).nonEmpty) {
+          val (bBands, bDocs) = indexFrames(b)
+          val idxBands = spark.read.parquet(s"$idxPath/bands")
+          val idxDocs = spark.read.parquet(s"$idxPath/docs")
+          val cross = verified(
+            bBands.join(idxBands.select(col("doc_id").as("doc_b"),
+                col("band"), col("bkey")), Seq("band", "bkey"))
+              .select(col("doc_id").as("doc_a"), col("doc_b")).distinct(),
+            bDocs, idxDocs)
+          val intra = verified(
+            bBands.as("x").join(bBands.as("y"),
+                col("x.band") === col("y.band") &&
+                  col("x.bkey") === col("y.bkey") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"),
+                col("y.doc_id").as("doc_b")).distinct(),
+            bDocs, bDocs)
+          labels = Dedup
+            .incrementalComponents(labels, cross.unionAll(intra))
+            .localCheckpoint(true)
+          // publish AFTER pairing: a batch must not pair against itself
+          bBands.write.mode("append").parquet(s"$idxPath/bands")
+          bDocs.write.mode("append").parquet(s"$idxPath/docs")
+        }
+        ()
+      })
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    Dedup.clustersFromLabels(labels)
+  }
 }

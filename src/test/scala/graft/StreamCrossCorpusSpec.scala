@@ -42,4 +42,32 @@ class StreamCrossCorpusSpec extends SparkSpec {
       s"stream diverged from batch: stream=${streamed.size}, batch=${batch.size}")
     assert(batch.nonEmpty, "split must produce cross-corpus pairs")
   }
+
+  test("streamed incremental clustering equals from-scratch CC across microbatches") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+
+    val full = Dedup.starContractComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 12, 4, 0.5))
+    assert(full.converged)
+    val expect = Dedup.clustersFromLabels(full.labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val dir = "/tmp/graft_stream_incc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    incoming.repartition(3) // three part files => three microbatches
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/docs")
+    val got = StreamOps.streamIncrementalClusters(existing, src,
+        s"$dir/idx", n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(got === expect,
+      s"incremental clustering diverged: got=${got.size}, want=${expect.size}")
+    assert(expect.nonEmpty, "split must produce clusters")
+  }
 }
