@@ -860,6 +860,66 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q142: IVF incremental add (frozen-quantizer append) -----------
+  // q76's layout as a LIVING index: build from the 90% standing
+  // vectors, then APPEND the 1-in-10 arrivals assigned with the SAME
+  // frozen centroids — no rebuild, write cost tracks the new vectors,
+  // standing cell files untouched (IvfLayoutSpec). Because assignment
+  // depends only on the frozen quantizer, probing the appended layout
+  // equals probing a full rebuild — the oracle assigns the whole
+  // corpus in one pass against the base-corpus seeds.
+  def ivfAppendTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    val cBase = base.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true)
+    val centroids = cBase.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+    val path = s"${sys.props("user.dir")}/target/ivf_append_q142_" +
+      math.abs(dir.hashCode).toString
+    graft.sources.Warehouse.writeIvfLayout(
+      Similarity.ivfAssign(cBase, centroids), path)
+    graft.sources.Warehouse.appendIvfLayout(
+      Similarity.ivfAssign(
+        fresh.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("cv")),
+        centroids), path)
+    Similarity.ivfTopKFromLayout(spark, path,
+        emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  val ivfAppendTopKSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cc AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
+      |seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS centroid,
+      |                 sqrt(list_inner_product(v, v)) AS cent_n
+      |          FROM c WHERE vec_id % 10 != 0 ORDER BY vec_id LIMIT 16),
+      |asg AS (SELECT vec_id, v, cn, cell FROM (
+      |  SELECT cc.vec_id, cc.v, cc.cn, seeds.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY cc.vec_id
+      |      ORDER BY round(list_inner_product(cc.v, centroid) / (cc.cn * cent_n), 6) DESC,
+      |               cell ASC) AS ar
+      |  FROM cc CROSS JOIN seeds) t WHERE ar = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, cn AS qn FROM cc WHERE vec_id < 10),
+      |probes AS (SELECT query_id, qv, qn, cell FROM (
+      |  SELECT query_id, qv, qn, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_inner_product(qv, centroid) / (qn * cent_n), 6) DESC,
+      |               cell ASC) AS pr
+      |  FROM q CROSS JOIN seeds) t WHERE pr <= 4),
+      |scored AS (SELECT query_id, asg.vec_id,
+      |    round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
+      |  FROM asg JOIN probes USING (cell) WHERE asg.vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
+      |  FROM scored)
+      |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
+      |ORDER BY query_id, "rank"""".stripMargin
+
   // ---- q50: TF-IDF keyword extraction (top-k terms per doc) ----------
   // The curation primitive for "what is this document about": term
   // frequency from one tokenize pass, document frequency from a groupBy
@@ -1042,6 +1102,7 @@ object Llm {
     "q33_lsh_topk"          -> (lshTopKQuery _),
     "q34_ivf_topk"          -> (ivfTopKQuery _),
     "q76_ivf_layout_topk"   -> (ivfLayoutTopKQuery _),
+    "q142_ivf_append_topk"  -> (ivfAppendTopKQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q109_cluster_sizes"    -> (clusterSizeHistogram _),
@@ -1079,6 +1140,7 @@ object Llm {
     "q34_ivf_topk"          -> ivfTopKSql,
     // the layout path must reproduce the in-memory result bit-for-bit
     "q76_ivf_layout_topk"   -> ivfTopKSql,
+    "q142_ivf_append_topk"  -> ivfAppendTopKSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q109_cluster_sizes"    -> clusterSizeHistogramSql,

@@ -84,6 +84,19 @@ object Warehouse {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Frozen-quantizer incremental add: append newly-assigned vectors
+    * to an EXISTING cell layout without touching standing cells — the
+    * production IVF maintenance path (FAISS's add-with-ids against a
+    * trained quantizer): assignment per vector depends only on the
+    * frozen centroids, so append-then-probe equals
+    * rebuild-everything-then-probe exactly, and the write cost tracks
+    * the NEW vectors. Appended cells accumulate one extra file per
+    * add batch; [[compact]] is the standing answer when a hot cell's
+    * file count grows past the small-files threshold. */
+  def appendIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Bucketed catalog table: pre-hash-partitioned on the join key so
     * repeated joins/aggregations on that key skip their shuffle
     * entirely (both sides bucketed on the same key and count =>

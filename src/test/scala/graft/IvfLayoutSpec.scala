@@ -71,4 +71,43 @@ class IvfLayoutSpec extends SparkSpec {
     // cells must beat the random-scan baseline by a wide margin
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("appendIvfLayout: standing files untouched; probe == full rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    def cv(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("cv"))
+    val cBase = cv(base).localCheckpoint(true)
+    val centroids = cBase.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      .localCheckpoint(true)
+
+    val aPath = "/tmp/graft_ivf_append_spec"
+    Warehouse.writeIvfLayout(Similarity.ivfAssign(cBase, centroids), aPath)
+    def files(p: String): Map[String, Long] = {
+      val root = new java.io.File(p)
+      org.apache.commons.io.FileUtils
+        .listFiles(root, Array("parquet"), true).toArray
+        .map(_.asInstanceOf[java.io.File])
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = files(aPath)
+    Warehouse.appendIvfLayout(Similarity.ivfAssign(cv(fresh), centroids), aPath)
+    val after = files(aPath)
+    // append-only: every standing file survives byte-stable, new files add
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (f, m) => assert(after(f) === m, s"rewrote $f") }
+    assert(after.size > before.size)
+
+    val rPath = "/tmp/graft_ivf_rebuild_spec"
+    Warehouse.writeIvfLayout(
+      Similarity.ivfAssign(cv(emb), centroids), rPath)
+    val queries = emb.filter(col("vec_id") < 8)
+    def topk(p: String) = Similarity
+      .ivfTopKFromLayout(spark, p, queries, centroids, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(topk(aPath) === topk(rPath),
+      "frozen-quantizer append must equal the full rebuild")
+  }
 }
