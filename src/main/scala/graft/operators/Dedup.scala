@@ -448,9 +448,10 @@ object Dedup {
     * reps are canonical min-ids, and min over a merged component
     * equals min over its supernodes' mins, so even the rep CHOICE
     * agrees, not just the partition. Old-old pairs inside one
-    * component contract to self-loops and drop; a new id can never
-    * self-loop (its partner's rep is an old doc id), so no node is
-    * lost. */
+    * component contract to self-loops and drop, and ids appearing
+    * ONLY in degenerate (a, a) input rows get no label — the same
+    * rule the star-contraction recompute applies when it drops
+    * self-loops before labeling. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
     val l = labels.select(col("doc_id"), col("rep")).localCheckpoint(true)
     val la = l.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
@@ -474,8 +475,14 @@ object Dedup {
       .localCheckpoint(true)
     val updatedOld = l.join(remap, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("new_rep"), col("rep")).as("rep"))
-    val newIds = newPairs.select(col("doc_a").as("doc_id"))
-      .unionAll(newPairs.select(col("doc_b").as("doc_id")))
+    // New ids come from the CONTRACTED edge set, not the raw pairs:
+    // an id whose only pairs were degenerate (a, a) rows has no real
+    // edge and gets no label — exactly what the star-contraction full
+    // recompute does (it drops self-loops before labeling), keeping
+    // the incremental == from-scratch law airtight on BOTH branches
+    // (the empty-contracted early return above is the same rule).
+    val newIds = contracted.select(col("doc_a").as("doc_id"))
+      .unionAll(contracted.select(col("doc_b").as("doc_id")))
       .distinct()
       .join(l, Seq("doc_id"), "left_anti")
     val newLabeled = newIds

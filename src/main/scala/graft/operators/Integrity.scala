@@ -31,9 +31,19 @@ object Integrity {
     // \u0001 separator cannot appear in the corpus columns; every
     // non-string renders through an explicit BIGINT cast so both
     // engines print the identical canonical form.
+    // Every column is NULL-ENCODED ('0' for NULL, '1'||value
+    // otherwise): concat_ws SKIPS nulls, so without the marker
+    // (lang=NULL, source="web") and (lang="web", source=NULL) would
+    // serialize identically — an anti-entropy checker blind to
+    // exactly the corruption class it exists to catch — and the
+    // oracle's || concatenation would instead null the whole row out
+    // of the checksum.
+    def enc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.isNull, lit("0")).otherwise(concat(lit("1"), c))
     val repr = concat_ws("\u0001",
-      col("doc_id").cast("long").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("long").cast("string"), col("text"))
+      enc(col("doc_id").cast("long").cast("string")), enc(col("lang")),
+      enc(col("source")), enc(col("n_chars").cast("long").cast("string")),
+      enc(col("text")))
     val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10).cast("long")
     d.select(col("lang"), h.as("h"))
       .rollup("lang")
@@ -43,19 +53,21 @@ object Integrity {
       .orderBy(col("lang").asc_nulls_first)
   }
 
-  val tableFingerprintSql: String =
-    """WITH h AS (
-      |  SELECT lang,
-      |         CAST('0x' || substr(md5(
-      |           CAST(doc_id AS BIGINT)::VARCHAR || chr(1) || lang || chr(1) ||
-      |           source || chr(1) || CAST(n_chars AS BIGINT)::VARCHAR || chr(1) || text
-      |         ), 1, 15) AS BIGINT) AS h
-      |  FROM documents)
-      |SELECT lang, COUNT(*) AS n_rows,
-      |       SUM(CAST(h AS DECIMAL(38,0))) AS sum_sig,
-      |       bit_xor(h) AS xor_sig
-      |FROM h GROUP BY ROLLUP(lang)
-      |ORDER BY lang NULLS FIRST""".stripMargin
+  val tableFingerprintSql: String = {
+    def e(x: String) = s"(CASE WHEN $x IS NULL THEN '0' ELSE '1' || $x END)"
+    s"""WITH h AS (
+       |  SELECT lang,
+       |         CAST('0x' || substr(md5(
+       |           ${e("CAST(doc_id AS BIGINT)::VARCHAR")} || chr(1) || ${e("lang")} || chr(1) ||
+       |           ${e("source")} || chr(1) || ${e("CAST(n_chars AS BIGINT)::VARCHAR")} || chr(1) || ${e("text")}
+       |         ), 1, 15) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_rows,
+       |       SUM(CAST(h AS DECIMAL(38,0))) AS sum_sig,
+       |       bit_xor(h) AS xor_sig
+       |FROM h GROUP BY ROLLUP(lang)
+       |ORDER BY lang NULLS FIRST""".stripMargin
+  }
 
   // ---- q133: bloom-prefiltered decontamination -----------------------
   // The DELIVERY half of q77's contamination report: the corpus with

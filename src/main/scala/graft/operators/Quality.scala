@@ -481,11 +481,19 @@ object Quality {
     val agg = t.groupBy("lang").agg(sum("tok_n").as("n"))
     val tot = agg.agg(sum("n").as("nn"),
       sum(floor(sqrt(col("n"))).cast("long")).as("ss"))
+    // the isqrt(n)*nn cross-product runs in DECIMAL(38,0): at the
+    // 100 TB operating point (n ~ nn ~ 1e14) it reaches ~1e21, past
+    // int64 — Spark would wrap silently while DuckDB's BIGINT errors,
+    // the worst possible divergence. Each `div` floors back to a
+    // comfortably-bounded long (a token budget <= nn). Same decimal
+    // channel as q131/q138.
     val thr = agg.crossJoin(broadcast(tot))
       .select(col("lang"),
         least(lit(1000L), call_function("div",
           call_function("div",
-            floor(sqrt(col("n"))).cast("long") * col("nn"), col("ss")) * 1000L,
+            floor(sqrt(col("n"))).cast("decimal(38,0)") *
+              col("nn").cast("decimal(38,0)"),
+            col("ss").cast("decimal(38,0)")) * lit(1000L),
           col("n"))).as("pm"))
     val h = graft.plans.GraftFunctions.hex_window(
       md5(col("doc_id").cast("string").cast("binary")), 0, 8)
@@ -505,7 +513,7 @@ object Quality {
       |tot AS (SELECT SUM(n) AS nn,
       |               SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS ss FROM agg),
       |thr AS (SELECT lang,
-      |          LEAST(1000, ((CAST(FLOOR(SQRT(n)) AS BIGINT) * nn // ss) * 1000) // n) AS pm
+      |          LEAST(1000, ((CAST(FLOOR(SQRT(n)) AS HUGEINT) * nn // ss) * 1000) // n) AS pm
       |        FROM agg, tot)
       |SELECT t.lang, COUNT(*) AS n_docs, CAST(SUM(tok_n) AS BIGINT) AS n_tokens
       |FROM t JOIN thr ON t.lang = thr.lang

@@ -13,9 +13,12 @@ class IntegritySpec extends SparkSpec {
     // aggregate must not care (that is the whole point of the operator)
     val d2 = Tables.documents(spark, sf)
       .orderBy(rand(7)).repartition(13).localCheckpoint(true)
+    def enc(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("0")).otherwise(concat(lit("1"), c))
     val repr = concat_ws("\u0001",
-      col("doc_id").cast("long").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("long").cast("string"), col("text"))
+      enc(col("doc_id").cast("long").cast("string")), enc(col("lang")),
+      enc(col("source")), enc(col("n_chars").cast("long").cast("string")),
+      enc(col("text")))
     val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10).cast("long")
     val again = d2.select(col("lang"), h.as("h"))
       .rollup("lang")
@@ -33,9 +36,12 @@ class IntegritySpec extends SparkSpec {
     val perturbed = Tables.documents(spark, sf)
       .withColumn("text",
         when(col("doc_id") === 1, concat(col("text"), lit("!"))).otherwise(col("text")))
+    def enc(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("0")).otherwise(concat(lit("1"), c))
     val repr = concat_ws("\u0001",
-      col("doc_id").cast("long").cast("string"), col("lang"), col("source"),
-      col("n_chars").cast("long").cast("string"), col("text"))
+      enc(col("doc_id").cast("long").cast("string")), enc(col("lang")),
+      enc(col("source")), enc(col("n_chars").cast("long").cast("string")),
+      enc(col("text")))
     val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10).cast("long")
     val t2 = perturbed.select(h.as("h"))
       .agg(count(lit(1)).as("n_rows"),
