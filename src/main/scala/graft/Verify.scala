@@ -56,13 +56,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    // q22x (production xxhash64 minhash lane) has no DuckDB oracle BY
-    // DESIGN — seeded xxhash64 isn't cross-engine reproducible — so its
-    // gate row would read `no_oracle`, indistinguishable from broken.
-    // Record the lane's own correctness definition as an artifact
-    // instead: its PAIR SET must equal the oracled md5 lane's (both
-    // hash families Chernoff-bound the same Jaccard estimate; the spec
-    // proves this at test scale, this proves it on the gate data).
+    // q22x (production xxhash64 minhash lane) now shares q22's DuckDB
+    // oracle — its verify join emits the exact h64-set Jaccard, which
+    // is family-independent — so the gate row is a real hash compare.
+    // Keep the pair-set selfcheck as a secondary artifact: it localizes
+    // a failure to candidate RECALL (a borderline pair missing all
+    // bands in one family) vs anything else.
     val selfCheck = try {
       val xx = spark.read.parquet(s"$outDir/q22x_minhash_xxhash")
         .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -48,7 +48,12 @@ object Integrity {
     d.select(col("lang"), h.as("h"))
       .rollup("lang")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast("decimal(38,0)")).as("sum_sig"),
+        // The sum genuinely needs ~69 bits (60-bit hashes x row
+        // count), so it is computed in DECIMAL(38,0) — but EMITTED as
+        // its canonical decimal string: decimal128 must never reach a
+        // gate query's final schema (hashers canonicalize it
+        // differently than live values; BIGINT and VARCHAR are safe).
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_sig"),
         expr("bit_xor(h)").as("xor_sig"))
       .orderBy(col("lang").asc_nulls_first)
   }
@@ -63,7 +68,7 @@ object Integrity {
        |         ), 1, 15) AS BIGINT) AS h
        |  FROM documents)
        |SELECT lang, COUNT(*) AS n_rows,
-       |       SUM(CAST(h AS DECIMAL(38,0))) AS sum_sig,
+       |       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_sig,
        |       bit_xor(h) AS xor_sig
        |FROM h GROUP BY ROLLUP(lang)
        |ORDER BY lang NULLS FIRST""".stripMargin

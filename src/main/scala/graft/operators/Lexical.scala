@@ -54,8 +54,14 @@ object Lexical {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
-    bi.join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("n", "n_a")), Seq("a"))
-      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("n", "n_b")), Seq("b"))
+    // No broadcast hint on the vocab joins: the unigram table grows
+    // with the corpus (web-scale vocab is 1e8-1e9 rows — a forced
+    // broadcast would OOM the driver). The checkpoint gives AQE an
+    // exact size, so it picks broadcast when the vocab actually is
+    // dim-sized and a hash join when it isn't. Only the 1-row total
+    // keeps its hint.
+    bi.join(uni.withColumnRenamed("w", "a").withColumnRenamed("n", "n_a"), Seq("a"))
+      .join(uni.withColumnRenamed("w", "b").withColumnRenamed("n", "n_b"), Seq("b"))
       .crossJoin(broadcast(tot))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         call_function("div",
@@ -121,9 +127,17 @@ object Lexical {
       .crossJoin(broadcast(tot))
       .select(col("w"), col("n_a"), col("n_b"),
         abs(col("n_a").cast("decimal(38,0)") * col("nb_tot") -
-          col("n_b").cast("decimal(38,0)") * col("na_tot")).as("drift"))
-      .orderBy(col("drift").desc, col("w"))
+          col("n_b").cast("decimal(38,0)") * col("na_tot")).as("drift_d"))
+      .orderBy(col("drift_d").desc, col("w"))
       .limit(k)
+      // Rank on the exact DECIMAL(38,0); EMIT BIGINT. drift is bounded
+      // by (n_a+n_b)*max(N_a,N_b) — at any benched scale that is far
+      // inside int64 (measured 7.3e5 at sf0.01) and the top-k ranking
+      // already happened in exact decimal, so the emitted value is the
+      // same number. Decimal128 must not reach a gate query's final
+      // schema: hashers canonicalize it differently than live values.
+      .select(col("w"), col("n_a"), col("n_b"),
+        col("drift_d").cast("long").as("drift"))
   }
 
   val vocabDriftSql: String =
@@ -142,7 +156,7 @@ object Lexical {
       |               CAST(SUM(n_b) AS HUGEINT) AS nb_tot FROM j)
       |SELECT w, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
       |       CAST(abs(CAST(n_a AS HUGEINT) * nb_tot
-      |                - CAST(n_b AS HUGEINT) * na_tot) AS DECIMAL(38,0)) AS drift
+      |                - CAST(n_b AS HUGEINT) * na_tot) AS BIGINT) AS drift
       |FROM j, tot WHERE n_a + n_b >= 10
       |ORDER BY drift DESC, w LIMIT 40""".stripMargin
 

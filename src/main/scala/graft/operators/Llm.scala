@@ -153,9 +153,13 @@ object Llm {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
-  // Bench-only twin on the PRODUCTION hash lane (seeded xxhash64 family,
-  // no md5 anywhere): not cross-engine reproducible, so no SQL oracle —
-  // MinhashXxLaneSpec proves it finds the same pairs as the md5 lane.
+  // Twin on the PRODUCTION hash lane (seeded xxhash64 family, no md5
+  // anywhere). The signatures aren't cross-engine reproducible, but the
+  // OUTPUT is oracle-checkable anyway: every emitted jaccard is the
+  // exact h64-set value from the verify join, so the md5-lane oracle
+  // doubles as an end-to-end recall check on this band family
+  // (MinhashXxLaneSpec additionally proves pair-set equality at test
+  // scale).
   def minhashLshXx(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, numHashes = NumHashes, bands = Bands, threshold = 0.5,
@@ -453,6 +457,122 @@ object Llm {
        |SELECT token, n,
        |       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
        |FROM cnt ORDER BY token_id""".stripMargin
+
+  // ---- q143: BPE merge training (tokenizer prep) ----------------------
+  // Deterministic byte-pair-encoding merge-rank trainer — the step that
+  // turns q79's word histogram into an actual subword tokenizer (the
+  // tokenizer-training-prep story: Sennrich et al. 2016, public
+  // literature). Each round finds the most frequent adjacent symbol
+  // pair across the vocabulary (weighted by word count; ties broken
+  // lexicographically on (lhs, rhs) so the merge sequence is unique)
+  // and fuses it everywhere, greedy left-to-right.
+  //
+  // Scale shape — the reason merge training is feasible at 100 TB at
+  // all: the ONLY corpus-sized job is the word histogram (one
+  // map-side-combinable groupBy, shared with q79). The k merge rounds
+  // run over the AGGREGATED vocab (10^8-ish rows on a web corpus, with
+  // counts standing in for the petabytes of text), each round one
+  // small explode+groupBy plus a 1-row argmax to the driver — the
+  // bounded-collect pattern (a merge decision is inherently global
+  // and 1 row; this is how every production BPE trainer works).
+  //
+  // Symbol sequences are '|'-delimited ('the' -> '|t|h|e|'); tokens
+  // are [a-z0-9]+ so '|' can never occur inside a symbol, which makes
+  // the merge rewrite a plain (codegen'd) string replace:
+  // '|l|r|' -> '|lr|'. replace() scans left-to-right non-overlapping
+  // in BOTH engines, so on a run like '|a|a|a|' the pair (a,a) merges
+  // once from the left — exactly the greedy BPE rule. Pair COUNTING
+  // counts every adjacent position (the classic formulation); both
+  // engines count identically, so the argmax agrees even on
+  // self-overlapping runs.
+  private val BpeMergeK = 12
+
+  def bpeMergeTable(docs: DataFrame, textCol: String, k: Int,
+                    minCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // corpus -> word histogram (the one corpus-sized job), then each
+    // word to its delimited character sequence. Checkpointed: every
+    // merge round rescans it.
+    val words = docs.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(concat(lit("|"),
+        regexp_replace(col("word"), "(.)", "$1\\|")).as("seq"), col("n"))
+      .localCheckpoint(true)
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      // adjacent symbol pairs, weighted by word count; the size>=2
+      // guard matters because Spark's sequence(1, 0) is the DESCENDING
+      // [1, 0], not empty
+      val best = cur
+        .select(col("n"),
+          expr("filter(split(seq, '\\\\|'), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("pos"))
+        .select(col("n"),
+          element_at(col("syms"), col("pos")).as("lhs"),
+          element_at(col("syms"), col("pos") + 1).as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i + 1L, l, r, c))
+        cur = cur.withColumn("seq", call_function("replace", col("seq"),
+          lit("|" + l + "|" + r + "|"), lit("|" + l + r + "|")))
+        // flatten the accumulating replace chain periodically so round
+        // i pays O(1) rewrites per row, not O(i)
+        if ((i + 1) % 6 == 0) cur = cur.localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeTable(Tables.documents(spark, dir), "text", BpeMergeK,
+      VocabMinCount).orderBy("merge_rank")
+
+  /** The same trainer as k unrolled CTE stages (DuckDB): stage i picks
+    * the argmax pair over w(i-1) and rewrites w(i-1) -> w(i) with the
+    * identical delimited replace. w/p CTEs are MATERIALIZED — each is
+    * referenced twice (by p(i+1) and w(i+1)), so inlining would expand
+    * the chain 2^k-fold. */
+  def bpeMergesSql(k: Int, minCount: Long): String = {
+    val head =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq, n FROM (
+         |    SELECT word, COUNT(*) AS n FROM (
+         |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |      FROM documents)
+         |    GROUP BY 1 HAVING COUNT(*) >= $minCount))""".stripMargin
+    val stages = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM (
+         |    SELECT syms[pos] AS lhs, syms[pos+1] AS rhs, SUM(n) AS cnt FROM (
+         |      SELECT unnest(generate_series(1, len(syms) - 1)) AS pos, syms, n FROM (
+         |        SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS syms, n
+         |        FROM w${i - 1}))
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(seq, '|' || lhs || '|' || rhs || '|',
+         |                 '|' || lhs || rhs || '|') AS seq, n
+         |  FROM w${i - 1}, p$i),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,
+         |               CAST(cnt AS BIGINT) AS pair_count FROM p$i)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")
+    (head +: stages).mkString(",\n") + "\n" + union + "\nORDER BY merge_rank"
+  }
 
   // ---- q80: unigram surprisal scoring (perplexity-style quality) -----
   // Per-document total unigram surprisal (-log2 p(token) under the
@@ -1116,6 +1236,7 @@ object Llm {
     "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
     "q77_contamination"     -> (contamination _),
     "q79_vocab_build"       -> (buildVocab _),
+    "q143_bpe_merges"       -> (bpeMerges _),
     "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1131,6 +1252,15 @@ object Llm {
     // q99 must equal the exact all-pairs result — same oracle as q21
     "q99_prefix_jaccard"    -> ngramJaccardSql,
     "q22_minhash_lsh"       -> minhashLshSql,
+    // The xx lane emits the EXACT h64-set Jaccard for each verified
+    // pair (minhashLshPairs' verify join is family-independent), so
+    // the md5-lane oracle applies verbatim: the check asserts the
+    // seeded-xxhash64 band family recovers every true near-dup pair
+    // on the gate corpus — end-to-end recall 1.0, not estimate-vs-
+    // estimate. (At replica scale a borderline pair CAN miss all 4
+    // bands in one family; MinhashXxLaneSpec + ScaleVerify bound that
+    // at recall >= 0.99 — the gate corpus has no such pair.)
+    "q22x_minhash_xxhash"   -> minhashLshSql,
     "q23_simhash"           -> simhashSql,
     "q24_embedding_neardup" -> embeddingNearDupSql,
     "q90_semantic_dedup"    -> semanticDedupSql,
@@ -1156,6 +1286,7 @@ object Llm {
     "q75_stream_cross_corpus" -> crossCorpusNearDupSql,
     "q77_contamination"     -> contaminationSql,
     "q79_vocab_build"       -> buildVocabSql,
+    "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,

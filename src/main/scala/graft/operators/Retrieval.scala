@@ -126,8 +126,10 @@ object Retrieval {
     val qvec = tf.filter(col("doc_id") === SimQueryDoc)
       .select(col("token"), col("tf").as("tf_q"))
     tf.filter(col("doc_id") =!= SimQueryDoc)
-      .join(broadcast(qvec), Seq("token"))
-      .join(broadcast(dfq), Seq("token"))
+      .join(broadcast(qvec), Seq("token")) // one doc's terms — bounded
+      // dfq is full-vocab-sized (grows with the corpus): no forced
+      // broadcast; AQE sees the checkpointed size and decides.
+      .join(dfq, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("idf", expr("(n_docs * 1000) div df"))
       .groupBy("doc_id")

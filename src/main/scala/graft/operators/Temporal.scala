@@ -383,13 +383,17 @@ object Temporal {
   // The ingestion throttle every abuse-resistant pipeline runs: keep at
   // most k events per user per day, FIRST-k by event time (not an
   // arbitrary k — replayable), report kept/dropped per event type.
-  // Shape at scale: the window partitions by (user, hour) — millions of
+  // Shape at scale: the window partitions by (user, DAY) — millions of
   // tiny partitions, each a handful of rows, so no skew and no global
-  // sort; Spark lowers the rank-filter idiom to WindowGroupLimit (only
-  // k rows per group per partition survive into the window shuffle —
-  // the q98 mechanism on a composite key). The day bucket is integer
-  // floor-division on the int96-free ns channel; ordering tiebreaks on
-  // event_id so the kept set is unique and engine-identical.
+  // sort. Note this query CANNOT take the q98 WindowGroupLimit
+  // lowering: the report counts dropped rows and capped users, so rows
+  // with rn > k must survive the window — every row pays exactly one
+  // (user, day)-keyed shuffle, which is the floor for this semantics.
+  // A delivery variant that only KEEPS the first k (no drop
+  // accounting) would filter rn <= k and get the group-limit pushdown
+  // for free. The day bucket is integer floor-division on the
+  // int96-free ns channel; ordering tiebreaks on event_id so the kept
+  // set is unique and engine-identical.
   private val RateCapK = 3
 
   def rateCap(spark: SparkSession, dir: String): DataFrame = {

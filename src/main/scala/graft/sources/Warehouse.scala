@@ -122,19 +122,47 @@ object Warehouse {
       .filter(_.endsWith(".parquet")).sorted
   }
 
+  /** Hive-style partition columns of a parquet directory, outermost
+    * first (`cell=3/` ⇒ Seq("cell")), by walking one `col=value` spine
+    * — the same directory-shape inference `spark.read` performs, done
+    * driver-side so maintenance ops can PRESERVE the layout. */
+  def partitionColsOf(path: String): Seq[String] = {
+    @annotation.tailrec
+    def walk(d: java.io.File, acc: List[String]): List[String] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isDirectory && f.getName.contains("=")) match {
+        case Some(s) => walk(s, acc :+ s.getName.takeWhile(_ != '='))
+        case None    => acc
+      }
+    walk(new java.io.File(path), Nil)
+  }
+
   /** Small-file compaction: rewrite a directory into ~`targetFiles`
     * files (the OPTIMIZE/rewrite-data-files maintenance op — thousands
     * of ingest-sized files are a namenode/planning tax and kill scan
-    * throughput). Swap order matters: the ORIGINAL moves aside first,
-    * the compacted scratch renames in, and only then is the original
-    * deleted — so a crash at any point leaves the full data at either
-    * `path` or `path__old`, never gone (delete-then-rename would
-    * destroy the table if the rename failed). */
+    * throughput). A PARTITIONED directory (e.g. the IVF `cell=N/`
+    * layout that [[appendIvfLayout]] grows one file per add-batch)
+    * keeps its layout: the rewrite re-partitionBys the inferred
+    * partition columns — hash-clustered so each partition value lands
+    * in one task ⇒ one file per partition dir — instead of flattening
+    * `cell=N/` into a data column and silently killing the
+    * layout-backed probe's partition pruning. Swap order matters: the
+    * ORIGINAL moves aside first, the compacted scratch renames in, and
+    * only then is the original deleted — so a crash at any point
+    * leaves the full data at either `path` or `path__old`, never gone
+    * (delete-then-rename would destroy the table if the rename
+    * failed). */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = new java.io.File(path + "__compacting")
     val old = new java.io.File(path + "__old")
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.getPath)
+    val parts = partitionColsOf(path)
+    val df = spark.read.parquet(path)
+    val w =
+      if (parts.isEmpty) df.repartition(targetFiles).write
+      else df.repartition(targetFiles,
+          parts.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(parts: _*)
+    w.mode("overwrite").parquet(tmp.getPath)
     val dir = new java.io.File(path)
     org.apache.commons.io.FileUtils.deleteQuietly(old) // stale crash debris
     if (!dir.renameTo(old))

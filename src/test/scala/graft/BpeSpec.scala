@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Llm
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** q143: the distributed BPE merge trainer must equal a from-scratch
+  * driver-side reference trainer — same word histogram, same greedy
+  * left-to-right merge rule, same (count desc, lhs asc, rhs asc)
+  * tiebreak — merge for merge, count for count.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference trainer over an in-memory word histogram: symbols as
+    * Vector[String]; each round counts every adjacent position and
+    * merges the argmax pair greedily left-to-right. */
+  private def refTrain(hist: Map[String, Long],
+                       k: Int): Seq[(Long, String, String, Long)] = {
+    var seqs: Map[Vector[String], Long] =
+      hist.groupBy { case (w, _) => w.map(_.toString).toVector }
+        .map { case (s, m) => s -> m.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, n) <- seqs; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + n
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((i + 1L, l, r, c))
+        seqs = seqs.groupBy { case (s, _) =>
+          // greedy left-to-right, non-overlapping
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += s(j); j += 1 }
+          }
+          b.result()
+        }.map { case (s, m) => s -> m.values.sum }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private lazy val hist: Map[String, Long] = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, sf)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).filter(col("n") >= 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("q143: distributed merges == reference trainer, rank for rank") {
+    val got = Llm.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = refTrain(hist, 12)
+    assert(got.size === 12) // sf0.001 text has plenty of pairs
+    assert(got === want)
+  }
+
+  test("q143: merges are well-formed (fused tokens chain, counts monotone-ish)") {
+    val got = Llm.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === (1L to 12L))
+    // every lhs/rhs is either a single char or a previously-merged token
+    val known = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (_, l, r, c) =>
+      assert(l.length == 1 || known.contains(l), s"unknown lhs $l")
+      assert(r.length == 1 || known.contains(r), s"unknown rhs $r")
+      assert(c > 0L)
+      known += (l + r)
+    }
+  }
+
+  test("q143: empty input -> zero merges, stable schema") {
+    val empty = Tables.documents(spark, sf).limit(0)
+    val out = Llm.bpeMergeTable(empty, "text", 12, 5L)
+    assert(out.columns.toSeq === Seq("merge_rank", "lhs", "rhs", "pair_count"))
+    assert(out.count() === 0L)
+  }
+}

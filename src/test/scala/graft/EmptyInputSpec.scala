@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Pipeline, Temporal}
+import java.nio.file.Files
+
+/** ADVICE r6 #1: driver-scalar operators (bounds/fences computed via a
+  * one-row `.head()` aggregate) must return an EMPTY frame when the
+  * filtered input is empty — not NPE on the null aggregate row. The
+  * fixture is a scale-factor directory whose tables have the real
+  * schemas but zero rows, which is exactly what a first-match-nothing
+  * filter produces at any scale.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptySf: String = {
+    val dir = Files.createTempDirectory("graft_empty_sf").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    // raw read (ts stays the nanos BIGINT the driver writes) so the
+    // empty twin round-trips through the same Tables.events branch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$p/events.parquet")
+    spark.read.parquet(s"$sf/lineitem.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$p/lineitem.parquet")
+    p
+  }
+
+  test("rollingActiveUsers: empty events -> empty frame, stable schema") {
+    val out = Temporal.rollingActiveUsers(spark, emptySf)
+    assert(out.columns.toSeq === Seq("day_num", "n_users_7d"))
+    assert(out.count() === 0L)
+  }
+
+  test("iqrTrim: empty lineitem -> empty frame, stable schema") {
+    val out = Pipeline.iqrTrim(spark, emptySf)
+    assert(out.columns.toSeq === Seq("n_kept", "n_trimmed", "kept_revenue"))
+    assert(out.count() === 0L)
+  }
+
+  test("non-empty paths unaffected: both still produce rows on sf0.001") {
+    assert(Temporal.rollingActiveUsers(spark, sf).count() > 0L)
+    assert(Pipeline.iqrTrim(spark, sf).count() === 1L)
+  }
+}

@@ -51,10 +51,12 @@ class LexicalSpec extends SparkSpec {
       assert(r.getLong(2) === cb.getOrElse(w, 0L))
       val drift = (BigInt(ca.getOrElse(w, 0L)) * nb -
         BigInt(cb.getOrElse(w, 0L)) * na).abs
-      assert(BigInt(r.getDecimal(3).toBigInteger) === drift, s"drift($w)")
+      // ranked in exact decimal, EMITTED as BIGINT (in-range at any
+      // benched scale) — the brute-force BigInt must equal it exactly
+      assert(BigInt(r.getLong(3)) === drift, s"drift($w)")
     }
     // descending with full tiebreak
-    val key = rows.map(r => (BigInt(r.getDecimal(3).toBigInteger), r.getString(0)))
+    val key = rows.map(r => (BigInt(r.getLong(3)), r.getString(0)))
     assert(key.sameElements(key.sortBy { case (d, w) => (-d, w) }))
   }
 

@@ -11,15 +11,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has an oracle (minus the declared rows-only set)") {
+  test("every query key has an oracle — no rows-only exceptions left") {
     // since round 2 even q15 (schema presence) is oracle-checked, via
-    // DuckDB DESCRIBE introspection. The ONE deliberate exception:
-    // q22x is the production-hash minhash lane (seeded xxhash64), which
-    // no other engine reproduces — its correctness evidence is
-    // MinhashXxLaneSpec's pair-set equality with the oracle'd md5 lane,
-    // and the driver records it as a rows-only check.
+    // DuckDB DESCRIBE introspection. As of round 7 the last exception
+    // (q22x, the production-hash minhash lane) is gone too: its verify
+    // join emits the exact h64-set Jaccard, which is hash-family-
+    // independent, so the md5-lane oracle applies verbatim.
     assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
-      === Set("q22x_minhash_xxhash"))
+      === Set.empty[String])
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

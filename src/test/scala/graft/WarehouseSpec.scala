@@ -126,6 +126,35 @@ class WarehouseSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("compact on a partitioned dir keeps the layout (one file per partition)") {
+    val path = "/tmp/graft_test_compact_part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_orderkey") % 4).as("cell"))
+    // three append batches -> several files per cell=N/ dir
+    (0 until 3).foreach { _ =>
+      li.repartition(2).write.mode("append").partitionBy("cell").parquet(path)
+    }
+    assert(Warehouse.partitionColsOf(path) === Seq("cell"))
+    val before = spark.read.parquet(path)
+    val want = before.groupBy("cell").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    Warehouse.compact(spark, path, targetFiles = 4)
+    // partition dirs survive (pruning-compatible layout), rows intact,
+    // and each cell dir holds exactly one compacted file
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length === 4)
+    cellDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    val after = spark.read.parquet(path)
+    assert(after.groupBy("cell").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap === want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("dynamic partition overwrite leaves untouched partitions byte-stable") {
     import graft.operators.Advanced
     // fingerprint every data file: (path -> size, mtime) — a rewritten
