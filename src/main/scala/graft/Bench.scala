@@ -40,6 +40,11 @@ object Bench {
     // "x10.q34_ivf_probe"). First failure wins per key; the message is
     // sanitized so the JSON line stays one parseable line.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Every repetition of every timed entry, keyed like the timing
+    // entries — variance becomes a recorded artifact instead of a
+    // mystery (round 6: a 2x spread between builder and driver runs of
+    // the q40 x20 lane was inside the noise band but unprovably so).
+    val repLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
         // strip EVERY control char (exception messages can embed raw
@@ -77,6 +82,7 @@ object Bench {
         try force(name) catch { case t: Throwable => recordErr(name, t) }
         (System.nanoTime() - t0) / 1e9
       }
+      repLog(name) = times
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -126,13 +132,18 @@ object Bench {
           val ev = ScaleBench.events(spark, sfDir, times)
           def noop(df: org.apache.spark.sql.DataFrame): Unit =
             df.write.mode("overwrite").format("noop").save()
-          // Min-of-2 timing with failure capture, keyed per scale point.
-          def timed(name: String)(f: => Unit): (String, Double) = {
-            val ts = (1 to 2).map { _ =>
+          // Min-of-N timing with failure capture, keyed per scale point;
+          // every rep lands in repLog so the spread is an artifact. The
+          // CC-family lanes (q40/q133/q140) take a third rep — their
+          // driver-vs-builder spread at x20 exceeded the 2-rep band in
+          // round 6.
+          def timed(name: String, reps: Int = 2)(f: => Unit): (String, Double) = {
+            val ts = (1 to reps).map { _ =>
               val t0 = System.nanoTime()
               try f catch { case t: Throwable => recordErr(s"x$times.$name", t) }
               (System.nanoTime() - t0) / 1e9
             }
+            repLog(s"x$times.$name") = ts
             name -> ts.min
           }
           // Untimed warm pass on a tiny slice of the SAME frames first:
@@ -149,6 +160,9 @@ object Bench {
             noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
             noop(ScaleBench.sessionStats(ev.limit(64)))
             noop(ScaleBench.clusters(docs.limit(64)))
+            noop(graft.operators.Dedup.incrementalComponents(
+              ScaleBench.ccLabels(docs.limit(64)),
+              ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
             noop(ScaleBench.lineDedup(docs.limit(64)))
             noop(ScaleBench.vocab(docs.limit(64)))
             noop(ScaleBench.globalRank(ev.limit(64)))
@@ -157,6 +171,14 @@ object Bench {
             val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
             noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
           } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
+          // q140 standing state + fixed arrivals, built untimed (the
+          // labeling is the input a continuous-dedup pipeline already
+          // holds; the operator under test is the maintenance fold). A
+          // failed build skips the entry without aborting the block.
+          val (ccLab, ccNew) =
+            try (ScaleBench.ccLabels(docs), ScaleBench.ccArrivals(spark, sfDir, times))
+            catch { case t: Throwable =>
+              recordErr(s"x$times.q140_incremental_cc", t); (null, null) }
           val layoutPath =
             s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
           var probeArgs: (org.apache.spark.sql.DataFrame,
@@ -165,11 +187,21 @@ object Bench {
             timed("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
             timed("q24_srp_neardup")(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
             timed("q29_sessionization")(noop(ScaleBench.sessionStats(ev))),
-            timed("q40_dedup_clusters")(noop(ScaleBench.clusters(docs))),
+            timed("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
+            // the continuous-dedup flagship: fold a FIXED arrival batch
+            // into the xN standing labeling — the curve should be
+            // near-flat across factors (cost tracks arrivals + touched
+            // components, never the standing corpus)
+            {
+              if (ccLab != null)
+                timed("q140_incremental_cc", reps = 3)(
+                  noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
+              else "q140_incremental_cc" -> 0.0
+            },
             timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
             timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
             timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
-            timed("q133_bloom_decon")(noop(ScaleBench.bloomDecon(docs, times))),
+            timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
             // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
             // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
             // set-similarity joins carry an irreducible postings^2
@@ -221,13 +253,21 @@ object Bench {
 
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // Every repetition of every timed entry (headline and scale): the
+    // per-entry spread is part of the artifact, so a reader can tell a
+    // noisy lane from a regression without re-running the bench.
+    val repsJson = repLog.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // PlanGuard ran in warn mode for the whole bench: any keyless-join
     // warning it fired is part of the round's recorded artifact (expect
     // an empty list — PlanAuditSpec pins the library plans in CI).
     val pwJson = graft.plans.PlanGuard.drainWarnings()
       .map(w => "\"" + w.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
       .take(10).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$ioJson,"errors":$errJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

@@ -150,6 +150,39 @@ object ScaleBench {
   def clusters(docs: DataFrame): DataFrame =
     Dedup.dedupClusters(minhashPairs(docs))
 
+  /** Standing labeling for the q140 incremental-CC scale entry — the
+    * petabyte-derived state a continuous-dedup pipeline maintains. Built
+    * UNTIMED (it is the operator's input, not the operator) and
+    * checkpointed so the timed maintenance pass never re-executes the
+    * corpus-sized index build underneath it. */
+  def ccLabels(docs: DataFrame): DataFrame =
+    Dedup.starContractComponents(minhashPairs(docs)).labels
+      .localCheckpoint(true)
+
+  /** FIXED-size arrival batch for incremental CC — deliberately NOT
+    * scaled with the replication factor, because the claim under test
+    * is that maintenance cost tracks the ARRIVALS (and the components
+    * they touch), not the standing corpus: the timing curve across
+    * x1/x10/x20 should be near-flat while the labeling underneath grows
+    * 20x. 2000 edges attach brand-new ids (fresh offset far above any
+    * replicated id) to existing docs; 1000 edges merge DISJOINT pairs
+    * of existing docs (even id 2d·times with odd neighbor (2d+1)·times
+    * — pairwise disjoint by parity, so the contracted graph converges
+    * in O(1) star rounds instead of timing a manufactured 1000-deep
+    * chain). */
+  def ccArrivals(spark: SparkSession, dir: String, times: Int,
+                 nLink: Int = 2000, nMerge: Int = 1000): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id")
+    val link = d.orderBy("doc_id").limit(nLink)
+      .select((col("doc_id") * times).as("doc_a"),
+        (col("doc_id") * times + lit(100000000L)).as("doc_b"))
+    val merge = d.filter(col("doc_id") % 2 === 0)
+      .orderBy("doc_id").limit(nMerge)
+      .select((col("doc_id") * times).as("doc_a"),
+        ((col("doc_id") + 1) * times).as("doc_b"))
+    link.unionAll(merge).localCheckpoint(true)
+  }
+
   /** q133's operating point: bloom-prefiltered decontamination over
     * the replicated corpus. Both sides grow with the replication
     * factor (the benchmark split recovers the ORIGINAL 1-in-10 class
