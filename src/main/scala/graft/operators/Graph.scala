@@ -343,8 +343,81 @@ object Graph {
       |SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
       |FROM pairs ORDER BY n_orders DESC, part_a, part_b LIMIT 10""".stripMargin
 
+  // ---- q146: PageRank (fixed-round, integer-exact) --------------------
+  // PageRank (Brin & Page 1998, public literature) over the symmetrized
+  // part<->supplier graph from lineitem (supplier nodes offset into
+  // their own id space). The web-scale link-analysis primitive a
+  // training-data pipeline runs for source-quality weighting.
+  //
+  // Cross-engine exactness: ranks live in a fixed-point integer channel
+  // (1e6 scale). Each round is r' = 150000 + (85 * S) div 100 with
+  // S = sum over in-edges of (r div outdeg) — `div` is exact integer
+  // floor-division in BOTH engines, every value is nonnegative, and
+  // DuckDB's HUGEINT SUM equals Spark's BIGINT sum well inside int64
+  // (~n * 1e6 * 85). Truncation loss is deterministic and identical,
+  // so five rounds land on byte-identical ranks — the q131/q137
+  // integer-ratio rule applied to an iterative algorithm.
+  //
+  // Scale shape: one (edges join ranks) hash join + one groupBy(dst)
+  // per round — the textbook Pregel-style iteration expressed as joins.
+  // The edge table with out-degrees is built ONCE and checkpointed;
+  // ranks are checkpointed per round (5 rounds of lineage otherwise
+  // nest the full join tree). At 100 TB: bucket edges by src so every
+  // round's join is co-located (zero-exchange, the q117 layout), and
+  // the per-round shuffle is only the groupBy(dst) contribution sum.
+  // Symmetrization means no dangling-mass term (every node has
+  // out-edges), which keeps the recurrence local — the classic
+  // dangling-node correction is a 1-row broadcast aggregate if a
+  // directed variant ever needs it.
+  private val PageRankRounds = 5
+  private val SupplierOffset = 10000000L
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + SupplierOffset).as("dst"))
+      .distinct()
+    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val ed = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(true)
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankRounds) {
+      r = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * s) div 100L").as("r"))
+        .localCheckpoint(true)
+    }
+    r.orderBy(col("r").desc, col("node").asc).limit(20)
+  }
+
+  val pageRankSql: String = {
+    val head =
+      s"""WITH fwd AS (SELECT DISTINCT l_partkey AS src,
+         |                    l_suppkey + $SupplierOffset AS dst FROM lineitem),
+         |e AS MATERIALIZED (SELECT src, dst FROM fwd
+         |     UNION SELECT dst, src FROM fwd),
+         |d AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d)""".stripMargin
+    val rounds = (1 to PageRankRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         |  GROUP BY 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, r FROM r$PageRankRounds ORDER BY r DESC, node LIMIT 20"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_triangle_count"        -> (triangleCount _),
+    "q146_pagerank"             -> (pageRank _),
     "q106_basket_pairs"         -> (basketPairs _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
     "q130_bfs_distance"         -> (bfsFromSeeds _),
@@ -352,6 +425,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q96_triangle_count"        -> triangleCountSql,
+    "q146_pagerank"             -> pageRankSql,
     "q106_basket_pairs"         -> basketPairsSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
     "q130_bfs_distance"         -> bfsFromSeedsSql,

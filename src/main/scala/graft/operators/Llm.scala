@@ -487,10 +487,13 @@ object Llm {
   // self-overlapping runs.
   private val BpeMergeK = 12
 
-  def bpeMergeTable(docs: DataFrame, textCol: String, k: Int,
-                    minCount: Long): DataFrame = {
+  /** Train `k` merges; returns (final segmented vocab `(seq, n)`, the
+    * merge list). The final vocab is what the apply/serve side consumes
+    * (q144 subword histogram, q145 corpus tokenization cost). */
+  private def bpeTrain(docs: DataFrame, textCol: String, k: Int,
+                       minCount: Long)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val spark = docs.sparkSession
-    import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     // corpus -> word histogram (the one corpus-sized job), then each
     // word to its delimited character sequence. Checkpointed: every
@@ -534,19 +537,77 @@ object Llm {
         i += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (cur, merges.toSeq)
+  }
+
+  def bpeMergeTable(docs: DataFrame, textCol: String, k: Int,
+                    minCount: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, k, minCount)._2
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergeTable(Tables.documents(spark, dir), "text", BpeMergeK,
       VocabMinCount).orderBy("merge_rank")
 
-  /** The same trainer as k unrolled CTE stages (DuckDB): stage i picks
-    * the argmax pair over w(i-1) and rewrites w(i-1) -> w(i) with the
-    * identical delimited replace. w/p CTEs are MATERIALIZED — each is
-    * referenced twice (by p(i+1) and w(i+1)), so inlining would expand
-    * the chain 2^k-fold. */
-  def bpeMergesSql(k: Int, minCount: Long): String = {
+  // ---- q144/q145: applying the trained tokenizer ----------------------
+  // The serve side of BPE: q144 is the subword vocabulary the merges
+  // induce (the token histogram a sampler or packer would weight by);
+  // q145 is the corpus tokenization cost — BPE tokens per document,
+  // replacing the heuristic `subwordCount` stand-in with the REAL count
+  // under the trained merges. In-vocab words read their segment count
+  // off the trained table (one vocab-sized dim join — AQE broadcasts it
+  // at dim size, hash-joins it at web-vocab size); out-of-vocab words
+  // (below minCount, so no merge was trained FROM them) fall back to
+  // character count — the untrained-BPE limit, where every symbol is a
+  // single character.
+
+  /** Subword token histogram after `k` merges: explode the trained
+    * vocab's segmented sequences, weight by word count, top `topK` by
+    * (occurrences desc, token asc). */
+  def bpeSubwordVocab(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long, topK: Int): DataFrame =
+    bpeTrain(docs, textCol, k, minCount)._1
+      .select(col("n"),
+        explode(expr("filter(split(seq, '\\\\|'), x -> x != '')"))
+          .as("subword"))
+      .groupBy("subword").agg(sum(col("n")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("subword").asc)
+      .limit(topK)
+
+  /** Per-document BPE token count under the trained merges. */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minCount: Long): DataFrame = {
+    val seg = bpeTrain(docs, textCol, k, minCount)._1
+      .select(
+        // the word is its sequence with delimiters stripped
+        call_function("replace", col("seq"), lit("|"), lit("")).as("word"),
+        size(expr("filter(split(seq, '\\\\|'), x -> x != '')"))
+          .cast("long").as("n_sub"))
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
+        .as("n_bpe_tokens"))
+      .orderBy(idCol)
+  }
+
+  def bpeVocabQ(spark: SparkSession, dir: String): DataFrame =
+    bpeSubwordVocab(Tables.documents(spark, dir), "text", BpeMergeK,
+      VocabMinCount, topK = 40)
+
+  def bpeTokenCountQ(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCount(Tables.documents(spark, dir), "doc_id", "text",
+      BpeMergeK, VocabMinCount)
+
+  /** The k-stage unrolled CTE chain shared by the q143/q144/q145
+    * oracles: stage i picks the argmax pair over w(i-1) and rewrites
+    * w(i-1) -> w(i) with the identical delimited replace. w/p CTEs are
+    * MATERIALIZED — each is referenced twice (by p(i+1) and w(i+1)), so
+    * inlining would expand the chain 2^k-fold. */
+  private def bpeChainSql(k: Int, minCount: Long): String = {
     val head =
       s"""WITH w0 AS MATERIALIZED (
          |  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq, n FROM (
@@ -570,9 +631,33 @@ object Llm {
          |m$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,
          |               CAST(cnt AS BIGINT) AS pair_count FROM p$i)""".stripMargin
     }
-    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")
-    (head +: stages).mkString(",\n") + "\n" + union + "\nORDER BY merge_rank"
+    (head +: stages).mkString(",\n")
   }
+
+  def bpeMergesSql(k: Int, minCount: Long): String = {
+    val union = (1 to k).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL ")
+    bpeChainSql(k, minCount) + "\n" + union + "\nORDER BY merge_rank"
+  }
+
+  def bpeVocabSql(k: Int, minCount: Long, topK: Int): String =
+    bpeChainSql(k, minCount) +
+      s"""
+         |SELECT subword, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+         |  SELECT unnest(list_filter(string_split(seq, '|'), x -> x <> '')) AS subword, n
+         |  FROM w$k)
+         |GROUP BY 1 ORDER BY n_occ DESC, subword LIMIT $topK""".stripMargin
+
+  def bpeTokenCountSql(k: Int, minCount: Long): String =
+    bpeChainSql(k, minCount) +
+      s""",
+         |wl AS (SELECT replace(seq, '|', '') AS word,
+         |              CAST(len(list_filter(string_split(seq, '|'), x -> x <> '')) AS BIGINT) AS n_sub
+         |       FROM w$k),
+         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |        FROM documents)
+         |SELECT doc_id, CAST(SUM(COALESCE(n_sub, len(word))) AS BIGINT) AS n_bpe_tokens
+         |FROM tok LEFT JOIN wl USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- q80: unigram surprisal scoring (perplexity-style quality) -----
   // Per-document total unigram surprisal (-log2 p(token) under the
@@ -1237,6 +1322,8 @@ object Llm {
     "q77_contamination"     -> (contamination _),
     "q79_vocab_build"       -> (buildVocab _),
     "q143_bpe_merges"       -> (bpeMerges _),
+    "q144_bpe_vocab"        -> (bpeVocabQ _),
+    "q145_bpe_token_count"  -> (bpeTokenCountQ _),
     "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1287,6 +1374,8 @@ object Llm {
     "q77_contamination"     -> contaminationSql,
     "q79_vocab_build"       -> buildVocabSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
+    "q144_bpe_vocab"        -> bpeVocabSql(BpeMergeK, VocabMinCount, 40),
+    "q145_bpe_token_count"  -> bpeTokenCountSql(BpeMergeK, VocabMinCount),
     "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,

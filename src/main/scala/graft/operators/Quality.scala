@@ -713,6 +713,7 @@ object Quality {
     "q14_placeholder_norm" -> (placeholderNormalization _),
     "q15_schema_presence"  -> (schemaPresence _),
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
+    "q147_jsonl_roundtrip" -> (graft.sources.JsonlSource.jsonlRoundtrip _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
     "q53_invalid_row_split" -> (invalidRowStats _),
     "q54_corrupt_records"  -> (corruptRecordStats _),
@@ -741,6 +742,7 @@ object Quality {
     "q14_placeholder_norm" -> placeholderNormalizationSql,
     "q15_schema_presence"  -> schemaPresenceSql,
     "q16_csv_roundtrip"    -> csvRoundtripSql,
+    "q147_jsonl_roundtrip" -> graft.sources.JsonlSource.jsonlRoundtripSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
     "q53_invalid_row_split" -> invalidRowStatsSql,
     "q54_corrupt_records"  -> corruptRecordStatsSql,

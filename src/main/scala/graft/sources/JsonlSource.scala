@@ -109,4 +109,66 @@ object JsonlSource {
     java.nio.file.Files.write(file, sb.toString.getBytes("UTF-8"))
     file.toString
   }
+
+  /** Read JSONL with an explicit schema + corrupt-record quarantine
+    * column (`_bad`), PERMISSIVE mode: a malformed line lands in the
+    * quarantine column and a count, never kills the job — at 100 TB
+    * there is ALWAYS a malformed line. */
+  def readPermissive(spark: SparkSession, paths: Seq[String],
+                     schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_bad", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(paths: _*)
+
+  // ---- q147: JSONL SINK round-trip with corrupt-line accounting -------
+  // The write half the fixture lanes (q63/q64) don't cover: documents
+  // -> distributed JSONL sink -> permissive schema'd read (plus a
+  // planted batch of malformed lines) -> one aggregate proving
+  // (a) every row survived, (b) every malformed line was quarantined
+  // not dropped, (c) the TEXT content round-tripped byte-exactly
+  // through the writer's JSON escaping — the md5 xor_sig channel
+  // (q132's order-independent fingerprint) over the read-back text
+  // equals the oracle's over the source table.
+  private val NCorrupt = 25
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text")
+    // per-session scratch (applicationId): concurrent sessions must not
+    // race; the aggregate is materialized so scratch can be deleted
+    // before returning
+    val tmp = s"/tmp/graft_jsonl_rt_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    docs.write.mode("overwrite").json(s"$tmp/good")
+    spark.range(NCorrupt)
+      .select(concat(lit("{\"doc_id\":"), col("id"), lit(",\"lang\":"))
+        .as("value"))
+      .write.mode("overwrite").text(s"$tmp/bad")
+    val target = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val out = readPermissive(spark, Seq(s"$tmp/good", s"$tmp/bad"), target)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_bad")).as("n_corrupt"),
+        count(col("doc_id")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        call_function("bit_xor", h).as("xor_sig"))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    out
+  }
+
+  val jsonlRoundtripSql: String =
+    s"""SELECT CAST(COUNT(*) + $NCorrupt AS BIGINT) AS n_rows,
+       |  CAST($NCorrupt AS BIGINT) AS n_corrupt,
+       |  CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor_sig
+       |FROM documents""".stripMargin
 }

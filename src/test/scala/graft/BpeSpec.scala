@@ -14,8 +14,12 @@ class BpeSpec extends SparkSpec {
   /** Reference trainer over an in-memory word histogram: symbols as
     * Vector[String]; each round counts every adjacent position and
     * merges the argmax pair greedily left-to-right. */
-  private def refTrain(hist: Map[String, Long],
-                       k: Int): Seq[(Long, String, String, Long)] = {
+  private def refTrain(hist: Map[String, Long], k: Int)
+      : Seq[(Long, String, String, Long)] = refTrainFull(hist, k)._1
+
+  /** Returns (merges, final segmented histogram). */
+  private def refTrainFull(hist: Map[String, Long], k: Int)
+      : (Seq[(Long, String, String, Long)], Map[Vector[String], Long]) = {
     var seqs: Map[Vector[String], Long] =
       hist.groupBy { case (w, _) => w.map(_.toString).toVector }
         .map { case (s, m) => s -> m.values.sum }
@@ -44,7 +48,7 @@ class BpeSpec extends SparkSpec {
         i += 1
       }
     }
-    out.toSeq
+    (out.toSeq, seqs)
   }
 
   private lazy val hist: Map[String, Long] = {
@@ -76,6 +80,37 @@ class BpeSpec extends SparkSpec {
       assert(c > 0L)
       known += (l + r)
     }
+  }
+
+  test("q144: subword vocab == reference final-state histogram, top-40") {
+    val got = Llm.bpeVocabQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fin = refTrainFull(hist, 12)._2
+    val histo = scala.collection.mutable.Map.empty[String, Long]
+    for ((s, n) <- fin; t <- s) histo(t) = histo.getOrElse(t, 0L) + n
+    val want = histo.toSeq.sortBy { case (t, n) => (-n, t) }.take(40)
+    assert(got === want)
+  }
+
+  test("q145: per-doc BPE token count == reference segmentation + OOV char fallback") {
+    val fin = refTrainFull(hist, 12)._2
+    val segLen: Map[String, Long] =
+      fin.map { case (s, _) => s.mkString -> s.length.toLong }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tokRe = "[a-z0-9]+".r
+    val want = docs.map { case (id, text) =>
+      val words = tokRe.findAllIn(text.toLowerCase).toSeq
+      id -> words.map(w => segLen.getOrElse(w, w.length.toLong)).sum
+    }.toMap
+    val got = Llm.bpeTokenCountQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs with zero tokens emit no row on BOTH sides
+    val wantNonEmpty = docs.filter { case (_, t) =>
+      tokRe.findAllIn(t.toLowerCase).nonEmpty }.map(_._1).toSet
+    assert(got.keySet === wantNonEmpty)
+    got.foreach { case (id, n) => assert(n === want(id), s"doc $id") }
   }
 
   test("q143: empty input -> zero merges, stable schema") {
