@@ -141,6 +141,14 @@ object ScaleBench {
   def vocab(docs: DataFrame): DataFrame =
     graft.operators.Llm.vocab(docs, "text", minCount = 5L)
 
+  /** q143's operating point: BPE merge training over the replicated
+    * corpus. One corpus-sized histogram job, then 12 merge rounds over
+    * an aggregated vocab that grows ~Nx (Caesar-rotated replica
+    * vocabularies are near-disjoint) — the round cost is vocab-sized,
+    * which is the whole reason merge training is feasible at 100 TB. */
+  def bpeMerges(docs: DataFrame): DataFrame =
+    graft.operators.Llm.bpeMergeTable(docs, "text", k = 12, minCount = 5L)
+
   /** q91's core: global row_number over the replicated events (range
     * repartition + per-partition rank + broadcast prefix offsets) —
     * the no-single-partition-window primitive, timed raw. */

@@ -285,7 +285,15 @@ object Pipeline {
       .groupBy("l_orderkey")
       .agg(sum(floor(col("l_quantity")).cast("long")).as("tq"))
       .localCheckpoint(true) // consumed by 2 threshold aggs + final pass
-    val med = t.agg(expr("percentile(tq, 0.5D)")).head().getDouble(0)
+    val medRow = t.agg(expr("percentile(tq, 0.5D)")).head()
+    // empty input -> the same 1-row shape SQL aggregation gives (count
+    // 0, NULL sum/med/mad), not a driver NPE on the null percentile
+    if (medRow.isNullAt(0))
+      return t.agg(count(lit(1)).as("n_orders"),
+        lit(null).cast("long").as("n_outliers"),
+        lit(null).cast("double").as("med"),
+        lit(null).cast("double").as("mad"))
+    val med = medRow.getDouble(0)
     val dev = abs(col("tq") - lit(med))
     val mad = t.agg(expr(s"percentile(abs(tq - ${med}D), 0.5D)"))
       .head().getDouble(0)

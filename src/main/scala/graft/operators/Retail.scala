@@ -71,8 +71,13 @@ object Retail {
         add_months(col("anchor"), -1).as("start_date"),
         add_months(col("anchor"), 1).as("end_exclusive"))
       .head()
-    li.where(col("l_shipdate") >= lit(dayStartUtc(bounds.getDate(0))) &&
-             col("l_shipdate") < lit(dayStartUtc(bounds.getDate(1))))
+    // empty fact table -> null anchor: keep the SQL-aggregate shape
+    // (one row, NULL sum) via an always-false window, not a driver NPE
+    val window =
+      if (bounds.isNullAt(0)) lit(false)
+      else col("l_shipdate") >= lit(dayStartUtc(bounds.getDate(0))) &&
+        col("l_shipdate") < lit(dayStartUtc(bounds.getDate(1)))
+    li.where(window)
       .join(broadcast(pa.where(col("p_size") >= 25)),
         col("l_partkey") === col("p_partkey"))
       .agg(dsum(margin).as("total_margin_last_2_months"))
@@ -103,9 +108,14 @@ object Retail {
       .select(date_sub(col("max_date"), 60).as("start_date"),
         date_add(col("max_date"), 1).as("end_exclusive"))
       .head()
-    // BETWEEN start AND max on the date == [start 00:00, max+1day) on ts.
-    li.where(col("l_shipdate") >= lit(dayStartUtc(b.getDate(0))) &&
-             col("l_shipdate") < lit(dayStartUtc(b.getDate(1))))
+    // BETWEEN start AND max on the date == [start 00:00, max+1day) on ts;
+    // empty fact table -> always-false window (same guard as the
+    // 2-month variant), and the COALESCE keeps the published 0.0
+    val window =
+      if (b.isNullAt(0)) lit(false)
+      else col("l_shipdate") >= lit(dayStartUtc(b.getDate(0))) &&
+        col("l_shipdate") < lit(dayStartUtc(b.getDate(1)))
+    li.where(window)
       .join(broadcast(pa.where(col("p_size") >= 25)),
         col("l_partkey") === col("p_partkey"))
       .agg(coalesce(dsum(margin), lit(0.0)).as("total_margin_last_60_days"))

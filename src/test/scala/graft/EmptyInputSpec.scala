@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pipeline, Temporal}
+import graft.operators.{Pipeline, Retail, Temporal}
 import java.nio.file.Files
 
 /** ADVICE r6 #1: driver-scalar operators (bounds/fences computed via a
@@ -23,6 +23,8 @@ class EmptyInputSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$p/events.parquet")
     spark.read.parquet(s"$sf/lineitem.parquet").limit(0)
       .write.mode("overwrite").parquet(s"$p/lineitem.parquet")
+    spark.read.parquet(s"$sf/part.parquet")
+      .write.mode("overwrite").parquet(s"$p/part.parquet")
     p
   }
 
@@ -36,6 +38,21 @@ class EmptyInputSpec extends SparkSpec {
     val out = Pipeline.iqrTrim(spark, emptySf)
     assert(out.columns.toSeq === Seq("n_kept", "n_trimmed", "kept_revenue"))
     assert(out.count() === 0L)
+  }
+
+  test("madOutliers: empty lineitem -> SQL-shaped 1-row aggregate (count 0, NULL stats)") {
+    val out = Pipeline.madOutliers(spark, emptySf)
+    assert(out.columns.toSeq === Seq("n_orders", "n_outliers", "med", "mad"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("retail window anchors: empty lineitem -> 1-row aggregate, no NPE") {
+    val m2 = Retail.totalMarginLast2Months(spark, emptySf).collect()(0)
+    assert(m2.isNullAt(0)) // SUM over empty is NULL
+    val d60 = Retail.totalMarginLast60Days(spark, emptySf).collect()(0)
+    assert(d60.getDouble(0) === 0.0) // published COALESCE(SUM, 0)
   }
 
   test("non-empty paths unaffected: both still produce rows on sf0.001") {

@@ -146,6 +146,20 @@ class PlanAuditSpec extends SparkSpec {
       "clusterSplit")
   }
 
+  test("round-7 operators stay cartesian-free") {
+    def noCartesianOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    // q146: five join+agg rounds — every round must stay a keyed join
+    noCartesianOnly(graft.operators.Graph.pageRank(spark, sf), "pageRank")
+    // q145: the trained-vocab dim join must be keyed (broadcast or
+    // hash), never a nested loop
+    noCartesianOnly(graft.operators.Llm.bpeTokenCountQ(spark, sf),
+      "bpeTokenCount")
+  }
+
   test("collocations plan: zero-shuffle bigram extraction, one agg exchange") {
     // q131's scale claim: nothing between the corpus scan and the
     // bigram partial aggregate shuffles, and the 1-row total attaches
