@@ -708,6 +708,157 @@ object Llm {
       |       CAST(SUM(sp) AS DOUBLE) AS surprisal_sum
       |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- q148: bigram-LM surprisal (CCNet-style quality scoring) -------
+  // Train an add-1-smoothed bigram LM on the corpus, score every
+  // document by total conditional surprisal
+  // -log2 P(w_i | w_{i-1}), P = (c2(prev,w)+1) / (c1(prev)+V) —
+  // the CCNet/KenLM-style perplexity filter (Wenzek et al. 2020,
+  // public literature) one step up from q80's unigram stand-in.
+  // Same determinism rule as q80: each bigram's surprisal is rounded
+  // to 6 places and cast to DECIMAL(18,6) BEFORE the per-doc sum
+  // (exact, order-independent addition), output is the exact sum cast
+  // to double. V (vocab size) is a driver scalar — the index-build
+  // pattern.
+  //
+  // Scale shape: the bigram table is ONE ordered explode over the
+  // corpus (positions via sequence(), no self-join); training is one
+  // groupBy over it; scoring joins the bigram table back to its own
+  // counts (hash join on (prev, w)) and the unigram context counts
+  // (vocab-sized dim join — AQE decides broadcast vs hash). All
+  // map-side-combinable.
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bi = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("prev"),
+        element_at(col("t"), col("i") + 1).as("w"))
+      .localCheckpoint(true) // feeds c2 AND the scoring join
+    val uni = docs
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n1"))
+      .localCheckpoint(true) // feeds V AND the context join
+    val vocabV = uni.count()
+    val c2 = bi.groupBy("prev", "w").agg(count(lit(1)).as("n2"))
+    bi.join(c2, Seq("prev", "w"))
+      .join(uni.select(col("token").as("prev"), col("n1")), Seq("prev"))
+      .withColumn("sp",
+        round(log2((col("n1") + lit(vocabV)).cast("double") /
+          (col("n2") + lit(1L)).cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("sp")).cast("double").as("surprisal_sum"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |            FROM documents),
+      |bi AS (SELECT doc_id, t[i] AS prev, t[i+1] AS w
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |             FROM ta WHERE len(t) >= 2)),
+      |uni AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |        FROM documents),
+      |c1 AS (SELECT token AS prev, COUNT(*) AS n1 FROM uni GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT token) AS nv FROM uni),
+      |c2 AS (SELECT prev, w, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+      |s AS (SELECT doc_id,
+      |    CAST(round(log2(CAST(n1 + nv AS DOUBLE) / (n2 + 1)), 6) AS DECIMAL(18,6)) AS sp
+      |  FROM bi JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(sp) AS DOUBLE) AS surprisal_sum
+      |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- q150: the whole corpus-prep pipeline, one call ----------------
+  // The release report every curation run ends with: ingest -> language
+  // filter -> Gopher/C4 quality filter (q56's exact rules) -> exact
+  // dedup (q20's min-id-per-md5(text) policy) -> near-dup dedup (q22's
+  // verified pairs, q40's components, keep the cluster rep) ->
+  // deterministic 80/10/1 split (q62's md5-threshold channel) — with
+  // the surviving count at every stage. This is the "a user of the
+  // reference could run their whole flow" composition: every stage IS
+  // the already-oracled operator, so the report can't drift from the
+  // operators it summarizes.
+  //
+  // Scale shape: stage counts are distributed aggregates (the bounded
+  // driver values assemble an 8-row report — the profiler pattern);
+  // the heavy lifting is exactly the constituent operators' plans
+  // (shingle index, band join, CC, one md5 groupBy). The oracle
+  // recomputes the full funnel in DuckDB, closure CTE and all.
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val nIngested = docs.count()
+    val nEn = docs.filter(col("lang") === "en").count()
+    val qual = docs.filter(col("lang") === "en")
+      .join(TextQuality.qualitySignals(spark, dir).select("doc_id", "keep"),
+        Seq("doc_id"))
+      .filter(col("keep")).select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint(true) // feeds its count AND two downstream stages
+    val nQual = qual.count()
+    val exact = qual.groupBy("th").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").localCheckpoint(true)
+    val nExact = exact.count()
+    val nonRep = Dedup.connectedComponents(minhashPairs(spark, dir)).labels
+      .filter(col("doc_id") =!= col("rep")).select("doc_id")
+    val near = exact.join(nonRep, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nNear = near.count()
+    val splits = near
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("doc_id"), 0.8, 0.1))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(
+      ("a_ingested", nIngested), ("b_lang_en", nEn), ("c_quality", nQual),
+      ("d_exact_dedup", nExact), ("e_near_dedup", nNear),
+      ("f_split_train", splits.getOrElse("train", 0L)),
+      ("g_split_val", splits.getOrElse("val", 0L)),
+      ("h_split_test", splits.getOrElse("test", 0L)))
+      .toDF("stage", "n_docs").orderBy("stage")
+  }
+
+  val corpusReportSql: String = {
+    val t1 = (0.8 * 4294967296.0).toLong
+    val t2 = (0.9 * 4294967296.0).toLong
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |sig AS (SELECT doc_id, keep FROM (${TextQuality.qualitySignalsSubquery}) q),
+       |en AS (SELECT d.doc_id, d.text FROM documents d JOIN sig USING (doc_id)
+       |       WHERE d.lang = 'en' AND sig.keep),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+       |nr AS (SELECT e.doc_id FROM ex e
+       |       LEFT JOIN (SELECT doc_id FROM labels WHERE doc_id <> rep) nn
+       |         USING (doc_id)
+       |       WHERE nn.doc_id IS NULL),
+       |spl AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |        FROM nr)
+       |SELECT 'a_ingested' AS stage, COUNT(*) AS n_docs FROM documents
+       |UNION ALL SELECT 'b_lang_en', COUNT(*) FROM documents WHERE lang = 'en'
+       |UNION ALL SELECT 'c_quality', COUNT(*) FROM en
+       |UNION ALL SELECT 'd_exact_dedup', COUNT(*) FROM ex
+       |UNION ALL SELECT 'e_near_dedup', COUNT(*) FROM nr
+       |UNION ALL SELECT 'f_split_train',
+       |  CAST(COALESCE(SUM(CASE WHEN h < $t1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM spl
+       |UNION ALL SELECT 'g_split_val',
+       |  CAST(COALESCE(SUM(CASE WHEN h >= $t1 AND h < $t2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM spl
+       |UNION ALL SELECT 'h_split_test',
+       |  CAST(COALESCE(SUM(CASE WHEN h >= $t2 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM spl
+       |ORDER BY stage""".stripMargin
+  }
+
   // ---- q77: benchmark decontamination (train-test overlap) -----------
   // Corpus docs (doc_id % 10 != 0) sharing 5-gram shingles with the
   // "benchmark" slice (doc_id % 10 == 0): the eval-hygiene sweep a
@@ -1325,6 +1476,8 @@ object Llm {
     "q144_bpe_vocab"        -> (bpeVocabQ _),
     "q145_bpe_token_count"  -> (bpeTokenCountQ _),
     "q80_unigram_surprisal" -> (unigramSurprisal _),
+    "q148_bigram_surprisal" -> (bigramSurprisal _),
+    "q150_corpus_report"    -> (corpusReport _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
     "q124_int8_topk"        -> (int8TopK _),
@@ -1377,6 +1530,8 @@ object Llm {
     "q144_bpe_vocab"        -> bpeVocabSql(BpeMergeK, VocabMinCount, 40),
     "q145_bpe_token_count"  -> bpeTokenCountSql(BpeMergeK, VocabMinCount),
     "q80_unigram_surprisal" -> unigramSurprisalSql,
+    "q148_bigram_surprisal" -> bigramSurprisalSql,
+    "q150_corpus_report"    -> corpusReportSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
     "q124_int8_topk"        -> int8TopKSql,

@@ -137,6 +137,60 @@ object TextQuality {
        |    AND CAST(nd AS DOUBLE) / greatest(n_words, 1) > 0.3) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- q149: filter audit report (per-rule drop accounting) ----------
+  // The ops view of q56: for each Gopher/C4 rule, how many documents
+  // FAIL it — the number a curation team watches per corpus release
+  // (one rule suddenly dropping 40% means the rule broke, not the
+  // data). Reuses q56's exact signal expressions (Spark side consumes
+  // qualitySignals' output frame; oracle embeds q56's SQL as a
+  // subquery), so the audit can never drift from the filter it audits.
+  // Rule counts are NOT exclusive — a doc failing two rules counts in
+  // both (that's what makes the report actionable). One corpus pass,
+  // one 1-row aggregate, stacked to long form on the driver side of
+  // codegen (stack() is a generator, zero extra shuffle).
+  def filterAudit(spark: SparkSession, dir: String): DataFrame = {
+    qualitySignals(spark, dir)
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(!(col("n_words") >= 5 && col("n_words") <= 50000), 1L)
+          .otherwise(0L)).as("f_words"),
+        sum(when(!(col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0), 1L)
+          .otherwise(0L)).as("f_mwl"),
+        sum(when(!(col("symbol_ratio") < 0.05), 1L).otherwise(0L)).as("f_sym"),
+        sum(when(!(col("distinct_word_frac") > 0.3), 1L).otherwise(0L)).as("f_dwf"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .select(expr(
+        """stack(6,
+          |  'fail_distinct_word_frac', f_dwf,
+          |  'fail_mean_word_len', f_mwl,
+          |  'fail_symbol_ratio', f_sym,
+          |  'fail_word_count', f_words,
+          |  'kept', kept,
+          |  'total', total) AS (rule, n_docs)""".stripMargin))
+      .orderBy("rule")
+  }
+
+  /** q56's SQL with its trailing ORDER BY stripped, for embedding as a
+    * subquery — keeps the audit (q149) and pipeline-report (q150)
+    * oracles in lockstep with the filter oracle by construction. */
+  private[operators] def qualitySignalsSubquery: String =
+    qualitySignalsSql.stripSuffix("ORDER BY doc_id").trim
+
+  val filterAuditSql: String =
+    s"""WITH sig AS (SELECT * FROM ($qualitySignalsSubquery) q)
+       |SELECT 'total' AS rule, COUNT(*) AS n_docs FROM sig
+       |UNION ALL SELECT 'kept',
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM sig
+       |UNION ALL SELECT 'fail_word_count',
+       |  CAST(SUM(CASE WHEN NOT (n_words BETWEEN 5 AND 50000) THEN 1 ELSE 0 END) AS BIGINT) FROM sig
+       |UNION ALL SELECT 'fail_mean_word_len',
+       |  CAST(SUM(CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) FROM sig
+       |UNION ALL SELECT 'fail_symbol_ratio',
+       |  CAST(SUM(CASE WHEN NOT (symbol_ratio < 0.05) THEN 1 ELSE 0 END) AS BIGINT) FROM sig
+       |UNION ALL SELECT 'fail_distinct_word_frac',
+       |  CAST(SUM(CASE WHEN NOT (distinct_word_frac > 0.3) THEN 1 ELSE 0 END) AS BIGINT) FROM sig
+       |ORDER BY rule""".stripMargin
+
   // ---- q57: top-bigram repetition fraction (Gopher rep. signals) -----
   // NON-distinct bigrams (repetition is the point — the dedup shingle
   // path deliberately dedups), built with explode(sequence)+element_at
@@ -263,12 +317,14 @@ object TextQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_pii_redact" -> (piiRedact _),
     "q56_quality_signals" -> (qualitySignals _),
+    "q149_filter_audit" -> (filterAudit _),
     "q57_repetition" -> (repetitionStats _),
     "q78_line_dedup" -> (lineDedup _))
 
   val oracles: Map[String, String] = Map(
     "q55_pii_redact" -> piiRedactSql,
     "q56_quality_signals" -> qualitySignalsSql,
+    "q149_filter_audit" -> filterAuditSql,
     "q57_repetition" -> repetitionStatsSql,
     "q78_line_dedup" -> lineDedupSql)
 }
