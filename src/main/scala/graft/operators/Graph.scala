@@ -372,20 +372,20 @@ object Graph {
   private val PageRankRounds = 5
   private val SupplierOffset = 10000000L
 
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val fwd = Tables.lineitem(spark, dir)
-      .select(col("l_partkey").as("src"),
-        (col("l_suppkey") + SupplierOffset).as("dst"))
-      .distinct()
-    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+  /** Core fixed-round iteration over an arbitrary directed edge table
+    * `(src, dst)`. Contract: every node reachable in-round must have at
+    * least one out-edge — symmetrize (as [[pageRank]] does) or add
+    * self-loops for dangling nodes before calling. Returns the
+    * UNSORTED `(node, r)` fixed-point-integer ranks. */
+  def pageRankOn(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
     val ed = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(true)
     var r = ed.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to PageRankRounds) {
+    for (_ <- 1 to rounds) {
       r = ed.join(r, ed("src") === r("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
@@ -393,7 +393,17 @@ object Graph {
           expr("150000L + (85L * s) div 100L").as("r"))
         .localCheckpoint(true)
     }
-    r.orderBy(col("r").desc, col("node").asc).limit(20)
+    r
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + SupplierOffset).as("dst"))
+      .distinct()
+    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    pageRankOn(e).orderBy(col("r").desc, col("node").asc).limit(20)
   }
 
   val pageRankSql: String = {

@@ -476,15 +476,20 @@ object Llm {
   // bounded-collect pattern (a merge decision is inherently global
   // and 1 row; this is how every production BPE trainer works).
   //
-  // Symbol sequences are '|'-delimited ('the' -> '|t|h|e|'); tokens
-  // are [a-z0-9]+ so '|' can never occur inside a symbol, which makes
-  // the merge rewrite a plain (codegen'd) string replace:
-  // '|l|r|' -> '|lr|'. replace() scans left-to-right non-overlapping
-  // in BOTH engines, so on a run like '|a|a|a|' the pair (a,a) merges
-  // once from the left — exactly the greedy BPE rule. Pair COUNTING
-  // counts every adjacent position (the classic formulation); both
-  // engines count identically, so the argmax agrees even on
-  // self-overlapping runs.
+  // Each symbol is wrapped in its OWN delimiter pair ('the' ->
+  // '|t||h||e|'); tokens are [a-z0-9]+ so '|' can never occur inside a
+  // symbol, which makes the merge rewrite a plain (codegen'd) string
+  // replace: '|l||r|' -> '|lr|'. The per-symbol wrapping matters:
+  // adjacent pair occurrences then match DISJOINT substrings, so
+  // replace()'s left-to-right non-overlapping scan is EXACTLY the
+  // canonical greedy merge (merge, skip both symbols, continue) — a
+  // run '|a||a||a||a||a|' becomes [aa, aa, a], byte-identical in both
+  // engines. (A shared-delimiter encoding '|a|a|a|' would instead
+  // consume the middle delimiter and silently skip every other
+  // occurrence on runs >= 4 — caught by the PropertySpec random-
+  // histogram law.) Pair COUNTING counts every adjacent position (the
+  // classic formulation); both engines count identically, so the
+  // argmax agrees even on self-overlapping runs.
   private val BpeMergeK = 12
 
   /** Train `k` merges; returns (final segmented vocab `(seq, n)`, the
@@ -501,8 +506,8 @@ object Llm {
     val words = docs.select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .select(concat(lit("|"),
-        regexp_replace(col("word"), "(.)", "$1\\|")).as("seq"), col("n"))
+      .select(regexp_replace(col("word"), "(.)", "\\|$1\\|").as("seq"),
+        col("n"))
       .localCheckpoint(true)
     var cur = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -530,7 +535,7 @@ object Llm {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i + 1L, l, r, c))
         cur = cur.withColumn("seq", call_function("replace", col("seq"),
-          lit("|" + l + "|" + r + "|"), lit("|" + l + r + "|")))
+          lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
         // flatten the accumulating replace chain periodically so round
         // i pays O(1) rewrites per row, not O(i)
         if ((i + 1) % 6 == 0) cur = cur.localCheckpoint(true)
@@ -610,7 +615,7 @@ object Llm {
   private def bpeChainSql(k: Int, minCount: Long): String = {
     val head =
       s"""WITH w0 AS MATERIALIZED (
-         |  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq, n FROM (
+         |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, n FROM (
          |    SELECT word, COUNT(*) AS n FROM (
          |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
          |      FROM documents)
@@ -625,7 +630,7 @@ object Llm {
          |    GROUP BY 1, 2)
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT replace(seq, '|' || lhs || '|' || rhs || '|',
+         |  SELECT replace(seq, '|' || lhs || '||' || rhs || '|',
          |                 '|' || lhs || rhs || '|') AS seq, n
          |  FROM w${i - 1}, p$i),
          |m$i AS (SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,

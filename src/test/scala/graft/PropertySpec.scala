@@ -250,4 +250,81 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"case $k")
     }
   }
+
+  test("pageRankOn law: equals driver-side iteration on random symmetrized graphs") {
+    val gen = for {
+      nEdges <- Gen.chooseNum(2, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        u <- Gen.chooseNum(1L, 12L)
+        v <- Gen.chooseNum(1L, 12L) if u != v
+      } yield (u, v))
+    } yield edges.distinct
+    samples(gen, 5).zipWithIndex.foreach { case (fwd, k) =>
+      val edges = (fwd ++ fwd.map(_.swap)).distinct
+      val got = graft.operators.Graph
+        .pageRankOn(edges.toDF("src", "dst"), rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      var rank: Map[Long, Long] = outdeg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 5) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        for ((s, d) <- edges)
+          contrib(d) = contrib.getOrElse(d, 0L) + rank(s) / outdeg(s)
+        rank = contrib.map { case (n, sm) => n -> (150000L + 85L * sm / 100L) }.toMap
+      }
+      assert(got === rank, s"case $k edges=$edges")
+    }
+  }
+
+  test("BPE trainer law: equals greedy reference on random word histograms") {
+    val word = for {
+      len <- Gen.chooseNum(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val gen = for {
+      nw <- Gen.chooseNum(3, 12)
+      ws <- Gen.listOfN(nw, word)
+      ns <- Gen.listOfN(nw, Gen.chooseNum(1, 9))
+    } yield ws.zip(ns).groupBy(_._1)
+      .map { case (w, l) => w -> l.map(_._2).sum }
+    samples(gen, 5).zipWithIndex.foreach { case (hist, k) =>
+      // docs: each word repeated its count times, one word per doc so
+      // the trainer's histogram IS the generated one (minCount=1)
+      val docs = hist.toSeq.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Llm
+        .bpeMergeTable(docs, "text", k = 6, minCount = 1L)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // greedy reference (same rule as BpeSpec's, inlined)
+      var seqs: Map[Vector[String], Long] =
+        hist.map { case (w, n) => w.map(_.toString).toVector -> n.toLong }
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var i = 0
+      var done = false
+      while (i < 6 && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, n) <- seqs; j <- 0 until s.length - 1)
+          counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + n
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          want += ((i + 1L, l, rr, c))
+          seqs = seqs.groupBy { case (s, _) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == rr) {
+                b += (l + rr); j += 2
+              } else { b += s(j); j += 1 }
+            }
+            b.result()
+          }.map { case (s, m) => s -> m.values.sum }
+          i += 1
+        }
+      }
+      assert(got === want.toSeq, s"case $k hist=$hist")
+    }
+  }
 }
