@@ -166,6 +166,7 @@ object Bench {
             noop(ScaleBench.lineDedup(docs.limit(64)))
             noop(ScaleBench.vocab(docs.limit(64)))
             noop(ScaleBench.bpeMerges(docs.limit(64)))
+            noop(ScaleBench.bigramLm(docs.limit(64)))
             noop(ScaleBench.globalRank(ev.limit(64)))
             noop(ScaleBench.bloomDecon(docs.limit(64), times))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
@@ -204,6 +205,7 @@ object Bench {
             // tokenizer prep end-to-end: histogram + 12 vocab-sized
             // merge rounds (the rounds amortize; the histogram scales)
             timed("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
+            timed("q148_bigram_lm")(noop(ScaleBench.bigramLm(docs))),
             timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
             timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
             // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a

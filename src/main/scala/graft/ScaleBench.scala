@@ -149,6 +149,15 @@ object ScaleBench {
   def bpeMerges(docs: DataFrame): DataFrame =
     graft.operators.Llm.bpeMergeTable(docs, "text", k = 12, minCount = 5L)
 
+  /** q148's operating point: train the bigram LM and score every doc.
+    * The bigram table is the corpus's token stream (one ordered explode)
+    * and the scoring join carries it again — the heaviest linear-pass
+    * shape among the round-7 operators, so its curve is the one worth
+    * watching. Caesar-rotated replicas keep per-replica LM structure
+    * identical while vocabularies stay disjoint. */
+  def bigramLm(docs: DataFrame): DataFrame =
+    graft.operators.Llm.bigramSurprisalOn(docs)
+
   /** q91's core: global row_number over the replicated events (range
     * repartition + per-partition rank + broadcast prefix offsets) —
     * the no-single-partition-window primitive, timed raw. */

@@ -731,9 +731,13 @@ object Llm {
   // counts (hash join on (prev, w)) and the unigram context counts
   // (vocab-sized dim join — AQE decides broadcast vs hash). All
   // map-side-combinable.
-  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Core on an arbitrary `(doc_id, text)` frame; returns UNSORTED
+    * `(doc_id, n_bigrams, surprisal_sum)`. */
+  def bigramSurprisalOn(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val bi = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"),
@@ -757,7 +761,6 @@ object Llm {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("sp")).cast("double").as("surprisal_sum"))
-      .orderBy("doc_id")
   }
 
   val bigramSurprisalSql: String =
