@@ -271,6 +271,84 @@ object Pipeline {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
       |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey""".stripMargin
 
+  // ---- q151: anti-entropy partition diff (re-sync planner) -----------
+  // q103 answers "which ROWS changed"; at 100 TB you first need "which
+  // PARTITIONS changed" — the Merkle-style anti-entropy pass a
+  // replication/sync job runs so only dirty partitions pay the
+  // row-level diff or re-copy. One map-side-combinable fingerprint
+  // aggregate per version — (count, bit_xor of a canonical row hash)
+  // per month partition, the q132 channel — then a partition-count-
+  // sized full-outer join. The row hash renders doubles through the
+  // cents channel (round(x*100) -> BIGINT: identical IEEE product and
+  // half-up rounding on positive prices in both engines) so no float
+  // ever reaches a string.
+  //
+  // Versions derive deterministically from orders: v2 drops every
+  // 997th key and rewrites priority on every 499th — so SOME months
+  // differ and most don't, which is exactly the selectivity the
+  // planner exploits. Output: the non-identical partitions only.
+  def partitionDiff(spark: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame = {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val repr = concat_ws("", col("o_orderkey").cast("string"),
+        col("o_orderpriority"), cents.cast("string"))
+      val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      df.select(date_format(col("o_orderdate"), "yyyy-MM").as("sale_month"),
+          h.as("h"))
+        .groupBy("sale_month")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"))
+    }
+    val o = Tables.orders(spark, dir)
+    val v1 = fp(o)
+    val v2 = fp(o.filter(col("o_orderkey") % 997 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 499 === 0, lit("9-CHANGED"))
+          .otherwise(col("o_orderpriority"))))
+    v1.as("a").join(v2.as("b"),
+        col("a.sale_month") === col("b.sale_month"), "full_outer")
+      .select(
+        coalesce(col("a.sale_month"), col("b.sale_month")).as("sale_month"),
+        when(col("a.sale_month").isNull, "only_v2")
+          .when(col("b.sale_month").isNull, "only_v1")
+          .when(col("a.n") === col("b.n") && col("a.sig") === col("b.sig"),
+            "same")
+          .otherwise("changed").as("status"),
+        col("a.n").as("n_v1"), col("b.n").as("n_v2"))
+      .filter(col("status") =!= "same")
+      .orderBy("sale_month")
+  }
+
+  val partitionDiffSql: String =
+    """WITH fp1 AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS sale_month, COUNT(*) AS n,
+      |    bit_xor(CAST('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || chr(1) || o_orderpriority || chr(1)
+      |      || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      |    ), 1, 15) AS BIGINT)) AS sig
+      |  FROM orders GROUP BY 1),
+      |v2 AS (SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 499 = 0 THEN '9-CHANGED'
+      |              ELSE o_orderpriority END AS o_orderpriority,
+      |         o_totalprice, o_orderdate
+      |       FROM orders WHERE o_orderkey % 997 <> 0),
+      |fp2 AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS sale_month, COUNT(*) AS n,
+      |    bit_xor(CAST('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || chr(1) || o_orderpriority || chr(1)
+      |      || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      |    ), 1, 15) AS BIGINT)) AS sig
+      |  FROM v2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT COALESCE(fp1.sale_month, fp2.sale_month) AS sale_month,
+      |    CASE WHEN fp1.sale_month IS NULL THEN 'only_v2'
+      |         WHEN fp2.sale_month IS NULL THEN 'only_v1'
+      |         WHEN fp1.n = fp2.n AND fp1.sig = fp2.sig THEN 'same'
+      |         ELSE 'changed' END AS status,
+      |    fp1.n AS n_v1, fp2.n AS n_v2
+      |  FROM fp1 FULL OUTER JOIN fp2 ON fp1.sale_month = fp2.sale_month) d
+      |WHERE status <> 'same' ORDER BY sale_month""".stripMargin
+
   // ---- q120: MAD outlier detection (robust statistics) ---------------
   // Median absolute deviation: the robust spread measure IQR fences
   // approximate — unlike stdev it ignores the outliers it is hunting.
@@ -365,6 +443,7 @@ object Pipeline {
     "q95_cdc_apply"       -> (cdcApply _),
     "q102_iqr_trim"       -> (iqrTrim _),
     "q103_table_diff"     -> (tableDiff _),
+    "q151_partition_diff" -> (partitionDiff _),
     "q120_mad_outliers"   -> (madOutliers _),
     "q121_sufficient_stats" -> (sufficientStats _))
 
@@ -376,6 +455,7 @@ object Pipeline {
     "q95_cdc_apply"       -> cdcApplySql,
     "q102_iqr_trim"       -> iqrTrimSql,
     "q103_table_diff"     -> tableDiffSql,
+    "q151_partition_diff" -> partitionDiffSql,
     "q120_mad_outliers"   -> madOutliersSql,
     "q121_sufficient_stats" -> sufficientStatsSql)
 }

@@ -59,6 +59,21 @@ class PipelineReportSpec extends SparkSpec {
       !(r.getDouble(byName("distinct_word_frac")) > 0.3) })
   }
 
+  test("q151: flagged partitions are exactly the months touched by the version delta") {
+    val touched = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 997 === 0 || col("o_orderkey") % 499 === 0)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val got = graft.operators.Pipeline.partitionDiff(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === touched)
+    // v2 only drops/rewrites, so no partition can be v2-only, and
+    // counts can only shrink
+    got.foreach { r =>
+      assert(r.getString(1) == "changed" || r.getString(1) == "only_v1")
+      if (r.getString(1) == "changed") assert(r.getLong(2) >= r.getLong(3))
+    }
+  }
+
   test("q150: funnel is monotone and internally consistent") {
     val report = Llm.corpusReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
