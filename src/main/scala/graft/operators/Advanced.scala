@@ -469,6 +469,67 @@ object Advanced {
       |              THEN 1 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q152: GDPR delete propagation (right-to-be-forgotten) ---------
+  // Entity erasure against the month-partitioned warehouse: given a set
+  // of erased entities (here: every 500th order key, entity-coherent —
+  // ALL of an order's rows go), restate ONLY the partitions that
+  // contain them, via the same dynamic-overwrite machinery as q118.
+  // At 100 TB this is the difference between rewriting a handful of
+  // month directories and rewriting the table: the affected-partition
+  // list is a distinct-aggregate over the erased rows (bounded by the
+  // partition count — a driver list by design, it IS the rewrite plan),
+  // and the restate write carries only those months' surviving rows.
+  // A fully-erased partition writes no rows under dynamic mode and
+  // would silently survive — those directories are truncated
+  // explicitly (the same dynamic-mode edge writePartitioned documents).
+  /** The erasure half, separately callable so WarehouseSpec can prove
+    * untouched partitions stay byte-stable. Returns the affected
+    * months (the rewrite plan). */
+  def gdprErase(spark: SparkSession, dir: String, path: String): Seq[String] = {
+    val withMonth = Tables.lineitem(spark, dir).withColumn("sale_month",
+      date_format(col("l_shipdate"), "yyyy-MM"))
+    val erased = col("l_orderkey") % 500 === 0
+    val affected = withMonth.filter(erased)
+      .select("sale_month").distinct().collect().map(_.getString(0)).toSeq
+    val rewrite = withMonth
+      .filter(col("sale_month").isin(affected: _*) && !erased)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rewrite.sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").partitionBy("sale_month").parquet(path)
+    val surviving = rewrite.select("sale_month").distinct()
+      .collect().map(_.getString(0)).toSet
+    affected.filterNot(surviving).foreach { m =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path/sale_month=$m"))
+    }
+    affected
+  }
+
+  def gdprDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warehouse
+    val path = s"/tmp/graft_gdpr_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    Warehouse.writeMonthlyTransactions(Tables.lineitem(spark, dir), path)
+    gdprErase(spark, dir, path)
+    val out = spark.read.parquet(path)
+      .groupBy("sale_month")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"))
+      .orderBy("sale_month")
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    out
+  }
+
+  val gdprDeleteSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS sale_month,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem WHERE l_orderkey % 500 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q122: manifest-based incremental file ingest ------------------
   // The "process only what's new" loop every continuously-loaded lake
   // table runs: LIST the landing dir, anti-diff against the processed
@@ -927,6 +988,7 @@ object Advanced {
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
+    "q152_gdpr_delete"      -> (gdprDelete _),
     "q122_manifest_ingest" -> (manifestIngest _),
     "q136_time_travel"     -> (timeTravel _),
     "q125_audio_energy" -> (audioEnergy _),
@@ -964,6 +1026,7 @@ object Advanced {
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
+    "q152_gdpr_delete"      -> gdprDeleteSql,
     "q122_manifest_ingest" -> manifestIngestSql,
     "q136_time_travel"     -> timeTravelSql,
     "q125_audio_energy" -> audioEnergySql,

@@ -155,6 +155,36 @@ class WarehouseSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("gdpr erase rewrites ONLY partitions holding erased entities; erased keys gone") {
+    import graft.operators.Advanced
+    import graft.sources.Warehouse
+    val path = "/tmp/graft_test_gdpr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Warehouse.writeMonthlyTransactions(Tables.lineitem(spark, sf), path)
+    def fp(root: String): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forEach { p => out(p.toString) = (p.toFile.length(), p.toFile.lastModified()) }
+      out.toMap
+    }
+    val before = fp(path)
+    Thread.sleep(1100) // mtime granularity can be 1s
+    val affected = Advanced.gdprErase(spark, sf, path)
+    val after = fp(path)
+    assert(affected.nonEmpty)
+    def untouched(m: Map[String, (Long, Long)]) =
+      m.filterNot { case (p, _) => affected.exists(a => p.contains(s"sale_month=$a")) }
+    assert(untouched(before).nonEmpty,
+      "fixture degenerate: every month contains an erased key")
+    assert(untouched(after) === untouched(before),
+      "erase rewrote partitions holding no erased entity")
+    // and the erased entity really is gone from the warehouse
+    assert(spark.read.parquet(path)
+      .filter(col("l_orderkey") % 500 === 0).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("dynamic partition overwrite leaves untouched partitions byte-stable") {
     import graft.operators.Advanced
     // fingerprint every data file: (path -> size, mtime) — a rewritten
