@@ -607,7 +607,46 @@ object Llm {
     bpeTokenCount(Tables.documents(spark, dir), "doc_id", "text",
       BpeMergeK, VocabMinCount)
 
-  /** The k-stage unrolled CTE chain shared by the q143/q144/q145
+  /** Tokenizer fertility by language — BPE tokens per word, the
+    * standard tokenizer-evaluation metric (a tokenizer trained on one
+    * language mix over-segments the languages it under-saw; fertility
+    * per language is how that is measured and how mixes get rebalanced).
+    * Integer-exact: per-mille fertility via `(1000 * n_bpe) div
+    * n_words` — no float division anywhere. Completes the tokenizer
+    * story: train (q143) -> apply (q144/q145) -> evaluate (q153). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seg = bpeTrain(docs, "text", BpeMergeK, VocabMinCount)._1
+      .select(
+        call_function("replace", col("seq"), lit("|"), lit("")).as("word"),
+        size(expr("filter(split(seq, '\\\\|'), x -> x != '')"))
+          .cast("long").as("n_sub"))
+    docs.select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"))
+      .withColumn("fertility_permille",
+        expr("(1000L * n_bpe_tokens) div n_words"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  def bpeFertilitySql(k: Int, minCount: Long): String =
+    bpeChainSql(k, minCount) +
+      s""",
+         |wl AS (SELECT replace(seq, '|', '') AS word,
+         |              CAST(len(list_filter(string_split(seq, '|'), x -> x <> '')) AS BIGINT) AS n_sub
+         |       FROM w$k),
+         |tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |        FROM documents)
+         |SELECT lang, COUNT(*) AS n_words,
+         |  CAST(SUM(COALESCE(n_sub, len(word))) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((1000 * SUM(COALESCE(n_sub, len(word)))) // COUNT(*) AS BIGINT) AS fertility_permille
+         |FROM tok LEFT JOIN wl USING (word)
+         |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** The k-stage unrolled CTE chain shared by the q143/q144/q145/q153
     * oracles: stage i picks the argmax pair over w(i-1) and rewrites
     * w(i-1) -> w(i) with the identical delimited replace. w/p CTEs are
     * MATERIALIZED — each is referenced twice (by p(i+1) and w(i+1)), so
@@ -712,6 +751,49 @@ object Llm {
       |SELECT doc_id, COUNT(*) AS n_tokens,
       |       CAST(SUM(sp) AS DOUBLE) AS surprisal_sum
       |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- q154: prefix-cache-aware batch grouping -----------------------
+  // The serving-side curation op: queries/documents sharing their first
+  // P tokens can reuse a prefix KV-cache, so the batcher groups them
+  // and routes each group together. Output is the top groups by saved
+  // tokens ((n_docs - 1) x shared-prefix length — every member after
+  // the first skips the shared prefill). One groupBy on the prefix
+  // string; the prefix renders as an md5-channel id so a 100 TB-scale
+  // group key is 8 bytes, not a text blob. Docs shorter than P tokens
+  // group on their full token list (equal keys still mean equal
+  // prefixes — a short doc's key can't collide with a long doc's).
+  private val PrefixTokens = 8
+
+  def prefixCacheGroups(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(slice(Text.tokens(col("text")), 1, PrefixTokens).as("p"))
+      .filter(size(col("p")) >= 1)
+      .select(array_join(col("p"), " ").as("prefix"),
+        size(col("p")).cast("long").as("np"))
+      .groupBy("prefix", "np") // np is functionally dependent on prefix
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(
+        conv(substring(md5(col("prefix").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("prefix_id"),
+        col("np").as("n_prefix_tokens"), col("n_docs"),
+        ((col("n_docs") - 1) * col("np")).as("saved_tokens"))
+      .orderBy(col("saved_tokens").desc, col("prefix_id").asc)
+      .limit(20)
+  }
+
+  val prefixCacheGroupsSql: String =
+    s"""WITH p AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')[1:$PrefixTokens] AS pl
+       |           FROM documents),
+       |g AS (SELECT array_to_string(pl, ' ') AS prefix,
+       |             CAST(len(pl) AS BIGINT) AS np, COUNT(*) AS n_docs
+       |      FROM p WHERE len(pl) >= 1 GROUP BY 1, 2)
+       |SELECT CAST('0x' || substr(md5(prefix), 1, 15) AS BIGINT) AS prefix_id,
+       |       np AS n_prefix_tokens, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST((n_docs - 1) * np AS BIGINT) AS saved_tokens
+       |FROM g WHERE n_docs >= 2
+       |ORDER BY saved_tokens DESC, prefix_id LIMIT 20""".stripMargin
 
   // ---- q148: bigram-LM surprisal (CCNet-style quality scoring) -------
   // Train an add-1-smoothed bigram LM on the corpus, score every
@@ -1481,6 +1563,8 @@ object Llm {
     "q77_contamination"     -> (contamination _),
     "q79_vocab_build"       -> (buildVocab _),
     "q143_bpe_merges"       -> (bpeMerges _),
+    "q153_bpe_fertility"    -> (bpeFertility _),
+    "q154_prefix_groups"    -> (prefixCacheGroups _),
     "q144_bpe_vocab"        -> (bpeVocabQ _),
     "q145_bpe_token_count"  -> (bpeTokenCountQ _),
     "q80_unigram_surprisal" -> (unigramSurprisal _),
@@ -1535,6 +1619,8 @@ object Llm {
     "q77_contamination"     -> contaminationSql,
     "q79_vocab_build"       -> buildVocabSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
+    "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),
+    "q154_prefix_groups"    -> prefixCacheGroupsSql,
     "q144_bpe_vocab"        -> bpeVocabSql(BpeMergeK, VocabMinCount, 40),
     "q145_bpe_token_count"  -> bpeTokenCountSql(BpeMergeK, VocabMinCount),
     "q80_unigram_surprisal" -> unigramSurprisalSql,

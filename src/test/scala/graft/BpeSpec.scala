@@ -113,6 +113,43 @@ class BpeSpec extends SparkSpec {
     got.foreach { case (id, n) => assert(n === want(id), s"doc $id") }
   }
 
+  test("q153: fertility re-derives from q145's per-doc counts + doc langs") {
+    val perDoc = Llm.bpeTokenCountQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val tokRe = "[a-z0-9]+".r
+    val byLang = docs.groupBy(r => Option(r.getString(1))).map { case (lang, rs) =>
+      val words = rs.map(r => tokRe.findAllIn(r.getString(2).toLowerCase).size.toLong).sum
+      val bpe = rs.map(r => perDoc.getOrElse(r.getLong(0), 0L)).sum
+      lang -> (words, bpe)
+    }
+    val got = Llm.bpeFertility(spark, sf).collect()
+    got.foreach { r =>
+      val lang = Option(r.getString(0))
+      val (w, b) = byLang(lang)
+      assert(r.getLong(1) === w, s"n_words($lang)")
+      assert(r.getLong(2) === b, s"n_bpe($lang)")
+      assert(r.getLong(3) === 1000L * b / w, s"fertility($lang)")
+    }
+    assert(got.map(r => Option(r.getString(0))).toSet ===
+      byLang.filter(_._2._1 > 0).keySet)
+  }
+
+  test("q154: groups are real shared prefixes with exact savings arithmetic") {
+    val got = Llm.prefixCacheGroups(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (np, n, saved) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 2L)
+      assert(np >= 1L && np <= 8L)
+      assert(saved === (n - 1) * np)
+    }
+    // savings-descending with id tiebreak
+    val key = got.map(r => (-r.getLong(3), r.getLong(0)))
+    assert(key.sameElements(key.sorted))
+  }
+
   test("q143: empty input -> zero merges, stable schema") {
     val empty = Tables.documents(spark, sf).limit(0)
     val out = Llm.bpeMergeTable(empty, "text", 12, 5L)
