@@ -74,6 +74,38 @@ object Ranking {
     (ranked, acc)
   }
 
+  /** Global EXCLUSIVE running sum of `valueCol` in `sortCols` order,
+    * without a single-partition window — the same two-pass shape as
+    * [[globalRowNumberSorted]]: range-repartition on the sort key,
+    * one partition-total row per partition to the driver, exclusive-
+    * prefix those totals, then add the broadcast offset to each
+    * partition's local exclusive running sum. The primitive under any
+    * global greedy-by-order selection (token-budget corpus selection,
+    * global sequence packing). */
+  def globalCumSumSorted(df: DataFrame, sortCols: Seq[Column],
+                         valueCol: Column,
+                         out: String = "cum_before"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; pid -> o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val wIntra = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn(out,
+        coalesce(sum(col("__v")).over(wIntra), lit(0L)) + col("__off"))
+      .drop("__pid", "__off", "__v")
+  }
+
   /** SQL NTILE(k) bucket (1-based) from a 1-based global row number:
     * the first `n % k` buckets take `n/k + 1` rows, the rest `n/k` —
     * exactly the ANSI definition, computed arithmetically so no

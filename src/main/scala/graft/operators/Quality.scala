@@ -459,6 +459,53 @@ object Quality {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q155: token-budget corpus selection (greedy by quality) -------
+  // "Fill a 10k-token budget with the best documents": order by
+  // (quality desc, doc_id), keep every document that still FULLY fits
+  // — the greedy knapsack every data-mixing recipe runs when the
+  // training budget is tokens, not documents. The global running sum
+  // goes through Ranking.globalCumSumSorted (range-repartition +
+  // per-partition totals + broadcast prefix offsets) — never a
+  // single-partition window. Ordering on the quality double is safe
+  // cross-engine because q18's gate proves both engines compute
+  // bit-identical scores from the same integer signals.
+  private val TokenBudget = 10000L
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+    graft.functions.Ranking
+      .globalCumSumSorted(docs, Seq(col("q").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_before")
+      .filter(col("cum_before") + col("n_tokens") <= TokenBudget)
+      .select("doc_id", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
+  val budgetSelectSql: String = {
+    val en = graft.functions.Text.stopwords.toMap.apply("en")
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS pc,
+       |    len(regexp_extract_all(text, '$en')) AS se,
+       |    length(text) AS nc
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_tokens,
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |    + (1.0 - least(CAST(pc AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
+       |    + least(CAST(se AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3 AS q
+       |  FROM t),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM s)
+       |SELECT doc_id, n_tokens, cum_before FROM c
+       |WHERE cum_before + n_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q137: temperature-rebalanced mixture (UniMax-style, T=2) ------
   // q81 takes the mixture as GIVEN; this operator DERIVES it from the
   // corpus: source shares proportional to sqrt(token mass) — the
@@ -714,6 +761,7 @@ object Quality {
     "q15_schema_presence"  -> (schemaPresence _),
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
     "q147_jsonl_roundtrip" -> (graft.sources.JsonlSource.jsonlRoundtrip _),
+    "q155_budget_select"   -> (budgetSelect _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
     "q53_invalid_row_split" -> (invalidRowStats _),
     "q54_corrupt_records"  -> (corruptRecordStats _),
@@ -743,6 +791,7 @@ object Quality {
     "q15_schema_presence"  -> schemaPresenceSql,
     "q16_csv_roundtrip"    -> csvRoundtripSql,
     "q147_jsonl_roundtrip" -> graft.sources.JsonlSource.jsonlRoundtripSql,
+    "q155_budget_select"   -> budgetSelectSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
     "q53_invalid_row_split" -> invalidRowStatsSql,
     "q54_corrupt_records"  -> corruptRecordStatsSql,

@@ -251,6 +251,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("globalCumSumSorted law: equals single-window exclusive cumsum for any data") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 20L) // deliberate sort-key ties
+        v <- Gen.chooseNum(0L, 100L)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    samples(gen, 5).zipWithIndex.foreach { case (rows, c) =>
+      val df = rows.toDF("id", "k", "v")
+      val got = graft.functions.Ranking
+        .globalCumSumSorted(df, Seq(col("k").desc, col("id").asc), col("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      var acc = 0L
+      val ref = rows.sortBy { case (id, k, _) => (-k, id) }.map { case (id, _, v) =>
+        val before = acc; acc += v; id -> before
+      }.toMap
+      assert(got === ref, s"case $c rows=$rows")
+    }
+  }
+
   test("pageRankOn law: equals driver-side iteration on random symmetrized graphs") {
     val gen = for {
       nEdges <- Gen.chooseNum(2, 30)
