@@ -949,6 +949,57 @@ object Llm {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- q156: curriculum ordering by LM difficulty --------------------
+  // Curriculum-learning prep: order the corpus easy-to-hard by mean
+  // bigram surprisal per token (q148's model), emitting a global
+  // curriculum rank. Exactness: the per-doc mean is computed in INTEGER
+  // micro-bits — the DECIMAL(18,6) surprisal sum is integral at 1e6
+  // scale, so `sum_micro div n_bigrams` is exact floor division in both
+  // engines and no float ratio is ever compared. The rank runs through
+  // the distributed ranker (no single-partition window); top-100
+  // hardest emitted (the slice a curriculum schedule actually pins —
+  // the easy head is the bulk and needs no order).
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scores = bigramSurprisalOn(Tables.documents(spark, dir))
+      // recover the exact DECIMAL(18,6) sum in integer micro-bits:
+      // surprisal_sum is the decimal sum cast to double, exact below
+      // 2^53 micro-bits (~9e9 bits — far beyond any document)
+      .withColumn("sum_micro",
+        round(col("surprisal_sum") * 1e6).cast("long"))
+      .withColumn("difficulty_micro",
+        expr("sum_micro div n_bigrams"))
+    graft.functions.Ranking
+      .globalRowNumberSorted(scores,
+        Seq(col("difficulty_micro").desc, col("doc_id").asc),
+        "curriculum_rank")
+      .select(col("curriculum_rank"), col("doc_id"),
+        col("n_bigrams"), col("difficulty_micro"))
+      .orderBy("curriculum_rank")
+      .limit(100)
+  }
+
+  val curriculumSql: String =
+    """WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |            FROM documents),
+      |bi AS (SELECT doc_id, t[i] AS prev, t[i+1] AS w
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |             FROM ta WHERE len(t) >= 2)),
+      |uni AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |        FROM documents),
+      |c1 AS (SELECT token AS prev, COUNT(*) AS n1 FROM uni GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT token) AS nv FROM uni),
+      |c2 AS (SELECT prev, w, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+      |s AS (SELECT doc_id,
+      |    CAST(round(log2(CAST(n1 + nv AS DOUBLE) / (n2 + 1)), 6) AS DECIMAL(18,6)) AS sp
+      |  FROM bi JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN v),
+      |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(CAST(SUM(sp) * 1000000 AS BIGINT) // COUNT(*) AS BIGINT) AS difficulty_micro
+      |  FROM s GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY difficulty_micro DESC, doc_id) AS BIGINT)
+      |         AS curriculum_rank,
+      |       doc_id, n_bigrams, difficulty_micro
+      |FROM d ORDER BY curriculum_rank LIMIT 100""".stripMargin
+
   // ---- q77: benchmark decontamination (train-test overlap) -----------
   // Corpus docs (doc_id % 10 != 0) sharing 5-gram shingles with the
   // "benchmark" slice (doc_id % 10 == 0): the eval-hygiene sweep a
@@ -1569,6 +1620,7 @@ object Llm {
     "q145_bpe_token_count"  -> (bpeTokenCountQ _),
     "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q148_bigram_surprisal" -> (bigramSurprisal _),
+    "q156_curriculum"       -> (curriculum _),
     "q150_corpus_report"    -> (corpusReport _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1625,6 +1677,7 @@ object Llm {
     "q145_bpe_token_count"  -> bpeTokenCountSql(BpeMergeK, VocabMinCount),
     "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q148_bigram_surprisal" -> bigramSurprisalSql,
+    "q156_curriculum"       -> curriculumSql,
     "q150_corpus_report"    -> corpusReportSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,

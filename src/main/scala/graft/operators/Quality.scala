@@ -506,6 +506,71 @@ object Quality {
        |WHERE cum_before + n_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q157: dataset card (corpus release statistics) ----------------
+  // The summary block every corpus release ships (the "dataset card"):
+  // doc/token/vocab counts, exact-dup rate, language count, length
+  // distribution anchors — one long-form (stat, value) table, every
+  // value integer-exact. The median goes through FLOOR(percentile):
+  // integral inputs make the 0.5 interpolation land on an integer or
+  // an exact .5, and an explicit FLOOR is deterministic in both engines
+  // (a bare double->BIGINT cast is not: DuckDB rounds, Spark
+  // truncates). Driver assembly is the profiler pattern — three
+  // distributed aggregates, ten bounded scalars.
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(
+      explode(graft.functions.Text.tokens(col("text"))).as("t"))
+    val a = docs.agg(
+      count(lit(1)), countDistinct(md5(col("text").cast("binary"))),
+      countDistinct(col("lang")),
+      sum(length(col("text")).cast("long"))).head()
+    val b = toks.agg(count(lit(1)), countDistinct(col("t"))).head()
+    val tc = docs.select(
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("tc"))
+    val c = tc.agg(expr("floor(percentile(tc, 0.5D))").cast("long"),
+      min("tc"), max("tc")).head()
+    val (nd, ndt, nl, nc) =
+      (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+    Seq(
+      ("dup_permille", if (nd == 0) 0L else 1000L * (nd - ndt) / nd),
+      ("max_doc_tokens", c.getLong(2)),
+      ("median_doc_tokens_floor", c.getLong(0)),
+      ("min_doc_tokens", c.getLong(1)),
+      ("n_distinct_tokens", b.getLong(1)),
+      ("n_docs", nd),
+      ("n_exact_dup_docs", nd - ndt),
+      ("n_langs", nl),
+      ("n_tokens", b.getLong(0)),
+      ("total_text_chars", nc))
+      .toDF("stat", "value").orderBy("stat")
+  }
+
+  val datasetCardSql: String =
+    """WITH d AS (SELECT lang, text,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tc
+      |  FROM documents),
+      |t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |      FROM documents),
+      |a AS (SELECT COUNT(*) AS nd, COUNT(DISTINCT md5(text)) AS ndt,
+      |        COUNT(DISTINCT lang) AS nl,
+      |        CAST(SUM(length(text)) AS BIGINT) AS nc,
+      |        CAST(FLOOR(quantile_cont(tc, 0.5)) AS BIGINT) AS med,
+      |        MIN(tc) AS mn, MAX(tc) AS mx FROM d),
+      |b AS (SELECT COUNT(*) AS nt, COUNT(DISTINCT tok) AS nv FROM t)
+      |SELECT 'dup_permille' AS stat, CAST((1000 * (nd - ndt)) // nd AS BIGINT) AS value FROM a
+      |UNION ALL SELECT 'max_doc_tokens', mx FROM a
+      |UNION ALL SELECT 'median_doc_tokens_floor', med FROM a
+      |UNION ALL SELECT 'min_doc_tokens', mn FROM a
+      |UNION ALL SELECT 'n_distinct_tokens', CAST(nv AS BIGINT) FROM b
+      |UNION ALL SELECT 'n_docs', CAST(nd AS BIGINT) FROM a
+      |UNION ALL SELECT 'n_exact_dup_docs', CAST(nd - ndt AS BIGINT) FROM a
+      |UNION ALL SELECT 'n_langs', CAST(nl AS BIGINT) FROM a
+      |UNION ALL SELECT 'n_tokens', CAST(nt AS BIGINT) FROM b
+      |UNION ALL SELECT 'total_text_chars', nc FROM a
+      |ORDER BY stat""".stripMargin
+
   // ---- q137: temperature-rebalanced mixture (UniMax-style, T=2) ------
   // q81 takes the mixture as GIVEN; this operator DERIVES it from the
   // corpus: source shares proportional to sqrt(token mass) — the
@@ -762,6 +827,7 @@ object Quality {
     "q16_csv_roundtrip"    -> (csvRoundtrip _),
     "q147_jsonl_roundtrip" -> (graft.sources.JsonlSource.jsonlRoundtrip _),
     "q155_budget_select"   -> (budgetSelect _),
+    "q157_dataset_card"    -> (datasetCard _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
     "q53_invalid_row_split" -> (invalidRowStats _),
     "q54_corrupt_records"  -> (corruptRecordStats _),
@@ -792,6 +858,7 @@ object Quality {
     "q16_csv_roundtrip"    -> csvRoundtripSql,
     "q147_jsonl_roundtrip" -> graft.sources.JsonlSource.jsonlRoundtripSql,
     "q155_budget_select"   -> budgetSelectSql,
+    "q157_dataset_card"    -> datasetCardSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
     "q53_invalid_row_split" -> invalidRowStatsSql,
     "q54_corrupt_records"  -> corruptRecordStatsSql,

@@ -74,6 +74,41 @@ class PipelineReportSpec extends SparkSpec {
     }
   }
 
+  test("q156: curriculum ranks are 1..100 with non-increasing difficulty") {
+    val got = Llm.curriculum(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq === (1L to got.length))
+    val d = got.map(_.getLong(3))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b })
+    // difficulty is mean micro-bits per bigram: positive, bounded by
+    // log2(vocab-ish) * 1e6
+    d.foreach(x => assert(x > 0L && x < 50L * 1000000L))
+  }
+
+  test("q157: dataset card re-derives from collected documents") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val tokRe = "[a-z0-9]+".r
+    val perDoc = docs.map(r => tokRe.findAllIn(r.getString(2).toLowerCase).size.toLong)
+    val card = graft.operators.Quality.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") === docs.length.toLong)
+    assert(card("n_tokens") === perDoc.sum)
+    assert(card("n_langs") ===
+      docs.map(r => Option(r.getString(1))).flatten.distinct.length.toLong)
+    assert(card("n_exact_dup_docs") ===
+      docs.length.toLong - docs.map(_.getString(2)).distinct.length.toLong)
+    assert(card("max_doc_tokens") === perDoc.max)
+    assert(card("min_doc_tokens") === perDoc.min)
+    assert(card("total_text_chars") ===
+      docs.map(_.getString(2).length.toLong).sum)
+    // floor-median sits inside the sorted middle pair
+    val s = perDoc.sorted
+    val lo = s((s.length - 1) / 2)
+    val hi = s(s.length / 2)
+    assert(card("median_doc_tokens_floor") >= lo &&
+      card("median_doc_tokens_floor") <= hi)
+  }
+
   test("q150: funnel is monotone and internally consistent") {
     val report = Llm.corpusReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
