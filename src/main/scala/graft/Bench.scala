@@ -167,6 +167,9 @@ object Bench {
             noop(ScaleBench.vocab(docs.limit(64)))
             noop(ScaleBench.bpeMerges(docs.limit(64)))
             noop(ScaleBench.bigramLm(docs.limit(64)))
+            noop(graft.operators.Llm.corpusReportOn(
+              Tables.documents(spark, sfDir).limit(64),
+              graft.operators.Dedup.XxMinhash))
             noop(ScaleBench.globalRank(ev.limit(64)))
             noop(ScaleBench.bloomDecon(docs.limit(64), times))
             noop(ScaleBench.ivfTopK(emb.limit(64)))
@@ -206,6 +209,10 @@ object Bench {
             // merge rounds (the rounds amortize; the histogram scales)
             timed("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
             timed("q148_bigram_lm")(noop(ScaleBench.bigramLm(docs))),
+            // the one-call curation pipeline end-to-end (q150) on the
+            // production hash lane — composite sublinearity check
+            timed("q150_corpus_pipeline")(
+              noop(ScaleBench.corpusPipeline(spark, sfDir, times))),
             timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
             timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
             // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a

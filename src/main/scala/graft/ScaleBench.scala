@@ -158,6 +158,22 @@ object ScaleBench {
   def bigramLm(docs: DataFrame): DataFrame =
     graft.operators.Llm.bigramSurprisalOn(docs)
 
+  /** q150's operating point on the production hash lane: the WHOLE
+    * curation pipeline (language -> quality -> exact dedup -> near-dup
+    * CC -> split) over the replicated corpus. The composite inherits
+    * each stage's scale shape — if any constituent regressed to
+    * superlinear, this lane catches it end-to-end. Needs lang: the
+    * replicas carry the base corpus's lang column through re-keying. */
+  def corpusPipeline(spark: SparkSession, dir: String, times: Int): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val reps = (0 until times).map(i => d.select(
+      (col("doc_id") * times + i).as("doc_id"), col("lang"),
+      translate(col("text"), Lower + Upper,
+        rot(Lower, i) + rot(Upper, i)).as("text")))
+      .reduce(_.unionAll(_))
+    graft.operators.Llm.corpusReportOn(reps, graft.operators.Dedup.XxMinhash)
+  }
+
   /** q91's core: global row_number over the replicated events (range
     * repartition + per-partition rank + broadcast prefix offsets) —
     * the no-single-partition-window primitive, timed raw. */

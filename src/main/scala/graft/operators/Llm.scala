@@ -879,14 +879,23 @@ object Llm {
   // the heavy lifting is exactly the constituent operators' plans
   // (shingle index, band join, CC, one md5 groupBy). The oracle
   // recomputes the full funnel in DuckDB, closure CTE and all.
-  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReportOn(Tables.documents(spark, dir))
+
+  /** Core on an arbitrary `(doc_id, lang, text)` frame; `family` picks
+    * the near-dup hash lane (md5 for the oracle path, seeded xxhash64
+    * for the production/scale lane — the emitted counts are family-
+    * independent whenever both lanes recover the same pair set, which
+    * the q22x gate row checks corpus-wide). */
+  def corpusReportOn(docs: DataFrame,
+                     family: Dedup.HashFamily = Dedup.Md5Minhash): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, dir)
     val nIngested = docs.count()
     val nEn = docs.filter(col("lang") === "en").count()
     val qual = docs.filter(col("lang") === "en")
-      .join(TextQuality.qualitySignals(spark, dir).select("doc_id", "keep"),
+      .join(TextQuality.qualitySignalsOn(docs).select("doc_id", "keep"),
         Seq("doc_id"))
       .filter(col("keep")).select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint(true) // feeds its count AND two downstream stages
@@ -894,7 +903,10 @@ object Llm {
     val exact = qual.groupBy("th").agg(min("doc_id").as("doc_id"))
       .select("doc_id").localCheckpoint(true)
     val nExact = exact.count()
-    val nonRep = Dedup.connectedComponents(minhashPairs(spark, dir)).labels
+    val nonRep = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = NumHashes, bands = Bands, threshold = 0.5,
+          family = family)).labels
       .filter(col("doc_id") =!= col("rep")).select("doc_id")
     val near = exact.join(nonRep, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)

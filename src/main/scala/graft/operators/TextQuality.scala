@@ -87,11 +87,16 @@ object TextQuality {
   // projection; `keep` is the conjunction of Gopher-ish thresholds.
   private val symbolClass = "[#%<>|~]"
 
-  def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(spark)
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    qualitySignalsOn(Tables.documents(spark, dir))
+
+  /** Core on an arbitrary `(doc_id, text)` frame (the q150/scale-lane
+    * entry point). */
+  def qualitySignalsOn(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val words = regexp_count(lower(col("text")), lit("[a-z0-9]+"))
     val wordChars = length(regexp_replace(lower(col("text")), "[^a-z0-9]+", ""))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), words.as("n_words"),
         wordChars.as("wc"),
         size(array_distinct(Text.tokens(col("text")))).as("nd"))
