@@ -961,6 +961,39 @@ object Llm {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- q158: cross-source duplicate matrix ---------------------------
+  // Dedup ATTRIBUTION: near-dup pairs bucketed by the (source, source)
+  // of their endpoints — the diagnostic that tells a curation team
+  // WHICH feeds mirror each other (src3 scraping src7 shows up as an
+  // off-diagonal spike; a boilerplate-heavy feed as a diagonal one).
+  // Two dim joins from the verified pair set to the doc->source map —
+  // pair volume is the near-dup output, never the corpus square; the
+  // source pair is emitted order-normalized (least, greatest) so A~B
+  // and B~A aggregate together.
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
+  val dupSourceMatrixSql: String =
+    s"""WITH pairs AS ($minhashLshSql)
+       |SELECT least(da.source, db.source) AS source_a,
+       |       greatest(da.source, db.source) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON p.doc_a = da.doc_id
+       |JOIN documents db ON p.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
+
   // ---- q156: curriculum ordering by LM difficulty --------------------
   // Curriculum-learning prep: order the corpus easy-to-hard by mean
   // bigram surprisal per token (q148's model), emitting a global
@@ -1633,6 +1666,7 @@ object Llm {
     "q80_unigram_surprisal" -> (unigramSurprisal _),
     "q148_bigram_surprisal" -> (bigramSurprisal _),
     "q156_curriculum"       -> (curriculum _),
+    "q158_dup_source_matrix" -> (dupSourceMatrix _),
     "q150_corpus_report"    -> (corpusReport _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1690,6 +1724,7 @@ object Llm {
     "q80_unigram_surprisal" -> unigramSurprisalSql,
     "q148_bigram_surprisal" -> bigramSurprisalSql,
     "q156_curriculum"       -> curriculumSql,
+    "q158_dup_source_matrix" -> dupSourceMatrixSql,
     "q150_corpus_report"    -> corpusReportSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
