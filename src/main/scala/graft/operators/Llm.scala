@@ -994,6 +994,37 @@ object Llm {
        |JOIN documents db ON p.doc_b = db.doc_id
        |GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b""".stripMargin
 
+  // ---- q159: boilerplate n-gram mining -------------------------------
+  // The corpus-wide boilerplate detector: 5-gram shingles ranked by
+  // how many DISTINCT documents carry them (the shingle table is
+  // per-doc-distinct by construction, so the groupBy count IS document
+  // frequency). High-df shingles are navigation chrome, cookie
+  // banners, license headers — the feed for q78's line-dedup rules and
+  // the stop-shingle cap q21 documents. One groupBy over the shingle
+  // index the dedup lanes already build.
+  private val BoilerplateN = 5
+
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleTable(Tables.documents(spark, dir), "doc_id", "text",
+        BoilerplateN)
+      .groupBy("s").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(20)
+      .select(col("s").as("ngram"), col("n_docs"))
+
+  val boilerplateNgramsSql: String = {
+    val gram = (0 until BoilerplateN).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |              FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-${BoilerplateN - 1})) AS i
+       |        FROM toks WHERE len(t) >= $BoilerplateN),
+       |sh AS (SELECT DISTINCT doc_id, $gram AS s FROM idx)
+       |SELECT s AS ngram, COUNT(*) AS n_docs FROM sh
+       |GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin
+  }
+
   // ---- q156: curriculum ordering by LM difficulty --------------------
   // Curriculum-learning prep: order the corpus easy-to-hard by mean
   // bigram surprisal per token (q148's model), emitting a global
@@ -1667,6 +1698,7 @@ object Llm {
     "q148_bigram_surprisal" -> (bigramSurprisal _),
     "q156_curriculum"       -> (curriculum _),
     "q158_dup_source_matrix" -> (dupSourceMatrix _),
+    "q159_boilerplate_ngrams" -> (boilerplateNgrams _),
     "q150_corpus_report"    -> (corpusReport _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1725,6 +1757,7 @@ object Llm {
     "q148_bigram_surprisal" -> bigramSurprisalSql,
     "q156_curriculum"       -> curriculumSql,
     "q158_dup_source_matrix" -> dupSourceMatrixSql,
+    "q159_boilerplate_ngrams" -> boilerplateNgramsSql,
     "q150_corpus_report"    -> corpusReportSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,
