@@ -571,6 +571,61 @@ object Quality {
       |UNION ALL SELECT 'total_text_chars', nc FROM a
       |ORDER BY stat""".stripMargin
 
+  // ---- q160: source mix summary (mixture-planning input) -------------
+  // Docs and tokens per source with integer per-mille token shares —
+  // the table a mixture recipe (q81/q137) starts from. One
+  // map-side-combinable aggregate; the share is exact floor division
+  // against a 1-row broadcast total (never a float ratio).
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000L * n_tokens) div tot").as("token_share_permille"))
+      .orderBy(col("source").asc_nulls_first)
+  }
+
+  val sourceMixSql: String =
+    """WITH p AS (SELECT source,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM p)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST((1000 * n_tokens) // tot AS BIGINT) AS token_share_permille
+      |FROM p, t ORDER BY source NULLS FIRST""".stripMargin
+
+  // ---- q161: sequence-length histogram (packing/batching planner) ----
+  // Token-length distribution in fixed 64-token buckets — what sizes
+  // the packer (q63/q82) and batcher actually face; the padding-waste
+  // column is the argument for packing at all (sum over docs of
+  // (bucket_end - n_tokens) = tokens a pad-to-bucket batcher would
+  // burn). All integer: bucket = tc div 64, waste = 64*(bucket+1) - tc.
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(graft.functions.Text.tokenCount(col("text")).cast("long").as("tc"))
+      .select(col("tc"), expr("tc div 64L").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        sum(expr("64L * (tc div 64L + 1L) - tc")).as("pad_waste_tokens"))
+      .orderBy("bucket")
+  }
+
+  val lengthHistogramSql: String =
+    """WITH d AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tc
+      |           FROM documents)
+      |SELECT tc // 64 AS bucket, COUNT(*) AS n_docs,
+      |       CAST(SUM(tc) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(64 * (tc // 64 + 1) - tc) AS BIGINT) AS pad_waste_tokens
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q137: temperature-rebalanced mixture (UniMax-style, T=2) ------
   // q81 takes the mixture as GIVEN; this operator DERIVES it from the
   // corpus: source shares proportional to sqrt(token mass) — the
@@ -828,6 +883,8 @@ object Quality {
     "q147_jsonl_roundtrip" -> (graft.sources.JsonlSource.jsonlRoundtrip _),
     "q155_budget_select"   -> (budgetSelect _),
     "q157_dataset_card"    -> (datasetCard _),
+    "q160_source_mix"      -> (sourceMix _),
+    "q161_length_histogram" -> (lengthHistogram _),
     "q38_distinct_invalid" -> (distinctInvalidValues _),
     "q53_invalid_row_split" -> (invalidRowStats _),
     "q54_corrupt_records"  -> (corruptRecordStats _),
@@ -859,6 +916,8 @@ object Quality {
     "q147_jsonl_roundtrip" -> graft.sources.JsonlSource.jsonlRoundtripSql,
     "q155_budget_select"   -> budgetSelectSql,
     "q157_dataset_card"    -> datasetCardSql,
+    "q160_source_mix"      -> sourceMixSql,
+    "q161_length_histogram" -> lengthHistogramSql,
     "q38_distinct_invalid" -> distinctInvalidValuesSql,
     "q53_invalid_row_split" -> invalidRowStatsSql,
     "q54_corrupt_records"  -> corruptRecordStatsSql,
