@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver's BENCH_r{N}.json.
+/** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR,
+  * prints ONE COMPACT JSON line for the driver's BENCH_r{N}.json, and
+  * writes the full artifact (per-rep timings, shuffle MB, full error
+  * messages, plan warnings) to BENCH_DETAIL.json in the working dir.
+  *
+  * The stdout line is deliberately small: the driver captures only the
+  * TAIL of the bench output (~2000 chars) and parses the last JSON line
+  * it finds — round 7's line, carrying the full per-rep log inline,
+  * outgrew that window and the round lost its parsed bench record
+  * entirely (BENCH_r07.json "parsed": null). So stdout gets rounded
+  * headline timings plus per-lane scale arrays, and everything bulky
+  * lives in the detail file, pointed to by the "detail" field.
   *
   * - A warm-up pass (flagship join + a scan) runs first so JIT/codegen
   *   compilation isn't billed to the first timed query.
@@ -12,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   * - Every timed call records failures instead of swallowing them: a
   *   crashing operator must NOT be reported as a fast wall-time, so the
   *   JSON carries an "errors" map (empty when every entry succeeded)
-  *   alongside the numeric timings.
+  *   and a lane that could not run at all is OMITTED from the timings
+  *   (round 7 recorded 0.0 for a failed lane — which reads as an
+  *   ultra-fast pass unless the reader cross-references the errors).
   */
 object Bench {
   // Headline set: one per operator family (join+window agg, per-key agg,
@@ -21,6 +33,9 @@ object Bench {
     "q1_total_margin_2m", "q3_revenue_per_day", "q4_top10_products",
     "q5_tx_per_store", "q17_lang_id", "q20_exact_dedup",
     "q22_minhash_lsh", "q25_cosine_topk", "q29_sessionization")
+
+  private def fmt(v: Double, dec: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,18 +53,18 @@ object Bench {
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
     // "x10.q34_ivf_probe"). First failure wins per key; the message is
-    // sanitized so the JSON line stays one parseable line.
+    // sanitized so every JSON artifact stays strictly parseable.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Every repetition of every timed entry, keyed like the timing
     // entries — variance becomes a recorded artifact instead of a
     // mystery (round 6: a 2x spread between builder and driver runs of
     // the q40 x20 lane was inside the noise band but unprovably so).
+    // Lives in the DETAIL file only, never the stdout line.
     val repLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
         // strip EVERY control char (exception messages can embed raw
-        // file-content bytes) plus the JSON string metachars — the
-        // printed line must stay one strictly-parseable JSON object
+        // file-content bytes) plus the JSON string metachars
         val msg = String.valueOf(t.getMessage)
           .replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160)
         errors(name) = s"${t.getClass.getSimpleName}: $msg"
@@ -85,29 +100,21 @@ object Bench {
       repLog(name) = times
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // One measured (untimed) pass per headline query: shuffle-write MB,
     // recorded so "minimize shuffles" is a per-round artifact — a plan
     // regression that starts shuffling the fact table shows up as a
-    // number, not a prose claim.
+    // number, not a prose claim. Detail file only.
     val shuffleMb = headline.filter(SparkEntry.queries.contains).map { name =>
       val io = try Metrics.measure(spark)(force(name))
         catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
       name -> io.shuffleWriteBytes / 1e6
     }
-    // Locale.ROOT: the scala f-interpolator is locale-sensitive and a
-    // comma decimal separator would corrupt the one-line JSON artifact
-    val ioJson = shuffleMb
-      .map { case (k, v) => "\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
-      .mkString("{", ",", "}")
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
     // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
-    // 2M events at sf0.1). Each point is min-of-2 (the documented JIT
+    // 2M events at sf0.1). Each point is min-of-N (the documented JIT
     // bimodality makes single-shot scale points untrustworthy — round
     // 4 shipped a 65x IVF ratio whose largest component was a one-rep
     // timing); all points share a warmed JVM so the x1/xN RATIO is the
@@ -123,164 +130,223 @@ object Bench {
       .filter(_.nonEmpty)
       .getOrElse(Seq(10, 20))
       .filter(_ > 1).distinct
-    val scaleJson =
-      if (factors.isEmpty) ""
-      else {
-        def block(times: Int): String = {
-          val docs = ScaleBench.documents(spark, sfDir, times)
-          val emb = ScaleBench.embeddings(spark, sfDir, times)
-          val ev = ScaleBench.events(spark, sfDir, times)
-          def noop(df: org.apache.spark.sql.DataFrame): Unit =
-            df.write.mode("overwrite").format("noop").save()
-          // Min-of-N timing with failure capture, keyed per scale point;
-          // every rep lands in repLog so the spread is an artifact. The
-          // CC-family lanes (q40/q133/q140) take a third rep — their
-          // driver-vs-builder spread at x20 exceeded the 2-rep band in
-          // round 6.
-          def timed(name: String, reps: Int = 2)(f: => Unit): (String, Double) = {
-            val ts = (1 to reps).map { _ =>
-              val t0 = System.nanoTime()
-              try f catch { case t: Throwable => recordErr(s"x$times.$name", t) }
-              (System.nanoTime() - t0) / 1e9
-            }
-            repLog(s"x$times.$name") = ts
-            name -> ts.min
-          }
-          // Untimed warm pass on a tiny slice of the SAME frames first:
-          // first execution of each operator shape pays ~8s of one-time
-          // codegen/JIT compile (measured: q24 rep1 10.2s, steady 1.5s),
-          // and srpPairs' generated code differs per scale point
-          // (autoSrpBits changes the signature width). Without this the
-          // x1 point absorbs the compile and the x1/xN ratio understates
-          // true data scaling.
-          val srpBits = graft.operators.Similarity.autoSrpBits(emb.count())
-          val warmPath = s"${sys.props("user.dir")}/target/bench_ivf_warm"
-          try {
-            noop(ScaleBench.minhashPairs(docs.limit(64)))
-            noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
-            noop(ScaleBench.sessionStats(ev.limit(64)))
-            noop(ScaleBench.clusters(docs.limit(64)))
-            noop(graft.operators.Dedup.incrementalComponents(
-              ScaleBench.ccLabels(docs.limit(64)),
-              ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
-            noop(ScaleBench.lineDedup(docs.limit(64)))
-            noop(ScaleBench.vocab(docs.limit(64)))
-            noop(ScaleBench.bpeMerges(docs.limit(64)))
-            noop(ScaleBench.bigramLm(docs.limit(64)))
-            noop(graft.operators.Llm.corpusReportOn(
-              Tables.documents(spark, sfDir).limit(64),
-              graft.operators.Dedup.XxMinhash))
-            noop(ScaleBench.globalRank(ev.limit(64)))
-            noop(ScaleBench.bloomDecon(docs.limit(64), times))
-            noop(ScaleBench.ivfTopK(emb.limit(64)))
-            val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
-            noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
-          } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
-          // q140 standing state + fixed arrivals, built untimed (the
-          // labeling is the input a continuous-dedup pipeline already
-          // holds; the operator under test is the maintenance fold). A
-          // failed build skips the entry without aborting the block.
-          val (ccLab, ccNew) =
-            try (ScaleBench.ccLabels(docs), ScaleBench.ccArrivals(spark, sfDir, times))
-            catch { case t: Throwable =>
-              recordErr(s"x$times.q140_incremental_cc", t); (null, null) }
-          val layoutPath =
-            s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
-          var probeArgs: (org.apache.spark.sql.DataFrame,
-                          org.apache.spark.sql.DataFrame) = null
-          Seq(
-            timed("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
-            timed("q24_srp_neardup")(noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
-            timed("q29_sessionization")(noop(ScaleBench.sessionStats(ev))),
-            timed("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
-            // the continuous-dedup flagship: fold a FIXED arrival batch
-            // into the xN standing labeling — the curve should be
-            // near-flat across factors (cost tracks arrivals + touched
-            // components, never the standing corpus)
-            {
-              if (ccLab != null)
-                timed("q140_incremental_cc", reps = 3)(
-                  noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
-              else "q140_incremental_cc" -> 0.0
-            },
-            timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
-            timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
-            // tokenizer prep end-to-end: histogram + 12 vocab-sized
-            // merge rounds (the rounds amortize; the histogram scales)
-            timed("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
-            timed("q148_bigram_lm")(noop(ScaleBench.bigramLm(docs))),
-            // the one-call curation pipeline end-to-end (q150) on the
-            // production hash lane — composite sublinearity check
-            timed("q150_corpus_pipeline")(
-              noop(ScaleBench.corpusPipeline(spark, sfDir, times))),
-            timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
-            timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
-            // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
-            // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
-            // set-similarity joins carry an irreducible postings^2
-            // candidate term on shared rare tokens. Prefix filtering is
-            // the bounded-corpus constant-factor optimizer; the 100 TB
-            // near-dup lane is MinHash+LSH (q22 above). See PLANS.md.
-            timed("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
-            // the 100 TB design evidence: build the cell-partitioned
-            // layout once, then probe it — probe cost tracks probed-cell
-            // volume, not corpus volume
-            timed("q34_ivf_build") {
-              probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
-            },
-            // nProbe precomputed OUTSIDE the timed lambda: the centroid
-            // count is tiny but it is still a Spark action that doesn't
-            // belong inside the probe-latency measurement. A failed
-            // build leaves probeArgs null — record the probe as failed
-            // WITHOUT throwing here, or the NPE would abort the whole
-            // block and discard every timing already measured above.
-            {
-              if (probeArgs != null) {
-                val np = try graft.operators.Similarity
-                    .autoNProbe(probeArgs._1.count().toInt)
-                  catch { case t: Throwable =>
-                    recordErr(s"x$times.q34_ivf_probe", t); 4 }
-                timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
-                  spark, layoutPath, probeArgs._1, probeArgs._2, np)))
-              } else {
-                recordErr(s"x$times.q34_ivf_probe",
-                  new IllegalStateException("skipped: q34_ivf_build failed"))
-                "q34_ivf_probe" -> 0.0
-              }
-            })
-            .map { case (k, v) => "\"" + k + "\":" + v }
-            .mkString("{", ",", "}")
-        }
-        // A scale point that dies during frame CONSTRUCTION (before any
-        // timed() guard exists) must not abort the bench and lose the
-        // measured headline suite — record it and emit a partial block.
-        def guardedBlock(times: Int): String =
-          try block(times)
-          catch { case t: Throwable => recordErr(s"x$times.block", t); "{}" }
-        val blocks = (("x1" -> guardedBlock(1)) +:
-            factors.map(f => s"x$f" -> guardedBlock(f)))
-          .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-        val fList = factors.mkString("[", ",", "]")
-        s""","scale":{"factor":${factors.head},"factors":$fList,$blocks}"""
-      }
 
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    // Every repetition of every timed entry (headline and scale): the
-    // per-entry spread is part of the artifact, so a reader can tell a
-    // noisy lane from a regression without re-running the bench.
-    val repsJson = repLog.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(t =>
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    // Each block returns per-lane (name, minSeconds); a lane that could
+    // not run is ABSENT (its failure is in `errors`), never 0.0.
+    def block(times: Int): Seq[(String, Double)] = {
+      val docs = ScaleBench.documents(spark, sfDir, times)
+      val emb = ScaleBench.embeddings(spark, sfDir, times)
+      val ev = ScaleBench.events(spark, sfDir, times)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      // Min-of-N timing with failure capture, keyed per scale point;
+      // every rep lands in repLog so the spread is an artifact. The
+      // CC-family lanes (q40/q133/q140) take 3 reps since round 6, and
+      // q24/q29/q148 joined them this round: the round-7 driver run
+      // showed min-of-2 cannot reject one interfered rep (q40's rep log
+      // that round: 63.6 -> 9.0 -> 6.9 s; the driver's q29 x20 = 26x
+      // and q24 x20 = 16.8x contradict the builder's sublinear curves).
+      def timed(name: String, reps: Int = 2)(f: => Unit): Option[(String, Double)] = {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try f catch { case t: Throwable => recordErr(s"x$times.$name", t) }
+          (System.nanoTime() - t0) / 1e9
+        }
+        repLog(s"x$times.$name") = ts
+        Some(name -> ts.min)
+      }
+      // Untimed warm pass on a tiny slice of the SAME frames first:
+      // first execution of each operator shape pays ~8s of one-time
+      // codegen/JIT compile (measured: q24 rep1 10.2s, steady 1.5s),
+      // and srpPairs' generated code differs per scale point
+      // (autoSrpBits changes the signature width). Without this the
+      // x1 point absorbs the compile and the x1/xN ratio understates
+      // true data scaling.
+      val srpBits = graft.operators.Similarity.autoSrpBits(emb.count())
+      // q146 edges built (and eagerly checkpointed) ONCE, before the
+      // warm pass — the distinct-heavy derivation is the operator's
+      // input, off the clock; the warm pass reuses a slice of it.
+      val prEdges =
+        try ScaleBench.pageRankEdges(spark, sfDir, times)
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q146_pagerank", t); null }
+      val warmPath = s"${sys.props("user.dir")}/target/bench_ivf_warm"
+      try {
+        noop(ScaleBench.minhashPairs(docs.limit(64)))
+        noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
+        noop(ScaleBench.sessionStats(ev.limit(64)))
+        noop(ScaleBench.clusters(docs.limit(64)))
+        noop(graft.operators.Dedup.incrementalComponents(
+          ScaleBench.ccLabels(docs.limit(64)),
+          ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
+        noop(ScaleBench.lineDedup(docs.limit(64)))
+        noop(ScaleBench.vocab(docs.limit(64)))
+        noop(ScaleBench.bpeMerges(docs.limit(64)))
+        noop(ScaleBench.bigramLm(docs.limit(64)))
+        noop(graft.operators.Llm.corpusReportOn(
+          Tables.documents(spark, sfDir).limit(64),
+          graft.operators.Dedup.XxMinhash))
+        noop(ScaleBench.globalRank(ev.limit(64)))
+        noop(ScaleBench.budgetCumsum(docs.limit(64)))
+        if (prEdges != null) noop(ScaleBench.pageRank(prEdges.limit(256)))
+        noop(ScaleBench.bloomDecon(docs.limit(64), times))
+        noop(ScaleBench.ivfTopK(emb.limit(64)))
+        val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
+        noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
+      } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
+      // q140 standing state + fixed arrivals, built untimed (the
+      // labeling is the input a continuous-dedup pipeline already
+      // holds; the operator under test is the maintenance fold). A
+      // failed build skips the entry without aborting the block.
+      val (ccLab, ccNew) =
+        try (ScaleBench.ccLabels(docs), ScaleBench.ccArrivals(spark, sfDir, times))
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q140_incremental_cc", t); (null, null) }
+      val layoutPath =
+        s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
+      var probeArgs: (org.apache.spark.sql.DataFrame,
+                      org.apache.spark.sql.DataFrame) = null
+      Seq(
+        timed("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
+        timed("q24_srp_neardup", reps = 3)(
+          noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
+        timed("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
+        timed("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
+        // the continuous-dedup flagship: fold a FIXED arrival batch
+        // into the xN standing labeling — the curve should be
+        // near-flat across factors (cost tracks arrivals + touched
+        // components, never the standing corpus)
+        if (ccLab != null)
+          timed("q140_incremental_cc", reps = 3)(
+            noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
+        else None,
+        timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
+        timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
+        // tokenizer prep end-to-end: histogram + 12 vocab-sized
+        // merge rounds (the rounds amortize; the histogram scales)
+        timed("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
+        timed("q148_bigram_lm", reps = 3)(noop(ScaleBench.bigramLm(docs))),
+        // the one-call curation pipeline end-to-end (q150) on the
+        // production hash lane — composite sublinearity check
+        timed("q150_corpus_pipeline")(
+          noop(ScaleBench.corpusPipeline(spark, sfDir, times))),
+        timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
+        // the two round-7 flagships that shipped with plan-shape proof
+        // only: fixed-round integer PageRank over Nx disjoint graph
+        // copies (cost per round linear in edges), and the distributed
+        // exclusive cumsum under token-budget selection (no
+        // single-partition exchange)
+        if (prEdges != null)
+          timed("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
+        else None,
+        timed("q155_budget_cumsum")(noop(ScaleBench.budgetCumsum(docs))),
+        timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
+        // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
+        // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
+        // set-similarity joins carry an irreducible postings^2
+        // candidate term on shared rare tokens. Prefix filtering is
+        // the bounded-corpus constant-factor optimizer; the 100 TB
+        // near-dup lane is MinHash+LSH (q22 above). See PLANS.md.
+        timed("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
+        // the 100 TB design evidence: build the cell-partitioned
+        // layout once, then probe it — probe cost tracks probed-cell
+        // volume, not corpus volume
+        timed("q34_ivf_build") {
+          probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
+        },
+        // nProbe precomputed OUTSIDE the timed lambda: the centroid
+        // count is tiny but it is still a Spark action that doesn't
+        // belong inside the probe-latency measurement. A failed
+        // build leaves probeArgs null — record the probe as failed
+        // (and OMIT its timing) WITHOUT throwing here, or the NPE
+        // would abort the whole block and discard every timing
+        // already measured above.
+        if (probeArgs != null) {
+          val np = try graft.operators.Similarity
+              .autoNProbe(probeArgs._1.count().toInt)
+            catch { case t: Throwable =>
+              recordErr(s"x$times.q34_ivf_probe", t); 4 }
+          timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
+            spark, layoutPath, probeArgs._1, probeArgs._2, np)))
+        } else {
+          recordErr(s"x$times.q34_ivf_probe",
+            new IllegalStateException("skipped: q34_ivf_build failed"))
+          None
+        }).flatten
+    }
+    // A scale point that dies during frame CONSTRUCTION (before any
+    // timed() guard exists) must not abort the bench and lose the
+    // measured headline suite — record it and emit a partial block.
+    def guardedBlock(times: Int): Seq[(String, Double)] =
+      try block(times)
+      catch { case t: Throwable => recordErr(s"x$times.block", t); Seq.empty }
+    val scaleBlocks: Seq[(Int, Seq[(String, Double)])] =
+      if (factors.isEmpty) Seq.empty
+      else (1 +: factors).map(f => f -> guardedBlock(f))
+
+    // ---- JSON assembly -------------------------------------------------
+    def obj(kvs: Iterable[String]): String = kvs.mkString("{", ",", "}")
+    def kvNum(k: String, v: Double, dec: Int): String =
+      "\"" + k + "\":" + fmt(v, dec)
+    def kvStr(k: String, v: String): String = "\"" + k + "\":\"" + v + "\""
+
+    val qsFull = obj(results.map { case (k, v) => "\"" + k + "\":" + v })
+    val qsCompact = obj(results.map { case (k, v) => kvNum(k, v, 3) })
+    val ioJson = obj(shuffleMb.map { case (k, v) => kvNum(k, v, 2) })
+    val errJson = obj(errors.map { case (k, v) => kvStr(k, v) })
+    val repsJson = obj(repLog.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => fmt(t, 3)).mkString("[", ",", "]") })
     // PlanGuard ran in warn mode for the whole bench: any keyless-join
     // warning it fired is part of the round's recorded artifact (expect
     // an empty list — PlanAuditSpec pins the library plans in CI).
     val pwJson = graft.plans.PlanGuard.drainWarnings()
       .map(w => "\"" + w.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
       .take(10).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleJson}""")
+
+    // Full-precision per-factor blocks for the detail file (the shape
+    // VERDICT readers already know: scale.x1 / scale.x10 / scale.x20).
+    val scaleFull =
+      if (scaleBlocks.isEmpty) ""
+      else {
+        val blocks = scaleBlocks.map { case (f, kvs) =>
+          "\"x" + f + "\":" + obj(kvs.map { case (k, v) => "\"" + k + "\":" + v })
+        }.mkString(",")
+        val fList = factors.mkString("[", ",", "]")
+        s""","scale":{"factor":${factors.headOption.getOrElse(1)},"factors":$fList,$blocks}"""
+      }
+    // Compact per-LANE arrays for the stdout line: one key per lane,
+    // value = [x1, x10, x20] rounded seconds (null where a lane is
+    // missing from a block) — ~50% the size of per-factor blocks and
+    // the ratio curve is readable by eye.
+    val scaleCompact =
+      if (scaleBlocks.isEmpty) ""
+      else {
+        val lanes = scaleBlocks.flatMap(_._2.map(_._1)).distinct
+        val byF = scaleBlocks.map { case (f, kvs) => f -> kvs.toMap }
+        val laneJson = lanes.map { lane =>
+          "\"" + lane + "\":" + byF.map { case (_, m) =>
+            m.get(lane).map(fmt(_, 2)).getOrElse("null")
+          }.mkString("[", ",", "]")
+        }
+        val fAll = scaleBlocks.map(_._1).mkString("[", ",", "]")
+        s""","scale":{"factors":$fAll,"sec":${obj(laneJson)}}"""
+      }
+
+    val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleFull}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => recordErr("detail_write", t) }
+
+    // Errors in the compact line: count always; the keys only while
+    // they fit (a pathological all-lanes-failed run must not push the
+    // line back over the tail-capture window).
+    val errKeys = errors.keys.take(8)
+      .map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    val errCompact =
+      s""""errors_n":${errors.size},"error_keys":${if (errKeys.length <= 300) errKeys else "[]"}"""
+
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$scaleCompact}""")
     spark.stop()
   }
 }

@@ -216,6 +216,49 @@ object ScaleBench {
     link.unionAll(merge).localCheckpoint(true)
   }
 
+  /** q146's input at scale: N disjoint re-keyed copies of the
+    * symmetrized part<->supplier graph. Nodes and edges grow Nx while
+    * the round count stays fixed, so each Pregel-as-joins round does
+    * exactly Nx the 1x work — the lane proves the "cost per round is
+    * linear in edges" claim with a ratio curve, not just plan shape.
+    * Built UNTIMED by the caller (the distinct-heavy edge derivation is
+    * the operator's input) and checkpointed. */
+  def pageRankEdges(spark: SparkSession, dir: String, times: Int): DataFrame = {
+    val e = graft.operators.Graph.pageRankEdges(spark, dir)
+    replicate(times)(i => e.select(
+      (col("src") * times + i).as("src"),
+      (col("dst") * times + i).as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** q146's operating point: the fixed-round integer PageRank
+    * iteration itself (edges+outdegrees checkpointed once inside, ranks
+    * checkpointed per round). */
+  def pageRank(edges: DataFrame): DataFrame =
+    graft.operators.Graph.pageRankOn(edges)
+
+  /** q155's operating point over the replicated corpus: score every
+    * document (tokenCount + qualityScore — one codegen'd pass), then
+    * the distributed exclusive cumsum in (quality desc, doc_id) order
+    * via Ranking.globalCumSumSorted. The flagged 100 TB claim is "no
+    * Exchange SinglePartition": cost is one linear scoring pass + one
+    * range shuffle + a per-partition-totals collect bounded by the
+    * partition count — the curve should be near-linear. The budget
+    * filter is kept (it consumes the cumsum column) but the budget
+    * itself is irrelevant to the timing: every row's cum_before is
+    * computed before any filtering. */
+  def budgetCumsum(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val scored = docs.select(col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.functions.Text.qualityScore(col("text")).as("q"))
+    graft.functions.Ranking
+      .globalCumSumSorted(scored, Seq(col("q").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_before")
+      .filter(col("cum_before") + col("n_tokens") <= lit(10000L))
+      .select("doc_id", "n_tokens", "cum_before")
+  }
+
   /** q133's operating point: bloom-prefiltered decontamination over
     * the replicated corpus. Both sides grow with the replication
     * factor (the benchmark split recovers the ORIGINAL 1-in-10 class

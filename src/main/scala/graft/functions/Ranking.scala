@@ -91,7 +91,11 @@ object Ranking {
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
+    // coalesce: a range partition whose values are all NULL sums to
+    // NULL, and getLong would NPE — this is advertised as a general
+    // primitive, so NULL values contribute 0 instead of crashing
+    val sums = ranged.groupBy("__pid")
+      .agg(coalesce(sum("__v"), lit(0L)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = sums.map { case (pid, s) => val o = acc; acc += s; pid -> o }

@@ -396,15 +396,22 @@ object Graph {
     r
   }
 
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** q146's symmetrized part<->supplier edge set — exposed so the scale
+    * bench can replicate it (re-keyed disjoint copies) and time
+    * [[pageRankOn]] alone, with this distinct-heavy input construction
+    * kept off the clock. */
+  def pageRankEdges(spark: SparkSession, dir: String): DataFrame = {
     val fwd = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("src"),
         (col("l_suppkey") + SupplierOffset).as("dst"))
       .distinct()
-    val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    pageRankOn(e).orderBy(col("r").desc, col("node").asc).limit(20)
   }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOn(pageRankEdges(spark, dir))
+      .orderBy(col("r").desc, col("node").asc).limit(20)
 
   val pageRankSql: String = {
     val head =

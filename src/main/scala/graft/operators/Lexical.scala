@@ -136,8 +136,17 @@ object Lexical {
       // already happened in exact decimal, so the emitted value is the
       // same number. Decimal128 must not reach a gate query's final
       // schema: hashers canonicalize it differently than live values.
+      // The cast is GUARDED: under non-ANSI Spark an overflowing
+      // decimal->long cast silently yields NULL while the oracle's
+      // HUGEINT->BIGINT cast raises — raise_error makes both engines
+      // fail loudly and identically if the documented bound is ever
+      // exceeded at larger scale.
       .select(col("w"), col("n_a"), col("n_b"),
-        col("drift_d").cast("long").as("drift"))
+        when(col("drift_d") >
+            lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("q138 drift exceeds int64: "),
+            col("drift_d").cast("string"))).cast("long"))
+        .otherwise(col("drift_d").cast("long")).as("drift"))
   }
 
   val vocabDriftSql: String =

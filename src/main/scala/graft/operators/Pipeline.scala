@@ -290,7 +290,11 @@ object Pipeline {
   def partitionDiff(spark: SparkSession, dir: String): DataFrame = {
     def fp(df: DataFrame): DataFrame = {
       val cents = round(col("o_totalprice") * 100).cast("long")
-      val repr = concat_ws("", col("o_orderkey").cast("string"),
+      // the separator is the ESCAPED \u0001 — matching the oracle's
+      // chr(1) channel — written as an escape (not a raw control byte,
+      // which is invisible in most viewers and was misread as "" in a
+      // past review)
+      val repr = concat_ws("\u0001", col("o_orderkey").cast("string"),
         col("o_orderpriority"), cents.cast("string"))
       val h = conv(substring(md5(repr.cast("binary")), 1, 15), 16, 10)
         .cast("long")

@@ -272,6 +272,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("globalCumSumSorted: NULL values contribute 0 instead of NPEing the offset pass") {
+    // A range partition whose values are all NULL sums to NULL; the
+    // per-partition offset collect must coalesce it to 0 (this is a
+    // general primitive — callers are not required to pre-clean the
+    // value column). Mixed case: nulls interleaved with values.
+    val rows = Seq((0L, java.lang.Long.valueOf(5L)), (1L, null),
+      (2L, java.lang.Long.valueOf(7L)), (3L, null), (4L, java.lang.Long.valueOf(2L)))
+    val df = rows.toDF("id", "v")
+    val got = graft.functions.Ranking
+      .globalCumSumSorted(df, Seq(col("id").asc), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 5L, 2L -> 5L, 3L -> 12L, 4L -> 12L))
+    // all-NULL column: every partition's sum is NULL
+    val allNull = Seq(0L, 1L, 2L).map(i => (i, null: java.lang.Long)).toDF("id", "v")
+    val z = graft.functions.Ranking
+      .globalCumSumSorted(allNull, Seq(col("id").asc), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(z === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("pageRankOn law: equals driver-side iteration on random symmetrized graphs") {
     val gen = for {
       nEdges <- Gen.chooseNum(2, 30)
