@@ -180,6 +180,7 @@ object Bench {
           ScaleBench.ccLabels(docs.limit(64)),
           ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
         noop(ScaleBench.lineDedup(docs.limit(64)))
+        noop(ScaleBench.sharedSubstring(docs.limit(64)))
         noop(ScaleBench.vocab(docs.limit(64)))
         noop(ScaleBench.bpeMerges(docs.limit(64)))
         noop(ScaleBench.bigramLm(docs.limit(64)))
@@ -221,6 +222,10 @@ object Bench {
             noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
         else None,
         timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
+        // exact-substring dedup (q162, xxhash64 lane): the heaviest
+        // round-8 linear-pass shape — one window explode (~tokens per
+        // corpus rows) + two hash shuffles on the window key
+        timed("q162_shared_substring")(noop(ScaleBench.sharedSubstring(docs))),
         timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
         // tokenizer prep end-to-end: histogram + 12 vocab-sized
         // merge rounds (the rounds amortize; the histogram scales)

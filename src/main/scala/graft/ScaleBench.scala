@@ -216,6 +216,16 @@ object ScaleBench {
     link.unionAll(merge).localCheckpoint(true)
   }
 
+  /** q162's operating point on the production lane (codegen'd rolling
+    * window hash — plans.TokenWindowHash, O(tokens) per doc, 8-byte
+    * keys): corpus-sized window explode, doc-frequency groupBy, join
+    * back, per-doc aggregate. Caesar-rotated replicas keep window sets
+    * disjoint across replicas (a character bijection is a bijection on
+    * 20-token windows), so the workload is exactly N copies of the 1x
+    * structure — near-linear is the pass bar. */
+  def sharedSubstring(docs: DataFrame): DataFrame =
+    graft.operators.Curation.sharedSubstringFastOn(docs)
+
   /** q146's input at scale: N disjoint re-keyed copies of the
     * symmetrized part<->supplier graph. Nodes and edges grow Nx while
     * the round count stays fixed, so each Pregel-as-joins round does

@@ -73,10 +73,22 @@ object Curation {
   // table is checkpointed once for its two consumers. At 100 TB the
   // window key-space is ~tokens-per-corpus wide; a band of hot keys
   // (true boilerplate) aggregates map-side before the shuffle.
-  def sharedSubstring(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(spark)
-    val wins = windowTable(
-        Tables.documents(spark, dir).select("doc_id", "text"), SubstrW)
+  /** [[windowTable]] on the codegen'd rolling-hash path
+    * (plans.TokenWindowHash): per-token hash + one polynomial rolling
+    * update per window — O(tokens) work, 8-byte long keys, no window
+    * string ever materialized. The production lane for exact-substring
+    * dedup at scale; grouping semantics match the md5 lane up to
+    * 64-bit collision odds (CurationSpec asserts result equality). */
+  private[graft] def windowTableFast(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(
+        graft.plans.GraftFunctions.token_window_hash(col("toks"), w)).as("wk"))
+
+  /** Doc-frequency aggregation shared by every q162 lane: one groupBy
+    * on the window key, one join back, one groupBy(doc_id). */
+  private def sharedStats(winTable: DataFrame): DataFrame = {
+    val wins = winTable
       .localCheckpoint(true) // two consumers: doc-frequency agg + join back
     val byWin = wins.groupBy("wk").agg(count(lit(1)).as("ndocs"))
     wins.join(byWin, "wk")
@@ -85,8 +97,30 @@ object Curation {
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .filter(col("n_shared") > 0)
       .select("doc_id", "n_windows", "n_shared")
-      .orderBy("doc_id")
   }
+
+  /** Core of q162 over an arbitrary (doc_id, text) frame, with the
+    * window key family injectable: md5 for the oracle gate lane,
+    * xxhash64 for a string-keyed production lane (the q22 two-lane
+    * pattern — grouping semantics identical, 8-byte keys instead of
+    * 32-char hex on the shuffle). */
+  def sharedSubstringOn(docs: DataFrame, w: Int = SubstrW,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        s => md5(s.cast("binary"))): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    sharedStats(windowTable(docs, w, key))
+  }
+
+  /** q162 on the rolling-hash fast lane — the form the scale bench
+    * times and the 100 TB deployment runs. */
+  def sharedSubstringFastOn(docs: DataFrame, w: Int = SubstrW): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    sharedStats(windowTableFast(docs, w))
+  }
+
+  def sharedSubstring(spark: SparkSession, dir: String): DataFrame =
+    sharedSubstringOn(Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
 
   val sharedSubstringSql: String =
     s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HexWindowLong].getName, "graft_hex_window"),
       (exprs: Seq[Expression]) => GraftFunctions.mkHexWindow(exprs)))
     e.injectFunction((
+      FunctionIdentifier("token_window_hash"),
+      new ExpressionInfo(classOf[TokenWindowHash].getName, "token_window_hash"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkTokenWindowHash(exprs)))
+    e.injectFunction((
       FunctionIdentifier("morton_key"),
       new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
       (exprs: Seq[Expression]) => MortonKey(exprs(0), exprs(1))))
@@ -71,6 +75,10 @@ object GraftFunctions {
     WordShingles(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
 
+  private[plans] def mkTokenWindowHash(exprs: Seq[Expression]): TokenWindowHash =
+    TokenWindowHash(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+
   private[plans] def mkHexWindow(exprs: Seq[Expression]): HexWindowLong =
     HexWindowLong(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -88,6 +96,8 @@ object GraftFunctions {
       "graft_tokens", exprs => AsciiTokens(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hex_window", mkHexWindow, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_window_hash", mkTokenWindowHash, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -132,6 +142,12 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     ensureRegistered()
     call_function("graft_hex_window", hexStr, lit(start), lit(len))
+  }
+
+  def token_window_hash(tokens: Column, w: Int): Column = {
+    ensureRegistered()
+    call_function("token_window_hash", tokens,
+      org.apache.spark.sql.functions.lit(w))
   }
 
   def morton_key(a: Column, b: Column): Column = {

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Brute-force re-derivations of the round-8 Curation operators on the
+  * sf0.001 corpus: every assertion recomputes the expected answer with
+  * plain Scala collections from the raw text, so a regression in the
+  * window/rank/batch plumbing cannot hide behind a matching oracle
+  * (the oracle shares SQL-ish structure; this path shares nothing). */
+class CurationSpec extends SparkSpec {
+
+  private def toks(text: String): Vector[String] =
+    raw"[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+
+  private lazy val corpus: Seq[(Long, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+
+  private def windows(text: String, w: Int): Set[String] =
+    toks(text).sliding(w).filter(_.length == w).map(_.mkString(" ")).toSet
+
+  test("q162 sharedSubstring: re-derives from brute-force window sets") {
+    val perDoc = corpus.map { case (id, t) => id -> windows(t, 20) }
+    val docFreq = perDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = perDoc.filter(_._2.nonEmpty).flatMap { case (id, ws) =>
+      val shared = ws.count(docFreq(_) >= 2)
+      if (shared > 0) Some((id, ws.size.toLong, shared.toLong)) else None
+    }.toSet
+    val got = Curation.sharedSubstring(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "seeded corpus must contain shared 20-token spans")
+    assert(got === want)
+  }
+
+  test("q162 xxhash64 and rolling-hash lanes agree with the md5 gate lane") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val md5Res = Curation.sharedSubstring(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val xxRes = Curation.sharedSubstringOn(docs, key = s => xxhash64(s))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(xxRes === md5Res)
+    // production lane: TokenWindowHash (rolling polynomial, no window
+    // strings) — identical doc-level stats, 64-bit-collision odds aside
+    val fastRes = Curation.sharedSubstringFastOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fastRes === md5Res)
+  }
+
+  test("TokenWindowHash: rolling update equals direct polynomial on random arrays") {
+    // law: for random token arrays, the distinct-key SET from the
+    // rolling path must equal hashing each window independently (the
+    // subtract-multiply-add eviction is exactly invertible because the
+    // base is odd). Distinctness and first-occurrence order also match
+    // array_distinct semantics.
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val w = 1 + rnd.nextInt(8)
+      val toksArr = Array.fill(n)("t" + rnd.nextInt(6)) // forced repeats
+      val data = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toksArr.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
+          .asInstanceOf[Any]))
+      val got = graft.plans.TokenWindowHash.compute(data, w)
+        .toLongArray().toSeq
+      if (n < w) assert(got.isEmpty)
+      else {
+        val direct = toksArr.toSeq.sliding(w).filter(_.length == w).map { win =>
+          win.foldLeft(0L)((h, t) => h * 0x100000001B3L +
+            graft.plans.TokenWindowHash.mixForTest(
+              graft.plans.RollingHash.hash(
+                org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+        }.toSeq.distinct
+        assert(got === direct)
+      }
+    }
+  }
+
+  test("q163 ngramOverlap: re-derives from brute-force 8-gram sets") {
+    val perDoc = corpus.map { case (id, t) => id -> windows(t, 8) }
+    val bench = perDoc.filter(_._1 % 10 == 0).flatMap(_._2).toSet
+    val want = perDoc.filter { case (id, ws) => id % 10 != 0 && ws.nonEmpty }
+      .flatMap { case (id, ws) =>
+        val hit = ws.count(bench.contains)
+        if (hit > 0)
+          Some((id, ws.size.toLong, hit.toLong, hit.toLong * 1000 / ws.size))
+        else None
+      }.toSet
+    val got = Curation.ngramOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "benchmark split must contaminate some training docs")
+    assert(got === want)
+  }
+
+  test("q164 exactQuantiles: re-derives from a driver-side sort") {
+    val tcs = corpus.map { case (id, t) => (toks(t).length.toLong, id) }
+      .sortBy(identity).map(_._1).toVector
+    val n = tcs.length.toLong
+    val want = Seq(25L, 50L, 75L, 90L, 99L).map { p =>
+      s"p$p" -> tcs((math.max(1L, (p * n + 99) / 100) - 1).toInt)
+    }.toSet
+    val got = Curation.exactQuantiles(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("q165 paddingWaste: re-derives both strategies; sorted beats hash order") {
+    def hex32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val withTc = corpus.map { case (id, t) => (id, toks(t).length.toLong) }
+    def wasteOf(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(32).toSeq
+      val pad = batches.map(b => b.max * b.length - b.sum).sum
+      val tok = ordered.sum
+      (batches.length.toLong, tok, pad)
+    }
+    val sorted = wasteOf(withTc.sortBy { case (id, tc) => (-tc, id) }.map(_._2))
+    val hashed = wasteOf(withTc.sortBy { case (id, _) => (hex32(id), id) }.map(_._2))
+    val want = Set(
+      ("sorted", sorted._1, sorted._2, sorted._3,
+        sorted._3 * 1000 / (sorted._3 + sorted._2)),
+      ("hash", hashed._1, hashed._2, hashed._3,
+        hashed._3 * 1000 / (hashed._3 + hashed._2)))
+    val got = Curation.paddingWaste(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+    assert(sorted._3 < hashed._3,
+      "length-sorted batching must waste less padding than hash order")
+  }
+
+  test("q162 planted: verbatim span in otherwise-different docs is caught") {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"w$i").mkString(" ") // 25 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" ") + s" $span"),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.sharedSubstringOn(docs)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(1L, 2L),
+      "exactly the two docs embedding the verbatim 25-token span share windows")
+  }
+}
