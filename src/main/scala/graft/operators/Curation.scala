@@ -288,15 +288,52 @@ object Curation {
        |  CAST(SUM(pad) * 1000 // (SUM(pad) + SUM(tok)) AS BIGINT) AS pad_permille
        |FROM bs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q167: per-source length profile (grouped exact quantiles) -----
+  // The per-source token-length p50/p90 every dataset card and mixture
+  // plan wants next to the corpus-wide q164 figures. Grouped quantiles
+  // are WINDOW-scalable (PARTITION BY source hash-partitions the sort —
+  // no global funnel; the 100 TB caveat is a single dominant source,
+  // which is exactly what q31's salting handles if it appears). Target
+  // ranks use the same all-integer ceil(p*n/100) both engines share.
+  def sourceLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(spark)
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("tc"))
+    val w = Window.partitionBy("source").orderBy("tc", "doc_id")
+    t.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"), col("tc"), col("rn"), col("n"),
+        explode(array(lit(50L), lit(90L))).as("pq"))
+      .filter(col("rn") === greatest(lit(1L), expr("(pq * n + 99) div 100")))
+      .select(col("source"), concat(lit("p"), col("pq").cast("string")).as("p"),
+        col("tc"))
+      .orderBy("source", "p")
+  }
+
+  val sourceLengthProfileSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tc
+      |  FROM documents),
+      |r AS (SELECT source, tc,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY tc, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n FROM t)
+      |SELECT source, 'p' || pq AS p, tc
+      |FROM r, (VALUES (50), (90)) q(pq)
+      |WHERE rn = greatest(1, (pq * n + 99) // 100) ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_shared_substring" -> (sharedSubstring _),
     "q163_ngram_overlap"    -> (ngramOverlap _),
     "q164_exact_quantiles"  -> (exactQuantiles _),
-    "q165_padding_waste"    -> (paddingWaste _))
+    "q165_padding_waste"    -> (paddingWaste _),
+    "q167_source_length_profile" -> (sourceLengthProfile _))
 
   val oracles: Map[String, String] = Map(
     "q162_shared_substring" -> sharedSubstringSql,
     "q163_ngram_overlap"    -> ngramOverlapSql,
     "q164_exact_quantiles"  -> exactQuantilesSql,
-    "q165_padding_waste"    -> paddingWasteSql)
+    "q165_padding_waste"    -> paddingWasteSql,
+    "q167_source_length_profile" -> sourceLengthProfileSql)
 }

@@ -291,6 +291,41 @@ object Dedup {
     withJaccard(inter, sz, threshold)
   }
 
+  /** [[minhashLshPairs]]'s candidate set with the INTEGER sufficient
+    * statistics behind the Jaccard verify exposed: (doc_a, doc_b, c,
+    * sza, szb) for EVERY LSH candidate pair (no threshold filter) —
+    * c = |shingles(a) ∩ shingles(b)|, sza/szb the distinct-shingle
+    * sizes. The q166 operating-point histogram banding is exact
+    * integer arithmetic over these; the ratio form jaccard =
+    * c/(sza+szb-c) reproduces the pairs lane when filtered. */
+  def minhashLshCandidateCounts(df: DataFrame, idCol: String, textCol: String,
+                                n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                                family: HashFamily = Md5Minhash): DataFrame = {
+    val base = shingleTable(df, idCol, textCol, n)
+    val sh = (family match {
+      case Md5Minhash => base
+        .withColumn("__h", md5(col("s").cast("binary")))
+        .select("doc_id", "h64", "__h")
+      case XxMinhash => base.select("doc_id", "h64")
+    }).localCheckpoint(true)
+    val sig = minhashSignatures(sh, numHashes, family).localCheckpoint(true)
+    val sz = sig.select(col("doc_id"), col("szn"))
+    val bandsDf = lshBands(sig, numHashes, bands)
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("za.szn").as("sza"), col("zb.szn").as("szb"))
+  }
+
   /** Cross-corpus MinHash+LSH: near-dup pairs BETWEEN `incoming` and
     * `existing` only (no within-corpus pairs) — the incremental-ingest
     * dedup: which new documents duplicate something already in the

@@ -166,6 +166,48 @@ object Llm {
         family = Dedup.XxMinhash)
       .orderBy("doc_a", "doc_b")
 
+  // ---- q166: LSH operating-point histogram ---------------------------
+  // Candidate-pair exact-Jaccard distribution in decile bands — the
+  // tuning artifact behind every threshold choice: how much pair mass
+  // sits just under the 0.5 cut (near-misses a threshold bump would
+  // drop), how much at 1.0 (exact dups LSH re-found). Banding is ALL
+  // integer — floor(10*c / (sza+szb-c)) over the verify join's exact
+  // intersection/size counts — so no float ever reaches the comparison
+  // or the output. Cost is q22's candidate verify minus the threshold
+  // filter plus a bands-sized aggregate: the same bucketed-by-
+  // construction scale shape.
+  def lshHistogram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidateCounts(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, numHashes = NumHashes, bands = Bands)
+      .select(expr("(10L * c) div (sza + szb - c)").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band")
+
+  val lshHistogramSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCte.replace("%FILTER%", "")},
+       |hsh AS (SELECT doc_id, md5(s) || md5(s) AS hh, s FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |          JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+       |SELECT (10 * c) // (za.szn + zb.szn - c) AS band,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM inter JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val minhashLshSql: String = {
     val rows = NumHashes / Bands
     // 15-hex-char windows (matching Dedup.minhashSignatures' int64 lane);
@@ -1699,6 +1741,7 @@ object Llm {
     "q156_curriculum"       -> (curriculum _),
     "q158_dup_source_matrix" -> (dupSourceMatrix _),
     "q159_boilerplate_ngrams" -> (boilerplateNgrams _),
+    "q166_lsh_histogram"    -> (lshHistogram _),
     "q150_corpus_report"    -> (corpusReport _),
     "q43_doc_chunks"        -> (docChunks _),
     "q44_embed_quant"       -> (embedQuant _),
@@ -1758,6 +1801,7 @@ object Llm {
     "q156_curriculum"       -> curriculumSql,
     "q158_dup_source_matrix" -> dupSourceMatrixSql,
     "q159_boilerplate_ngrams" -> boilerplateNgramsSql,
+    "q166_lsh_histogram"    -> lshHistogramSql,
     "q150_corpus_report"    -> corpusReportSql,
     "q43_doc_chunks"        -> docChunksSql,
     "q44_embed_quant"       -> embedQuantSql,

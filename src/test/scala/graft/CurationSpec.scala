@@ -133,6 +133,33 @@ class CurationSpec extends SparkSpec {
       "length-sorted batching must waste less padding than hash order")
   }
 
+  test("q166 lshHistogram law: mass at band >= 5 equals the q22 pair count") {
+    // floor(10c/u) >= 5 iff c/u >= 0.5 exactly (integer arithmetic),
+    // so the histogram's upper mass must equal the thresholded pairs
+    // lane — same candidates, same verify join, different tail.
+    val hist = graft.operators.Llm.lshHistogram(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nPairs = graft.operators.Llm.minhashPairs(spark, sf).count()
+    assert(hist.nonEmpty)
+    assert(hist.filter(_._1 >= 5).values.sum === nPairs)
+  }
+
+  test("q167 sourceLengthProfile: re-derives from driver-side per-source sorts") {
+    val bySrc = Tables.documents(spark, sf).select("source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val want = bySrc.flatMap { case (src, rows) =>
+      val tcs = rows.map { case (_, id, t) => (toks(t).length.toLong, id) }
+        .sortBy(identity).map(_._1).toVector
+      val n = tcs.length.toLong
+      Seq(50L, 90L).map(p =>
+        (src, s"p$p", tcs((math.max(1L, (p * n + 99) / 100) - 1).toInt)))
+    }.toSet
+    val got = graft.operators.Curation.sourceLengthProfile(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("q162 planted: verbatim span in otherwise-different docs is caught") {
     import spark.implicits._
     val span = (1 to 25).map(i => s"w$i").mkString(" ") // 25 shared tokens
