@@ -47,12 +47,16 @@ object ScaleVerify {
     def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
       df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    def statSet(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
     // x1 references, computed once
     val docs1 = ScaleBench.documents(spark, sfDir, 1).localCheckpoint(true)
     val emb1 = ScaleBench.embeddings(spark, sfDir, 1).localCheckpoint(true)
     val p22x1 = pairSet(ScaleBench.minhashPairs(docs1), "doc_a", "doc_b")
     val n24x1 = Similarity.srpNearDupPairsAuto(emb1, threshold = 0.4,
       bands = 12, dim = 64).count()
+    val s162x1 = statSet(ScaleBench.sharedSubstring(docs1))
 
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
@@ -88,6 +92,18 @@ object ScaleVerify {
       val yieldOk = nPairs >= (0.6 * times * n24x1).toLong
       val q24Pass = nBad == 0L && yieldOk
 
+      // ---- q162 rolling-hash lane: exact replica-copy law ------------
+      // A character bijection (Caesar rotation) is a bijection on
+      // 20-token windows, so the xN per-doc stats must be EXACTLY the N
+      // re-keyed copies of the x1 stats — any deviation is either a
+      // cross-replica window collision (letter-free 20-token windows —
+      // absent from this corpus) or a real bug in the rolling-hash /
+      // doc-frequency plumbing at scale. Exact equality, not recall.
+      val s162xN = statSet(ScaleBench.sharedSubstring(docsN))
+      val expected162 = for { (id, nw, ns) <- s162x1; i <- 0 until times }
+        yield (id * times + i, nw, ns)
+      val q162Pass = s162xN == expected162
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -106,6 +122,7 @@ object ScaleVerify {
         s"""{"scale_verify":{"sf":"$sfDir","factor":$times,""" +
         s""""q22_xx_replica_subset":{"pass":$q22Pass,"n_pairs":${p22xN.size},"expected":${expected.size},"recall":${d("%.4f", q22Recall)}},""" +
         s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
+        s""""q162_substr_replica":{"pass":$q162Pass,"n_docs":${s162xN.size},"expected":${expected162.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()
