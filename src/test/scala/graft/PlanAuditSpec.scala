@@ -160,6 +160,42 @@ class PlanAuditSpec extends SparkSpec {
       "bpeTokenCount")
   }
 
+  test("round-8 operators stay cartesian-free") {
+    def noCartesianOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    val C = graft.operators.Curation
+    noCartesianOnly(C.sharedSubstring(spark, sf), "sharedSubstring")
+    noCartesianOnly(C.sharedSubstringFastOn(
+      Tables.documents(spark, sf).select("doc_id", "text")),
+      "sharedSubstringFast")
+    noCartesianOnly(C.ngramOverlap(spark, sf), "ngramOverlap")
+    noCartesianOnly(graft.operators.Llm.lshHistogram(spark, sf), "lshHistogram")
+    // q164/q165/q167: the rank-based shapes must never fall back to a
+    // GLOBAL window (row_number over the whole frame in one task).
+    // Every Window node must be partitioned — by the range-partition
+    // pid (q164/q165 via Ranking) or by source (q167). q165's final
+    // scalar aggregate legitimately ends in an Exchange SinglePartition
+    // over ~n/32 already-reduced rows, so the blanket no-single-
+    // partition assertion (the vocab-plan test) doesn't apply here.
+    Seq(
+      "exactQuantiles" -> C.exactQuantiles(spark, sf),
+      "paddingWaste" -> C.paddingWaste(spark, sf),
+      "sourceLengthProfile" -> C.sourceLengthProfile(spark, sf)
+    ).foreach { case (label, df) =>
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      val globalWindows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition"))
+        .filterNot(l => l.contains("__pid") || l.contains("source#"))
+        .toSeq
+      assert(globalWindows.isEmpty,
+        s"$label has an unpartitioned window:\n${globalWindows.mkString("\n")}")
+    }
+  }
+
   test("collocations plan: zero-shuffle bigram extraction, one agg exchange") {
     // q131's scale claim: nothing between the corpus scan and the
     // bigram partial aggregate shuffles, and the 1-row total attaches
