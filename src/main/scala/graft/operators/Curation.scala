@@ -323,17 +323,99 @@ object Curation {
       |FROM r, (VALUES (50), (90)) q(pq)
       |WHERE rn = greatest(1, (pq * n + 99) // 100) ORDER BY 1, 2""".stripMargin
 
+  // ---- q168: per-source bigram diversity (boilerplate mass) ----------
+  // For each source: total per-doc-distinct bigrams vs source-wide
+  // distinct bigrams, as an integer permille — the "distinct-n"
+  // diversity measure generation/curation reports use. A LOW unique
+  // share means documents within the source repeat each other's
+  // phrasing (template/boilerplate-heavy source — a dedup or filter
+  // candidate); q159 mines the individual n-grams, this ranks the
+  // sources. One windowTable pass + a source join + one two-level
+  // aggregate; countDistinct lowers to a partial-aggregated two-phase
+  // plan, no distinct-heavy single task.
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val wins = windowTable(docs.select("doc_id", "text"), 2)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    wins.groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("wk")).as("n_unique"))
+      .select(col("source"), col("n_bigrams"), col("n_unique"),
+        expr("(n_unique * 1000) div n_bigrams").as("unique_permille"))
+      .orderBy("source")
+  }
+
+  val ngramDiversitySql: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |           FROM documents),
+      |f AS (SELECT doc_id, toks, len(toks) - 1 AS nw FROM t WHERE len(toks) >= 2),
+      |w AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+1], ' ')) AS wk
+      |      FROM f, UNNEST(generate_series(1, nw)) AS g(i)),
+      |j AS (SELECT w.wk, d.source FROM w JOIN documents d USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(COUNT(DISTINCT wk) AS BIGINT) AS n_unique,
+      |       CAST(COUNT(DISTINCT wk) * 1000 // COUNT(*) AS BIGINT) AS unique_permille
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q169: vocabulary coverage curve (top-k token mass) ------------
+  // "What fraction of all token occurrences does a k-token vocabulary
+  // cover" for k in {100, 1000, 10000} — the first sizing input to any
+  // tokenizer/vocab decision (q79 builds the ranked vocab itself; this
+  // is its cumulative-mass summary). Token ranking goes through the
+  // distributed ranker (range-partition rank, never a one-task window);
+  // coverage is an integer permille over exact counts.
+  private val CoverageKs = Seq(100L, 1000L, 10000L)
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed by the total agg AND the ranker
+    val total = counts.agg(sum("n").as("tot"))
+    val ranked = Ranking.globalRowNumberSorted(counts,
+      Seq(col("n").desc, col("w").asc), "rank")
+    ranked
+      .select(col("n"), col("rank"),
+        explode(array(CoverageKs.map(lit): _*)).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k").agg(sum("n").as("covered"))
+      .crossJoin(broadcast(total)) // 1-row totals dim
+      .select(col("k"), col("covered"),
+        expr("(covered * 1000) div tot").as("permille"))
+      .orderBy("k")
+  }
+
+  val vocabCoverageSql: String = {
+    val ks = CoverageKs.mkString("(", "), (", ")")
+    s"""WITH c AS (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY 1),
+       |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM c),
+       |tot AS (SELECT SUM(n) AS tot FROM c)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS covered,
+       |       CAST(SUM(n) * 1000 // MAX(tot) AS BIGINT) AS permille
+       |FROM r, (VALUES $ks) q(k), tot
+       |WHERE rank <= k GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_shared_substring" -> (sharedSubstring _),
     "q163_ngram_overlap"    -> (ngramOverlap _),
     "q164_exact_quantiles"  -> (exactQuantiles _),
     "q165_padding_waste"    -> (paddingWaste _),
-    "q167_source_length_profile" -> (sourceLengthProfile _))
+    "q167_source_length_profile" -> (sourceLengthProfile _),
+    "q168_ngram_diversity"  -> (ngramDiversity _),
+    "q169_vocab_coverage"   -> (vocabCoverage _))
 
   val oracles: Map[String, String] = Map(
     "q162_shared_substring" -> sharedSubstringSql,
     "q163_ngram_overlap"    -> ngramOverlapSql,
     "q164_exact_quantiles"  -> exactQuantilesSql,
     "q165_padding_waste"    -> paddingWasteSql,
-    "q167_source_length_profile" -> sourceLengthProfileSql)
+    "q167_source_length_profile" -> sourceLengthProfileSql,
+    "q168_ngram_diversity"  -> ngramDiversitySql,
+    "q169_vocab_coverage"   -> vocabCoverageSql)
 }
