@@ -146,15 +146,14 @@ object Bench {
       // showed min-of-2 cannot reject one interfered rep (q40's rep log
       // that round: 63.6 -> 9.0 -> 6.9 s; the driver's q29 x20 = 26x
       // and q24 x20 = 16.8x contradict the builder's sublinear curves).
-      def timed(name: String, reps: Int = 2)(f: => Unit): Option[(String, Double)] = {
-        val ts = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try f catch { case t: Throwable => recordErr(s"x$times.$name", t) }
-          (System.nanoTime() - t0) / 1e9
-        }
-        repLog(s"x$times.$name") = ts
-        Some(name -> ts.min)
-      }
+      //
+      // Reps are INTERLEAVED across lanes (A,B,C,A,B,C — round-major),
+      // not lane-major (A,A,B,B): a host-interference window poisons at
+      // most one rep of each lane instead of every rep of one lane, so
+      // min-of-N keeps its power against exactly the anomaly the round-7
+      // driver record shows. A lane is a (name, reps, prep, run) row;
+      // prep runs OFF the clock before each rep (and can veto the rep —
+      // the ivf_probe lane skips itself when the build lane failed).
       // Untimed warm pass on a tiny slice of the SAME frames first:
       // first execution of each operator shape pays ~8s of one-time
       // codegen/JIT compile (measured: q24 rep1 10.2s, steady 1.5s),
@@ -207,77 +206,107 @@ object Bench {
         s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
       var probeArgs: (org.apache.spark.sql.DataFrame,
                       org.apache.spark.sql.DataFrame) = null
-      Seq(
-        timed("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
-        timed("q24_srp_neardup", reps = 3)(
+      var nProbe = -1
+      val ok = () => true
+      def lane(name: String, reps: Int = 2, prep: () => Boolean = ok)(
+          run: => Unit): Option[(String, Int, () => Boolean, () => Unit)] =
+        Some((name, reps, prep, () => run))
+      val lanes = Seq(
+        lane("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
+        lane("q24_srp_neardup", reps = 3)(
           noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
-        timed("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
-        timed("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
+        lane("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
+        lane("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
         // the continuous-dedup flagship: fold a FIXED arrival batch
         // into the xN standing labeling — the curve should be
         // near-flat across factors (cost tracks arrivals + touched
         // components, never the standing corpus)
         if (ccLab != null)
-          timed("q140_incremental_cc", reps = 3)(
+          lane("q140_incremental_cc", reps = 3)(
             noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
         else None,
-        timed("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
+        lane("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
         // exact-substring dedup (q162, xxhash64 lane): the heaviest
         // round-8 linear-pass shape — one window explode (~tokens per
         // corpus rows) + two hash shuffles on the window key
-        timed("q162_shared_substring")(noop(ScaleBench.sharedSubstring(docs))),
-        timed("q79_vocab")(noop(ScaleBench.vocab(docs))),
+        lane("q162_shared_substring")(noop(ScaleBench.sharedSubstring(docs))),
+        lane("q79_vocab")(noop(ScaleBench.vocab(docs))),
         // tokenizer prep end-to-end: histogram + 12 vocab-sized
         // merge rounds (the rounds amortize; the histogram scales)
-        timed("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
-        timed("q148_bigram_lm", reps = 3)(noop(ScaleBench.bigramLm(docs))),
+        lane("q143_bpe_merges")(noop(ScaleBench.bpeMerges(docs))),
+        lane("q148_bigram_lm", reps = 3)(noop(ScaleBench.bigramLm(docs))),
         // the one-call curation pipeline end-to-end (q150) on the
         // production hash lane — composite sublinearity check
-        timed("q150_corpus_pipeline")(
+        lane("q150_corpus_pipeline")(
           noop(ScaleBench.corpusPipeline(spark, sfDir, times))),
-        timed("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
+        lane("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
         // the two round-7 flagships that shipped with plan-shape proof
         // only: fixed-round integer PageRank over Nx disjoint graph
         // copies (cost per round linear in edges), and the distributed
         // exclusive cumsum under token-budget selection (no
         // single-partition exchange)
         if (prEdges != null)
-          timed("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
+          lane("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
         else None,
-        timed("q155_budget_cumsum")(noop(ScaleBench.budgetCumsum(docs))),
-        timed("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
+        lane("q155_budget_cumsum")(noop(ScaleBench.budgetCumsum(docs))),
+        lane("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
         // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
         // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
         // set-similarity joins carry an irreducible postings^2
         // candidate term on shared rare tokens. Prefix filtering is
         // the bounded-corpus constant-factor optimizer; the 100 TB
         // near-dup lane is MinHash+LSH (q22 above). See PLANS.md.
-        timed("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
+        lane("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
         // the 100 TB design evidence: build the cell-partitioned
         // layout once, then probe it — probe cost tracks probed-cell
-        // volume, not corpus volume
-        timed("q34_ivf_build") {
+        // volume, not corpus volume. Build precedes probe in every
+        // round; probe's prep (off the clock) derives nProbe from the
+        // built centroids — a Spark action that doesn't belong in the
+        // probe-latency measurement — and vetoes the rep when the
+        // build failed, so the probe lane is OMITTED from timings
+        // with its skip recorded in `errors` instead of NPE-aborting
+        // the block and discarding every timing already measured.
+        lane("q34_ivf_build") {
           probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
         },
-        // nProbe precomputed OUTSIDE the timed lambda: the centroid
-        // count is tiny but it is still a Spark action that doesn't
-        // belong inside the probe-latency measurement. A failed
-        // build leaves probeArgs null — record the probe as failed
-        // (and OMIT its timing) WITHOUT throwing here, or the NPE
-        // would abort the whole block and discard every timing
-        // already measured above.
-        if (probeArgs != null) {
-          val np = try graft.operators.Similarity
-              .autoNProbe(probeArgs._1.count().toInt)
-            catch { case t: Throwable =>
-              recordErr(s"x$times.q34_ivf_probe", t); 4 }
-          timed("q34_ivf_probe")(noop(ScaleBench.ivfProbeLayout(
-            spark, layoutPath, probeArgs._1, probeArgs._2, np)))
-        } else {
-          recordErr(s"x$times.q34_ivf_probe",
-            new IllegalStateException("skipped: q34_ivf_build failed"))
-          None
-        }).flatten
+        lane("q34_ivf_probe", prep = () => {
+          if (probeArgs == null) {
+            recordErr(s"x$times.q34_ivf_probe",
+              new IllegalStateException("skipped: q34_ivf_build failed"))
+            false
+          } else {
+            if (nProbe < 0)
+              nProbe = try graft.operators.Similarity
+                  .autoNProbe(probeArgs._1.count().toInt)
+                catch { case t: Throwable =>
+                  recordErr(s"x$times.q34_ivf_probe", t); 4 }
+            true
+          }
+        })(noop(ScaleBench.ivfProbeLayout(
+          spark, layoutPath, probeArgs._1, probeArgs._2, nProbe)))
+      ).flatten
+      // round-major execution: rep r of EVERY lane runs before rep r+1
+      // of any lane
+      val repTimes =
+        scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      val failures =
+        scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      val maxReps = lanes.map(_._2).max
+      for (r <- 0 until maxReps; (name, reps, prep, run) <- lanes if r < reps)
+        if (prep()) {
+          val t0 = System.nanoTime()
+          try run() catch { case t: Throwable =>
+            recordErr(s"x$times.$name", t); failures(name) += 1 }
+          repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+
+            (System.nanoTime() - t0) / 1e9
+        }
+      repTimes.foreach { case (n, ts) => repLog(s"x$times.$n") = ts }
+      // a lane whose every attempted rep threw is omitted (its failure
+      // story lives in `errors`) — the duration of a failure is not a
+      // timing
+      repTimes.toSeq.collect {
+        case (n, ts) if failures(n) < ts.size => n -> ts.min
+      }
     }
     // A scale point that dies during frame CONSTRUCTION (before any
     // timed() guard exists) must not abort the bench and lose the

@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata star schema
   * (`/root/testdata/sf*`, see TESTDATA.md). One parquet file per table.
@@ -22,21 +22,43 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. With `spark.sql.legacy.parquet.nanosAsLong`
-    * it surfaces as LongType nanos-since-epoch; we keep the raw nanos in
-    * `ts_ns` (lossless, and what oracle comparisons use via epoch math)
-    * and expose a truncated-to-micros TimestampType `ts` for date logic.
-    */
+  /** The events `ts` column has shipped in three parquet flavors across
+    * testdata generations: TIMESTAMP(NANOS) (no native Spark type —
+    * surfaces as LongType nanos under `legacy.parquet.nanosAsLong`),
+    * plain `timestamp[us]` with isAdjustedToUTC=false (surfaces as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference), and UTC-adjusted
+    * micros (TimestampType). These helpers normalize any of them; the
+    * session timezone is pinned to UTC, so the NTZ→LTZ cast is the
+    * identity on the stored wall clock and both engines (Spark here,
+    * DuckDB's naive read_parquet in the oracle) see the same instants. */
+  def tsTimestamp(dt: DataType): Column = dt match {
+    // integer division, NOT `/` (double division rounds: ns values
+    // near 2^60 lose sub-microsecond digits and can round UP)
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case _                => col("ts")
+  }
+
+  /** `ts` as epoch microseconds, regardless of storage flavor. */
+  def tsMicros(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000")
+    case dt       => unix_micros(tsTimestamp(dt))
+  }
+
+  /** Batch events loader: keeps lossless nanos in `ts_ns` (what oracle
+    * comparisons use via epoch math) and exposes a micros-resolution
+    * TimestampType `ts` for date logic. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        // integer division, NOT `/` (double division rounds: ns values
-        // near 2^60 lose sub-microsecond digits and can round UP)
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case dt =>
+        raw.withColumn("ts", tsTimestamp(dt))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

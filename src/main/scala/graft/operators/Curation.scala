@@ -401,6 +401,154 @@ object Curation {
        |WHERE rank <= k GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q172: curate-and-write — materialize the curated corpus -------
+  // The missing END of the q150 funnel: a real curation run doesn't
+  // stop at an 8-row report, it WRITES the surviving documents as a
+  // split-partitioned, shard-packed, manifest-versioned warehouse that
+  // a trainer can read. This composes the already-oracled pieces —
+  // Llm.curatedDocs (the q150 funnel), q82's sharded sequence packing,
+  // q118's partitioned overwrite, q122/q136's manifest versioning —
+  // and then ROUND-TRIPS: the gate row reads the corpus back through
+  // the latest manifest version and fingerprints it per split (doc
+  // count, token count, id-hash sum, pack count), while the DuckDB
+  // oracle recomputes the same fingerprint from the SOURCE documents
+  // table (recursive-CTE closure and all) — so write path, layout,
+  // manifest, and read path are all under the hash.
+  //
+  // The write runs TWICE before the read: the second run must land a
+  // new manifest version describing byte-identical content (the
+  // epoch-sink idempotence rule — re-running a curation job must never
+  // duplicate or drop documents). CurationSpec asserts the two
+  // versions' fingerprints match; the gate row reads version "latest",
+  // so a non-idempotent second write would hash-mismatch the oracle.
+  //
+  // Scale shape: the funnel is computed once and localCheckpoint'd;
+  // each write is one shuffle-free append of the checkpointed frame
+  // (partitionBy split); the manifest is a parquet table APPENDED per
+  // version (at 100 TB the file list is a table you filter, never a
+  // driver structure — the bounded collect here feeds spark.read with
+  // the snapshot's file set, the q136 snapshotAt pattern).
+  private val NShards = 8
+  private val PackBudget = 2048L
+
+  /** Funnel survivors joined back to their text, shard-assigned and
+    * sequence-packed — the frame every version writes. */
+  private[graft] def packedCurated(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val idHash = graft.plans.GraftFunctions.hex_window(
+      md5(col("doc_id").cast("string").cast("binary")), 0, 8)
+    val cur = Llm.curatedDocs(docs)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("shard", pmod(idHash, lit(NShards.toLong)).cast("int"))
+      .withColumn("shard_key", concat_ws("/", col("split"), col("shard")))
+    graft.functions.Sampling.packSequencesSharded(cur, "shard_key", "doc_id",
+        size(Text.tokens(col("text"))).cast("long"), PackBudget)
+      .drop("shard_key")
+  }
+
+  /** One write pass: overwrite the data layout, append a manifest
+    * version listing the files it produced. Returns the version. */
+  private[graft] def writeCuratedVersion(packed: DataFrame, root: String): Int = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$root/data")
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    val files = walk(new java.io.File(s"$root/data"))
+    val manDir = s"$root/manifest"
+    val version = (if (new java.io.File(manDir).exists())
+      spark.read.parquet(manDir).agg(max("version")).collect()(0).getInt(0)
+    else 0) + 1
+    files.map(p => (version, p)).toDF("version", "path")
+      .coalesce(1).write.mode("append").parquet(manDir)
+    version
+  }
+
+  /** Snapshot read at the LATEST manifest version: plan from the
+    * version's file set (q136 snapshotAt), with basePath so the split
+    * partition column survives file-level planning. */
+  private[graft] def readCuratedSnapshot(spark: SparkSession, root: String): DataFrame = {
+    val man = spark.read.parquet(s"$root/manifest")
+    val latest = man.agg(max("version")).collect()(0).getInt(0)
+    val paths = man.filter(col("version") === latest)
+      .select("path").collect().map(_.getString(0))
+    spark.read.option("basePath", s"$root/data").parquet(paths.toSeq: _*)
+  }
+
+  /** Per-split fingerprint of a curated-corpus frame — the shared
+    * shape of the gate row and CurationSpec's idempotence check. */
+  private[graft] def curatedFingerprint(snap: DataFrame): DataFrame = {
+    val idHash = graft.plans.GraftFunctions.hex_window(
+      md5(col("doc_id").cast("string").cast("binary")), 0, 8)
+    snap.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(idHash).as("id_hash_sum"),
+        countDistinct(col("shard") * 1000000 + col("pack_id")).as("n_packs"))
+      .orderBy("split")
+  }
+
+  def curatedWrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val root = s"/tmp/graft_curated_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    try {
+      val packed = packedCurated(Tables.documents(spark, dir))
+        .localCheckpoint(true) // funnel runs once; both writes reuse it
+      writeCuratedVersion(packed, root)
+      writeCuratedVersion(packed, root) // idempotent re-run
+      curatedFingerprint(readCuratedSnapshot(spark, root))
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val curatedWriteSql: String = {
+    val t1 = (0.8 * 4294967296.0).toLong
+    val t2 = (0.9 * 4294967296.0).toLong
+    s"""WITH RECURSIVE pairs AS (${Llm.minhashLshSql}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |sig AS (SELECT doc_id, keep FROM (${TextQuality.qualitySignalsSubquery}) q),
+       |en AS (SELECT d.doc_id, d.text FROM documents d JOIN sig USING (doc_id)
+       |       WHERE d.lang = 'en' AND sig.keep),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+       |nr AS (SELECT e.doc_id FROM ex e
+       |       LEFT JOIN (SELECT doc_id FROM labels WHERE doc_id <> rep) nn
+       |         USING (doc_id)
+       |       WHERE nn.doc_id IS NULL),
+       |spl AS (SELECT doc_id, h,
+       |          CASE WHEN h < $t1 THEN 'train'
+       |               WHEN h < $t2 THEN 'val' ELSE 'test' END AS split,
+       |          h % $NShards AS shard
+       |        FROM (SELECT doc_id,
+       |                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |              FROM nr)),
+       |tok AS (SELECT s.doc_id, s.h, s.split, s.shard,
+       |          len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens
+       |        FROM spl s JOIN documents d USING (doc_id)),
+       |pk AS (SELECT split, shard, h, n_tokens,
+       |         (COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard
+       |            ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+       |           // $PackBudget AS pack_id
+       |       FROM tok)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(h) AS BIGINT) AS id_hash_sum,
+       |       CAST(COUNT(DISTINCT shard * 1000000 + pack_id) AS BIGINT) AS n_packs
+       |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_shared_substring" -> (sharedSubstring _),
     "q163_ngram_overlap"    -> (ngramOverlap _),
@@ -408,7 +556,8 @@ object Curation {
     "q165_padding_waste"    -> (paddingWaste _),
     "q167_source_length_profile" -> (sourceLengthProfile _),
     "q168_ngram_diversity"  -> (ngramDiversity _),
-    "q169_vocab_coverage"   -> (vocabCoverage _))
+    "q169_vocab_coverage"   -> (vocabCoverage _),
+    "q172_curated_write"    -> (curatedWrite _))
 
   val oracles: Map[String, String] = Map(
     "q162_shared_substring" -> sharedSubstringSql,
@@ -417,5 +566,6 @@ object Curation {
     "q165_padding_waste"    -> paddingWasteSql,
     "q167_source_length_profile" -> sourceLengthProfileSql,
     "q168_ngram_diversity"  -> ngramDiversitySql,
-    "q169_vocab_coverage"   -> vocabCoverageSql)
+    "q169_vocab_coverage"   -> vocabCoverageSql,
+    "q172_curated_write"    -> curatedWriteSql)
 }

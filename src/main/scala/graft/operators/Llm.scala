@@ -1003,6 +1003,31 @@ object Llm {
        |ORDER BY stage""".stripMargin
   }
 
+  /** The corpus funnel's surviving documents with their split — the
+    * exact frame q150's report counts (language -> quality -> exact
+    * dedup -> near-dup -> deterministic 80/10/10 hash split), returned
+    * as `(doc_id, split)` so a caller can MATERIALIZE the curated
+    * corpus (q172) instead of just reporting on it. The report and the
+    * written corpus cannot drift: both gate rows recompute the whole
+    * funnel independently in DuckDB. */
+  def curatedDocs(docs: DataFrame,
+                  family: Dedup.HashFamily = Dedup.Md5Minhash): DataFrame = {
+    val qual = docs.filter(col("lang") === "en")
+      .join(TextQuality.qualitySignalsOn(docs).select("doc_id", "keep"),
+        Seq("doc_id"))
+      .filter(col("keep")).select(col("doc_id"), md5(col("text")).as("th"))
+    val exact = qual.groupBy("th").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nonRep = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+          numHashes = NumHashes, bands = Bands, threshold = 0.5,
+          family = family)).labels
+      .filter(col("doc_id") =!= col("rep")).select("doc_id")
+    exact.join(nonRep, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("doc_id"), 0.8, 0.1))
+  }
+
   // ---- q158: cross-source duplicate matrix ---------------------------
   // Dedup ATTRIBUTION: near-dup pairs bucketed by the (source, source)
   // of their endpoints — the diagnostic that tells a curation team

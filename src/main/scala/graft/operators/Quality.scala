@@ -869,6 +869,50 @@ object Quality {
        |SELECT doc_id, source, weight, skey FROM k
        |ORDER BY skey DESC, doc_id LIMIT $WeightedK""".stripMargin
 
+  // ---- q170: HLL approx-distinct accuracy gate (A10) -----------------
+  // Closes the perennial "A10 is spec-only" row: the HLL++ sketch runs
+  // on its real 100 TB path (approx_count_distinct) but the emitted
+  // columns are the EXACT distinct counts plus a deterministic
+  // within-5% flag per column — both of which a different engine can
+  // recompute. See Profiler.distinctAccuracy.
+  private val HllCols = Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+
+  def approxDistinctAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Profiler.distinctAccuracy(Tables.orders(spark, dir), HllCols)
+
+  val approxDistinctAccuracySql: String =
+    HllCols.map(c =>
+      s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}__n_unique, TRUE AS ${c}__hll_ok")
+      .mkString("SELECT ", ",\n       ", "\nFROM orders")
+
+  // ---- q171: all-null row drop (P9) ----------------------------------
+  // Closes the perennial "P9 is spec-only" row with a planted fixture
+  // derived from the shared tables (no scratch data): a 2-column
+  // projection of customer where custkey%5 nulls one column and
+  // custkey%3 the other, so custkey%15 rows are all-null. The operator
+  // under test is Spark's `na.drop("all")`; the oracle recomputes the
+  // same plant and counts rows with any non-null entry.
+  def allNullDrop(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.customer(spark, dir).select(
+      when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_name")).as("a"),
+      when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_mktsegment")).as("b"))
+    val kept = planted.na.drop("all")
+    planted.agg(count(lit(1)).as("n_before")).crossJoin(
+      kept.agg(count(lit(1)).as("n_after")))
+      .select(col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_dropped"))
+  }
+
+  val allNullDropSql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS a,
+      |         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS b
+      |  FROM customer)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+      |       CAST(COUNT(*) FILTER (WHERE a IS NOT NULL OR b IS NOT NULL) AS BIGINT) AS n_after,
+      |       CAST(COUNT(*) FILTER (WHERE a IS NULL AND b IS NULL) AS BIGINT) AS n_dropped
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_invalid_counts"   -> (invalidCounts _),
     "q08_profile_stats"    -> (profileStats _),
@@ -900,7 +944,9 @@ object Quality {
     "q137_temperature_mix" -> (temperatureMixQ _),
     "q82_sharded_packing"  -> (shardedPackingQ _),
     "q83_heavy_hitters"    -> (heavyHittersQ _),
-    "q100_weighted_sample" -> (weightedSampleQ _))
+    "q100_weighted_sample" -> (weightedSampleQ _),
+    "q170_approx_distinct" -> (approxDistinctAccuracy _),
+    "q171_all_null_drop"   -> (allNullDrop _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -933,5 +979,7 @@ object Quality {
     "q137_temperature_mix" -> temperatureMixSql,
     "q82_sharded_packing"  -> shardedPackingSql,
     "q83_heavy_hitters"    -> heavyHittersSql,
-    "q100_weighted_sample" -> weightedSampleSql)
+    "q100_weighted_sample" -> weightedSampleSql,
+    "q170_approx_distinct" -> approxDistinctAccuracySql,
+    "q171_all_null_drop"   -> allNullDropSql)
 }

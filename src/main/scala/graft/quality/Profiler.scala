@@ -34,6 +34,28 @@ object Profiler {
     df.agg(d(df.columns.head), df.columns.tail.map(d): _*)
   }
 
+  /** A10 gate form: run the HLL++ sketch (the 100 TB path of
+    * `distinctCounts(approx = true)`) side-by-side with the exact count
+    * in ONE aggregation pass, and emit, per column, the exact count plus
+    * a boolean "sketch landed within `tolPct`%" flag. The sketch itself
+    * cannot hash-match a different engine's sketch, but this CAN be
+    * oracled: the exact counts are deterministic and the tolerance flag
+    * is a deterministic fact of the data (HLL++ is a deterministic
+    * algorithm — no RNG), so DuckDB asserts the exact counts and TRUE.
+    * rsd = 0.02 gives ~2% typical error; tolPct = 5 leaves margin. */
+  def distinctAccuracy(df: DataFrame, cols: Seq[String], tolPct: Int = 5): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}__n_unique"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__approx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(cols.flatMap { c =>
+      Seq(col(s"${c}__n_unique"),
+        (abs(col(s"${c}__approx") - col(s"${c}__n_unique")) * 100 <=
+          col(s"${c}__n_unique") * tolPct).as(s"${c}__hll_ok"))
+    }: _*)
+  }
+
   /** A12: value frequency distribution with a deterministic order. */
   def valueCounts(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c)).agg(count(lit(1)).as("n"))

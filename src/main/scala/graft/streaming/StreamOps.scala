@@ -72,9 +72,7 @@ object StreamOps {
     val queryName = freshName("graft_stream_", dir)
 
     val tsCol =
-      if (fileSchema("ts").dataType == LongType)
-        timestamp_micros((col("ts") / 1000L).cast(LongType))
-      else col("ts")
+      graft.Tables.tsTimestamp(fileSchema("ts").dataType)
 
     // The file-stream source wants a directory; select just the events
     // file out of the testdata dir via the glob filter.
@@ -115,9 +113,7 @@ object StreamOps {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
       val tsCol =
-        if (fileSchema("ts").dataType == LongType)
-          timestamp_micros((col("ts") / 1000L).cast(LongType))
-        else col("ts")
+        graft.Tables.tsTimestamp(fileSchema("ts").dataType)
       s.withColumn("ts_utc", tsCol)
     }
 
@@ -153,8 +149,7 @@ object StreamOps {
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = freshName("graft_state_", dir)
     val tsUs =
-      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
-      else unix_micros(col("ts"))
+      graft.Tables.tsMicros(fileSchema("ts").dataType)
 
     val updates = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -312,8 +307,7 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val tsUs =
-      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
-      else unix_micros(col("ts"))
+      graft.Tables.tsMicros(fileSchema("ts").dataType)
     val src = raw.filter(col("user_id") < 100).withColumn("ts_us", tsUs)
     sessionStatsFrom(src, queryName, gapUs).orderBy("user_id")
   }
@@ -337,8 +331,7 @@ object StreamOps {
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val queryName = freshName("graft_ss_join_", dir)
     val tsUs =
-      if (fileSchema("ts").dataType == LongType) expr("ts div 1000")
-      else unix_micros(col("ts"))
+      graft.Tables.tsMicros(fileSchema("ts").dataType)
 
     def side(eventType: String): DataFrame =
       spark.readStream.schema(fileSchema)

@@ -172,4 +172,25 @@ class CurationSpec extends SparkSpec {
     assert(got === Set(1L, 2L),
       "exactly the two docs embedding the verbatim 25-token span share windows")
   }
+
+  test("q172 curatedWrite: re-run is idempotent (epoch-sink rule)") {
+    val root = s"/tmp/graft_curated_spec_${spark.sparkContext.applicationId}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    try {
+      val packed = Curation.packedCurated(Tables.documents(spark, sf))
+        .localCheckpoint(true)
+      val v1 = Curation.writeCuratedVersion(packed, root)
+      val fp1 = Curation.curatedFingerprint(
+        Curation.readCuratedSnapshot(spark, root)).collect().toSeq
+      val v2 = Curation.writeCuratedVersion(packed, root)
+      val fp2 = Curation.curatedFingerprint(
+        Curation.readCuratedSnapshot(spark, root)).collect().toSeq
+      assert(v1 === 1 && v2 === 2, "each write lands a new manifest version")
+      assert(fp1.map(_.toSeq) === fp2.map(_.toSeq),
+        "re-running the write must reproduce the identical corpus fingerprint")
+      assert(fp1.nonEmpty && fp1.map(_.getLong(1)).sum > 0,
+        "the curated corpus is non-empty")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
