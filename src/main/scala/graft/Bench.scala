@@ -314,6 +314,15 @@ object Bench {
     def guardedBlock(times: Int): Seq[(String, Double)] =
       try block(times)
       catch { case t: Throwable => recordErr(s"x$times.block", t); Seq.empty }
+      finally {
+        // Drop every cached/localCheckpoint'd block the finished scale
+        // point pinned: the x20 block otherwise runs with the x1+x10
+        // blocks' checkpoint RDDs still resident, and the resulting
+        // GC/eviction pressure showed up as 3x rep spread on the two
+        // heaviest lanes (q150 x20 reps 47.5s -> 163.8s before this).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     val scaleBlocks: Seq[(Int, Seq[(String, Double)])] =
       if (factors.isEmpty) Seq.empty
       else (1 +: factors).map(f => f -> guardedBlock(f))

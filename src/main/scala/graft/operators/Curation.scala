@@ -549,6 +549,102 @@ object Curation {
        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q174: incremental curation == batch curation ------------------
+  // Curation as a CONTINUOUS process: at 100 TB nobody re-runs the
+  // whole funnel per arriving slice — the near-dup state (labels +
+  // band index) is standing state and each delta folds in. This row
+  // runs the funnel INCREMENTALLY on Spark — a deterministic ~20% of
+  // documents arrive as the delta against the other ~80% standing —
+  // and the DuckDB oracle recomputes the BATCH funnel over the full
+  // corpus: the gate hash-matches only if incremental == batch,
+  // document-for-document (split counts AND id-hash sums).
+  //
+  // Why equality holds (and what the gate protects): LSH signatures
+  // are per-document, so base-base candidate pairs are identical in
+  // both runs; delta pairs come from the cross-corpus band join
+  // (delta x standing, q73's shape) plus the delta self-join; and
+  // incrementalComponents' min-rep contraction law (q140) makes the
+  // folded labeling equal the from-scratch labeling over the union of
+  // pair sets. Exact-dedup folds the same way: min-per-hash of a
+  // union is the min of the two sides' mins. Any drift in any of
+  // those laws — a band key that depends on corpus composition, a
+  // rep policy that depends on arrival order — breaks this row.
+  //
+  // Scale shape: delta work is |delta| x bucket occupancy (the band
+  // join) + touched components (the contraction); the standing corpus
+  // pays nothing per round. Here both standing state builds are in
+  // the query (the gate must be self-contained), but the standing
+  // half is exactly what a production deployment persists.
+  def incrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val idHash = graft.plans.GraftFunctions.hex_window(
+      md5(col("doc_id").cast("string").cast("binary")), 0, 8)
+    val isDelta = pmod(idHash, lit(5L)) === 4
+    val base  = docs.filter(!isDelta)
+    val delta = docs.filter(isDelta)
+    // standing near-dup state: labels over the base corpus's pairs
+    val baseLabels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(base, "doc_id", "text", n = 3,
+        numHashes = 12, bands = 4, threshold = 0.5)).labels
+    // the arriving slice's edges: delta-vs-standing + delta-vs-delta
+    val deltaPairs = Dedup.minhashLshPairsAgainst(delta, base,
+        "doc_id", "text", n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .unionAll(Dedup.minhashLshPairs(delta, "doc_id", "text", n = 3,
+        numHashes = 12, bands = 4, threshold = 0.5).select("doc_a", "doc_b"))
+    val labels = Dedup.incrementalComponents(baseLabels, deltaPairs)
+    val nonRep = labels.filter(col("doc_id") =!= col("rep")).select("doc_id")
+    // lang/quality/exact-dedup stages, folded per side then merged
+    // (min-per-hash of a union == min of the sides' mins)
+    def exactMin(side: DataFrame): DataFrame = side
+      .filter(col("lang") === "en")
+      .join(TextQuality.qualitySignalsOn(docs).select("doc_id", "keep"),
+        Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+    val exact = exactMin(base).unionAll(exactMin(delta))
+      .groupBy("th").agg(min("doc_id").as("doc_id")).select("doc_id")
+    exact.join(nonRep, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        graft.functions.Sampling.hashSplit(col("doc_id"), 0.8, 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(idHash).as("id_hash_sum"))
+      .orderBy("split")
+  }
+
+  /** The BATCH funnel per split — shares every CTE with q172's oracle
+    * up to the survivor set; matching it is the incremental==batch law. */
+  val incrementalCurationSql: String = {
+    val t1 = (0.8 * 4294967296.0).toLong
+    val t2 = (0.9 * 4294967296.0).toLong
+    s"""WITH RECURSIVE pairs AS (${Llm.minhashLshSql}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY 1),
+       |sig AS (SELECT doc_id, keep FROM (${TextQuality.qualitySignalsSubquery}) q),
+       |en AS (SELECT d.doc_id, d.text FROM documents d JOIN sig USING (doc_id)
+       |       WHERE d.lang = 'en' AND sig.keep),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+       |nr AS (SELECT e.doc_id FROM ex e
+       |       LEFT JOIN (SELECT doc_id FROM labels WHERE doc_id <> rep) nn
+       |         USING (doc_id)
+       |       WHERE nn.doc_id IS NULL),
+       |spl AS (SELECT CASE WHEN h < $t1 THEN 'train'
+       |               WHEN h < $t2 THEN 'val' ELSE 'test' END AS split, h
+       |        FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |              FROM nr))
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(h) AS BIGINT) AS id_hash_sum
+       |FROM spl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_shared_substring" -> (sharedSubstring _),
     "q163_ngram_overlap"    -> (ngramOverlap _),
@@ -557,7 +653,8 @@ object Curation {
     "q167_source_length_profile" -> (sourceLengthProfile _),
     "q168_ngram_diversity"  -> (ngramDiversity _),
     "q169_vocab_coverage"   -> (vocabCoverage _),
-    "q172_curated_write"    -> (curatedWrite _))
+    "q172_curated_write"    -> (curatedWrite _),
+    "q174_incremental_curation" -> (incrementalCuration _))
 
   val oracles: Map[String, String] = Map(
     "q162_shared_substring" -> sharedSubstringSql,
@@ -567,5 +664,6 @@ object Curation {
     "q167_source_length_profile" -> sourceLengthProfileSql,
     "q168_ngram_diversity"  -> ngramDiversitySql,
     "q169_vocab_coverage"   -> vocabCoverageSql,
-    "q172_curated_write"    -> curatedWriteSql)
+    "q172_curated_write"    -> curatedWriteSql,
+    "q174_incremental_curation" -> incrementalCurationSql)
 }

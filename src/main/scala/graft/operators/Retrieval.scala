@@ -280,6 +280,60 @@ object Retrieval {
       |       CAST((tokens * 1000) // total_tokens AS BIGINT) AS share_pm
       |FROM g, tot ORDER BY lang, source""".stripMargin
 
+  // ---- q173: BM25 top-k (integer-exact Okapi) ------------------------
+  // The industry-standard lexical ranker, in the same integer-exact
+  // discipline as q112's tf-idf: BM25(k1=1.2, b=0.75) has score_t =
+  // idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)). With avgdl = T/N
+  // (T total tokens, N docs), multiplying numerator and denominator by
+  // 20·T clears every fractional constant EXACTLY:
+  //   score_t = (44·T·tf·idf) div (20·T·tf + 6·T + 18·dl·N)
+  // (1.2·20=24 → 24·(T/4)=6T; 24·(3/4)·dl·N=18·dl·N; 2.2·20=44), so
+  // both engines rank by identical BIGINT arithmetic — no float idf,
+  // no last-ulp tie flips. idf keeps q112's (N·1000) div df channel.
+  // Magnitude bound: 44·T·tf·idf ≤ 44·T·tf·1000·N/df — for the fixed
+  // common query terms (df ~ N) this is ~4.4e4·T·tf, far inside int64
+  // at any sf here; a rare-term caller would rescale.
+  //
+  // Shape at scale: the posting filter prunes to the query terms
+  // before any shuffle; df/N/T frames are tiny and broadcast; dl is a
+  // corpus-keyed aggregate joined once; top-k is TakeOrderedAndProject.
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = toks(docs).localCheckpoint(true) // feeds dl, T, and postings
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qt = t.filter(col("token").isin(Terms: _*))
+      .localCheckpoint(true) // feeds tf AND df
+    val tf = qt.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = qt.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tot = t.agg(count(lit(1)).as("t_tokens"))
+    tf.join(broadcast(dfq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+      .withColumn("idf", expr("(n_docs * 1000) div df"))
+      .withColumn("s", expr(
+        "(44 * t_tokens * tf * idf) div " +
+          "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH $TokCte,
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |t AS (SELECT doc_id, token FROM tok WHERE token IN ('spark','table','hash')),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |tot AS (SELECT COUNT(*) AS t_tokens FROM tok),
+       |s AS (SELECT tf.doc_id,
+       |        (44 * t_tokens * tf * ((n_docs * 1000) // df)) //
+       |          (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs) AS s
+       |      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id, n, tot)
+       |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+       |FROM s GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_group_filter"      -> (groupFilter _),
     "q112_term_retrieval"    -> (termRetrieval _),
@@ -287,7 +341,8 @@ object Retrieval {
     "q114_posting_stats"     -> (postingStats _),
     "q115_majority_vote"     -> (majorityVote _),
     "q116_composition"       -> (composition _),
-    "q123_doc_similarity"    -> (docSimilarity _))
+    "q123_doc_similarity"    -> (docSimilarity _),
+    "q173_bm25_topk"         -> (bm25TopK _))
 
   val oracles: Map[String, String] = Map(
     "q111_group_filter"      -> groupFilterSql,
@@ -296,5 +351,6 @@ object Retrieval {
     "q114_posting_stats"     -> postingStatsSql,
     "q115_majority_vote"     -> majorityVoteSql,
     "q116_composition"       -> compositionSql,
-    "q123_doc_similarity"    -> docSimilaritySql)
+    "q123_doc_similarity"    -> docSimilaritySql,
+    "q173_bm25_topk"         -> bm25TopKSql)
 }

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Regenerate the PLANS.md scale-ratio table from BENCH_DETAIL.json.
+
+Round-7 VERDICT item 6: the PLANS.md table must match the measured
+artifact to 2 decimals, machine-generated rather than hand-transcribed.
+
+Usage: python3 tools/plans_table.py [BENCH_DETAIL.json]
+Prints the markdown table (one row per scale lane, sorted by the
+largest-factor ratio ascending — design-evidence lanes first).
+"""
+import json, sys
+
+def main(path):
+    d = json.load(open(path))
+    sc = d.get("scale") or {}
+    factors = sc.get("factors") or []
+    if not factors:
+        print("no scale block in", path); return 1
+    x1 = sc.get("x1") or {}
+    cols = [f"x{f}" for f in factors]
+    lanes = [k for k in x1 if all(k in (sc.get(c) or {}) for c in cols)]
+    rows = []
+    for lane in lanes:
+        base = x1[lane]
+        ratios = [((sc[c][lane] / base) if base > 0 else float("nan"))
+                  for c in cols]
+        rows.append((lane, base, ratios))
+    rows.sort(key=lambda r: r[2][-1])
+    hdr = "| lane | x1 sec | " + " | ".join(
+        f"x{f} ratio" for f in factors) + " |"
+    print(hdr)
+    print("|" + "---|" * (2 + len(factors)))
+    for lane, base, ratios in rows:
+        print(f"| {lane} | {base:.2f} | " +
+              " | ".join(f"{r:.2f}" for r in ratios) + " |")
+    missing = [k for k in set().union(*(sc.get(c, {}) for c in cols))
+               if k not in lanes] if cols else []
+    if missing:
+        print()
+        print("lanes missing a scale point (see errors in the artifact): " +
+              ", ".join(sorted(missing)))
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"))
