@@ -915,7 +915,7 @@ object Advanced {
   // ORC, so fidelity through the format IS the check (the xlsx
   // twin-source pattern). Doubles pass through ORC bit-exactly; sums
   // go through decimal per the determinism contract.
-  private lazy val OrcDir = s"${sys.props("user.dir")}/target/orc_wh"
+  private lazy val OrcDir = graft.Scratch.dir("orc_wh")
 
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).filter(col("l_orderkey") < 2000)

@@ -368,7 +368,7 @@ object Llm {
     import graft.streaming.StreamOps
     val docs = Tables.documents(spark, dir)
     val tag = math.abs(dir.hashCode).toString
-    val idxPath = s"${sys.props("user.dir")}/target/incc_idx_$tag"
+    val idxPath = graft.Scratch.dir(s"incc_idx_$tag")
     val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -1190,7 +1190,7 @@ object Llm {
     import graft.streaming.StreamOps
     val docs = Tables.documents(spark, dir)
     val tag = math.abs(dir.hashCode).toString
-    val idxPath = s"${sys.props("user.dir")}/target/xcorpus_idx_$tag"
+    val idxPath = graft.Scratch.dir(s"xcorpus_idx_$tag")
     StreamOps.writeNearDupIndex(docs.filter(col("doc_id") < 250),
       "doc_id", "text", idxPath, n = 3, numHashes = NumHashes, bands = Bands)
     val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -1463,8 +1463,8 @@ object Llm {
     val centroids = c.orderBy("vec_id").limit(16)
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
       .localCheckpoint(true)
-    val path = s"${sys.props("user.dir")}/target/ivf_layout_q76_" +
-      math.abs(dir.hashCode).toString
+    val path = graft.Scratch.dir(
+      "ivf_layout_q76_" + math.abs(dir.hashCode).toString)
     graft.sources.Warehouse.writeIvfLayout(
       Similarity.ivfAssign(c, centroids), path)
     Similarity.ivfTopKFromLayout(spark, path,
@@ -1518,8 +1518,8 @@ object Llm {
     val centroids = cBase.orderBy("vec_id").limit(16)
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
       .localCheckpoint(true)
-    val path = s"${sys.props("user.dir")}/target/ivf_append_q142_" +
-      math.abs(dir.hashCode).toString
+    val path = graft.Scratch.dir(
+      "ivf_append_q142_" + math.abs(dir.hashCode).toString)
     graft.sources.Warehouse.writeIvfLayout(
       Similarity.ivfAssign(cBase, centroids), path)
     graft.sources.Warehouse.appendIvfLayout(
