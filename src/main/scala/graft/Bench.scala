@@ -208,7 +208,12 @@ object Bench {
                       org.apache.spark.sql.DataFrame) = null
       var nProbe = -1
       val ok = () => true
-      def lane(name: String, reps: Int = 2, prep: () => Boolean = ok)(
+      // Default reps = 3 for EVERY lane since round 8: the 2-rep lanes
+      // kept losing to host-interference windows that swallowed both
+      // reps (round 7: driver q24/q29/q148; round 8 builder runs: both
+      // IVF reps of one x20 block). Three interleaved reps means a
+      // lane's min survives any single bad window.
+      def lane(name: String, reps: Int = 3, prep: () => Boolean = ok)(
           run: => Unit): Option[(String, Int, () => Boolean, () => Unit)] =
         Some((name, reps, prep, () => run))
       val lanes = Seq(
