@@ -498,6 +498,10 @@ object Curation {
     try {
       val packed = packedCurated(Tables.documents(spark, dir))
         .localCheckpoint(true) // funnel runs once; both writes reuse it
+      // an all-filtered corpus writes no data files, so the snapshot
+      // read would have no paths to plan — fingerprint the (empty)
+      // packed frame directly instead of NPE-ing on an empty manifest
+      if (packed.head(1).isEmpty) return curatedFingerprint(packed)
       writeCuratedVersion(packed, root)
       writeCuratedVersion(packed, root) // idempotent re-run
       curatedFingerprint(readCuratedSnapshot(spark, root))

@@ -59,4 +59,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(Temporal.rollingActiveUsers(spark, sf).count() > 0L)
     assert(Pipeline.iqrTrim(spark, sf).count() === 1L)
   }
+
+  private lazy val emptyDocsSf: String = {
+    val dir = Files.createTempDirectory("graft_empty_docs_sf").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath
+    spark.read.parquet(s"$sf/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$p/documents.parquet")
+    p
+  }
+
+  test("curatedWrite: empty corpus -> empty fingerprint, no write-path NPE") {
+    val out = graft.operators.Curation.curatedWrite(spark, emptyDocsSf)
+    assert(out.columns.toSeq ===
+      Seq("split", "n_docs", "n_tokens", "id_hash_sum", "n_packs"))
+    assert(out.count() === 0L)
+  }
+
+  test("incrementalCuration: empty corpus -> empty frame, stable schema") {
+    val out = graft.operators.Curation.incrementalCuration(spark, emptyDocsSf)
+    assert(out.columns.toSeq === Seq("split", "n_docs", "id_hash_sum"))
+    assert(out.count() === 0L)
+  }
 }
