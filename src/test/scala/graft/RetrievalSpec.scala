@@ -127,4 +127,30 @@ class RetrievalSpec extends SparkSpec {
     val pmSum = rows.map(_._5).sum
     assert(pmSum <= 1000 && pmSum >= 1000 - rows.length)
   }
+
+  test("q173 bm25TopK: re-derived brute-force from raw text (BigInt math)") {
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        raw"[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val terms = Seq("spark", "table", "hash")
+    val n = BigInt(corpus.length)
+    val t = BigInt(corpus.map(_._2.length.toLong).sum)
+    val df = terms.map(w =>
+      w -> BigInt(corpus.count(_._2.contains(w)))).toMap
+    val want = corpus.flatMap { case (id, toks) =>
+      val dl = BigInt(toks.length)
+      val s = terms.map { w =>
+        val tf = BigInt(toks.count(_ == w))
+        if (tf == 0) BigInt(0)
+        else {
+          val idf = (n * 1000) / df(w)
+          (44 * t * tf * idf) / (20 * t * tf + 6 * t + 18 * dl * n)
+        }
+      }.sum
+      if (s > 0) Some(id -> s.toLong) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === want, "BM25 scores and order re-derive exactly")
+  }
 }
