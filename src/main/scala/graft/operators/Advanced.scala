@@ -978,8 +978,51 @@ object Advanced {
     """SELECT event_type, COUNT(*) AS n FROM events
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---- q175: zone-map statistics over a partitioned layout -----------
+  // The ANALYZE step of a lakehouse writer: after laying a table out
+  // by a key, collect per-FILE min/max/count "zone maps" — the
+  // metadata a scan planner consults to skip files whose [min,max]
+  // can't match a predicate (at 100 TB these come free from parquet
+  // footers; computing them from the data here cross-checks that the
+  // layout actually delivered disjoint key ranges worth pruning on).
+  // The layout is deterministic (bucket = o_orderkey % 4, one file per
+  // bucket via repartition-on-bucket), so the DuckDB oracle recomputes
+  // every file's stats FROM THE SOURCE TABLE without touching the
+  // scratch path — the write+scan round trip is under the hash, the
+  // oracle stays scratch-free (the q147 derive-from-source rule).
+  def zoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_zone_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    try {
+      Tables.orders(spark, dir)
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+        .repartition(4, col("bucket")) // each bucket => exactly one file
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      spark.read.parquet(root)
+        .groupBy(regexp_extract(input_file_name(), "(bucket=\\d+)", 1)
+          .as("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          min(col("o_orderdate").cast("date")).as("min_date"),
+          max(col("o_orderdate").cast("date")).as("max_date"))
+        .orderBy("part")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val zoneMapsSql: String =
+    """SELECT 'bucket=' || CAST(o_orderkey % 4 AS VARCHAR) AS part,
+      |       COUNT(*) AS n_rows,
+      |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |       CAST(MIN(o_orderdate) AS DATE) AS min_date,
+      |       CAST(MAX(o_orderdate) AS DATE) AS max_date
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sql_runner"        -> (sqlRunner _),
+    "q175_zone_maps"        -> (zoneMaps _),
     "q27_stream_hourly"     -> (streamHourly _),
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
@@ -1016,6 +1059,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
+    "q175_zone_maps"        -> zoneMapsSql,
     "q27_stream_hourly"     -> streamHourlySql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
