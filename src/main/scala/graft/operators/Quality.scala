@@ -885,6 +885,45 @@ object Quality {
       s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}__n_unique, TRUE AS ${c}__hll_ok")
       .mkString("SELECT ", ",\n       ", "\nFROM orders")
 
+  // ---- q176: approx-percentile accuracy gate (the q170 pattern) ------
+  // The other sketch a 100 TB profiler actually runs: approx_percentile
+  // (Greenwald-Khanna) beside the EXACT nearest-rank value (q164's
+  // integer rank rule on integer cents — no interpolation floats).
+  // Emitted: the exact value per percentile plus a deterministic
+  // within-2% flag for the sketch at accuracy=10000; DuckDB recomputes
+  // the exact values and asserts TRUE — same contract as the q170 HLL
+  // gate, closing the "sketch lanes can't be oracled" gap for the
+  // second sketch family.
+  private val PctProbs = Seq(50, 90, 99)
+
+  def approxPercentileAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (ranked, n) =
+      graft.functions.Ranking.globalRowNumberWithCount(cents, Seq("cents"), "rn")
+    val targets = PctProbs.zipWithIndex
+      .map { case (p, i) => (p, math.max(1L, (p * n + 99L) / 100L), i + 1) }
+      .toDF("p_pct", "rn", "idx")
+    val approx = cents.agg(
+      expr("approx_percentile(cents, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"))
+    ranked.join(broadcast(targets), "rn")
+      .crossJoin(broadcast(approx)) // 1-row sketch dim
+      .select(col("p_pct"), col("cents").as("exact_cents"),
+        (abs(element_at(col("ap"), col("idx")) - col("cents")) * 100 <=
+          col("cents") * 2).as("gk_ok"))
+      .orderBy("p_pct")
+  }
+
+  val approxPercentileAccuracySql: String =
+    """WITH t AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      |           FROM lineitem),
+      |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+      |             COUNT(*) OVER () AS n FROM t)
+      |SELECT p_pct, cents AS exact_cents, TRUE AS gk_ok
+      |FROM r, (VALUES (50), (90), (99)) q(p_pct)
+      |WHERE rn = greatest(1, (p_pct * n + 99) // 100) ORDER BY 1""".stripMargin
+
   // ---- q171: all-null row drop (P9) ----------------------------------
   // Closes the perennial "P9 is spec-only" row with a planted fixture
   // derived from the shared tables (no scratch data): a 2-column
@@ -946,7 +985,8 @@ object Quality {
     "q83_heavy_hitters"    -> (heavyHittersQ _),
     "q100_weighted_sample" -> (weightedSampleQ _),
     "q170_approx_distinct" -> (approxDistinctAccuracy _),
-    "q171_all_null_drop"   -> (allNullDrop _))
+    "q171_all_null_drop"   -> (allNullDrop _),
+    "q176_approx_percentile" -> (approxPercentileAccuracy _))
 
   val oracles: Map[String, String] = Map(
     "q07_invalid_counts"   -> invalidCountsSql,
@@ -981,5 +1021,6 @@ object Quality {
     "q83_heavy_hitters"    -> heavyHittersSql,
     "q100_weighted_sample" -> weightedSampleSql,
     "q170_approx_distinct" -> approxDistinctAccuracySql,
-    "q171_all_null_drop"   -> allNullDropSql)
+    "q171_all_null_drop"   -> allNullDropSql,
+    "q176_approx_percentile" -> approxPercentileAccuracySql)
 }
