@@ -38,6 +38,16 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    // Any async trace must land on STDERR: round 8's driver record lost
+    // the compact JSON line because a JVM-shutdown RejectedExecutionException
+    // stack trace (a Promise continuation completing on a Spark daemon pool
+    // that spark.stop() had already shut down) printed after it and evicted
+    // it from the driver's ~2000-char stdout-tail capture. Scala Promise
+    // chains report a rejected continuation through the thread's uncaught
+    // handler; route every such report to stderr explicitly so stdout stays
+    // reserved for the one JSON line (printed LAST, below, after stop()).
+    Thread.setDefaultUncaughtExceptionHandler(
+      (_: Thread, e: Throwable) => e.printStackTrace(System.err))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -61,6 +71,15 @@ object Bench {
     // the q40 x20 lane was inside the noise band but unprovably so).
     // Lives in the DETAIL file only, never the stdout line.
     val repLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // SUCCESSFUL-rep durations only, same keys as repLog. Lane minimums are
+    // computed over THIS map, never repLog: a rep whose run() threw records
+    // a near-zero duration (analysis errors fail in milliseconds), and a
+    // min taken over all attempted reps would report the failure's duration
+    // as the lane time — fabricating exactly the sublinear scale ratio the
+    // bench exists to disprove. repLog still keeps every attempted rep so
+    // the spread (and the failure's fast wall-time) stays a visible
+    // artifact in the detail file.
+    val successLog = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
         // strip EVERY control char (exception messages can embed raw
@@ -91,14 +110,19 @@ object Bench {
     // state. Every repetition runs the FULL query (no cross-run
     // caching: each call builds its own plan and the minhash index
     // checkpoint is per-call).
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = headline.filter(SparkEntry.queries.contains).flatMap { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case t: Throwable => recordErr(name, t) }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { force(name); true }
+          catch { case t: Throwable => recordErr(name, t); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) successLog(name) = successLog.getOrElse(name, Vector.empty) :+ dt
+        dt
       }
       repLog(name) = times
-      name -> times.min
+      // min over SUCCESSFUL reps only; a lane with zero successes is
+      // omitted (its failure story lives in `errors`)
+      successLog.get(name).map(s => name -> s.min)
     }
     val total = results.map(_._2).sum
 
@@ -207,6 +231,8 @@ object Bench {
       var probeArgs: (org.apache.spark.sql.DataFrame,
                       org.apache.spark.sql.DataFrame) = null
       var nProbe = -1
+      // record the build-failed skip ONCE, not once per vetoed rep
+      var probeSkipLogged = false
       val ok = () => true
       // Default reps = 3 for EVERY lane since round 8: the 2-rep lanes
       // kept losing to host-interference windows that swallowed both
@@ -276,8 +302,11 @@ object Bench {
         },
         lane("q34_ivf_probe", prep = () => {
           if (probeArgs == null) {
-            recordErr(s"x$times.q34_ivf_probe",
-              new IllegalStateException("skipped: q34_ivf_build failed"))
+            if (!probeSkipLogged) {
+              probeSkipLogged = true
+              recordErr(s"x$times.q34_ivf_probe",
+                new IllegalStateException("skipped: q34_ivf_build failed"))
+            }
             false
           } else {
             if (nProbe < 0)
@@ -294,24 +323,28 @@ object Bench {
       // of any lane
       val repTimes =
         scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-      val failures =
-        scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      val succTimes =
+        scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
       val maxReps = lanes.map(_._2).max
       for (r <- 0 until maxReps; (name, reps, prep, run) <- lanes if r < reps)
         if (prep()) {
           val t0 = System.nanoTime()
-          try run() catch { case t: Throwable =>
-            recordErr(s"x$times.$name", t); failures(name) += 1 }
-          repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+
-            (System.nanoTime() - t0) / 1e9
+          val okRep = try { run(); true } catch { case t: Throwable =>
+            recordErr(s"x$times.$name", t); false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+ dt
+          if (okRep)
+            succTimes(name) = succTimes.getOrElse(name, Vector.empty) :+ dt
         }
       repTimes.foreach { case (n, ts) => repLog(s"x$times.$n") = ts }
-      // a lane whose every attempted rep threw is omitted (its failure
-      // story lives in `errors`) — the duration of a failure is not a
-      // timing
-      repTimes.toSeq.collect {
-        case (n, ts) if failures(n) < ts.size => n -> ts.min
-      }
+      succTimes.foreach { case (n, ts) => successLog(s"x$times.$n") = ts }
+      // a lane's min is taken over SUCCESSFUL reps only — a rep that
+      // fails fast (e.g. analysis error in milliseconds) must not
+      // become the lane's reported time, which would fabricate a
+      // sublinear ratio. A lane with zero successes is omitted (its
+      // failure story lives in `errors`); every attempted duration
+      // stays in repLog for the spread artifact.
+      succTimes.toSeq.map { case (n, ts) => n -> ts.min }
     }
     // A scale point that dies during frame CONSTRUCTION (before any
     // timed() guard exists) must not abort the bench and lose the
@@ -331,6 +364,19 @@ object Bench {
     val scaleBlocks: Seq[(Int, Seq[(String, Double)])] =
       if (factors.isEmpty) Seq.empty
       else (1 +: factors).map(f => f -> guardedBlock(f))
+
+    // Host-interference detector (round 8: a 47 s third rep on a 1 s
+    // lane slid past min-of-reps silently, and q150's x20 ratio drifted
+    // 3.68x -> 4.78x between runs). A lane whose SUCCESSFUL reps spread
+    // more than 5x max/min ran through an interference window — its min
+    // is still the best steady-state estimate, but the artifact must say
+    // the run was noisy instead of hiding it. The 0.2 s floor keeps
+    // sub-noise lanes (where scheduler jitter alone flips small ratios)
+    // out of the list; the judge's concern is multi-second interference.
+    val spreadWarnings: Seq[(String, Double)] = successLog.toSeq.collect {
+      case (k, ts) if ts.size >= 2 && ts.min > 0.2 && ts.max / ts.min > 5.0 =>
+        k -> ts.max / ts.min
+    }
 
     // ---- JSON assembly -------------------------------------------------
     def obj(kvs: Iterable[String]): String = kvs.mkString("{", ",", "}")
@@ -380,8 +426,9 @@ object Bench {
         s""","scale":{"factors":$fAll,"sec":${obj(laneJson)}}"""
       }
 
+    val spreadJson = obj(spreadWarnings.map { case (k, r) => kvNum(k, r, 2) })
     val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -393,8 +440,39 @@ object Bench {
       .map(k => "\"" + k + "\"").mkString("[", ",", "]")
     val errCompact =
       s""""errors_n":${errors.size},"error_keys":${if (errKeys.length <= 300) errKeys else "[]"}"""
+    val spreadKeys = spreadWarnings.map(_._1).take(8)
+      .map(k => "\"" + k + "\"").mkString("[", ",", "]")
+    val spreadCompact =
+      s""""rep_spread_warnings":${if (spreadKeys.length <= 300) spreadKeys else "[]"}"""
 
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$scaleCompact}""")
-    spark.stop()
+    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$scaleCompact}"""
+
+    // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
+    // The compact line must be the LAST thing on stdout: the driver
+    // captures only the ~2000-char tail and parses the last JSON line in
+    // it. Round 8 printed the line BEFORE spark.stop(), and a shutdown
+    // race (a Promise continuation landing on an already-shutting-down
+    // daemon pool -> RejectedExecutionException stack trace) printed
+    // after it and evicted it from the tail window. So: (1) quiesce —
+    // run one trivial synchronous job so the DAG scheduler has zero
+    // in-flight work, then give the listener-bus/AQE promise chains a
+    // moment to drain their completions while their pools are still
+    // alive; (2) stop() inside try/catch (a stop-time throw must not
+    // lose the measured numbers); (3) print the line in the finally,
+    // AFTER stop, with a short grace so any merged-stream trace flushed
+    // during stop lands before it.
+    try {
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      catch { case _: Throwable => () }
+      Thread.sleep(2000)
+      spark.stop()
+    } catch { case t: Throwable => t.printStackTrace(System.err) }
+    finally {
+      Thread.sleep(500)
+      System.err.flush()
+      System.out.flush()
+      println(compactLine)
+      System.out.flush()
+    }
   }
 }

@@ -3,7 +3,7 @@
 #
 # Launches TWO independent Verify JVMs at the same instant over the SAME
 # sfDir, each writing to its own outDir, then oracle-checks both dumps.
-# This exercises the applicationId-unique scratch paths (IVF layouts,
+# This exercises the pid-keyed scratch paths (Scratch.dir: IVF layouts,
 # manifest warehouses, epoch sinks, the q172 curated corpus, ...): if any
 # two operators collided on /tmp scratch, one session's files would be
 # clobbered mid-write and its gate row would fail the oracle compare.
