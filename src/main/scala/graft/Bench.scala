@@ -193,6 +193,14 @@ object Bench {
         try ScaleBench.pageRankEdges(spark, sfDir, times)
         catch { case t: Throwable =>
           recordErr(s"x$times.q146_pagerank", t); null }
+      // q179: the bucketed edge layout, built untimed (it is the
+      // standing table a graph pipeline maintains); the lane times only
+      // the read-in-place rounds. Dropped after the rep loop.
+      val prLayout =
+        if (prEdges == null) null
+        else try ScaleBench.pageRankBucketedLayout(spark, prEdges, times)
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q179_pagerank_bucketed", t); null }
       val warmPath = s"${sys.props("user.dir")}/target/bench_ivf_warm"
       try {
         noop(ScaleBench.minhashPairs(docs.limit(64)))
@@ -202,6 +210,7 @@ object Bench {
         noop(graft.operators.Dedup.incrementalComponents(
           ScaleBench.ccLabels(docs.limit(64)),
           ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
+        noop(ScaleBench.chainCc(docs.limit(64)))
         noop(ScaleBench.lineDedup(docs.limit(64)))
         noop(ScaleBench.sharedSubstring(docs.limit(64)))
         noop(ScaleBench.vocab(docs.limit(64)))
@@ -256,6 +265,10 @@ object Bench {
           lane("q140_incremental_cc", reps = 3)(
             noop(graft.operators.Dedup.incrementalComponents(ccLab, ccNew)))
         else None,
+        // planted deep-chain CC (q177): component diameter grows with
+        // the factor, so this lane is the adaptive default's log-round
+        // escalation under load — propagation would scale quadratically
+        lane("q177_chain_cc")(noop(ScaleBench.chainCc(docs))),
         lane("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
         // exact-substring dedup (q162, xxhash64 lane): the heaviest
         // round-8 linear-pass shape — one window explode (~tokens per
@@ -278,6 +291,10 @@ object Bench {
         // single-partition exchange)
         if (prEdges != null)
           lane("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
+        else None,
+        if (prLayout != null)
+          lane("q179_pagerank_bucketed")(
+            noop(ScaleBench.pageRankBucketed(spark, prLayout)))
         else None,
         lane("q155_budget_cumsum")(noop(ScaleBench.budgetCumsum(docs))),
         lane("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
@@ -336,6 +353,9 @@ object Bench {
           if (okRep)
             succTimes(name) = succTimes.getOrElse(name, Vector.empty) :+ dt
         }
+      if (prLayout != null)
+        try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
+        catch { case _: Throwable => () }
       repTimes.foreach { case (n, ts) => repLog(s"x$times.$n") = ts }
       succTimes.foreach { case (n, ts) => successLog(s"x$times.$n") = ts }
       // a lane's min is taken over SUCCESSFUL reps only — a rep that

@@ -183,6 +183,25 @@ object ScaleBench {
   def clusters(docs: DataFrame): DataFrame =
     Dedup.dedupClusters(minhashPairs(docs))
 
+  /** q177's planted deep-chain CC at replicated scale: chain
+    * consecutive doc_ids within each of 16 residue groups, so the
+    * component DIAMETER grows linearly with the replication factor
+    * (~312 at x1/sf0.1, ~6250 at x20). Min-label propagation is
+    * O(diameter) rounds — a 20x-deeper chain would cost ~400x more
+    * join-rounds-times-edges work; the adaptive default's star
+    * contraction pays O(log diameter) rounds of O(edges) work, so the
+    * lane's x1/x20 time ratio should track N·logN, not N². */
+  def chainCc(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    val pairs = docs.select(col("doc_id"))
+      .withColumn("grp", pmod(col("doc_id"), lit(16L)))
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+    Dedup.componentsAdaptive(pairs).labels
+  }
+
   /** Standing labeling for the q140 incremental-CC scale entry — the
     * petabyte-derived state a continuous-dedup pipeline maintains. Built
     * UNTIMED (it is the operator's input, not the operator) and
@@ -246,6 +265,21 @@ object ScaleBench {
     * checkpointed per round). */
   def pageRank(edges: DataFrame): DataFrame =
     graft.operators.Graph.pageRankOn(edges)
+
+  /** q179's operating point: build the bucketed edge layout ONCE per
+    * factor (off the clock — it is the standing table a 100 TB graph
+    * pipeline maintains), then time the same fixed-round iteration
+    * reading it in place. 32 buckets = the local[32] analog of
+    * bucket-per-executor; the timed rounds never exchange the O(E)
+    * edge table, so this lane's x1/xN curve is the zero-edge-exchange
+    * variant the unbucketed q146 lane is compared against. */
+  def pageRankBucketedLayout(spark: SparkSession, edges: DataFrame,
+                             times: Int): String =
+    graft.operators.Graph.pageRankEdgeLayout(spark, edges,
+      buckets = 32, suffix = s"_x$times")
+
+  def pageRankBucketed(spark: SparkSession, table: String): DataFrame =
+    graft.operators.Graph.pageRankOnBucketed(spark, table)
 
   /** q155's operating point over the replicated corpus: score every
     * document (tokenCount + qualityScore — one codegen'd pass), then

@@ -588,7 +588,7 @@ object Curation {
     val base  = docs.filter(!isDelta)
     val delta = docs.filter(isDelta)
     // standing near-dup state: labels over the base corpus's pairs
-    val baseLabels = Dedup.connectedComponents(
+    val baseLabels = Dedup.componentsAdaptive(
       Dedup.minhashLshPairs(base, "doc_id", "text", n = 3,
         numHashes = 12, bands = 4, threshold = 0.5)).labels
     // the arriving slice's edges: delta-vs-standing + delta-vs-delta

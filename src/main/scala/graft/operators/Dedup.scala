@@ -465,6 +465,40 @@ object Dedup {
     Components(labels, i, changed == 0L)
   }
 
+  /** THE default connected-components entry point: min-label
+    * propagation with a bounded round budget, ESCALATING to
+    * [[starContractComponents]] the moment the budget is exhausted
+    * without convergence.
+    *
+    * Rationale: propagation costs one join + one map-side-combinable
+    * min-agg per round but needs DIAMETER rounds; star contraction
+    * converges in O(log D) rounds but each half-round rewrites the
+    * edge set (two joins + two distincts). Near-dup clusters — the
+    * dominant input shape — have diameter 2-4, so propagation wins
+    * there; sliding near-dup CHAINS (window-hash dedup, sessionized
+    * streams) have diameter ~ chain length and would need thousands of
+    * propagation rounds at corpus scale. `propBudget` IS the
+    * component-diameter threshold: any component still unmerged after
+    * `propBudget` rounds has diameter > propBudget, and exactly those
+    * inputs switch to the log-round algorithm. The escalation is
+    * label-exact: both algorithms emit rep = min id of the component
+    * (ClusterSpec + PropertySpec pin label identity on random graphs
+    * and a planted path where the diameter bites), so which one ran is
+    * unobservable in the output.
+    *
+    * `iterations` reports propagation rounds + star rounds actually
+    * executed, so the round-count saving on deep graphs is a recorded
+    * artifact, not a claim. */
+  def componentsAdaptive(pairs: DataFrame, propBudget: Int = 6,
+                         starMaxIter: Int = 30): Components = {
+    val prop = connectedComponents(pairs, propBudget)
+    if (prop.converged) prop
+    else {
+      val star = starContractComponents(pairs, starMaxIter)
+      Components(star.labels, prop.iterations + star.iterations, star.converged)
+    }
+  }
+
   /** Incremental connected-components maintenance: fold a batch of NEW
     * pairs into an existing (doc_id, rep) labeling without recomputing
     * from scratch — the continuous-dedup-ingest shape at 100 TB, where
@@ -605,18 +639,17 @@ object Dedup {
     * with its canonical member (lowest doc_id) and size — the dedup
     * endgame (keep the canonical, drop the rest).
     *
-    * Uses min-label propagation and LOGS A WARNING when maxIter was
-    * hit before convergence (labels may be partially merged); callers
-    * needing a hard guarantee on deep chains use
-    * [[starContractComponents]] and shape with [[clustersFromLabels]]. */
+    * Runs [[componentsAdaptive]]: propagation for shallow clusters,
+    * automatic escalation to log-round star contraction when a deep
+    * component exhausts the propagation budget, so a pathological
+    * chain can no longer return partially-merged clusters. The warning
+    * survives only for the (star also truncated) case. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val cc = connectedComponents(pairs, maxIter)
+    val cc = componentsAdaptive(pairs, propBudget = math.min(maxIter, 6))
     if (!cc.converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedupClusters: label propagation hit maxIter=$maxIter without " +
-          "converging — a component's diameter exceeds the budget and its " +
-          "labels are PARTIALLY MERGED; rerun with a higher maxIter or use " +
-          "starContractComponents")
+        s"dedupClusters: star contraction hit its round budget without " +
+          "converging — labels may be PARTIALLY MERGED")
     clustersFromLabels(cc.labels)
   }
 
@@ -669,7 +702,7 @@ object Dedup {
     * bucketed-candidates shape end to end. */
   def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
-    val labels = connectedComponents(pairs, maxIter).labels
+    val labels = componentsAdaptive(pairs, propBudget = math.min(maxIter, 6)).labels
     val losers = labels.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
@@ -683,7 +716,7 @@ object Dedup {
     * row_number window on (rep) — no extra join over the corpus. */
   def dedupedCorpusBy(df: DataFrame, idCol: String, pairs: DataFrame,
                       prefer: Column, maxIter: Int = 20): DataFrame = {
-    val labels = connectedComponents(pairs, maxIter).labels
+    val labels = componentsAdaptive(pairs, propBudget = math.min(maxIter, 6)).labels
       .withColumnRenamed("doc_id", "__lid")
     val withRep = df.join(labels, df(idCol) === col("__lid"), "left")
       .withColumn("__rep", coalesce(col("rep"), df(idCol)))

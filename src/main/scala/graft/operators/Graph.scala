@@ -413,6 +413,80 @@ object Graph {
     pageRankOn(pageRankEdges(spark, dir))
       .orderBy(col("r").desc, col("node").asc).limit(20)
 
+  // ---- q179: PageRank over a BUCKETED edge layout ---------------------
+  // The 100 TB layout pageRankOn's scaladoc names, proven instead of
+  // claimed: edges (with out-degrees precomputed INTO the layout) are
+  // written once bucketed+sorted by src, and every round's big join
+  // reads that layout in place — the O(E) edge table is never
+  // exchanged after the build. Under the default planner the O(V) rank
+  // side broadcasts, so the ONLY per-round exchange is the
+  // contribution aggregate's; with broadcast off (large-V regime) the
+  // rank side pays one O(V) exchange to align with the buckets while
+  // the edge side still reads in place. Either way the per-round
+  // shuffle volume drops from O(E) to O(V) — at 100 TB, from
+  // re-exchanging the web graph five times to shuffling one rank row
+  // per node. PlanAuditSpec pins both regimes' exchange counts;
+  // GraphSpec pins rank-identity with the unbucketed lane.
+
+  /** Build the bucketed (src, dst, outdeg) edge layout as a managed
+    * table; returns the table name (caller drops). `suffix`
+    * disambiguates concurrent layouts within one application (bench
+    * scale factors). */
+  def pageRankEdgeLayout(spark: SparkSession, edges: DataFrame,
+                         buckets: Int = 8, suffix: String = ""): String = {
+    val t = "graft_pr_edges_" +
+      spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_") + suffix
+    val e = edges.select(col("src"), col("dst"))
+    val ed = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    graft.sources.Warehouse.writeBucketed(ed, t, "src", buckets, Some("src"))
+    t
+  }
+
+  /** The identical integer-exact recurrence as [[pageRankOn]], reading
+    * the bucketed layout per round instead of a checkpointed frame. */
+  def pageRankOnBucketed(spark: SparkSession, table: String,
+                         rounds: Int = PageRankRounds): DataFrame = {
+    val ed = spark.table(table)
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      r = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * s) div 100L").as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** One un-executed ROUND frame over the layout — exposed so the plan
+    * audit can count the exchanges a round actually plans. */
+  def pageRankRoundFrame(spark: SparkSession, table: String): DataFrame = {
+    val ed = spark.table(table)
+    val r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    ed.join(r, ed("src") === r("node"))
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+      .select(col("dst").as("node"),
+        expr("150000L + (85L * s) div 100L").as("r"))
+  }
+
+  /** q179: same ranks as q146 (byte-identical — same oracle SQL gates
+    * both), computed over the bucketed layout. The final ranks are
+    * checkpointed before the managed table is dropped, so nothing
+    * leaks into the warehouse dir. */
+  def pageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir))
+    val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+  }
+
   val pageRankSql: String = {
     val head =
       s"""WITH fwd AS (SELECT DISTINCT l_partkey AS src,
@@ -432,7 +506,47 @@ object Graph {
       s"\nSELECT node, r FROM r$PageRankRounds ORDER BY r DESC, node LIMIT 20"
   }
 
+  /** q177: planted DEEP-CHAIN connected components — the diameter
+    * stress case for [[Dedup.componentsAdaptive]], oracle-gated.
+    *
+    * Construction: documents are split into 16 residue groups
+    * (doc_id % 16) and consecutive doc_ids WITHIN each group are
+    * chained, so every group is one path component whose diameter is
+    * |group| - 1 (~31 at sf0.001, ~312 at sf0.1) — far past the
+    * 6-round propagation budget, forcing the adaptive default through
+    * its star-contraction escalation on every scale the gate runs at.
+    * The expected labeling is closed-form (rep = min doc_id of the
+    * residue group), so the DuckDB oracle recomputes it with a plain
+    * window MIN — no iteration at all — and a hash match proves the
+    * log-round algorithm landed the exact per-node labels, not just
+    * the component count. The query also REQUIREs convergence: a
+    * truncated run fails the gate instead of shipping partial labels. */
+  def chainComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    val pairs = docs.withColumn("grp", pmod(col("doc_id"), lit(16L)))
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+    val cc = Dedup.componentsAdaptive(pairs)
+    require(cc.converged,
+      s"adaptive CC failed to converge in ${cc.iterations} rounds")
+    // every doc has a chain neighbor (16 groups, each >= 2 docs at any
+    // sf), but coalesce keeps degenerate corpora well-defined anyway
+    docs.join(cc.labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep"))
+      .orderBy("doc_id")
+  }
+
+  val chainComponentsSql: String =
+    """SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 16) AS rep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_chain_cc"             -> (chainComponents _),
+    "q179_pagerank_bucketed"    -> (pageRankBucketed _),
     "q96_triangle_count"        -> (triangleCount _),
     "q146_pagerank"             -> (pageRank _),
     "q106_basket_pairs"         -> (basketPairs _),
@@ -441,6 +555,8 @@ object Graph {
     "q134_onion_layers"         -> (onionLayers _))
 
   val oracles: Map[String, String] = Map(
+    "q177_chain_cc"             -> chainComponentsSql,
+    "q179_pagerank_bucketed"    -> pageRankSql,
     "q96_triangle_count"        -> triangleCountSql,
     "q146_pagerank"             -> pageRankSql,
     "q106_basket_pairs"         -> basketPairsSql,

@@ -296,7 +296,7 @@ object Llm {
   // itself stays zero-shuffle.
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val labels = Dedup.connectedComponents(minhashPairs(spark, dir)) match {
+    val labels = Dedup.componentsAdaptive(minhashPairs(spark, dir)) match {
       case Dedup.Components(l, _, converged) =>
         if (!converged)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -945,7 +945,7 @@ object Llm {
     val exact = qual.groupBy("th").agg(min("doc_id").as("doc_id"))
       .select("doc_id").localCheckpoint(true)
     val nExact = exact.count()
-    val nonRep = Dedup.connectedComponents(
+    val nonRep = Dedup.componentsAdaptive(
         Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
           numHashes = NumHashes, bands = Bands, threshold = 0.5,
           family = family)).labels
@@ -1018,7 +1018,7 @@ object Llm {
       .filter(col("keep")).select(col("doc_id"), md5(col("text")).as("th"))
     val exact = qual.groupBy("th").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val nonRep = Dedup.connectedComponents(
+    val nonRep = Dedup.componentsAdaptive(
         Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
           numHashes = NumHashes, bands = Bands, threshold = 0.5,
           family = family)).labels
@@ -1472,6 +1472,76 @@ object Llm {
       .orderBy("query_id", "rank")
   }
 
+  /** q178: the k-means IVF index BUILD (Similarity.ivfBuildKMeans) —
+    * the one flagship that was spec-only through round 8 — gated on
+    * its deterministic contract. KMeans centroid BYTES are not
+    * oracle-able (float reduction order varies run to run), so the
+    * gate checks what a correct build must satisfy regardless of
+    * which local optimum the training landed in:
+    *  - n_cells: autoNCells's closed form (ceil(n/128), floor 4) —
+    *    recomputed arithmetically by DuckDB from the corpus count;
+    *  - total/exclusive assignment: every vector in exactly one cell;
+    *  - nearest_agreement_ok: assigned cells agree with the EXACT
+    *    per-vector argmin over the build's own centroids — exactly
+    *    1.0 on the <=64-cell exact path (sf0.001/sf0.01), >= 0.7
+    *    through the hierarchical router above it (sf0.1: 157 cells;
+    *    superProbes=5 measures ~0.9, and the margin absorbs borderline
+    *    flips from run-to-run centroid jitter);
+    *  - planted_same_cell: a planted copy of every 97th vector routes
+    *    to its source's cell — assignment is a pure function of
+    *    (vector, centroids), byte-stable within the build;
+    *  - half_cells_populated: the histogram sanity floor (k-means on
+    *    any non-degenerate corpus populates >= half its cells).
+    * The oracle recomputes the counts and emits the flags' required
+    * values, so a mis-scaled cell count, lost/duplicated vector,
+    * broken router, or collapsed histogram all hash-mismatch. */
+  def ivfKmeansBuildQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val (assigned0, centroids0) = Similarity.ivfBuildKMeans(emb)
+    val assigned = assigned0.localCheckpoint(true)
+    val cents = centroids0.localCheckpoint(true)
+    val nCells = cents.count()
+    val nVec = emb.count()
+    val nAssigned = assigned.count()
+    val nMulti = assigned.groupBy("vec_id").agg(count(lit(1)).as("nc"))
+      .filter(col("nc") > 1).count()
+    val exact = Similarity.ivfAssign(
+        emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("cv")),
+        cents)
+      .select(col("vec_id"), col("cell").as("exact_cell"))
+    val agreement = assigned.join(exact, Seq("vec_id"))
+      .agg(avg(when(col("cell") === col("exact_cell"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    val planted = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("cv"),
+        col("vec_id").as("src_id"))
+    val plantedSame = Similarity
+      .ivfAssignAuto(planted.select("vec_id", "cv"), cents, nCells)
+      .join(planted.select(col("vec_id"), col("src_id")), Seq("vec_id"))
+      .join(assigned.select(col("vec_id").as("src_id"), col("cell").as("src_cell")),
+        Seq("src_id"))
+      .agg(sum(when(col("cell") =!= col("src_cell"), 1L).otherwise(0L)))
+      .head().getLong(0) == 0L
+    val nPopulated = assigned.select("cell").distinct().count()
+    Seq((nVec, nCells, nAssigned, nMulti,
+        agreement >= (if (nCells <= 64) 1.0 else 0.7),
+        plantedSame, nPopulated * 2 >= nCells))
+      .toDF("n_vectors", "n_cells", "n_assigned", "n_multi_assigned",
+        "nearest_agreement_ok", "planted_same_cell", "half_cells_populated")
+  }
+
+  val ivfKmeansBuildSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |       CAST(GREATEST(4, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS BIGINT) AS n_cells,
+      |       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+      |       CAST(0 AS BIGINT) AS n_multi_assigned,
+      |       TRUE AS nearest_agreement_ok,
+      |       TRUE AS planted_same_cell,
+      |       TRUE AS half_cells_populated
+      |FROM embeddings""".stripMargin
+
   val ivfTopKSql: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cc AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
@@ -1743,6 +1813,7 @@ object Llm {
     "q34_ivf_topk"          -> (ivfTopKQuery _),
     "q76_ivf_layout_topk"   -> (ivfLayoutTopKQuery _),
     "q142_ivf_append_topk"  -> (ivfAppendTopKQuery _),
+    "q178_ivf_kmeans_build" -> (ivfKmeansBuildQuery _),
     "q39_ngram_capped"      -> (ngramJaccardCapped _),
     "q40_dedup_clusters"    -> (dedupClusters _),
     "q109_cluster_sizes"    -> (clusterSizeHistogram _),
@@ -1801,6 +1872,7 @@ object Llm {
     // the layout path must reproduce the in-memory result bit-for-bit
     "q76_ivf_layout_topk"   -> ivfTopKSql,
     "q142_ivf_append_topk"  -> ivfAppendTopKSql,
+    "q178_ivf_kmeans_build" -> ivfKmeansBuildSql,
     "q39_ngram_capped"      -> ngramJaccardCappedSql,
     "q40_dedup_clusters"    -> dedupClustersSql,
     "q109_cluster_sizes"    -> clusterSizeHistogramSql,

@@ -43,6 +43,48 @@ class ClusterSpec extends SparkSpec {
     assert(clusters.head.getLong(0) === 0L && clusters.head.getLong(1) === 61L)
   }
 
+  test("adaptive CC stays on propagation for shallow graphs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.componentsAdaptive(pairs)
+    assert(cc.converged)
+    // shallow input never pays the star-contraction escalation
+    assert(cc.iterations <= 6, s"expected pure propagation, got ${cc.iterations}")
+  }
+
+  test("adaptive CC escalates on a deep chain and converges in log rounds") {
+    // diameter 400 — propagation alone would need 400 rounds; the
+    // adaptive default must escalate and land the full merge in
+    // propBudget + O(log 400) rounds
+    val n = 400
+    val cc = Dedup.componentsAdaptive(chainPairs(n))
+    assert(cc.converged, s"adaptive CC truncated at ${cc.iterations} rounds")
+    assert(cc.iterations < 30,
+      s"round count must drop from $n (diameter) to O(log n); got ${cc.iterations}")
+    info(s"adaptive rounds on a $n-chain: ${cc.iterations} (propagation would need $n)")
+    val labels = cc.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n + 1)
+    assert(labels.values.toSet === Set(0L), "all chain nodes must label to 0")
+  }
+
+  test("adaptive CC is label-identical to exhaustive propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 60 + trial * 20
+      val edges = (0 until nNodes).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val adaptive = Dedup.componentsAdaptive(pairs).labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(pairs, maxIter = 1000)
+      assert(prop.converged)
+      val exhaustive = prop.labels
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(adaptive === exhaustive,
+        s"trial $trial: adaptive labels diverge from exhaustive propagation")
+    }
+  }
+
   test("star contraction matches propagation on a multi-component graph") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 5L), (5L, 6L), (7L, 7L))
       .toDF("doc_a", "doc_b")

@@ -213,4 +213,32 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === dist)
   }
+
+  test("bucketed PageRank: ranks byte-identical, per-round shuffle drops to O(V)") {
+    val edges = Graph.pageRankEdges(spark, sf)
+    val plain = Graph.pageRankOn(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = Graph.pageRankEdgeLayout(spark, edges, suffix = "_spec")
+    try {
+      // rank identity: the layout changes WHERE bytes move, never values
+      val bucketed = Graph.pageRankOnBucketed(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bucketed === plain, "bucketed ranks diverge from unbucketed")
+      // shuffle-volume law (the Metrics half of the proof): the
+      // unbucketed iteration re-exchanges the O(E) edge table every
+      // round; the bucketed one reads it in place, so its total shuffle
+      // write across all rounds must be well under the unbucketed run's
+      def shuffled(f: => Unit): Long = Metrics.measure(spark)(f).shuffleWriteBytes
+      val swPlain = shuffled {
+        Graph.pageRankOn(edges).write.mode("overwrite").format("noop").save()
+      }
+      val swBucketed = shuffled {
+        Graph.pageRankOnBucketed(spark, t)
+          .write.mode("overwrite").format("noop").save()
+      }
+      info(f"shuffle write: unbucketed ${swPlain / 1e3}%.0f KB vs bucketed ${swBucketed / 1e3}%.0f KB")
+      assert(swBucketed < swPlain * 6 / 10,
+        s"bucketed layout should cut per-round shuffle: $swBucketed vs $swPlain")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

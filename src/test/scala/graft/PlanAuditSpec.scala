@@ -263,6 +263,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bucketed PageRank round: no exchange touches the edge table") {
+    // the q179 layout promise, in the large-V regime (broadcast off, so
+    // the planner can't hide the question): a round is one join + one
+    // aggregate; the edge side must read the bucket layout IN PLACE, so
+    // the round plans exactly TWO hashpartitioning exchanges — the O(V)
+    // rank-side bucket alignment and the O(V) contribution aggregate —
+    // where the unbucketed same-shape round plans THREE (it also
+    // re-exchanges the O(E) edge table)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    val t = graft.operators.Graph.pageRankEdgeLayout(
+      spark, graft.operators.Graph.pageRankEdges(spark, sf), suffix = "_audit")
+    try {
+      val round = graft.operators.Graph.pageRankRoundFrame(spark, t)
+      round.write.mode("overwrite").format("noop").save()
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"edge scan is not bucket-aware:\n$plan")
+      val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(nEx == 2,
+        s"expected 2 exchanges (rank alignment + aggregate), got $nEx:\n$plan")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("vocab plan: ranking has no single-partition exchange") {
     // q79's token_id must come from the distributed ranker — a
     // row_number() OVER (ORDER BY ...) would show up here as
