@@ -136,6 +136,42 @@ object Bench {
       name -> io.shuffleWriteBytes / 1e6
     }
 
+    // Baseline-shaped end-to-end ingest: the reference's only published
+    // performance numbers are load/ingest wall-times over its real
+    // 18.8 M-row CSV corpus (BASELINE.md — Polars reads the largest
+    // 7.79 M-row file in 10.42 s; the full CSV -> PostgreSQL ingest is
+    // "20-30 min minimum"), so the like-for-like comparison times the
+    // SAME work at the SAME row counts: a full typed parse of the
+    // largest file, and read -> align -> diagonal union -> partitioned
+    // warehouse write over all three. The fixture (reference row
+    // counts, pipe/decimal-comma/null-token shape) is Spark-generated
+    // once and cached on disk; its build is never on the clock.
+    val ingest: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) Seq.empty
+      else try {
+        val (largest, files) = graft.sources.IngestFixture.ensure(spark)
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // Polars-comparable largest-file load: every one of the 22
+        // columns parsed and typed (decimal-comma money included),
+        // materialized through noop so nothing is pruned off the clock
+        def loadOnce(): Unit =
+          graft.sources.CsvSource.alignTo(
+              graft.sources.CsvSource.readRaw(spark, largest),
+              graft.model.ReferenceSchemas.transactions)
+            .write.mode("overwrite").format("noop").save()
+        val loadTimes = (1 to 2).map(_ => timed(loadOnce()))
+        repLog("ingest_load_largest") = loadTimes
+        successLog("ingest_load_largest") = loadTimes.toVector
+        val whPath = Scratch.dir("ingest_wh")
+        val tFull = timed(
+          graft.sources.IngestFixture.fullIngest(spark, files, whPath))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(whPath))
+        Seq("ingest_load_largest" -> loadTimes.min,
+          "ingest_full_warehouse" -> tFull)
+      } catch { case t: Throwable => recordErr("ingest", t); Seq.empty }
+
     // Scale-up evidence: the expensive bucketed designs on a replicated
     // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
     // 2M events at sf0.1). Each point is min-of-N (the documented JIT
@@ -404,6 +440,24 @@ object Bench {
       "\"" + k + "\":" + fmt(v, dec)
     def kvStr(k: String, v: String): String = "\"" + k + "\":\"" + v + "\""
 
+    // Ingest numbers beside the baseline's own figures: the ratio the
+    // round artifact wants is like-for-like (same rows, same work), so
+    // the baseline constants ride in the JSON next to the measurements.
+    // Baseline full ingest is "20-30 min minimum" -> 1200 s, its most
+    // favorable reading.
+    val ingestJson =
+      if (ingest.isEmpty) ""
+      else {
+        val kv = ingest.map { case (k, v) => kvNum(k, v, 2) } ++ Seq(
+          kvNum("baseline_load_largest", 10.42, 2),
+          kvNum("baseline_full_ingest", 1200.0, 0)) ++
+          ingest.collectFirst { case ("ingest_load_largest", v) =>
+            kvNum("load_vs_baseline", v / 10.42, 3) } ++
+          ingest.collectFirst { case ("ingest_full_warehouse", v) =>
+            kvNum("full_vs_baseline", v / 1200.0, 4) }
+        s""","ingest":${obj(kv)}"""
+      }
+
     val qsFull = obj(results.map { case (k, v) => "\"" + k + "\":" + v })
     val qsCompact = obj(results.map { case (k, v) => kvNum(k, v, 3) })
     val ioJson = obj(shuffleMb.map { case (k, v) => kvNum(k, v, 2) })
@@ -448,7 +502,7 @@ object Bench {
 
     val spreadJson = obj(spreadWarnings.map { case (k, r) => kvNum(k, r, 2) })
     val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -465,7 +519,7 @@ object Bench {
     val spreadCompact =
       s""""rep_spread_warnings":${if (spreadKeys.length <= 300) spreadKeys else "[]"}"""
 
-    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$scaleCompact}"""
+    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact}"""
 
     // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
     // The compact line must be the LAST thing on stdout: the driver

@@ -350,6 +350,38 @@ object Advanced {
       |WHERE strftime(l_shipdate, '%Y-%m') =
       |      (SELECT MAX(strftime(l_shipdate, '%Y-%m')) FROM lineitem)""".stripMargin
 
+  // ---- q180: JDBC sink round-trip (the reference's ACTUAL sink) ------
+  /** The reference's real sink is an RDBMS (PostgreSQL via COPY,
+    * reference src/db/pipeline.py:165-195); the engine's 100 TB analog
+    * is the partitioned warehouse (q30 above), but this closes the
+    * remaining parity gap with Spark's native `df.write.jdbc` path:
+    * land a per-day revenue table in embedded Derby (the one RDBMS on
+    * this classpath; same code targets PostgreSQL by swapping the
+    * url), read it back with `spark.read.jdbc`, and oracle-check the
+    * round-tripped rows — a value lost or retyped by the
+    * JDBC type mapping (DATE, BIGINT, DECIMAL) hash-mismatches.
+    * The database dir is pid-keyed (embedded Derby holds an exclusive
+    * JVM lock per db) and swept by Scratch's dead-pid cleanup. */
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcSink
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+    val db = graft.Scratch.dir(
+      "derby_db_" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+    JdbcSink.write(daily.repartition(4), db, "DAILY_QTY")
+    JdbcSink.read(spark, db, "DAILY_QTY")
+      .select(col("l_shipdate"), col("n_items").cast("long").as("n_items"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy("l_shipdate")
+  }
+
+  val jdbcRoundtripSql: String =
+    """SELECT l_shipdate, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q31: skew-salted two-phase aggregation ------------------------
   def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Skew
@@ -1029,6 +1061,7 @@ object Advanced {
     "q29_sessionization"    -> (sessionStats _),
     "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
+    "q180_jdbc_roundtrip"   -> (jdbcRoundtrip _),
     "q117_bucketed_join" -> (graft.sources.Bucketed.bucketedJoin _),
     "q118_dynamic_overwrite" -> (dynamicOverwrite _),
     "q152_gdpr_delete"      -> (gdprDelete _),
@@ -1068,6 +1101,7 @@ object Advanced {
     // q101 must equal the BATCH sessionization — same oracle as q29
     "q101_stream_sessions"  -> sessionStatsSql,
     "q30_warehouse_roundtrip" -> warehouseRoundtripSql,
+    "q180_jdbc_roundtrip"   -> jdbcRoundtripSql,
     "q117_bucketed_join" -> graft.sources.Bucketed.bucketedJoinSql,
     "q118_dynamic_overwrite" -> dynamicOverwriteSql,
     "q152_gdpr_delete"      -> gdprDeleteSql,
