@@ -418,15 +418,17 @@ object Graph {
   // claimed: edges (with out-degrees precomputed INTO the layout) are
   // written once bucketed+sorted by src, and every round's big join
   // reads that layout in place — the O(E) edge table is never
-  // exchanged after the build. Under the default planner the O(V) rank
-  // side broadcasts, so the ONLY per-round exchange is the
-  // contribution aggregate's; with broadcast off (large-V regime) the
-  // rank side pays one O(V) exchange to align with the buckets while
-  // the edge side still reads in place. Either way the per-round
-  // shuffle volume drops from O(E) to O(V) — at 100 TB, from
-  // re-exchanging the web graph five times to shuffling one rank row
-  // per node. PlanAuditSpec pins both regimes' exchange counts;
-  // GraphSpec pins rank-identity with the unbucketed lane.
+  // exchanged after the build. The join is PINNED to sort-merge
+  // (hint("merge")): per round the rank side pays one O(V) exchange to
+  // align with the buckets plus the O(V) contribution aggregate, and
+  // that is the whole shuffle bill — down from re-exchanging the O(E)
+  // edge table every round. The pin matters twice over: at 100 TB the
+  // rank table never fits a broadcast, and at bench scale AQE's
+  // per-round rank broadcast MEASURED ~2.5x slower per edge than the
+  // bucket-aligned merge join (a fresh ~210k-entry broadcast build +
+  // big-map probe, five times over — the x10 lane read 14.7 s vs the
+  // x20 lane's 7.6 s before the pin). PlanAuditSpec pins the exchange
+  // count; GraphSpec pins rank-identity with the unbucketed lane.
 
   /** Build the bucketed (src, dst, outdeg) edge layout as a managed
     * table; returns the table name (caller drops). `suffix`
@@ -452,7 +454,7 @@ object Graph {
       .select(col("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      r = ed.join(r, ed("src") === r("node"))
+      r = ed.hint("merge").join(r, ed("src") === r("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
@@ -469,7 +471,7 @@ object Graph {
     val r = ed.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)
-    ed.join(r, ed("src") === r("node"))
+    ed.hint("merge").join(r, ed("src") === r("node"))
       .select(col("dst"), expr("r div outdeg").as("c"))
       .groupBy("dst").agg(sum(col("c")).as("s"))
       .select(col("dst").as("node"),

@@ -224,21 +224,29 @@ class GraphSpec extends SparkSpec {
       val bucketed = Graph.pageRankOnBucketed(spark, t).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(bucketed === plain, "bucketed ranks diverge from unbucketed")
-      // shuffle-volume law (the Metrics half of the proof): the
-      // unbucketed iteration re-exchanges the O(E) edge table every
-      // round; the bucketed one reads it in place, so its total shuffle
-      // write across all rounds must be well under the unbucketed run's
-      def shuffled(f: => Unit): Long = Metrics.measure(spark)(f).shuffleWriteBytes
-      val swPlain = shuffled {
-        Graph.pageRankOn(edges).write.mode("overwrite").format("noop").save()
-      }
-      val swBucketed = shuffled {
-        Graph.pageRankOnBucketed(spark, t)
-          .write.mode("overwrite").format("noop").save()
-      }
-      info(f"shuffle write: unbucketed ${swPlain / 1e3}%.0f KB vs bucketed ${swBucketed / 1e3}%.0f KB")
-      assert(swBucketed < swPlain * 6 / 10,
-        s"bucketed layout should cut per-round shuffle: $swBucketed vs $swPlain")
+      // shuffle-volume law (the Metrics half of the proof), in the
+      // regime the layout exists for (broadcast off — at 100 TB neither
+      // side broadcasts; at toy scale AQE otherwise broadcasts BOTH
+      // variants' joins and the difference vanishes): the unbucketed
+      // iteration re-exchanges the O(E) edge table every round; the
+      // bucketed one reads it in place and shuffles only O(V) rank
+      // rows, so its total shuffle write must be well under
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        def shuffled(f: => Unit): Long = Metrics.measure(spark)(f).shuffleWriteBytes
+        val swPlain = shuffled {
+          Graph.pageRankOn(edges).write.mode("overwrite").format("noop").save()
+        }
+        val swBucketed = shuffled {
+          Graph.pageRankOnBucketed(spark, t)
+            .write.mode("overwrite").format("noop").save()
+        }
+        info(f"shuffle write: unbucketed ${swPlain / 1e3}%.0f KB vs bucketed ${swBucketed / 1e3}%.0f KB")
+        assert(swBucketed < swPlain * 6 / 10,
+          s"bucketed layout should cut per-round shuffle: $swBucketed vs $swPlain")
+      } finally spark.conf.set(key, prev)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }

@@ -60,6 +60,51 @@ class XlsxSourceSpec extends SparkSpec {
     assert(XlsxSource.colIndex("AB12") === 27)
   }
 
+  /** Same workbook, but the sheet XML carries a raw unescaped `&` in an
+    * inline string — a conformant XML parser MUST reject it; the
+    * tolerant fallback decoder must still extract every cell. */
+  private def writeMalformedXlsx(path: String): Unit = {
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>CODE_MODELE_COULEUR_ACTUEL</t></si>
+        |<si><t>SIGNATURE_PRODUCT</t></si><si><t>CMC101</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>CMC102 & SONS</t></is></c><c r="B3"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("fallback decoder equals the conformant parse on well-formed files") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xlsx4").resolve("product.xlsx").toString
+    writeXlsx(path)
+    val primary = XlsxSource.readRows(path).map(_.toSeq)
+    val fallback = XlsxSource.readRowsFallback(path).map(_.toSeq)
+    assert(fallback === primary,
+      "the two xlsx engines must be row-identical on well-formed input")
+  }
+
+  test("malformed xlsx: conformant parse refuses, read() falls back") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xlsx5").resolve("product.xlsx").toString
+    writeMalformedXlsx(path)
+    // the raw '&' must kill the conformant engine...
+    intercept[Exception] { XlsxSource.readRows(path) }
+    // ...and the public read() must land the file anyway, with the
+    // malformed row's value intact (entities untouched, raw & kept)
+    val rows = XlsxSource.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("CMC101", "1"), ("CMC102 & SONS", "0")))
+  }
+
   test("refuses an over-limit file instead of parsing it on the driver") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx3")
     val path = dir.resolve("huge.xlsx")
