@@ -952,7 +952,117 @@ object Quality {
       |       CAST(COUNT(*) FILTER (WHERE a IS NULL AND b IS NULL) AS BIGINT) AS n_dropped
       |FROM p""".stripMargin
 
+  // ---- q184: Benford first-digit audit -------------------------------
+  // The fraud/ETL-corruption screen over a monetary column: compare the
+  // first-significant-digit distribution of o_totalprice against
+  // Benford's law. The first digit is taken from the INTEGER part's
+  // decimal string (floor → BIGINT → string → substr) — never from
+  // float log10, whose behavior at exact powers of ten is a cross-
+  // engine ulp trap. Expected shares are integer-ppm literals
+  // (floor(log10(1+1/d)·10^6)) attached by a broadcast 9-row join, so
+  // observed, expected, and deviation are all exact integers.
+  //
+  // Shape at 100 TB: one codegen'd projection + one 9-group
+  // map-side-combinable aggregate + a 1-row total broadcast — the
+  // audit costs one scan regardless of table size.
+  private val benfordPpm = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = benfordPpm.toDF("digit", "expected_ppm")
+    val digits = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed by the total AND the report
+    val total = digits.agg(sum("n").as("n_total"))
+    digits
+      .join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        call_function("div", col("n") * 1000000L, col("n_total")).as("observed_ppm"),
+        col("expected_ppm"),
+        abs(call_function("div", col("n") * 1000000L, col("n_total"))
+          - col("expected_ppm")).as("deviation_ppm"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS n_total FROM c),
+      |exp AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+      |          (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+      |          (9, 45757)) v(digit, expected_ppm))
+      |SELECT c.digit, n, CAST(n * 1000000 // n_total AS BIGINT) AS observed_ppm,
+      |       CAST(expected_ppm AS BIGINT) AS expected_ppm,
+      |       CAST(abs(n * 1000000 // n_total - expected_ppm) AS BIGINT) AS deviation_ppm
+      |FROM c JOIN exp USING (digit), tot ORDER BY digit""".stripMargin
+
+  // ---- q185: join-key skew diagnostic --------------------------------
+  // The pre-join health check a pipeline runs before shuffling 100 TB
+  // on a key: per candidate join key, the row count, distinct-key
+  // count, the hottest key and its share, and the
+  // Herfindahl-Hirschman concentration index in ppm
+  // (sum(n_i^2)·10^6 / N^2, exact in DECIMAL(38,0)/HUGEINT — at
+  // N ~ 10^12 the squares overflow int64, which is why the cross
+  // product stays in 128-bit). A top1_share or HHI spike is the
+  // signature that says "salt this key" (q31) before the join, not
+  // after it OOMs an executor.
+  //
+  // Shape at scale: per key column, ONE map-side-combinable count
+  // aggregate (the per-key frame) followed by a bounded second
+  // aggregate to 1 row — the hottest key via min_by over the
+  // (-n, key) struct so ties break deterministically toward the
+  // smallest key. No sorts, no windows, no driver loops beyond the
+  // 3-column seq.
+  def hotKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).localCheckpoint(true)
+    val frames = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"),
+          min_by(col("key"), struct((col("n") * -1L).as("neg"), col("key")))
+            .as("top_key"),
+          max("n").as("top_n"),
+          sum(col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+            .as("sum_sq"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("top_key"), col("top_n"),
+          call_function("div", col("top_n") * 1000000L, col("n_rows"))
+            .as("top1_ppm"),
+          call_function("div",
+            col("sum_sq") * lit(1000000L).cast("decimal(38,0)"),
+            col("n_rows").cast("decimal(38,0)") * col("n_rows").cast("decimal(38,0)"))
+            .cast("long").as("hhi_ppm"))
+    }
+    frames.reduce(_.union(_)).orderBy("key_col")
+  }
+
+  val hotKeysSql: String = {
+    def one(k: String): String =
+      s"""SELECT '$k' AS key_col, CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS n_keys,
+         |  MAX(CASE WHEN rn = 1 THEN key END) AS top_key,
+         |  CAST(MAX(n) AS BIGINT) AS top_n,
+         |  CAST(MAX(n) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT) AS top1_ppm,
+         |  CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) * 1000000
+         |       // (CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT)) AS BIGINT) AS hhi_ppm
+         |FROM (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn
+         |      FROM (SELECT $k AS key, COUNT(*) AS n FROM lineitem GROUP BY 1) c0) c""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_benford_audit"   -> (benfordAudit _),
+    "q185_hot_keys"        -> (hotKeys _),
     "q07_invalid_counts"   -> (invalidCounts _),
     "q08_profile_stats"    -> (profileStats _),
     "q09_value_counts"     -> (valueCounts _),
@@ -989,6 +1099,8 @@ object Quality {
     "q176_approx_percentile" -> (approxPercentileAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "q184_benford_audit"   -> benfordAuditSql,
+    "q185_hot_keys"        -> hotKeysSql,
     "q07_invalid_counts"   -> invalidCountsSql,
     "q08_profile_stats"    -> profileStatsSql,
     "q09_value_counts"     -> valueCountsSql,

@@ -334,7 +334,66 @@ object Retrieval {
        |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
        |FROM s GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---- q182: positional-index phrase search --------------------------
+  // Exact phrase match ("table window key") through a positional
+  // inverted index — the retrieval primitive LIKE/regex cannot give a
+  // term-partitioned index: postings are (token, doc_id, pos); the
+  // phrase probes ONLY its own terms' posting lists and intersects
+  // them with equality joins on (doc_id, pos - offset). Term order in
+  // the join chain is RAREST-FIRST (driver reads the 3-row df counts —
+  // a bounded collect, |phrase| rows regardless of corpus size), so
+  // the intermediate after the first join is already near the final
+  // match volume — the positional analog of leapfrog-triejoin's
+  // smallest-relation-first discipline.
+  //
+  // Shape at 100 TB: the `isin` prunes the posting build to the
+  // phrase's terms before any shuffle (a real deployment reads the
+  // 3 posting lists straight off the term-partitioned index — q76's
+  // layout); each intersection is a partitioned equality join keyed
+  // on doc_id, never a position-range scan; match accounting is one
+  // map-side-combinable aggregate on doc_id.
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("table", "window", "key")): DataFrame = {
+    require(phrase.nonEmpty && phrase.size == phrase.distinct.size,
+      "phrase terms must be distinct (repeat terms need a multiset probe)")
+    val docs = Tables.documents(spark, dir)
+    graft.plans.GraftFunctions.register(spark)
+    val post = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .filter(col("token").isin(phrase: _*))
+      .localCheckpoint(true) // consumed by the df counts AND |phrase| probes
+    // rarest-first join order: |phrase| rows to the driver, not data
+    val df = post.groupBy("token").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = phrase.indices.sortBy(i => df.getOrElse(phrase(i), 0L))
+    def probe(i: Int): DataFrame = post
+      .filter(col("token") === phrase(i))
+      // normalize every term's position to the PHRASE START position
+      .select(col("doc_id"), (col("pos") - i).as("start"))
+    val starts = order.tail.foldLeft(probe(order.head))(
+      (acc, i) => acc.join(probe(i), Seq("doc_id", "start")))
+    starts.filter(col("start") >= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val phraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i, t
+      |      FROM toks),
+      |m AS (SELECT doc_id, i FROM p
+      |      WHERE t[i] = 'table' AND t[i+1] = 'window' AND t[i+2] = 'key')
+      |SELECT doc_id, COUNT(*) AS n_matches,
+      |       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_phrase_search"     -> ((s, d) => phraseSearch(s, d)),
     "q111_group_filter"      -> (groupFilter _),
     "q112_term_retrieval"    -> (termRetrieval _),
     "q113_negative_sampling" -> (negativeSampling _),
@@ -345,6 +404,7 @@ object Retrieval {
     "q173_bm25_topk"         -> (bm25TopK _))
 
   val oracles: Map[String, String] = Map(
+    "q182_phrase_search"     -> phraseSearchSql,
     "q111_group_filter"      -> groupFilterSql,
     "q112_term_retrieval"    -> termRetrievalSql,
     "q113_negative_sampling" -> negativeSamplingSql,

@@ -423,7 +423,51 @@ object Temporal {
        |         AS n_capped_users
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q183: OHLC bar downsampling -----------------------------------
+  // The classic time-series reduction (open/high/low/close/volume per
+  // bar) as ONE hash aggregate: open/close are `min_by`/`max_by` over
+  // the (ts, event_id) struct — the event_id tiebreak makes the bar
+  // boundary deterministic even under equal timestamps — so the whole
+  // operator is a single map-side-combinable aggregate on
+  // (event_type, hour). No window, no sort, no second pass: at 100 TB
+  // this is one shuffle keyed on the bar, with partial aggregation
+  // collapsing each map partition to |bars| rows before the exchange.
+  // high/low/open/close are UNTOUCHED input doubles (no arithmetic →
+  // no float divergence); volume goes through the DECIMAL(18,4)
+  // exact-sum channel like q3's revenue.
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("volume"))
+      .orderBy("event_type", "bar_ts")
+
+  val ohlcBarsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+      |  FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, bar_ts
+      |                           ORDER BY ts, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, bar_ts
+      |                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT event_type, bar_ts,
+      |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |       MAX(value) AS high,
+      |       MIN(value) AS low,
+      |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
     "q85_gapfill_daily"  -> (gapFillDaily _),
@@ -437,6 +481,7 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,
     "q85_gapfill_daily"  -> gapFillDailySql,

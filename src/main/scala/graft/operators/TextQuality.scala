@@ -319,17 +319,89 @@ object TextQuality {
       |FROM lines JOIN ldf USING (line)
       |GROUP BY page_id ORDER BY page_id""".stripMargin
 
+  // ---- q181: encoding-corruption audit -------------------------------
+  // The mojibake scan a web-scale ingest runs before any text filter:
+  // double-encoded UTF-8 (the 'Ã©'-style artifacts of latin-1
+  // round-trips), C0 control characters, and U+FFFD replacement chars
+  // (the decoder's "I gave up" marker) each poison tokenizers and
+  // dedup keys in different ways, so the audit reports them separately
+  // per source. The synthetic corpus is clean, so — like q55's PII —
+  // the corruption is PLANTED deterministically from doc_id residues
+  // (7 → a double-encoded 'é è' tail, 11 → a BEL control byte, 13 →
+  // a replacement char) and the oracle re-derives the identical blob;
+  // a detector regex that over- or under-matches any class breaks the
+  // hash on every planted residue class at once.
+  //
+  // Shape at 100 TB: one codegen'd projection (three rlike probes per
+  // row) + one map-side-combinable hash aggregate on `source` — no
+  // shuffle beyond the 20-group exchange; the regexes stay in the
+  // Java-regex ∩ RE2 literal/class subset so Spark and the oracle
+  // cannot disagree on edge semantics.
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val moji = "Ã[©¨]" // Ã© / Ã¨ — latin-1-decoded UTF-8 é/è
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]" // C0 minus \t\n\r
+    val repl = "\uFFFD"
+    val planted = Tables.documents(spark, dir).select(
+      col("source"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit(" Ã© Ã¨")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" �")).otherwise(lit(""))
+      ).as("blob"))
+    planted
+      .select(col("source"),
+        col("blob").rlike(moji).cast("long").as("is_moji"),
+        col("blob").rlike(ctrl).cast("long").as("is_ctrl"),
+        col("blob").rlike(repl).cast("long").as("is_repl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_moji").as("n_mojibake"),
+        sum("is_ctrl").as("n_control"),
+        sum("is_repl").as("n_replacement"),
+        call_function("div",
+          sum(when(col("is_moji") + col("is_ctrl") + col("is_repl") === 0, 1L)
+            .otherwise(0L)) * 1000000L,
+          count(lit(1))).as("clean_ppm"))
+      .orderBy("source")
+  }
+
+  val encodingAuditSql: String =
+    """WITH planted AS (
+      |  SELECT source,
+      |         text
+      |           || CASE WHEN doc_id % 7 = 0 THEN ' Ã© Ã¨' ELSE '' END
+      |           || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END
+      |           || CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(65533) ELSE '' END
+      |           AS blob
+      |  FROM documents),
+      |flags AS (
+      |  SELECT source,
+      |    CASE WHEN regexp_matches(blob, 'Ã[©¨]') THEN 1 ELSE 0 END AS is_moji,
+      |    CASE WHEN regexp_matches(blob, '[\x00-\x08\x0b\x0c\x0e-\x1f]') THEN 1 ELSE 0 END AS is_ctrl,
+      |    CASE WHEN regexp_matches(blob, chr(65533)) THEN 1 ELSE 0 END AS is_repl
+      |  FROM planted)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(is_moji) AS BIGINT) AS n_mojibake,
+      |       CAST(SUM(is_ctrl) AS BIGINT) AS n_control,
+      |       CAST(SUM(is_repl) AS BIGINT) AS n_replacement,
+      |       CAST(SUM(CASE WHEN is_moji + is_ctrl + is_repl = 0 THEN 1 ELSE 0 END)
+      |            * 1000000 // COUNT(*) AS BIGINT) AS clean_ppm
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_pii_redact" -> (piiRedact _),
     "q56_quality_signals" -> (qualitySignals _),
     "q149_filter_audit" -> (filterAudit _),
     "q57_repetition" -> (repetitionStats _),
-    "q78_line_dedup" -> (lineDedup _))
+    "q78_line_dedup" -> (lineDedup _),
+    "q181_encoding_audit" -> (encodingAudit _))
 
   val oracles: Map[String, String] = Map(
     "q55_pii_redact" -> piiRedactSql,
     "q56_quality_signals" -> qualitySignalsSql,
     "q149_filter_audit" -> filterAuditSql,
     "q57_repetition" -> repetitionStatsSql,
-    "q78_line_dedup" -> lineDedupSql)
+    "q78_line_dedup" -> lineDedupSql,
+    "q181_encoding_audit" -> encodingAuditSql)
 }
