@@ -54,6 +54,11 @@ object ScaleVerify {
     val docs1 = ScaleBench.documents(spark, sfDir, 1).localCheckpoint(true)
     val emb1 = ScaleBench.embeddings(spark, sfDir, 1).localCheckpoint(true)
     val p22x1 = pairSet(ScaleBench.minhashPairs(docs1), "doc_a", "doc_b")
+    // candidate volume at x1: the denominator of the slope explanation
+    // (see the factor loop below)
+    val cand22x1 = graft.operators.Dedup.minhashLshCandidateCounts(
+      docs1, "doc_id", "text", n = 3, numHashes = 12, bands = 4,
+      family = graft.operators.Dedup.XxMinhash).count()
     val n24x1 = Similarity.srpNearDupPairsAuto(emb1, threshold = 0.4,
       bands = 12, dim = 64).count()
     val s162x1 = statSet(ScaleBench.sharedSubstring(docs1))
@@ -68,6 +73,14 @@ object ScaleVerify {
         yield (a * times + i, b * times + i)
       val q22Recall = (p22xN intersect expected).size.toDouble / expected.size
       val q22Pass = p22xN.subsetOf(expected) && q22Recall >= 0.99
+      // Candidate-volume profile (round-8 verdict ask): the bench lane's
+      // wall-time slope at xN should track the LSH candidate-pair volume
+      // (the verify join's true workload), not corpus size — a
+      // cand_ratio ≈ time_ratio reading means the superlinearity is
+      // pair-volume-driven (dup structure), not a plan defect.
+      val cand22xN = graft.operators.Dedup.minhashLshCandidateCounts(
+        docsN, "doc_id", "text", n = 3, numHashes = 12, bands = 4,
+        family = graft.operators.Dedup.XxMinhash).count()
 
       // ---- q24 SRP auto lane: verified pairs + yield stability -------
       val sp = Similarity.srpNearDupPairsAuto(embN, threshold = 0.4,
@@ -120,7 +133,7 @@ object ScaleVerify {
         String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       println(
         s"""{"scale_verify":{"sf":"$sfDir","factor":$times,""" +
-        s""""q22_xx_replica_subset":{"pass":$q22Pass,"n_pairs":${p22xN.size},"expected":${expected.size},"recall":${d("%.4f", q22Recall)}},""" +
+        s""""q22_xx_replica_subset":{"pass":$q22Pass,"n_pairs":${p22xN.size},"expected":${expected.size},"recall":${d("%.4f", q22Recall)},"cand_pairs":$cand22xN,"cand_x1":$cand22x1,"cand_ratio":${d("%.2f", cand22xN.toDouble / math.max(cand22x1, 1L))}},""" +
         s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
         s""""q162_substr_replica":{"pass":$q162Pass,"n_docs":${s162xN.size},"expected":${expected162.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")

@@ -29,6 +29,29 @@ object Advanced {
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // q186: the drained streaming bars vs the batch OHLC definition
+  // (q183's oracle reshaped to the stream lane's epoch-ms window key).
+  val streamOhlcSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_start_ms,
+      |         ts, event_id, value
+      |  FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, hour_start_ms
+      |                           ORDER BY ts, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, hour_start_ms
+      |                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT hour_start_ms, event_type,
+      |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |       MAX(value) AS high,
+      |       MIN(value) AS low,
+      |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- q28: multimodal content features + frame sampling (no stub) ---
   // Real byte-level work end to end: binary content + typed metadata
   // (assetsFromText), per-asset sha256 + size (contentFeatures), and
@@ -1056,6 +1079,7 @@ object Advanced {
     "q26_sql_runner"        -> (sqlRunner _),
     "q175_zone_maps"        -> (zoneMaps _),
     "q27_stream_hourly"     -> (streamHourly _),
+    "q186_stream_ohlc"      -> ((s, d) => StreamOps.streamOhlcBars(s, d)),
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
@@ -1094,6 +1118,8 @@ object Advanced {
     "q26_sql_runner"        -> sqlRunnerSql,
     "q175_zone_maps"        -> zoneMapsSql,
     "q27_stream_hourly"     -> streamHourlySql,
+    // the drained stream must equal the BATCH bar table exactly
+    "q186_stream_ohlc"      -> streamOhlcSql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,

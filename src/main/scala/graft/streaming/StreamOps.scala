@@ -92,6 +92,41 @@ object StreamOps {
     drain(stream, queryName, "complete").orderBy("hour_start_ms", "event_type")
   }
 
+  /** Streaming OHLC bar downsampling: q183's one-aggregate shape run
+    * as a watermarked tumbling-window stream — open/close via
+    * min_by/max_by over the (ts, event_id) struct INSIDE the streaming
+    * aggregate, so the bar is maintained incrementally per window with
+    * no per-event state beyond the running aggregate buffer (the
+    * watermark bounds how many open windows exist). The same
+    * exactness discipline as the batch lane: untouched input doubles
+    * for O/H/L/C, DECIMAL(18,4) for volume. Oracle = the batch SQL —
+    * a drained bounded replay must equal the batch bar table exactly. */
+  def streamOhlcBars(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+    val fileSchema: StructType =
+      spark.read.parquet(s"$dir/events.parquet").schema
+    val queryName = freshName("graft_ohlc_", dir)
+    val tsCol = graft.Tables.tsTimestamp(fileSchema("ts").dataType)
+    val stream = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", tsCol)
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts_utc"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_utc"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("volume"))
+      .select(
+        unix_millis(col("window.start")).as("hour_start_ms"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_events"), col("volume"))
+    drain(stream, queryName, "complete").orderBy("hour_start_ms", "event_type")
+  }
+
   /** Streaming deduplication with bounded state:
     * `dropDuplicatesWithinWatermark` keyed on event_id, over a stream
     * that deliberately delivers EVERY event twice (self-union — the

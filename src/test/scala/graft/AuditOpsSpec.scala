@@ -93,6 +93,18 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("q186 streamOhlcBars: drained stream equals the batch bar table") {
+    val stream = graft.streaming.StreamOps.streamOhlcBars(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    val batch = Temporal.ohlcBars(spark, sf).collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getString(0)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(stream === batch)
+  }
+
   test("q185 hotKeys: l_orderkey row equals driver-side counts") {
     val row = Quality.hotKeys(spark, sf).collect()
       .find(_.getString(0) == "l_orderkey").get
