@@ -649,7 +649,138 @@ object Curation {
        |FROM spl GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q187: C4-style global line dedup (keep FIRST occurrence) ------
+  // q78 strips lines whose document frequency exceeds a threshold
+  // (boilerplate REMOVAL — every copy dies); the C4/mC4 recipe is
+  // different: every distinct line keeps exactly ONE copy, the first
+  // occurrence in corpus order, and later occurrences are dropped.
+  // Both passes exist in real pipelines (C4 dedups at the line level
+  // BEFORE document near-dup). Pages are the same deterministic 5-doc
+  // pages q78 builds, so the two operators are directly comparable on
+  // the same planted duplicates.
+  //
+  // "First" is the minimum of an integer occurrence key
+  // page_id*1_000_000+pos — an arg-min both engines compute with a
+  // plain MIN, no struct-ordering or window dependence.
+  //
+  // Scale shape: one posexplode (checkpointed — it feeds the arg-min
+  // aggregate AND the join-back), one map-side-combinable MIN groupBy
+  // on the line key, one equality join back on the line, one per-page
+  // reassembly aggregate sorting only that page's lines. The line-key
+  // shuffle is the unavoidable one; nothing is broadcast (the line
+  // table is corpus-scale at 100 TB) and nothing collects.
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(spark, dir)
+      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")),
+        "\n").as("text"))
+    val lines = pages
+      .select(col("page_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("occ", col("page_id") * 1000000L + col("pos"))
+      .localCheckpoint(true)
+    val first = lines.groupBy("line").agg(min("occ").as("first_occ"))
+    lines.join(first, Seq("line"))
+      .withColumn("keep", col("occ") === col("first_occ"))
+      .groupBy("page_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"), col("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          "\n").as("cleaned"))
+      .orderBy("page_id")
+  }
+
+  val paragraphDedupSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 5 AS page_id,
+      |         string_agg(text, chr(10) ORDER BY doc_id) AS text
+      |  FROM documents GROUP BY 1),
+      |l0 AS (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+      |l AS (SELECT page_id, i - 1 AS pos, ls[i] AS line
+      |      FROM l0, UNNEST(generate_series(1, len(ls))) AS g(i)),
+      |k AS (SELECT line, MIN(page_id * 1000000 + (pos)) AS first_occ
+      |      FROM l GROUP BY 1),
+      |j AS (SELECT l.page_id, l.pos, l.line,
+      |             (l.page_id * 1000000 + l.pos = k.first_occ) AS keep
+      |      FROM l JOIN k USING (line))
+      |SELECT page_id, COUNT(*) AS n_lines,
+      |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       COALESCE(string_agg(CASE WHEN keep THEN line END,
+      |                           chr(10) ORDER BY pos), '') AS cleaned
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q190: per-source unigram drift (total-variation distance) -----
+  // "How far is each source's unigram distribution from the corpus
+  // mixture" — the domain-shift diagnostic a mixture planner reads
+  // before setting sampling weights (and re-reads per crawl snapshot
+  // to catch drift). Divergence is TOTAL VARIATION, not KL: TVD over
+  // count distributions is a sum of |n_ws·N − n_w·N_s| integer cross
+  // products — exact in 128-bit, no logarithms, so both engines agree
+  // bit-for-bit where a log-based KL would be at the mercy of libm.
+  // tvd_ppm = Σ_w |n_ws·N − n_w·N_s| · 10^6 / (2·N_s·N).
+  //
+  // Scale shape: one token explode feeding TWO map-side-combinable
+  // count aggregates — (source, word) and, derived from it by a
+  // second grouping, (word) — then one equality join on the word key
+  // and one per-source fold. The corpus-wide word table is NOT
+  // broadcast (vocabulary is huge at 100 TB); the join shuffles on
+  // the word key both sides. Totals ride along via a 1-row broadcast.
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+    val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("n_ws"))
+      .localCheckpoint(true) // feeds the corpus rollup AND the join
+    val byWord = bySrc.groupBy("w").agg(sum("n_ws").as("n_w"))
+    val totals = bySrc.groupBy("source").agg(sum("n_ws").as("n_s"))
+    val grand = bySrc.agg(sum("n_ws").as("n_tot"))
+    bySrc.join(byWord, "w")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand)) // 1-row grand total
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_tokens"),
+        max("n_tot").as("nt"),
+        count(lit(1)).as("n_vocab"),
+        sum(abs(col("n_ws").cast("decimal(38,0)") * col("n_tot").cast("decimal(38,0)")
+              - col("n_w").cast("decimal(38,0)") * col("n_s").cast("decimal(38,0)")))
+          .as("cross_abs"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        call_function("div",
+          col("cross_abs") * lit(1000000L).cast("decimal(38,0)"),
+          col("n_tokens").cast("decimal(38,0)") * col("nt").cast("decimal(38,0)") * lit(2).cast("decimal(38,0)"))
+          .cast("long").as("tvd_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |bs AS (SELECT source, w, COUNT(*) AS n_ws FROM tok GROUP BY 1, 2),
+      |bw AS (SELECT w, SUM(n_ws) AS n_w FROM bs GROUP BY 1),
+      |ts AS (SELECT source, SUM(n_ws) AS n_s FROM bs GROUP BY 1),
+      |g  AS (SELECT SUM(n_ws) AS n_tot FROM bs)
+      |SELECT bs.source, CAST(MAX(ts.n_s) AS BIGINT) AS n_tokens,
+      |       COUNT(*) AS n_vocab,
+      |       CAST(SUM(abs(CAST(bs.n_ws AS HUGEINT) * n_tot
+      |                    - CAST(bw.n_w AS HUGEINT) * ts.n_s)) * 1000000
+      |            // (CAST(MAX(ts.n_s) AS HUGEINT) * MAX(n_tot) * 2) AS BIGINT)
+      |         AS tvd_ppm
+      |FROM bs JOIN bw USING (w) JOIN ts USING (source), g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_paragraph_dedup"  -> (paragraphDedup _),
+    "q190_source_drift"     -> (sourceDrift _),
     "q162_shared_substring" -> (sharedSubstring _),
     "q163_ngram_overlap"    -> (ngramOverlap _),
     "q164_exact_quantiles"  -> (exactQuantiles _),
@@ -661,6 +792,8 @@ object Curation {
     "q174_incremental_curation" -> (incrementalCuration _))
 
   val oracles: Map[String, String] = Map(
+    "q187_paragraph_dedup"  -> paragraphDedupSql,
+    "q190_source_drift"     -> sourceDriftSql,
     "q162_shared_substring" -> sharedSubstringSql,
     "q163_ngram_overlap"    -> ngramOverlapSql,
     "q164_exact_quantiles"  -> exactQuantilesSql,

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.{Sampling, Validate}
 import graft.quality.Profiler
 import graft.sources.CsvSource
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -869,6 +869,79 @@ object Quality {
        |SELECT doc_id, source, weight, skey FROM k
        |ORDER BY skey DESC, doc_id LIMIT $WeightedK""".stripMargin
 
+  // ---- q189: Count-Min sketch heavy-hitter accuracy gate -------------
+  // The third sketch family beside q170 (HLL distinct) and q176 (GK
+  // percentile): a d=4 x w=512 Count-Min sketch over the token-frequency
+  // stream, built as FOUR map-side-combinable bucket aggregates with
+  // deterministic md5 row hashes — the streaming-friendly frequency
+  // sketch a 100 TB ingest keeps when the exact (word, count) table is
+  // too hot to maintain online. Because the hashes are seeded md5 (not
+  // JVM-private xxhash), DuckDB rebuilds the IDENTICAL sketch and the
+  // gate hash-compares estimate, overcount, and slack-ppm exactly —
+  // including the CM guarantee made checkable: est >= exact always,
+  // est - exact bounded by the collision mass in the probed cells.
+  //
+  // Scale shape: the exact count table is built once and checkpointed
+  // (it feeds the sketch build, the grand total, and the top-k probe);
+  // the sketch itself is 4 x 512 rows — broadcast to the probe join.
+  // At true stream scale the same sketch is an `aggregate`-shaped fold
+  // per partition merged by cell-wise +, which is exactly what the
+  // groupBy(bucket).sum lowering does.
+  private val CmsSeeds: Seq[String] = (0 until 4).map(i => s"cms$i")
+  private val CmsW = 512L
+
+  def cmsAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    def bucket(seed: String, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(seed), c)), 1, 15), 16, 10)
+        .cast("long"), lit(CmsW))
+    val sketch = CmsSeeds.zipWithIndex.map { case (seed, i) =>
+      counts.groupBy(bucket(seed, col("w")).as("bucket"))
+        .agg(sum("n").as("cell"))
+        .withColumn("row_i", lit(i))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val total = counts.agg(sum("n").as("n_total"))
+    val topk = counts.orderBy(col("n").desc, col("w")).limit(20)
+    val probes = CmsSeeds.zipWithIndex.map { case (seed, i) =>
+      topk.select(col("w"), col("n"), lit(i).as("row_i"),
+        bucket(seed, col("w")).as("bucket"))
+    }.reduce(_.unionByName(_))
+    probes.join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy("w")
+      .agg(max("n").as("n_exact"), min("cell").as("cms_est"))
+      .crossJoin(broadcast(total)) // 1-row grand total
+      .select(col("w"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"),
+        expr("(cms_est - n_exact) * 1000000 div n_total").as("slack_ppm"))
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
+  val cmsAccuracySql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |c AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS n_total FROM c),
+      |b AS (SELECT w, n, i AS row_i,
+      |        ('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || w), 1, 15))::BIGINT
+      |          % 512 AS bucket
+      |      FROM c, UNNEST([0, 1, 2, 3]) AS u(i)),
+      |sk AS (SELECT row_i, bucket, SUM(n) AS cell FROM b GROUP BY 1, 2),
+      |tk AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 20),
+      |pj AS (SELECT tk.w AS w, tk.n AS n_exact, sk.cell AS cell
+      |       FROM tk JOIN b ON tk.w = b.w
+      |       JOIN sk ON sk.row_i = b.row_i AND sk.bucket = b.bucket)
+      |SELECT w, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+      |       CAST(MIN(cell) AS BIGINT) AS cms_est,
+      |       CAST(MIN(cell) - MAX(n_exact) AS BIGINT) AS overcount,
+      |       CAST((MIN(cell) - MAX(n_exact)) * 1000000 // MAX(n_total) AS BIGINT)
+      |         AS slack_ppm
+      |FROM pj, tot GROUP BY 1 ORDER BY n_exact DESC, w""".stripMargin
+
   // ---- q170: HLL approx-distinct accuracy gate (A10) -----------------
   // Closes the perennial "A10 is spec-only" row: the HLL++ sketch runs
   // on its real 100 TB path (approx_count_distinct) but the emitted
@@ -1063,6 +1136,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_benford_audit"   -> (benfordAudit _),
     "q185_hot_keys"        -> (hotKeys _),
+    "q189_cms_accuracy"    -> (cmsAccuracy _),
     "q07_invalid_counts"   -> (invalidCounts _),
     "q08_profile_stats"    -> (profileStats _),
     "q09_value_counts"     -> (valueCounts _),
@@ -1101,6 +1175,7 @@ object Quality {
   val oracles: Map[String, String] = Map(
     "q184_benford_audit"   -> benfordAuditSql,
     "q185_hot_keys"        -> hotKeysSql,
+    "q189_cms_accuracy"    -> cmsAccuracySql,
     "q07_invalid_counts"   -> invalidCountsSql,
     "q08_profile_stats"    -> profileStatsSql,
     "q09_value_counts"     -> valueCountsSql,

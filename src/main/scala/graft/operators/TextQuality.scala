@@ -389,7 +389,73 @@ object TextQuality {
       |            * 1000000 // COUNT(*) AS BIGINT) AS clean_ppm
       |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q188: model-based quality classifier (integer linear score) ---
+  // The stage AFTER rule filters (q56) in every public curation recipe:
+  // a trained lightweight classifier scores each document and the
+  // pipeline keeps by score threshold (GPT-3's LR-over-features pass,
+  // CCNet/fastText quality bins). The model here is a fixed-weight
+  // linear scorer over the same integer feature family q56 measures —
+  // weights are micro-unit literals (a trained model would arrive the
+  // same way: frozen coefficients), and because logistic is monotone,
+  // thresholding/bucketing the LINEAR score is equivalent to
+  // thresholding the sigmoid — so the whole pass stays in exact
+  // integer arithmetic, bit-identical across engines, no exp().
+  //
+  // Scale shape: a pure codegen'd projection over one scan — zero
+  // shuffles, zero joins; the sort is the gate's presentation order.
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("long")
+    val wordChars =
+      length(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val stops = Text.stopwordHits(col("text"), "en").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nToks.as("n_toks"), wordChars.as("wc"),
+        nChars.as("nc"), stops.as("n_stop"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("n_stop * 1000 div greatest(n_toks, 1)").as("stop_pm"),
+        expr("wc * 1000 div greatest(nc, 1)").as("alnum_pm"),
+        expr("wc * 1000 div greatest(n_toks, 1)").as("avglen_milli"))
+      .withColumn("score_micro",
+        lit(3000L) * col("stop_pm") + lit(1000L) * col("alnum_pm")
+          - lit(400L) * abs(col("avglen_milli") - 4500L)
+          + lit(800L) * least(col("n_toks"), lit(500L)) - lit(1000000L))
+      .withColumn("keep", col("score_micro") >= 0L)
+      .withColumn("bucket",
+        call_function("div", col("score_micro"), lit(250000L)))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String = {
+    val stopRe = Text.stopwords.toMap.apply("en")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS BIGINT) AS wc,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(regexp_extract_all(text, '$stopRe')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_toks,
+       |    n_stop * 1000 // greatest(n_toks, 1) AS stop_pm,
+       |    wc * 1000 // greatest(nc, 1) AS alnum_pm,
+       |    wc * 1000 // greatest(n_toks, 1) AS avglen_milli
+       |  FROM f),
+       |sc AS (
+       |  SELECT doc_id, n_toks, stop_pm, alnum_pm, avglen_milli,
+       |    3000 * stop_pm + 1000 * alnum_pm
+       |      - 400 * abs(avglen_milli - 4500)
+       |      + 800 * least(n_toks, 500) - 1000000 AS score_micro
+       |  FROM s)
+       |SELECT doc_id, n_toks, stop_pm, alnum_pm, avglen_milli, score_micro,
+       |  score_micro >= 0 AS keep,
+       |  CASE WHEN score_micro >= 0 THEN score_micro // 250000
+       |       ELSE -((-score_micro) // 250000) END AS bucket
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_quality_classifier" -> (qualityClassifier _),
     "q55_pii_redact" -> (piiRedact _),
     "q56_quality_signals" -> (qualitySignals _),
     "q149_filter_audit" -> (filterAudit _),
@@ -398,6 +464,7 @@ object TextQuality {
     "q181_encoding_audit" -> (encodingAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q188_quality_classifier" -> qualityClassifierSql,
     "q55_pii_redact" -> piiRedactSql,
     "q56_quality_signals" -> qualitySignalsSql,
     "q149_filter_audit" -> filterAuditSql,
