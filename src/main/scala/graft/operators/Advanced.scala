@@ -132,6 +132,46 @@ object Advanced {
       |       CAST(MAX(abs(x)) AS BIGINT) AS max_abs
       |FROM v GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---- q192: energy-gated audio segmentation (VAD shape) -------------
+  // One level above q125: the decoded PCM stream is framed (8 samples),
+  // each frame energy-gated, and the gate sequence reduced to
+  // contiguous active segments per asset — silence-trim / utterance-
+  // split for a speech corpus. The fixture's closed-form samples let
+  // the oracle recompute frame energies and the islands pass exactly.
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.audioSegments(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val audioSegmentsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST((doc_id % 3 + 1) * (doc_id % 100 + 1) AS BIGINT) AS n_vals
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1),
+      |s AS (SELECT asset_id, n_vals, r.k AS k,
+      |        CAST((2 * r.k * 37) % 256 + 256 * (((2 * r.k + 1) * 37) % 256)
+      |          AS BIGINT) AS u
+      |      FROM w, range(0, 300) AS r(k) WHERE r.k < w.n_vals),
+      |v AS (SELECT asset_id, n_vals, k,
+      |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s),
+      |fr AS (SELECT asset_id, k // 8 AS f, SUM(x * x) AS energy,
+      |         COUNT(*) AS n_in
+      |       FROM v GROUP BY 1, 2),
+      |g AS (SELECT asset_id, f, (energy >= 300000000 * n_in) AS active FROM fr),
+      |nf AS (SELECT asset_id, COUNT(*) AS n_frames FROM g GROUP BY 1),
+      |a AS (SELECT asset_id, f,
+      |        f - row_number() OVER (PARTITION BY asset_id ORDER BY f) AS isl
+      |      FROM g WHERE active),
+      |seg AS (SELECT asset_id, isl, COUNT(*) AS len FROM a GROUP BY 1, 2),
+      |agg AS (SELECT asset_id, COUNT(*) AS n_segments, MAX(len) AS longest_seg,
+      |          SUM(len) AS n_active FROM seg GROUP BY 1)
+      |SELECT nf.asset_id, CAST(nf.n_frames AS BIGINT) AS n_frames,
+      |       CAST(COALESCE(agg.n_active, 0) AS BIGINT) AS n_active,
+      |       CAST(COALESCE(agg.n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(COALESCE(agg.longest_seg, 0) AS BIGINT) AS longest_seg
+      |FROM nf LEFT JOIN agg USING (asset_id) ORDER BY 1""".stripMargin
+
   // ---- q126: full BMP pixel decode -> image channel stats ------------
   // The image twin of q125: every pixel of each planted 24bpp BMP is
   // decoded from the raw bytes (bottom-up rows, 4-byte padding, BGR)
@@ -1080,6 +1120,7 @@ object Advanced {
     "q175_zone_maps"        -> (zoneMaps _),
     "q27_stream_hourly"     -> (streamHourly _),
     "q186_stream_ohlc"      -> ((s, d) => StreamOps.streamOhlcBars(s, d)),
+    "q194_stream_cms"       -> ((s, d) => StreamOps.streamCmsHeavyHitters(s, d)),
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
@@ -1092,6 +1133,7 @@ object Advanced {
     "q122_manifest_ingest" -> (manifestIngest _),
     "q136_time_travel"     -> (timeTravel _),
     "q125_audio_energy" -> (audioEnergy _),
+    "q192_audio_segments" -> (audioSegments _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
@@ -1120,6 +1162,9 @@ object Advanced {
     "q27_stream_hourly"     -> streamHourlySql,
     // the drained stream must equal the BATCH bar table exactly
     "q186_stream_ohlc"      -> streamOhlcSql,
+    // the streaming CM fold must land cell-identical to the batch
+    // build, so it shares q189's from-scratch DuckDB oracle
+    "q194_stream_cms"       -> Quality.cmsAccuracySql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
@@ -1134,6 +1179,7 @@ object Advanced {
     "q122_manifest_ingest" -> manifestIngestSql,
     "q136_time_travel"     -> timeTravelSql,
     "q125_audio_energy" -> audioEnergySql,
+    "q192_audio_segments" -> audioSegmentsSql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,

@@ -778,7 +778,204 @@ object Curation {
       |FROM bs JOIN bw USING (w) JOIN ts USING (source), g
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q191: cross-source token-set overlap (bottom-k sketch gate) ---
+  // "Which SOURCES overlap" — the corpus-level question a mixture
+  // planner asks before the doc-level dedup runs (two crawl snapshots
+  // of the same site should be deduped against each other first; two
+  // disjoint domains need no cross pass). Estimator: bottom-k
+  // (k-minimum-values) sketches of each source's distinct-token set
+  // under one shared md5 hash order — J(A,B) ≈ |S_A ∩ S_B ∩ U_k| / |U_k|
+  // with U_k the k smallest of S_A ∪ S_B (Beyer et al. 2007 / the KMV
+  // family). The gate emits the sketch estimate BESIDE the exact
+  // Jaccard (affordable at gate scale) plus the signed error — the
+  // q170/q176/q189 accuracy-gate pattern, fourth sketch family.
+  //
+  // Scale shape: the sketch build is one distinct + one per-source
+  // window rank over hash order (per-source partitions are
+  // vocabulary-bounded, not corpus-bounded); every pair computation
+  // runs on k x nSources rows — CONSTANT in corpus size, which is the
+  // whole point: at 100 TB the exact lane is off and source-pair
+  // overlap costs k·S², not corpus². Pair expansion is two equality
+  // joins on source against a bounded source-pair dim (never an
+  // inequality cross join on data rows).
+  private val KmvK = 256L
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val tokset = Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint(true) // feeds the sketch AND the exact lane
+    // bottom-k sketch per source, shared hash order
+    val hashed = tokset.withColumn("h",
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val sk = hashed
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("w"))))
+      .filter(col("r") <= KmvK)
+      .select(col("source"), col("h"))
+      .localCheckpoint(true)
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
+      .filter(col("sa") < col("sb")) // bounded dim x dim
+    val rowsA = pairs.join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+    val rowsB = pairs.join(sk.withColumnRenamed("source", "sb"), Seq("sb"))
+      .select(col("sa"), col("sb"), col("h"), lit(0L).as("ina"), lit(1L).as("inb"))
+    val unioned = rowsA.unionByName(rowsB)
+      .groupBy("sa", "sb", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy("h")))
+      .filter(col("r") <= KmvK)
+    val est = unioned.groupBy("sa", "sb")
+      .agg(count(lit(1)).as("denom"),
+        sum(col("ina") * col("inb")).as("matched"))
+      .select(col("sa"), col("sb"),
+        expr("matched * 1000000 div denom").as("est_jaccard_ppm"))
+    // exact lane: equality self-join on the token
+    val sizes = tokset.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = tokset.select(col("source").as("sa"), col("w"))
+      .join(tokset.select(col("source").as("sb"), col("w")), "w")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    val exact = pairs
+      .join(broadcast(sizes.select(col("source").as("sa"), col("nv").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("nv").as("nb"))), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+      .select(col("sa"), col("sb"), col("n_inter"), col("n_union"),
+        expr("n_inter * 1000000 div n_union").as("exact_jaccard_ppm"))
+    exact.join(est, Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_inter"), col("n_union"), col("exact_jaccard_ppm"),
+        col("est_jaccard_ppm"),
+        (col("est_jaccard_ppm") - col("exact_jaccard_ppm")).as("err_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH ts AS (
+       |  SELECT DISTINCT source, w FROM (
+       |    SELECT source,
+       |           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents)),
+       |hs AS (SELECT source, w,
+       |         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM ts),
+       |sk AS (SELECT source, h FROM (
+       |         SELECT source, h,
+       |                row_number() OVER (PARTITION BY source ORDER BY h, w) AS r
+       |         FROM hs) WHERE r <= $KmvK),
+       |prs AS (SELECT a.source AS sa, b.source AS sb
+       |        FROM (SELECT DISTINCT source FROM sk) a,
+       |             (SELECT DISTINCT source FROM sk) b
+       |        WHERE a.source < b.source),
+       |u AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+       |        SELECT prs.sa, prs.sb, sk.h, 1 AS ina, 0 AS inb
+       |        FROM prs JOIN sk ON sk.source = prs.sa
+       |        UNION ALL
+       |        SELECT prs.sa, prs.sb, sk.h, 0, 1
+       |        FROM prs JOIN sk ON sk.source = prs.sb)
+       |      GROUP BY 1, 2, 3),
+       |uk AS (SELECT sa, sb, ina, inb FROM (
+       |         SELECT sa, sb, ina, inb,
+       |                row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+       |         FROM u) WHERE r <= $KmvK),
+       |est AS (SELECT sa, sb,
+       |          SUM(ina * inb) * 1000000 // COUNT(*) AS est_jaccard_ppm
+       |        FROM uk GROUP BY 1, 2),
+       |sz AS (SELECT source, COUNT(*) AS nv FROM ts GROUP BY 1),
+       |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+       |          FROM ts a JOIN ts b ON a.w = b.w AND a.source < b.source
+       |          GROUP BY 1, 2),
+       |ex AS (SELECT prs.sa, prs.sb,
+       |         COALESCE(inter.n_inter, 0) AS n_inter,
+       |         za.nv + zb.nv - COALESCE(inter.n_inter, 0) AS n_union
+       |       FROM prs
+       |       JOIN sz za ON za.source = prs.sa
+       |       JOIN sz zb ON zb.source = prs.sb
+       |       LEFT JOIN inter ON inter.sa = prs.sa AND inter.sb = prs.sb)
+       |SELECT ex.sa AS source_a, ex.sb AS source_b,
+       |       CAST(ex.n_inter AS BIGINT) AS n_inter,
+       |       CAST(ex.n_union AS BIGINT) AS n_union,
+       |       CAST(ex.n_inter * 1000000 // ex.n_union AS BIGINT) AS exact_jaccard_ppm,
+       |       CAST(est.est_jaccard_ppm AS BIGINT) AS est_jaccard_ppm,
+       |       CAST(est.est_jaccard_ppm
+       |            - ex.n_inter * 1000000 // ex.n_union AS BIGINT) AS err_ppm
+       |FROM ex JOIN est ON est.sa = ex.sa AND est.sb = ex.sb
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q193: duplication-depth profile (max shared window width) -----
+  // q162 answers "does this doc share a 20-token span with another
+  // doc"; this profiles HOW DEEP the verbatim duplication runs by
+  // probing three widths (10/20/40 tokens) and reporting, per doc,
+  // which widths hit and the maximum width that did — the signal that
+  // separates a quoted sentence (10 but not 40) from a mirrored
+  // article (all three). Monotone by construction: a shared 40-window
+  // implies shared 20- and 10-subwindows.
+  //
+  // Scale shape: three windowTable passes (each the q162 shape — one
+  // groupBy on the window key, one join back), unioned as a narrow
+  // (doc_id, w) flag table, one final per-doc aggregate. Each pass is
+  // O(tokens); nothing all-pairs anywhere.
+  private val SpanWidths = Seq(10, 20, 40)
+
+  def dupSpanProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val flags = SpanWidths.map { w =>
+      val wins = windowTable(docs, w).localCheckpoint(true)
+      val shared = wins.groupBy("wk")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      wins.join(shared, "wk").select("doc_id").distinct()
+        .withColumn("w", lit(w))
+    }.reduce(_.unionByName(_))
+    docs.select("doc_id").join(flags, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("w") === 10, 1L).otherwise(0L)).as("shared10"),
+        max(when(col("w") === 20, 1L).otherwise(0L)).as("shared20"),
+        max(when(col("w") === 40, 1L).otherwise(0L)).as("shared40"),
+        coalesce(max(col("w")), lit(0)).cast("long").as("max_shared_w"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpanProfileSql: String = {
+    def widthCte(w: Int): String =
+      s"""w$w AS (SELECT DISTINCT doc_id,
+         |  md5(array_to_string(toks[i:i+${w - 1}], ' ')) AS wk
+         |  FROM f, UNNEST(generate_series(1, nt - ${w - 1})) AS g(i)
+         |  WHERE nt >= $w),
+         |s$w AS (SELECT DISTINCT doc_id FROM w$w
+         |        WHERE wk IN (SELECT wk FROM w$w
+         |                     GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2))""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |           FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |${SpanWidths.map(widthCte).mkString(",\n")}
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN s10.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS shared10,
+       |  CAST(CASE WHEN s20.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS shared20,
+       |  CAST(CASE WHEN s40.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS shared40,
+       |  CAST(CASE WHEN s40.doc_id IS NOT NULL THEN 40
+       |            WHEN s20.doc_id IS NOT NULL THEN 20
+       |            WHEN s10.doc_id IS NOT NULL THEN 10
+       |            ELSE 0 END AS BIGINT) AS max_shared_w
+       |FROM documents d
+       |LEFT JOIN s10 ON s10.doc_id = d.doc_id
+       |LEFT JOIN s20 ON s20.doc_id = d.doc_id
+       |LEFT JOIN s40 ON s40.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_source_overlap"   -> (sourceOverlap _),
+    "q193_dup_span_profile" -> (dupSpanProfile _),
     "q187_paragraph_dedup"  -> (paragraphDedup _),
     "q190_source_drift"     -> (sourceDrift _),
     "q162_shared_substring" -> (sharedSubstring _),
@@ -792,6 +989,8 @@ object Curation {
     "q174_incremental_curation" -> (incrementalCuration _))
 
   val oracles: Map[String, String] = Map(
+    "q191_source_overlap"   -> sourceOverlapSql,
+    "q193_dup_span_profile" -> dupSpanProfileSql,
     "q187_paragraph_dedup"  -> paragraphDedupSql,
     "q190_source_drift"     -> sourceDriftSql,
     "q162_shared_substring" -> sharedSubstringSql,

@@ -120,6 +120,61 @@ object Multimodal {
         array_max(transform(col("s"), x => abs(x))).as("max_abs"))
   }
 
+  /** Energy-gated audio segmentation (q192): frame the decoded PCM
+    * stream into fixed 8-sample windows, gate each frame on mean
+    * energy, and reduce the gate sequence to contiguous ACTIVE
+    * segments per asset — the voice-activity-detection shape every
+    * speech-data pipeline runs between raw audio and ASR (silence
+    * trimming, utterance splitting). Integer end-to-end: frame energy
+    * is an exact sum of squares, the gate is an integer threshold per
+    * decoded sample, so segment structure hash-matches the oracle's
+    * closed-form recomputation.
+    *
+    * Scale shape: the per-frame table explodes O(samples/frame) rows
+    * per asset from one binary scan (a projection — at 100 TB the
+    * decode runs where the bytes are, no shuffle); the islands pass is
+    * one per-asset window over frame index (partitions are
+    * asset-sized, never corpus-sized) and two small aggregates. */
+  def audioSegments(assets: DataFrame, frame: Int = 8,
+      thresholdPerSample: Long = 300000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = col("content")
+    val framed = assets
+      .filter(sniffKind(c) === "wav" && length(c) >= 44)
+      .withColumn("n_vals", (leUInt(c, 41, 4) / 2).cast("long"))
+      .filter(col("n_vals") > 0)
+      .withColumn("s",
+        transform(sequence(lit(0L), col("n_vals") - 1), k => pcm16Sample(c, k)))
+      .withColumn("n_frames",
+        ((col("n_vals") + (frame - 1)) / frame).cast("long"))
+      .select(col("asset_id"), col("n_frames"),
+        explode(transform(sequence(lit(0L), col("n_frames") - 1), f => struct(
+          f.as("f"),
+          aggregate(slice(col("s"), (f * frame + 1).cast("int"), lit(frame)),
+            lit(0L), (acc, x) => acc + x * x).as("energy"),
+          size(slice(col("s"), (f * frame + 1).cast("int"), lit(frame))).as("n_in"))))
+          .as("fr"))
+      .select(col("asset_id"), col("n_frames"), col("fr.f").as("f"),
+        col("fr.energy").as("energy"), col("fr.n_in").as("n_in"))
+      .withColumn("active",
+        col("energy") >= lit(thresholdPerSample) * col("n_in"))
+      .localCheckpoint(true) // feeds the per-asset frame count AND islands
+    val perAsset = framed.groupBy("asset_id")
+      .agg(max("n_frames").as("n_frames"))
+    val islands = framed.filter(col("active"))
+      .withColumn("isl", col("f") - row_number().over(
+        Window.partitionBy("asset_id").orderBy("f")))
+      .groupBy("asset_id", "isl").agg(count(lit(1)).as("len"))
+    val segs = islands.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_segments"), max("len").as("longest_seg"),
+        sum("len").as("n_active"))
+    perAsset.join(segs, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+  }
+
   /** Single byte of a binary column at 1-based dynamic position, as an
     * unsigned long. */
   private def byteAt(content: Column, pos: Column): Column =

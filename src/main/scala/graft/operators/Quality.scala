@@ -887,28 +887,25 @@ object Quality {
   // At true stream scale the same sketch is an `aggregate`-shaped fold
   // per partition merged by cell-wise +, which is exactly what the
   // groupBy(bucket).sum lowering does.
-  private val CmsSeeds: Seq[String] = (0 until 4).map(i => s"cms$i")
-  private val CmsW = 512L
+  private[graft] val CmsSeeds: Seq[String] = (0 until 4).map(i => s"cms$i")
+  private[graft] val CmsW = 512L
 
-  def cmsAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(spark)
-    val counts = Tables.documents(spark, dir)
-      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    def bucket(seed: String, c: Column): Column =
-      pmod(conv(substring(md5(concat(lit(seed), c)), 1, 15), 16, 10)
-        .cast("long"), lit(CmsW))
-    val sketch = CmsSeeds.zipWithIndex.map { case (seed, i) =>
-      counts.groupBy(bucket(seed, col("w")).as("bucket"))
-        .agg(sum("n").as("cell"))
-        .withColumn("row_i", lit(i))
-    }.reduce(_.unionByName(_)).localCheckpoint(true)
+  /** Seeded CM row hash: md5 keeps both engines (and the streaming
+    * lane) on the identical bucket function. */
+  private[graft] def cmsBucket(seed: String, c: Column): Column =
+    pmod(conv(substring(md5(concat(lit(seed), c)), 1, 15), 16, 10)
+      .cast("long"), lit(CmsW))
+
+  /** Probe an already-built (row_i, bucket, cell) sketch with the top-20
+    * exact keys — shared by the batch gate (q189) and the streaming
+    * sketch-maintenance lane (q194), which must produce the identical
+    * frame from a sketch folded incrementally. */
+  private[graft] def cmsProbe(counts: DataFrame, sketch: DataFrame): DataFrame = {
     val total = counts.agg(sum("n").as("n_total"))
     val topk = counts.orderBy(col("n").desc, col("w")).limit(20)
     val probes = CmsSeeds.zipWithIndex.map { case (seed, i) =>
       topk.select(col("w"), col("n"), lit(i).as("row_i"),
-        bucket(seed, col("w")).as("bucket"))
+        cmsBucket(seed, col("w")).as("bucket"))
     }.reduce(_.unionByName(_))
     probes.join(broadcast(sketch), Seq("row_i", "bucket"))
       .groupBy("w")
@@ -918,6 +915,20 @@ object Quality {
         (col("cms_est") - col("n_exact")).as("overcount"),
         expr("(cms_est - n_exact) * 1000000 div n_total").as("slack_ppm"))
       .orderBy(col("n_exact").desc, col("w"))
+  }
+
+  def cmsAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val sketch = CmsSeeds.zipWithIndex.map { case (seed, i) =>
+      counts.groupBy(cmsBucket(seed, col("w")).as("bucket"))
+        .agg(sum("n").as("cell"))
+        .withColumn("row_i", lit(i))
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    cmsProbe(counts, sketch)
   }
 
   val cmsAccuracySql: String =

@@ -127,6 +127,45 @@ object StreamOps {
     drain(stream, queryName, "complete").orderBy("hour_start_ms", "event_type")
   }
 
+  /** Streaming Count-Min sketch maintenance (q194): the q189 sketch's
+    * 4 x 512 cell table folded INCREMENTALLY over a token stream — a
+    * bounded-state streaming aggregate (the state is the sketch, 2048
+    * cells, regardless of stream volume) where exact per-token counts
+    * would grow with the vocabulary. That inversion — O(sketch) state
+    * for O(vocab) answers — is why a 100 TB/day ingest keeps CM cells
+    * online and defers exact counting to batch. The drained sketch is
+    * probed by the SAME batch probe as q189, so the gate row proves
+    * the incremental fold lands cell-identical to the batch build
+    * (DuckDB recomputes the whole frame from scratch).
+    *
+    * Shape: token explode -> 4 seeded bucket projections unioned
+    * BEFORE the aggregate -> one groupBy((row_i, bucket)) count. The
+    * union multiplies the stream by d=4, but each projection is a
+    * codegen'd md5+mod — no state until the single bounded aggregate. */
+  def streamCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val fileSchema: StructType =
+      spark.read.parquet(s"$dir/documents.parquet").schema
+    val queryName = freshName("graft_cms_", dir)
+    val toks = spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+    val cells = graft.operators.Quality.CmsSeeds.zipWithIndex.map {
+      case (seed, i) =>
+        toks.select(lit(i).as("row_i"),
+          graft.operators.Quality.cmsBucket(seed, col("w")).as("bucket"))
+    }.reduce(_.unionByName(_))
+      .groupBy("row_i", "bucket")
+      .agg(count(lit(1)).as("cell"))
+    val sketch = drain(cells, queryName, "complete").localCheckpoint(true)
+    val counts = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    graft.operators.Quality.cmsProbe(counts, sketch)
+  }
+
   /** Streaming deduplication with bounded state:
     * `dropDuplicatesWithinWatermark` keyed on event_id, over a stream
     * that deliberately delivers EVERY event twice (self-union — the

@@ -88,6 +88,82 @@ class Batch9OpsSpec extends SparkSpec {
     assert(exacts === exacts.sorted.reverse)
   }
 
+  test("q191 sourceOverlap: exact Jaccard matches a brute-force set fold; " +
+    "estimate within 4/sqrt(k) of exact") {
+    val rows = Curation.sourceOverlap(spark, sf).collect()
+    val sets = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.flatMap(r =>
+          "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase)).toSet }
+    val srcs = sets.keys.toSeq.sorted
+    assert(rows.length === srcs.combinations(2).size)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val inter = (sets(sa) & sets(sb)).size.toLong
+      val union = (sets(sa) | sets(sb)).size.toLong
+      assert(r.getLong(2) === inter, s"$sa-$sb inter")
+      assert(r.getLong(3) === union, s"$sa-$sb union")
+      assert(r.getLong(4) === inter * 1000000L / union, s"$sa-$sb exact ppm")
+      // KMV concentration: |est - exact| <= ~4/sqrt(k) (k=256 -> 250000 ppm
+      // worst case; typically far tighter)
+      assert(math.abs(r.getLong(6)) <= 250000L, s"$sa-$sb est err ${r.getLong(6)}")
+    }
+  }
+
+  test("q192 audioSegments: segment structure equals a driver-side " +
+    "recomputation from the decoded samples") {
+    val got = graft.operators.Advanced.audioSegments(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 2 == 1)
+      .map { id =>
+        val nVals = ((id % 3 + 1) * (id % 100 + 1)).toInt
+        val xs = (0 until nVals).map { k =>
+          val u = (2 * k * 37) % 256 + 256 * (((2 * k + 1) * 37) % 256)
+          if (u >= 32768) u - 65536 else u
+        }
+        val frames = xs.grouped(8).toSeq
+        val active = frames.map(f =>
+          f.map(x => x.toLong * x).sum >= 300000000L * f.size)
+        // islands over the boolean gate sequence
+        val segLens = active.foldLeft(Vector.empty[Long] -> false) {
+          case ((segs, prev), a) =>
+            if (a && prev) (segs.init :+ (segs.last + 1), true)
+            else if (a) (segs :+ 1L, true)
+            else (segs, false)
+        }._1
+        id -> (frames.size.toLong, segLens.sum, segLens.size.toLong, segLens.sorted.lastOption.getOrElse(0L))
+      }.toMap
+    assert(got === expected)
+  }
+
+  test("q193 dupSpanProfile: width flags are monotone and 20-width flag " +
+    "agrees with q162 membership") {
+    val rows = Curation.dupSpanProfile(spark, sf).collect()
+    rows.foreach { r =>
+      val (s10, s20, s40, mx) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // a shared 40-window implies shared 20 and 10 subwindows
+      assert(s40 <= s20 && s20 <= s10, s"doc ${r.getLong(0)} monotone")
+      val expectedMax = if (s40 == 1) 40L else if (s20 == 1) 20L else if (s10 == 1) 10L else 0L
+      assert(mx === expectedMax)
+    }
+    val w20docs = rows.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    val q162docs = Curation.sharedSubstring(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(w20docs === q162docs)
+  }
+
+  test("q194 streamCms: the incremental sketch fold produces the exact " +
+    "batch gate frame") {
+    val streamed = graft.streaming.StreamOps.streamCmsHeavyHitters(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = Quality.cmsAccuracy(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
