@@ -546,7 +546,144 @@ object Graph {
     """SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 16) AS rep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q195: 2-hop reach (friend-of-friend feature) ------------------
+  // The classic graph feature a recommender/risk pipeline derives per
+  // node: how many DISTINCT nodes are exactly two hops away (reachable
+  // through a neighbor, not a neighbor themselves, not self). One
+  // equality self-join on the shared middle node + one left-anti
+  // against the direct edge set + one two-phase distinct count — the
+  // standard shape whose 100 TB risk is hub skew in the middle-node
+  // join (AQE skew-split handles it; the per-node count aggregate is
+  // map-side combinable).
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true) // consumed by the 2-hop join AND the anti-join
+    val twoHop = edges.select(col("u"), col("v").as("mid"))
+      .join(edges.select(col("u").as("mid2"), col("v").as("w")),
+        col("mid") === col("mid2"))
+      .select(col("u"), col("w"))
+      .filter(col("u") =!= col("w"))
+      .join(edges.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_anti")
+    twoHop.groupBy("u")
+      .agg(countDistinct("w").as("n_two_hop"))
+      .select(col("u").cast("long").as("node"), col("n_two_hop"))
+      .orderBy("node")
+  }
+
+  val twoHopReachSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 10 = 0),
+      |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |       FROM li a JOIN li b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |th AS (SELECT DISTINCT x.u, y.v AS w
+      |       FROM edges x JOIN edges y ON x.v = y.u
+      |       WHERE x.u <> y.v),
+      |ind AS (SELECT th.u, th.w FROM th
+      |        LEFT JOIN edges d ON d.u = th.u AND d.v = th.w
+      |        WHERE d.u IS NULL)
+      |SELECT CAST(u AS BIGINT) AS node, COUNT(*) AS n_two_hop
+      |FROM ind GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q196: label propagation (semi-supervised, fixed rounds) -------
+  // Community/label spreading beyond the min-label CC family: seeds
+  // (node % 50 == 0) carry pinned label = node; three SYNCHRONOUS
+  // rounds, each node adopting the MAJORITY label among its labeled
+  // neighbors with the smallest-label tie-break; seeds never move.
+  // Deterministic end to end (integer votes, total tie order), so the
+  // oracle unrolls the same three rounds as chained CTEs — a hash
+  // match proves per-node labels after exactly 3 rounds, not a
+  // converged fixpoint both engines could reach by different paths.
+  //
+  // Per round: one equality join (neighbor labels), one grouped count,
+  // one min_by argmax — the Pregel-as-joins shape shared with q146;
+  // rounds are a bounded driver loop over checkpointed frames.
+  private val LabelPropRounds = 3
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(true)
+    val seeds = nodes.filter(col("node") % 50 === 0)
+      .select(col("node"), col("node").as("seed_label"))
+    var labels = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LabelPropRounds) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .filter(col("label").isNotNull)
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val voted = votes.groupBy("node")
+        .agg(min_by(col("label"),
+          struct((col("cnt") * -1L).as("neg"), col("label"))).as("voted"))
+      labels = nodes
+        .join(seeds, Seq("node"), "left")
+        .join(voted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("voted")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").cast("long").as("node"), col("label").cast("long").as("label"))
+      .orderBy("node")
+  }
+
+  val labelPropagationSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""v$cur AS (SELECT e.u AS node, l.label, COUNT(*) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.v
+         |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |m$cur AS (SELECT node, label AS voted FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY cnt DESC, label) AS rn
+         |    FROM v$cur) WHERE rn = 1),
+         |$cur AS (SELECT n.node,
+         |           COALESCE(s.seed_label, m$cur.voted) AS label
+         |         FROM nodes n
+         |         LEFT JOIN seeds s ON s.node = n.node
+         |         LEFT JOIN m$cur ON m$cur.node = n.node)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 10 = 0),
+       |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |       FROM li a JOIN li b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |nodes AS (SELECT DISTINCT u AS node FROM edges),
+       |seeds AS (SELECT node, node AS seed_label FROM nodes WHERE node % 50 = 0),
+       |r0 AS (SELECT n.node, s.seed_label AS label FROM nodes n
+       |       LEFT JOIN seeds s ON s.node = n.node),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+       |FROM r3 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_two_hop"              -> (twoHopReach _),
+    "q196_label_prop"           -> (labelPropagation _),
     "q177_chain_cc"             -> (chainComponents _),
     "q179_pagerank_bucketed"    -> (pageRankBucketed _),
     "q96_triangle_count"        -> (triangleCount _),
@@ -557,6 +694,8 @@ object Graph {
     "q134_onion_layers"         -> (onionLayers _))
 
   val oracles: Map[String, String] = Map(
+    "q195_two_hop"              -> twoHopReachSql,
+    "q196_label_prop"           -> labelPropagationSql,
     "q177_chain_cc"             -> chainComponentsSql,
     "q179_pagerank_bucketed"    -> pageRankSql,
     "q96_triangle_count"        -> triangleCountSql,

@@ -392,7 +392,56 @@ object Retrieval {
       |       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---- q197: feature hashing (the hashing-trick featurizer) ----------
+  // Vowpal/fastText-style signed feature hashing: every token maps to
+  // one of 64 buckets by a seeded md5 hash, contributes +1/-1 by a
+  // second hash bit, and each document's feature vector is the signed
+  // per-bucket sum — sparse (doc_id, bucket, value) triples with
+  // cancelled-out buckets dropped. This is how a text corpus becomes
+  // fixed-width model input WITHOUT a vocabulary table: no vocab
+  // build, no broadcast dictionary, memory O(buckets) per doc.
+  // Integer end-to-end, bit-identical across engines.
+  //
+  // Scale shape: one token explode + one (doc, bucket) grouped sum —
+  // a single map-side-combinable aggregate keyed on the pair; nothing
+  // else. The 100 TB cost is the explode's row volume, which every
+  // tokenizing operator here already pays.
+  private val HashBuckets = 64L
+
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    toks
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("fh"), col("w"))), 1, 15), 16, 10)
+          .cast("long"), lit(HashBuckets)))
+      .withColumn("sign",
+        when(pmod(conv(substring(md5(concat(lit("sgn"), col("w"))), 1, 1), 16, 10)
+          .cast("long"), lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sign").as("weight"))
+      .filter(col("weight") =!= 0L)
+      .orderBy("doc_id", "bucket")
+  }
+
+  val featureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substr(md5('fh' || w), 1, 15))::BIGINT % $HashBuckets
+       |          AS bucket,
+       |        CASE WHEN ('0x' || substr(md5('sgn' || w), 1, 1))::BIGINT % 2 = 0
+       |             THEN 1 ELSE -1 END AS sgn
+       |      FROM tok)
+       |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS weight
+       |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_feature_hash"      -> (featureHash _),
     "q182_phrase_search"     -> ((s, d) => phraseSearch(s, d)),
     "q111_group_filter"      -> (groupFilter _),
     "q112_term_retrieval"    -> (termRetrieval _),
@@ -404,6 +453,7 @@ object Retrieval {
     "q173_bm25_topk"         -> (bm25TopK _))
 
   val oracles: Map[String, String] = Map(
+    "q197_feature_hash"      -> featureHashSql,
     "q182_phrase_search"     -> phraseSearchSql,
     "q111_group_filter"      -> groupFilterSql,
     "q112_term_retrieval"    -> termRetrievalSql,

@@ -164,6 +164,73 @@ class Batch9OpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  private def testGraphEdges(): Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = li.groupBy(_._1)
+    val e0 = byOrder.values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    e0 ++ e0.map { case (u, v) => (v, u) }
+  }
+
+  test("q195 twoHopReach: equals a driver-side adjacency fold") {
+    val got = graft.operators.Graph.twoHopReach(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = testGraphEdges()
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val expected = adj.map { case (u, ns) =>
+      u -> ns.flatMap(adj(_)).diff(ns + u).size.toLong
+    }.filter(_._2 > 0)
+    assert(got === expected)
+  }
+
+  test("q196 labelPropagation: equals a driver-side 3-round synchronous fold") {
+    val got = graft.operators.Graph.labelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val edges = testGraphEdges()
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSeq }
+    val nodes = adj.keySet
+    val seeds = nodes.filter(_ % 50 == 0).map(n => n -> n).toMap
+    var labels: Map[Long, Option[Long]] =
+      nodes.map(n => n -> seeds.get(n)).toMap
+    for (_ <- 1 to 3) {
+      val voted = nodes.map { n =>
+        val nb = adj(n).flatMap(labels(_))
+        val v = if (nb.isEmpty) None
+        else Some(nb.groupBy(identity).toSeq
+          .map { case (l, o) => (-o.size, l) }.min._2)
+        n -> v
+      }.toMap
+      labels = nodes.map(n =>
+        n -> seeds.get(n).orElse(voted(n))).toMap
+    }
+    assert(got === labels)
+  }
+
+  test("q197 featureHash: equals a driver-side signed-hash fold") {
+    val got = graft.operators.Retrieval.featureHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).map { w =>
+          val bucket = java.lang.Long.parseLong(md5hex("fh" + w).take(15), 16) % 64
+          val sign = if (java.lang.Long.parseLong(md5hex("sgn" + w).take(1), 16) % 2 == 0) 1L else -1L
+          (id, bucket) -> sign
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .filter(_._2 != 0L)
+    assert(got === expected)
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
