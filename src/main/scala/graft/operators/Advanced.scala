@@ -172,6 +172,78 @@ object Advanced {
       |       CAST(COALESCE(agg.longest_seg, 0) AS BIGINT) AS longest_seg
       |FROM nf LEFT JOIN agg USING (asset_id) ORDER BY 1""".stripMargin
 
+  // ---- q200: audio curation funnel (the q150 shape for speech) -------
+  // Composes the oracled audio primitives into the per-asset keep/drop
+  // decision a speech-corpus pipeline makes: decode features (q125's
+  // energy + peak), segment structure (q192's VAD), then three gates —
+  // has-speech (>= 1 active segment), no-clipping (peak below
+  // 32000), and a sane duty cycle (active frames in [10%, 95%]).
+  // Output is the per-asset audit row (features + per-rule flags +
+  // final keep), all integer, ordered by asset — the multimodal twin
+  // of q149's text filter audit.
+  def audioFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val assets = Multimodal.plantedMediaAssets(docs, "doc_id")
+    val feats = Multimodal.audioEnergy(assets)
+      .select(col("asset_id"), col("n_vals"), col("energy"), col("max_abs"))
+    val segs = Multimodal.audioSegments(assets)
+    feats.join(segs, Seq("asset_id"))
+      .withColumn("duty_permille",
+        expr("n_active * 1000 div greatest(n_frames, 1)"))
+      .withColumn("has_speech", col("n_segments") >= 1L)
+      .withColumn("no_clip", col("max_abs") < 32000L)
+      .withColumn("duty_ok",
+        col("duty_permille") >= 100L && col("duty_permille") <= 950L)
+      .withColumn("keep",
+        col("has_speech") && col("no_clip") && col("duty_ok"))
+      .select("asset_id", "n_vals", "max_abs", "n_frames", "n_active",
+        "n_segments", "duty_permille", "has_speech", "no_clip", "duty_ok",
+        "keep")
+      .orderBy("asset_id")
+  }
+
+  val audioFunnelSql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST((doc_id % 3 + 1) * (doc_id % 100 + 1) AS BIGINT) AS n_vals
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1),
+      |s AS (SELECT asset_id, n_vals, r.k AS k,
+      |        CAST((2 * r.k * 37) % 256 + 256 * (((2 * r.k + 1) * 37) % 256)
+      |          AS BIGINT) AS u
+      |      FROM w, range(0, 300) AS r(k) WHERE r.k < w.n_vals),
+      |v AS (SELECT asset_id, n_vals, k,
+      |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s),
+      |ft AS (SELECT asset_id, MAX(n_vals) AS n_vals,
+      |         MAX(abs(x)) AS max_abs FROM v GROUP BY 1),
+      |fr AS (SELECT asset_id, k // 8 AS f, SUM(x * x) AS energy,
+      |         COUNT(*) AS n_in FROM v GROUP BY 1, 2),
+      |g AS (SELECT asset_id, f, (energy >= 300000000 * n_in) AS active FROM fr),
+      |nf AS (SELECT asset_id, COUNT(*) AS n_frames FROM g GROUP BY 1),
+      |a AS (SELECT asset_id, f,
+      |        f - row_number() OVER (PARTITION BY asset_id ORDER BY f) AS isl
+      |      FROM g WHERE active),
+      |seg AS (SELECT asset_id, isl, COUNT(*) AS len FROM a GROUP BY 1, 2),
+      |agg AS (SELECT asset_id, COUNT(*) AS n_segments,
+      |          SUM(len) AS n_active FROM seg GROUP BY 1),
+      |j AS (SELECT ft.asset_id, ft.n_vals, ft.max_abs, nf.n_frames,
+      |        COALESCE(agg.n_active, 0) AS n_active,
+      |        COALESCE(agg.n_segments, 0) AS n_segments,
+      |        COALESCE(agg.n_active, 0) * 1000 // greatest(nf.n_frames, 1)
+      |          AS duty_permille
+      |      FROM ft JOIN nf USING (asset_id)
+      |      LEFT JOIN agg USING (asset_id))
+      |SELECT asset_id, n_vals, CAST(max_abs AS BIGINT) AS max_abs,
+      |       CAST(n_frames AS BIGINT) AS n_frames,
+      |       CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(n_segments AS BIGINT) AS n_segments,
+      |       CAST(duty_permille AS BIGINT) AS duty_permille,
+      |       n_segments >= 1 AS has_speech,
+      |       max_abs < 32000 AS no_clip,
+      |       duty_permille BETWEEN 100 AND 950 AS duty_ok,
+      |       (n_segments >= 1 AND max_abs < 32000
+      |        AND duty_permille BETWEEN 100 AND 950) AS keep
+      |FROM j ORDER BY 1""".stripMargin
+
   // ---- q126: full BMP pixel decode -> image channel stats ------------
   // The image twin of q125: every pixel of each planted 24bpp BMP is
   // decoded from the raw bytes (bottom-up rows, 4-byte padding, BGR)
@@ -1134,6 +1206,7 @@ object Advanced {
     "q136_time_travel"     -> (timeTravel _),
     "q125_audio_energy" -> (audioEnergy _),
     "q192_audio_segments" -> (audioSegments _),
+    "q200_audio_funnel" -> (audioFunnel _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
@@ -1180,6 +1253,7 @@ object Advanced {
     "q136_time_travel"     -> timeTravelSql,
     "q125_audio_energy" -> audioEnergySql,
     "q192_audio_segments" -> audioSegmentsSql,
+    "q200_audio_funnel" -> audioFunnelSql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,

@@ -235,6 +235,88 @@ object Llm {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q199: LSH recall confusion gate -------------------------------
+  // The dedup-QA row: on the bounded q21 subset (doc_id < 300, where
+  // exact all-pairs is affordable), compare the q22 MinHash+LSH pair
+  // set against ground truth (exact n-gram Jaccard >= 0.5) as a full
+  // confusion count — true pairs, found pairs, hits, misses, and false
+  // positives. Post-verify LSH can only miss (candidates that hit no
+  // band), never fabricate — n_false is structurally 0 and the gate
+  // PROVES it rather than asserting it. recall_ppm is the measured
+  // operating point of the (numHashes=12, bands=4) dial that q166
+  // histograms; RecallSpec pins a floor, this row pins the exact
+  // number, cross-engine.
+  //
+  // Scale note: the exact lane is the quadratic opt-in (evaluation
+  // harness on a bounded sample — exactly how a production pipeline
+  // estimates its dedup recall: on a sample, never the corpus).
+  def lshRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val exact = Dedup.exactAllPairs(sub, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("e"))
+    val lsh = Dedup.minhashLshPairs(sub, "doc_id", "text", n = 3,
+        numHashes = NumHashes, bands = Bands, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("e"), lit(0L))).as("n_true"),
+        sum(coalesce(col("l"), lit(0L))).as("n_found"),
+        sum(when(col("e").isNotNull && col("l").isNotNull, 1L).otherwise(0L))
+          .as("n_tp"),
+        sum(when(col("e").isNotNull && col("l").isNull, 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("e").isNull && col("l").isNotNull, 1L).otherwise(0L))
+          .as("n_false"))
+      .select(col("n_true"), col("n_found"), col("n_tp"), col("n_missed"),
+        col("n_false"),
+        expr("n_tp * 1000000 div greatest(n_true, 1)").as("recall_ppm"))
+  }
+
+  val lshRecallGateSql: String = {
+    val rows = NumHashes / Bands
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
+       |einter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |epairs AS (SELECT doc_a, doc_b FROM einter
+       |           JOIN sz za ON za.doc_id = doc_a
+       |           JOIN sz zb ON zb.doc_id = doc_b
+       |           WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.5),
+       |hsh AS (SELECT doc_id, md5(s) || md5(s) AS hh, s FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |linter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |           FROM cand JOIN sh sa ON sa.doc_id = doc_a
+       |           JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2),
+       |lpairs AS (SELECT doc_a, doc_b FROM linter
+       |           JOIN sz za ON za.doc_id = doc_a
+       |           JOIN sz zb ON zb.doc_id = doc_b
+       |           WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE) >= 0.5),
+       |fj AS (SELECT e.doc_a IS NOT NULL AS ine, l.doc_a IS NOT NULL AS inl
+       |       FROM epairs e FULL OUTER JOIN lpairs l
+       |         ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+       |SELECT CAST(SUM(CASE WHEN ine THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |       CAST(SUM(CASE WHEN inl THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |       CAST(SUM(CASE WHEN ine AND inl THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+       |       CAST(SUM(CASE WHEN ine AND NOT inl THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       |       CAST(SUM(CASE WHEN NOT ine AND inl THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+       |       CAST(SUM(CASE WHEN ine AND inl THEN 1 ELSE 0 END) * 1000000
+       |            // greatest(SUM(CASE WHEN ine THEN 1 ELSE 0 END), 1) AS BIGINT)
+       |         AS recall_ppm
+       |FROM fj""".stripMargin
+  }
+
   // ---- q40: near-dup clusters (connected components over q22 pairs) --
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(minhashPairs(spark, dir)).orderBy("canonical_doc")
@@ -1803,6 +1885,7 @@ object Llm {
     "q21_ngram_jaccard"     -> (ngramJaccard _),
     "q99_prefix_jaccard"    -> (ngramJaccardPrefix _),
     "q22_minhash_lsh"       -> (minhashLsh _),
+    "q199_lsh_recall"       -> (lshRecallGate _),
     "q22x_minhash_xxhash"   -> (minhashLshXx _),
     "q23_simhash"           -> (simhash _),
     "q24_embedding_neardup" -> (embeddingNearDup _),
@@ -1853,6 +1936,7 @@ object Llm {
     // q99 must equal the exact all-pairs result — same oracle as q21
     "q99_prefix_jaccard"    -> ngramJaccardSql,
     "q22_minhash_lsh"       -> minhashLshSql,
+    "q199_lsh_recall"       -> lshRecallGateSql,
     // The xx lane emits the EXACT h64-set Jaccard for each verified
     // pair (minhashLshPairs' verify join is family-independent), so
     // the md5-lane oracle applies verbatim: the check asserts the

@@ -953,6 +953,69 @@ object Quality {
       |         AS slack_ppm
       |FROM pj, tot GROUP BY 1 ORDER BY n_exact DESC, w""".stripMargin
 
+  // ---- q198: sample-based AQP accuracy gate --------------------------
+  // Approximate query processing by deterministic uniform sampling —
+  // the fifth estimator family beside HLL (q170), GK percentile
+  // (q176), Count-Min (q189), and KMV (q191): a 1/16 row sample via
+  // the md5 hash channel, aggregates scaled by the sampling factor,
+  // reported BESIDE the exact answers with an integer error-ppm
+  // column. The hash channel makes the "random" sample identical in
+  // both engines, so the estimates themselves hash-match — the gate
+  // proves the estimator pipeline, and the artifact documents the
+  // error a 1/16 sample actually delivers at this data shape.
+  //
+  // Scale shape: one checkpointed scan feeds the exact and sampled
+  // aggregates (both map-side combinable); the sample predicate is a
+  // codegen'd projection, so at 100 TB the sampled lane reads the
+  // same scan but aggregates 1/16 of the rows — the classic AQP
+  // trade.
+  private val AqpFactor = 16L
+
+  def sampleAqpGate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("h",
+        conv(substring(md5((col("l_orderkey") * 10L + col("l_linenumber"))
+          .cast("string")), 1, 15), 16, 10).cast("long"))
+      .localCheckpoint(true) // exact + sampled lanes share the scan
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("qd"))
+    val est = li.filter(pmod(col("h"), lit(AqpFactor)) === 0L)
+      .groupBy("l_returnflag")
+      .agg((count(lit(1)) * AqpFactor).as("n_est"),
+        (sum(col("l_quantity").cast(DecimalType(18, 4))) * AqpFactor).as("qe"))
+    exact.join(est, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_exact"),
+        coalesce(col("n_est"), lit(0L)).as("n_est"),
+        col("qd").cast("double").as("qty_exact"),
+        coalesce(col("qe"), lit(0).cast(DecimalType(18, 4)))
+          .cast("double").as("qty_est"))
+      .withColumn("err_ppm",
+        expr("abs(n_est - n_exact) * 1000000 div n_exact"))
+      .orderBy("l_returnflag")
+  }
+
+  val sampleAqpGateSql: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag, l_quantity,
+       |         ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+       |                         1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |ex AS (SELECT l_returnflag, COUNT(*) AS n_exact,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qd
+       |       FROM li GROUP BY 1),
+       |es AS (SELECT l_returnflag, COUNT(*) * $AqpFactor AS n_est,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,4))) * $AqpFactor AS qe
+       |       FROM li WHERE h % $AqpFactor = 0 GROUP BY 1)
+       |SELECT ex.l_returnflag, CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(COALESCE(n_est, 0) AS BIGINT) AS n_est,
+       |       CAST(qd AS DOUBLE) AS qty_exact,
+       |       CAST(COALESCE(qe, 0) AS DOUBLE) AS qty_est,
+       |       CAST(abs(COALESCE(n_est, 0) - n_exact) * 1000000 // n_exact AS BIGINT)
+       |         AS err_ppm
+       |FROM ex LEFT JOIN es USING (l_returnflag)
+       |ORDER BY 1""".stripMargin
+
   // ---- q170: HLL approx-distinct accuracy gate (A10) -----------------
   // Closes the perennial "A10 is spec-only" row: the HLL++ sketch runs
   // on its real 100 TB path (approx_count_distinct) but the emitted
@@ -1148,6 +1211,7 @@ object Quality {
     "q184_benford_audit"   -> (benfordAudit _),
     "q185_hot_keys"        -> (hotKeys _),
     "q189_cms_accuracy"    -> (cmsAccuracy _),
+    "q198_sample_aqp"      -> (sampleAqpGate _),
     "q07_invalid_counts"   -> (invalidCounts _),
     "q08_profile_stats"    -> (profileStats _),
     "q09_value_counts"     -> (valueCounts _),
@@ -1187,6 +1251,7 @@ object Quality {
     "q184_benford_audit"   -> benfordAuditSql,
     "q185_hot_keys"        -> hotKeysSql,
     "q189_cms_accuracy"    -> cmsAccuracySql,
+    "q198_sample_aqp"      -> sampleAqpGateSql,
     "q07_invalid_counts"   -> invalidCountsSql,
     "q08_profile_stats"    -> profileStatsSql,
     "q09_value_counts"     -> valueCountsSql,

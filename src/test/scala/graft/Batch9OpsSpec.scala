@@ -231,6 +231,61 @@ class Batch9OpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q198 sampleAqp: the sample is the md5 channel's and scaled counts " +
+    "reconcile") {
+    val rows = Quality.sampleAqpGate(spark, sf).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getString(0), r.getLong(1) * 10 + r.getInt(2)))
+    val exact = li.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val sampled = li.filter { case (_, rk) =>
+      java.lang.Long.parseLong(md5hex(rk.toString).take(15), 16) % 16 == 0 }
+      .groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getLong(1) === exact(flag))
+      assert(r.getLong(2) === sampled.getOrElse(flag, 0L) * 16)
+      assert(r.getLong(5) ===
+        math.abs(r.getLong(2) - r.getLong(1)) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("q199 lshRecall: confusion counts are consistent and post-verify " +
+    "LSH never fabricates a pair") {
+    val r = graft.operators.Llm.lshRecallGate(spark, sf).collect().head
+    val (nTrue, nFound, nTp, nMissed, nFalse, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nFalse === 0L, "post-verify LSH must be a subset of ground truth")
+    assert(nFound === nTp)
+    assert(nTp + nMissed === nTrue)
+    assert(recall === nTp * 1000000L / math.max(nTrue, 1L))
+    assert(nTrue > 0L, "gate corpus must contain true near-dup pairs")
+    assert(recall >= 900000L, s"recall floor: $recall ppm")
+  }
+
+  test("q200 audioFunnel: per-rule flags recompute from the feature columns") {
+    val rows = graft.operators.Advanced.audioFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var keeps = 0
+    rows.foreach { r =>
+      val maxAbs = r.getLong(2); val nFrames = r.getLong(3)
+      val nActive = r.getLong(4); val nSegs = r.getLong(5)
+      val duty = r.getLong(6)
+      assert(duty === nActive * 1000 / math.max(nFrames, 1))
+      assert(r.getBoolean(7) === (nSegs >= 1))
+      assert(r.getBoolean(8) === (maxAbs < 32000))
+      assert(r.getBoolean(9) === (duty >= 100 && duty <= 950))
+      assert(r.getBoolean(10) ===
+        (r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9)))
+      if (r.getBoolean(10)) keeps += 1
+    }
+    assert(keeps > 0 && keeps < rows.length,
+      "funnel must actually separate assets")
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
