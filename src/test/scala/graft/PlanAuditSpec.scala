@@ -309,6 +309,40 @@ class PlanAuditSpec extends SparkSpec {
       s"rank pushdown missing:\n$plan")
   }
 
+  test("featureHash plan: one aggregate exchange, nothing else") {
+    // q197 is a single map-side-combinable (doc, bucket) sum over the
+    // token explode: exactly one hashpartitioning exchange (plus the
+    // caller's presentation sort) and no join of any kind
+    val plan = physical(graft.operators.Retrieval.featureHash(spark, sf))
+    assert(!plan.contains("Join"), s"featureHash must not join:\n$plan")
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(nEx == 1,
+      s"expected exactly 1 aggregate exchange, got $nEx:\n$plan")
+  }
+
+  test("paragraphDedup plan: no cartesian, line key join only") {
+    val plan = physical(
+      graft.operators.Curation.paragraphDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n$plan")
+  }
+
+  test("twoHopReach plan: equality joins only") {
+    val plan = physical(graft.operators.Graph.twoHopReach(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop:\n$plan")
+  }
+
+  test("sourceDrift plan: word-key equality join, 1-row dims only") {
+    // the corpus word table must NOT be broadcast (vocab-scale at
+    // 100 TB); the only nested-loop shapes allowed are the documented
+    // 1-row totals dims
+    val plan = physical(graft.operators.Curation.sourceDrift(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("retail window predicate is pushed to the parquet scan") {
     val plan = physical(
       graft.operators.Retail.totalMarginLast2Months(spark, sf))
