@@ -1187,7 +1187,67 @@ object Advanced {
       |       CAST(MAX(o_orderdate) AS DATE) AS max_date
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q201: INCREMENTAL zone-map maintenance ------------------------
+  // q175 rebuilds the stats table from scratch; a lakehouse writer
+  // maintains it incrementally — after an append, ANALYZE touches only
+  // the NEW files and unions their rows into the standing stats table.
+  // This lane does exactly that: base write -> per-file stats v1 ->
+  // append the delta (base files untouched) -> stats for files NOT in
+  // v1 only -> v1 ∪ delta-stats, merged per partition for the gate
+  // row. n_files per partition (2: base + delta file) is part of the
+  // hash, so the oracle also pins that the append created new files
+  // instead of rewriting — the metadata-maintenance rule whose cost
+  // tracks the arrival batch, not the table (the q122/q142 shape for
+  // statistics). IncrementalOpsSpec asserts the law directly:
+  // incremental stats == full per-file recompute.
+  def incrementalZoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("inc_zone") + "_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val orders = Tables.orders(spark, dir)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L)))
+    val base = orders.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0L)
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(5L)) === 0L)
+    def fileStats(df: DataFrame): DataFrame = df
+      .withColumn("file", input_file_name())
+      .groupBy(regexp_extract(col("file"), "(bucket=\\d+)", 1).as("part"),
+        col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    try {
+      base.repartition(4, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      val v1 = fileStats(spark.read.parquet(root)).localCheckpoint(true)
+      delta.repartition(4, col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(root)
+      // the standing file list is bounded metadata (4 files), not data
+      val v1Files = v1.select("file").collect().map(_.getString(0)).toSeq
+      val deltaStats = fileStats(
+        spark.read.parquet(root)
+          .withColumn("f", input_file_name())
+          .filter(!col("f").isin(v1Files: _*))
+          .drop("f"))
+      v1.unionByName(deltaStats)
+        .groupBy("part")
+        .agg(countDistinct("file").as("n_files"),
+          sum("n_rows").as("n_rows"),
+          min("min_key").as("min_key"), max("max_key").as("max_key"))
+        .orderBy("part")
+        .localCheckpoint(true)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  val incrementalZoneMapsSql: String =
+    """SELECT 'bucket=' || CAST(o_orderkey % 4 AS VARCHAR) AS part,
+      |       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_files,
+      |       COUNT(*) AS n_rows,
+      |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_inc_zonemaps"     -> (incrementalZoneMaps _),
     "q26_sql_runner"        -> (sqlRunner _),
     "q175_zone_maps"        -> (zoneMaps _),
     "q27_stream_hourly"     -> (streamHourly _),
@@ -1232,6 +1292,7 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q26_sql_runner"        -> sqlRunnerSql,
     "q175_zone_maps"        -> zoneMapsSql,
+    "q201_inc_zonemaps"     -> incrementalZoneMapsSql,
     "q27_stream_hourly"     -> streamHourlySql,
     // the drained stream must equal the BATCH bar table exactly
     "q186_stream_ohlc"      -> streamOhlcSql,

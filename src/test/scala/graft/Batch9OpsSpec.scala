@@ -286,6 +286,24 @@ class Batch9OpsSpec extends SparkSpec {
       "funnel must actually separate assets")
   }
 
+  test("q201 incrementalZoneMaps: incremental union equals the " +
+    "source-derived stats and the append created new files") {
+    val got = graft.operators.Advanced.incrementalZoneMaps(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val byBucket = keys.groupBy(_ % 4)
+    assert(got.keySet === byBucket.keySet.map(b => s"bucket=$b"))
+    byBucket.foreach { case (b, ks) =>
+      val (nFiles, nRows, minK, maxK) = got(s"bucket=$b")
+      assert(nFiles === ks.map(k => k % 5 == 0).distinct.size.toLong,
+        s"bucket $b files")
+      assert(nRows === ks.length.toLong)
+      assert(minK === ks.min && maxK === ks.max)
+    }
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
