@@ -466,7 +466,136 @@ object Temporal {
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q202: ordered conversion funnel -------------------------------
+  // The product-analytics staple the reference's SQL suite stops short
+  // of: per user, the strictly-ordered view -> click -> purchase
+  // funnel (each stage must happen AFTER the previous stage's first
+  // occurrence), reduced to stage populations and step-conversion
+  // ppm. Times are exact integer micros (never raw timestamps — the
+  // cross-engine rule), stage entry is the MIN-after-previous-stage,
+  // and every step is a grouped conditional MIN + an equality join
+  // back on user_id — three bounded passes, no window over the event
+  // stream, no ordering shuffle.
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("ts_ns") / 1000L).cast("long").as("us"))
+      .localCheckpoint(true) // three stage passes share the scan
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("tv"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("tv"))
+      .groupBy("user_id").agg(min("us").as("tc"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("tc"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val counts = Seq(
+      ("1_view", s1), ("2_click_after_view", s2), ("3_purchase_after_click", s3))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
+          col("n_users"))
+      }.reduce(_.unionByName(_))
+    val w = Window.orderBy("stage") // 3-row frame: the window is bounded
+    counts
+      .withColumn("prev_n", lag("n_users", 1).over(w))
+      .select(col("stage"), col("n_users"),
+        coalesce(expr("n_users * 1000000 div prev_n"), lit(1000000L))
+          .as("conv_ppm"))
+      .orderBy("stage")
+  }
+
+  val conversionFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS tv FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, MIN(us) AS tc FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > tv GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, MIN(us) AS tp FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > tc GROUP BY 1),
+      |c AS (SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+      |      UNION ALL SELECT '2_click_after_view', COUNT(*) FROM s2
+      |      UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM s3)
+      |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(COALESCE(n_users * 1000000
+      |                     // lag(n_users) OVER (ORDER BY stage), 1000000)
+      |            AS BIGINT) AS conv_ppm
+      |FROM c ORDER BY stage""".stripMargin
+
+  // ---- q203: weekly retention cohorts --------------------------------
+  // The cohort-retention matrix: users grouped by first-seen week,
+  // counted in every later week they were active, keyed (cohort_week,
+  // week_offset). Weeks via date_trunc('week') (Monday start in both
+  // engines), offsets as integer floor((active - cohort) / 7 days).
+  // Two grouped aggregates + one join on user_id; the matrix is
+  // |weeks|² rows of metadata, never data-sized.
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+      .localCheckpoint(true) // feeds cohorts AND activity
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT cohort_week,
+      |       CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+      |       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q204: event-type transition matrix ----------------------------
+  // First-order Markov structure of the event stream: per user, each
+  // consecutive (prev_type -> type) pair under the total (us,
+  // event_id) order, counted corpus-wide with row-share ppm per
+  // source state. One per-user window (user-sized partitions) + one
+  // grouped count + a per-from-state total join.
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts_ns") / 1000L).cast("long").as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the per-state total AND the output
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div tot").as("share_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |p AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY us, event_id) AS prev_type
+      |      FROM ev),
+      |c AS (SELECT prev_type AS from_type, event_type AS to_type,
+      |        COUNT(*) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+      |       CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_conversion_funnel" -> (conversionFunnel _),
+    "q203_retention_cohorts" -> (retentionCohorts _),
+    "q204_event_transitions" -> (eventTransitions _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -481,6 +610,9 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q202_conversion_funnel" -> conversionFunnelSql,
+    "q203_retention_cohorts" -> retentionCohortsSql,
+    "q204_event_transitions" -> eventTransitionsSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

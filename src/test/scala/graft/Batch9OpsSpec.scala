@@ -304,6 +304,63 @@ class Batch9OpsSpec extends SparkSpec {
     }
   }
 
+  private def collectedEvents(): Array[(Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts_ns") / 1000L).cast("long").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("q202 conversionFunnel: stage populations equal a driver-side fold") {
+    val got = graft.operators.Temporal.conversionFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byUser = collectedEvents().groupBy(_._1)
+    val tv = byUser.flatMap { case (u, es) =>
+      es.filter(_._3 == "view").map(_._4).minOption.map(u -> _) }
+    val tc = tv.flatMap { case (u, t) =>
+      byUser(u).filter(e => e._3 == "click" && e._4 > t)
+        .map(_._4).minOption.map(u -> _) }
+    val tp = tc.flatMap { case (u, t) =>
+      byUser(u).filter(e => e._3 == "purchase" && e._4 > t)
+        .map(_._4).minOption.map(u -> _) }
+    assert(got("1_view")._1 === tv.size.toLong)
+    assert(got("2_click_after_view")._1 === tc.size.toLong)
+    assert(got("3_purchase_after_click")._1 === tp.size.toLong)
+    assert(got("2_click_after_view")._2 === tc.size.toLong * 1000000L / tv.size)
+    assert(got("3_purchase_after_click")._2 === tp.size.toLong * 1000000L / tc.size)
+  }
+
+  test("q203 retentionCohorts: matrix equals a driver-side Monday-week fold") {
+    val got = graft.operators.Temporal.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    def week(us: Long): java.time.LocalDate = {
+      val d = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    }
+    val uw = collectedEvents().map(e => (e._1, week(e._4))).distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expected = uw.groupBy { case (u, w) =>
+      (cohort(u).toString,
+        java.time.temporal.ChronoUnit.DAYS.between(cohort(u), w) / 7)
+    }.map { case (k, v) => k -> v.map(_._1).distinct.size.toLong }
+    assert(got === expected)
+  }
+
+  test("q204 eventTransitions: pair counts equal a driver-side ordered fold") {
+    val got = graft.operators.Temporal.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val pairs = collectedEvents().groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2)).map(_._3)
+      sorted.zip(sorted.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expected = counts.map { case (k, n) =>
+      k -> (n, n * 1000000L / totals(k._1)) }
+    assert(got === expected)
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
