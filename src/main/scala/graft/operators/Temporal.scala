@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal / ordered-data analytics plus record-linkage and privacy
   * audits (q84-q89) — beyond-parity operators a training-data or
@@ -479,7 +480,7 @@ object Temporal {
   def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
-        (col("ts_ns") / 1000L).cast("long").as("us"))
+        expr("ts_ns div 1000").as("us"))
       .localCheckpoint(true) // three stage passes share the scan
     val s1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("tv"))
@@ -562,7 +563,7 @@ object Temporal {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val pairs = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        (col("ts_ns") / 1000L).cast("long").as("us"))
+        expr("ts_ns div 1000").as("us"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("from_type"),
@@ -592,7 +593,168 @@ object Temporal {
       |FROM c JOIN t USING (from_type)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q205: per-user running balance (ordered cumulative sum) -------
+  // The ledger shape: each user's event values as a running balance
+  // under the total (us, event_id) order, reduced to final / peak /
+  // trough per user. The running sum is DECIMAL(18,4) — exact and
+  // order-independent within the frame — so extremes are
+  // bit-identical cross-engine where a double cumsum would drift. One
+  // per-user window (user-sized partitions), one grouped reduce.
+  def runningBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("bal", sum("v").over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").cast("double").as("final_balance"),
+        max("bal").cast("double").as("peak_balance"),
+        min("bal").cast("double").as("trough_balance"))
+      .orderBy("user_id")
+  }
+
+  val runningBalanceSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      |b AS (SELECT user_id, v,
+      |        SUM(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS bal
+      |      FROM ev)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(v) AS DOUBLE) AS final_balance,
+      |       CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+      |       CAST(MIN(bal) AS DOUBLE) AS trough_balance
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q206: within-session conversion funnel ------------------------
+  // q202 scoped to a session: the strictly-ordered view -> click ->
+  // purchase must complete INSIDE one gap-session (q29's 30-min rule),
+  // counted in sessions per stage. Session assignment inlines the gap
+  // rule under the total (us, event_id) order (q29 orders by ts alone;
+  // the funnel needs the tie-broken total order so the stage search is
+  // engine-deterministic even on same-microsecond events). Stage
+  // passes are the q202 shape keyed (user_id, session_seq).
+  private val FunnelGapUs = 30L * 60 * 1000 * 1000
+
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("prev", lag("us", 1).over(wOrd))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > FunnelGapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("ns").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sid", "event_type", "us")
+      .localCheckpoint(true) // three stage passes share the assignment
+    val key = Seq("user_id", "sid")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min("us").as("tv"))
+    val s2 = ev.join(s1, key)
+      .filter(col("event_type") === "click" && col("us") > col("tv"))
+      .groupBy(key.map(col): _*).agg(min("us").as("tc"))
+    val s3 = ev.join(s2, key)
+      .filter(col("event_type") === "purchase" && col("us") > col("tc"))
+      .groupBy(key.map(col): _*).agg(min("us").as("tp"))
+    Seq(("1_view", s1), ("2_click_after_view", s2),
+      ("3_purchase_after_click", s3))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_sessions"))
+          .select(lit(stage).as("stage"), col("n_sessions"))
+      }.reduce(_.unionByName(_))
+      .orderBy("stage")
+  }
+
+  val sessionFunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |            FROM events),
+       |m AS (SELECT user_id, event_id, event_type, us,
+       |        CASE WHEN lag(us) OVER (PARTITION BY user_id
+       |                                ORDER BY us, event_id) IS NULL
+       |               OR us - lag(us) OVER (PARTITION BY user_id
+       |                                     ORDER BY us, event_id) > $FunnelGapUs
+       |             THEN 1 ELSE 0 END AS ns
+       |      FROM ev),
+       |sess AS (SELECT user_id, event_type, us,
+       |           SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                         ROWS UNBOUNDED PRECEDING) AS sid
+       |         FROM m),
+       |s1 AS (SELECT user_id, sid, MIN(us) AS tv FROM sess
+       |       WHERE event_type = 'view' GROUP BY 1, 2),
+       |s2 AS (SELECT sess.user_id, sess.sid, MIN(us) AS tc
+       |       FROM sess JOIN s1 USING (user_id, sid)
+       |       WHERE event_type = 'click' AND us > tv GROUP BY 1, 2),
+       |s3 AS (SELECT sess.user_id, sess.sid, MIN(us) AS tp
+       |       FROM sess JOIN s2 USING (user_id, sid)
+       |       WHERE event_type = 'purchase' AND us > tc GROUP BY 1, 2)
+       |SELECT '1_view' AS stage, COUNT(*) AS n_sessions FROM s1
+       |UNION ALL SELECT '2_click_after_view', COUNT(*) FROM s2
+       |UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM s3
+       |ORDER BY stage""".stripMargin
+
+  // ---- q207: inter-event gap quantiles per event type ----------------
+  // The latency-profile diagnostic: per event_type, the distribution
+  // of gaps to the PREVIOUS event in the same user's total-ordered
+  // stream — median and p75 as DYADIC exact percentiles over integral
+  // micros (0.5/0.75 index fractions and dyadic interpolation weights
+  // keep both engines bit-identical; a p90 would interpolate with 0.9
+  // and drift in the last ulp). One per-user lag window + one grouped
+  // aggregate.
+  def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5D)").as("med_gap_us"),
+        expr("percentile(gap, 0.75D)").as("p75_gap_us"),
+        max("gap").as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  // The oracle interpolates EXPLICITLY from order statistics (type-7,
+  // pos = q·(n−1), dyadic frac) — DuckDB 1.0's quantile_cont resolves
+  // .5-midpoints differently than the R-7 rule Spark's percentile
+  // implements, so the rule itself is spelled out in SQL.
+  val gapQuantilesSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |g AS (SELECT event_type,
+      |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |          AS gap
+      |      FROM ev),
+      |g2 AS (SELECT event_type, gap,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |       FROM g WHERE gap IS NOT NULL),
+      |a AS (SELECT event_type, MAX(n) AS n,
+      |        MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN gap END) AS m_lo,
+      |        MAX(CASE WHEN rn = n // 2 + 1 THEN gap END) AS m_hi,
+      |        MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN gap END) AS p_lo,
+      |        MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN gap END) AS p_next,
+      |        MAX(gap) AS mx
+      |      FROM g2 GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+      |       (CAST(m_lo AS DOUBLE) + m_hi) / 2.0 AS med_gap_us,
+      |       CAST(p_lo AS DOUBLE)
+      |         + ((3 * (n - 1)) % 4) / 4.0 * (COALESCE(p_next, p_lo) - p_lo)
+      |         AS p75_gap_us,
+      |       CAST(mx AS BIGINT) AS max_gap_us
+      |FROM a ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_running_balance"   -> (runningBalance _),
+    "q206_session_funnel"    -> (sessionFunnel _),
+    "q207_gap_quantiles"     -> (gapQuantiles _),
     "q202_conversion_funnel" -> (conversionFunnel _),
     "q203_retention_cohorts" -> (retentionCohorts _),
     "q204_event_transitions" -> (eventTransitions _),
@@ -610,6 +772,9 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q205_running_balance"   -> runningBalanceSql,
+    "q206_session_funnel"    -> sessionFunnelSql,
+    "q207_gap_quantiles"     -> gapQuantilesSql,
     "q202_conversion_funnel" -> conversionFunnelSql,
     "q203_retention_cohorts" -> retentionCohortsSql,
     "q204_event_transitions" -> eventTransitionsSql,

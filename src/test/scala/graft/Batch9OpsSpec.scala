@@ -307,7 +307,7 @@ class Batch9OpsSpec extends SparkSpec {
   private def collectedEvents(): Array[(Long, Long, String, Long)] =
     Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        (col("ts_ns") / 1000L).cast("long").as("us")).collect()
+        expr("ts_ns div 1000").as("us")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
 
   test("q202 conversionFunnel: stage populations equal a driver-side fold") {
@@ -359,6 +359,81 @@ class Batch9OpsSpec extends SparkSpec {
     val expected = counts.map { case (k, n) =>
       k -> (n, n * 1000000L / totals(k._1)) }
     assert(got === expected)
+  }
+
+  test("q205 runningBalance: extremes equal a BigDecimal ordered fold") {
+    val got = graft.operators.Temporal.runningBalance(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      val vs = es.sortBy(e => (e._3, e._2))
+        .map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      val bals = vs.scanLeft(BigDecimal(0))(_ + _).drop(1)
+      val (n, fin, peak, trough) = got(u)
+      assert(n === es.length.toLong)
+      assert(fin === bals.last.toDouble, s"user $u final")
+      assert(peak === bals.max.toDouble, s"user $u peak")
+      assert(trough === bals.min.toDouble, s"user $u trough")
+    }
+  }
+
+  test("q206 sessionFunnel: stage session counts equal a driver-side " +
+    "session fold") {
+    val got = graft.operators.Temporal.sessionFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gap = 30L * 60 * 1000 * 1000
+    val sessions = collectedEvents().groupBy(_._1).toSeq.flatMap {
+      case (u, es) =>
+        val sorted = es.sortBy(e => (e._4, e._2))
+        var sid = 0L; var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev == Long.MinValue || e._4 - prev > gap) sid += 1
+          prev = e._4
+          ((u, sid), e._3, e._4)
+        }
+    }.groupBy(_._1)
+    val s1 = sessions.flatMap { case (k, es) =>
+      es.filter(_._2 == "view").map(_._3).minOption.map(k -> _) }
+    val s2 = s1.flatMap { case (k, tv) =>
+      sessions(k).filter(e => e._2 == "click" && e._3 > tv)
+        .map(_._3).minOption.map(k -> _) }
+    val s3 = s2.flatMap { case (k, tc) =>
+      sessions(k).filter(e => e._2 == "purchase" && e._3 > tc)
+        .map(_._3).minOption.map(k -> _) }
+    assert(got("1_view") === s1.size.toLong)
+    assert(got("2_click_after_view") === s2.size.toLong)
+    assert(got("3_purchase_after_click") === s3.size.toLong)
+  }
+
+  test("q207 gapQuantiles: dyadic percentiles equal a driver-side " +
+    "interpolation") {
+    val got = graft.operators.Temporal.gapQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val gaps = collectedEvents().groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (b._3, b._4 - a._4) }
+    }.groupBy(_._1)
+    def pct(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * q
+      val lo = pos.toInt; val frac = pos - lo
+      if (frac == 0) s(lo).toDouble
+      else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    gaps.foreach { case (t, g) =>
+      val xs = g.map(_._2)
+      val (n, med, p75, mx) = got(t)
+      assert(n === xs.size.toLong)
+      assert(med === pct(xs, 0.5), s"$t median")
+      assert(p75 === pct(xs, 0.75), s"$t p75")
+      assert(mx === xs.max)
+    }
   }
 
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
