@@ -1246,7 +1246,44 @@ object Advanced {
       |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q208: GROUPING SETS (the non-hierarchical rollup) -------------
+  // q65's ROLLUP and q105's CUBE are the hierarchical/powerset
+  // specials; GROUPING SETS is the general form — an arbitrary set
+  // list a report actually wants ((flag, mode), (flag), (mode) here:
+  // the flag x mode detail plus BOTH one-dimensional margins, which
+  // ROLLUP can't express). One aggregate pass: Catalyst expands the
+  // sets before the shuffle (Expand + single hash aggregate), so the
+  // fact table is still scanned once. Keys surface through the
+  // null-coalesce convention ('ALL') — the grouping columns are never
+  // null in the data, so the marker is unambiguous.
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("smode"),
+        col("n"), col("revenue"))
+      .orderBy("rflag", "smode")
+  }
+
+  val groupingSetsSummarySql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |       COALESCE(l_linestatus, 'ALL') AS smode,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_grouping_sets"    -> (groupingSetsSummary _),
     "q201_inc_zonemaps"     -> (incrementalZoneMaps _),
     "q26_sql_runner"        -> (sqlRunner _),
     "q175_zone_maps"        -> (zoneMaps _),
@@ -1293,6 +1330,7 @@ object Advanced {
     "q26_sql_runner"        -> sqlRunnerSql,
     "q175_zone_maps"        -> zoneMapsSql,
     "q201_inc_zonemaps"     -> incrementalZoneMapsSql,
+    "q208_grouping_sets"    -> groupingSetsSummarySql,
     "q27_stream_hourly"     -> streamHourlySql,
     // the drained stream must equal the BATCH bar table exactly
     "q186_stream_ohlc"      -> streamOhlcSql,

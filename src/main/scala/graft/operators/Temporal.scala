@@ -751,7 +751,60 @@ object Temporal {
       |       CAST(mx AS BIGINT) AS max_gap_us
       |FROM a ORDER BY 1""".stripMargin
 
+  // ---- q209: LOCF imputation (forward-fill missing values) -----------
+  // The classic time-series repair: nulls (planted deterministically
+  // at event_id % 7 == 0, the q55 residue convention) are filled with
+  // the user's last observed value under the total (us, event_id)
+  // order — `last(..., ignoreNulls)` over a running frame, the same
+  // carry mechanism as the as-of join (Events.asOfJoin), surfaced as
+  // a user-facing imputation lane. Leading nulls stay null (no
+  // observation to carry) and are counted separately. The oracle has
+  // no IGNORE NULLS in its window functions, so it uses the portable
+  // two-window emulation: the running count of non-nulls defines
+  // carry groups, and MAX within (user, group) recovers the carried
+  // value — a genuinely different algorithm, so agreement proves the
+  // fill semantics, not the implementation.
+  def locfImpute(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .withColumn("filled", last("v", ignoreNulls = true).over(wRun))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_unfillable"),
+        sum(coalesce(col("filled"), lit(0.0)).cast(DecimalType(18, 4)))
+          .cast("double").as("filled_sum"))
+      .orderBy("user_id")
+  }
+
+  val locfImputeSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |            FROM events),
+      |g AS (SELECT user_id, v,
+      |        COUNT(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS grp
+      |      FROM ev),
+      |f AS (SELECT user_id, v,
+      |        MAX(v) OVER (PARTITION BY user_id, grp) AS filled
+      |      FROM g)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_missing,
+      |       CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_unfillable,
+      |       CAST(SUM(CAST(COALESCE(filled, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS filled_sum
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_locf_impute"       -> (locfImpute _),
     "q205_running_balance"   -> (runningBalance _),
     "q206_session_funnel"    -> (sessionFunnel _),
     "q207_gap_quantiles"     -> (gapQuantiles _),
@@ -772,6 +825,7 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q209_locf_impute"       -> locfImputeSql,
     "q205_running_balance"   -> runningBalanceSql,
     "q206_session_funnel"    -> sessionFunnelSql,
     "q207_gap_quantiles"     -> gapQuantilesSql,

@@ -436,6 +436,45 @@ class Batch9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q208 groupingSets: every set is its own exact GROUP BY") {
+    val got = graft.operators.Advanced.groupingSetsSummary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val detail = li.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byFlag = li.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val byMode = li.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    detail.foreach { case ((f, m), n) => assert(got((f, m)) === n) }
+    byFlag.foreach { case (f, n) => assert(got((f, "ALL")) === n) }
+    byMode.foreach { case (m, n) => assert(got(("ALL", m)) === n) }
+    assert(got.size === detail.size + byFlag.size + byMode.size)
+  }
+
+  test("q209 locfImpute: fill equals a driver-side carry and leading " +
+    "nulls stay unfillable") {
+    val got = graft.operators.Temporal.locfImpute(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val vs = sorted.map(e => if (e._2 % 7 == 0) None else Some(e._4))
+      val filled = vs.scanLeft(Option.empty[Double])((c, v) => v.orElse(c)).drop(1)
+      val sum = filled.flatten
+        .map(d => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      val (n, miss, unfill, fs) = got(u)
+      assert(n === es.length.toLong)
+      assert(miss === vs.count(_.isEmpty).toLong)
+      assert(unfill === filled.count(_.isEmpty).toLong)
+      assert(fs === sum.toDouble, s"user $u")
+    }
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
