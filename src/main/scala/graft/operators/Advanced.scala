@@ -244,6 +244,66 @@ object Advanced {
       |        AND duty_permille BETWEEN 100 AND 950) AS keep
       |FROM j ORDER BY 1""".stripMargin
 
+  // ---- q211: image curation funnel (the q200 twin for images) --------
+  // Composes the oracled image primitives into per-asset keep/drop:
+  // header dims (q52's decode), channel sums (q126's pixel decode),
+  // then three gates — min resolution (>= 256 pixels), sane aspect
+  // ratio (long side <= 4x short side), and mean brightness inside
+  // [100, 900] permille of full scale. With q200 this makes the
+  // multimodal curation story symmetric: audio and image corpora both
+  // flow decode -> features -> gates -> audit row.
+  def imageFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val assets = Multimodal.plantedMediaAssets(docs, "doc_id")
+    val meta = Multimodal.decodeMediaMeta(assets)
+      .filter(col("kind") === "bmp")
+      .select(col("asset_id"), col("width").as("w"), col("height").as("h"))
+    val stats = Multimodal.imageStats(assets)
+    meta.join(stats, Seq("asset_id"))
+      .withColumn("brightness_permille",
+        expr("(sum_r + sum_g + sum_b) * 1000 div (3 * n_pixels * 255)"))
+      .withColumn("res_ok", col("n_pixels") >= 256L)
+      .withColumn("aspect_ok",
+        greatest(col("w"), col("h")) <= lit(4L) * least(col("w"), col("h")))
+      .withColumn("bright_ok",
+        col("brightness_permille") >= 100L && col("brightness_permille") <= 900L)
+      .withColumn("keep",
+        col("res_ok") && col("aspect_ok") && col("bright_ok"))
+      .select("asset_id", "w", "h", "n_pixels", "brightness_permille",
+        "res_ok", "aspect_ok", "bright_ok", "keep")
+      .orderBy("asset_id")
+  }
+
+  val imageFunnelSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0),
+      |px AS (SELECT asset_id, w, h, r.p % w AS x, r.p // w AS y
+      |       FROM b, range(0, 3072) AS r(p) WHERE r.p < w * h),
+      |c AS (SELECT asset_id, w, h, w * h AS n_pixels,
+      |        (x * 5 + y * 3 + 2) % 256 AS rr,
+      |        (x * 13 + y * 7 + 1) % 256 AS gg,
+      |        (x * 31 + y * 17) % 256 AS bb
+      |      FROM px),
+      |s AS (SELECT asset_id, MAX(w) AS w, MAX(h) AS h,
+      |        MAX(n_pixels) AS n_pixels,
+      |        SUM(rr) AS sum_r, SUM(gg) AS sum_g, SUM(bb) AS sum_b
+      |      FROM c GROUP BY 1),
+      |j AS (SELECT asset_id, w, h, n_pixels,
+      |        (sum_r + sum_g + sum_b) * 1000 // (3 * n_pixels * 255)
+      |          AS brightness_permille
+      |      FROM s)
+      |SELECT asset_id, w, h, CAST(n_pixels AS BIGINT) AS n_pixels,
+      |       CAST(brightness_permille AS BIGINT) AS brightness_permille,
+      |       n_pixels >= 256 AS res_ok,
+      |       greatest(w, h) <= 4 * least(w, h) AS aspect_ok,
+      |       brightness_permille BETWEEN 100 AND 900 AS bright_ok,
+      |       (n_pixels >= 256 AND greatest(w, h) <= 4 * least(w, h)
+      |        AND brightness_permille BETWEEN 100 AND 900) AS keep
+      |FROM j ORDER BY 1""".stripMargin
+
   // ---- q126: full BMP pixel decode -> image channel stats ------------
   // The image twin of q125: every pixel of each planted 24bpp BMP is
   // decoded from the raw bytes (bottom-up rows, 4-byte padding, BGR)
@@ -1304,6 +1364,7 @@ object Advanced {
     "q125_audio_energy" -> (audioEnergy _),
     "q192_audio_segments" -> (audioSegments _),
     "q200_audio_funnel" -> (audioFunnel _),
+    "q211_image_funnel" -> (imageFunnel _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
@@ -1353,6 +1414,7 @@ object Advanced {
     "q125_audio_energy" -> audioEnergySql,
     "q192_audio_segments" -> audioSegmentsSql,
     "q200_audio_funnel" -> audioFunnelSql,
+    "q211_image_funnel" -> imageFunnelSql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,

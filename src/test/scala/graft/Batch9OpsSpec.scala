@@ -475,6 +475,26 @@ class Batch9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q211 imageFunnel: flags recompute from the closed-form fixture") {
+    val rows = graft.operators.Advanced.imageFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var keeps = 0
+    rows.foreach { r =>
+      val (w, h, np, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val id = r.getLong(0)
+      assert(w === id % 64 + 1 && h === id * 7 % 48 + 1 && np === w * h)
+      assert(r.getBoolean(5) === (np >= 256))
+      assert(r.getBoolean(6) === (math.max(w, h) <= 4 * math.min(w, h)))
+      assert(r.getBoolean(7) === (bp >= 100 && bp <= 900))
+      assert(r.getBoolean(8) ===
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7)))
+      if (r.getBoolean(8)) keeps += 1
+    }
+    assert(keeps > 0 && keeps < rows.length,
+      "funnel must actually separate assets")
+  }
+
   test("q190 sourceDrift: tvd_ppm equals the BigInt brute-force fold " +
     "and sits in [0, 1e6]") {
     val got = Curation.sourceDrift(spark, sf).collect()
