@@ -244,6 +244,67 @@ object Advanced {
       |        AND duty_permille BETWEEN 100 AND 950) AS keep
       |FROM j ORDER BY 1""".stripMargin
 
+  // ---- q212: VACUUM — orphan-file garbage collection -----------------
+  // The missing lakehouse maintenance verb beside time travel (q136),
+  // dynamic overwrite (q118), compaction (WarehouseSpec), GDPR restate
+  // (q152) and incremental stats (q201): a failed/abandoned commit
+  // leaves data files in the table directory that NO manifest version
+  // references; readers never see them (planning goes through the
+  // manifest — the q136 rule), but they cost storage and scare audits.
+  // VACUUM deletes exactly the unreferenced set. The construction
+  // pins file counts (repartition(2) per write: 2+2 manifested, 2
+  // orphaned), so the audit columns are closed-form for the oracle,
+  // and the gate also proves (a) the post-vacuum latest snapshot still
+  // matches the source table and (b) a second vacuum deletes nothing
+  // (idempotence — vacuum must never eat a referenced file).
+  def vacuumOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warehouse
+    val root = graft.Scratch.dir("vacuum") + "_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (data, man) = (s"$root/data", s"$root/manifest")
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_linenumber") <= 3)
+      .repartition(2).write.mode("append").parquet(data)
+    versionedIngest(spark, data, man)
+    li.filter(col("l_linenumber") > 3)
+      .repartition(2).write.mode("append").parquet(data)
+    versionedIngest(spark, data, man)
+    // the "failed commit": files land, the manifest never admits them
+    li.filter(col("l_linenumber") === 1)
+      .repartition(2).write.mode("append").parquet(data)
+    def vacuum(): Int = {
+      val referenced = spark.read.parquet(man)
+        .select("path").collect().map(_.getString(0)).toSet
+      val orphans = Warehouse.listDataFiles(data).filterNot(referenced)
+      orphans.foreach(p => new java.io.File(p).delete())
+      orphans.size
+    }
+    val before = Warehouse.listDataFiles(data).size
+    val d1 = vacuum()
+    val d2 = vacuum() // idempotence: nothing left to collect
+    val out = snapshotAt(spark, man, 2)
+      .agg(count(lit(1)).as("n_rows_after"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty_after"))
+      .select(lit(before.toLong).as("n_files_before"),
+        lit(d1.toLong).as("n_deleted"),
+        lit(d2.toLong).as("n_deleted_rerun"),
+        col("n_rows_after"), col("qty_after"))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    out
+  }
+
+  val vacuumOrphansSql: String =
+    """SELECT CAST(6 AS BIGINT) AS n_files_before,
+      |       CAST(2 AS BIGINT) AS n_deleted,
+      |       CAST(0 AS BIGINT) AS n_deleted_rerun,
+      |       COUNT(*) AS n_rows_after,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |         AS qty_after
+      |FROM lineitem""".stripMargin
+
   // ---- q211: image curation funnel (the q200 twin for images) --------
   // Composes the oracled image primitives into per-asset keep/drop:
   // header dims (q52's decode), channel sums (q126's pixel decode),
@@ -1365,6 +1426,7 @@ object Advanced {
     "q192_audio_segments" -> (audioSegments _),
     "q200_audio_funnel" -> (audioFunnel _),
     "q211_image_funnel" -> (imageFunnel _),
+    "q212_vacuum" -> (vacuumOrphans _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
@@ -1415,6 +1477,7 @@ object Advanced {
     "q192_audio_segments" -> audioSegmentsSql,
     "q200_audio_funnel" -> audioFunnelSql,
     "q211_image_funnel" -> imageFunnelSql,
+    "q212_vacuum" -> vacuumOrphansSql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,

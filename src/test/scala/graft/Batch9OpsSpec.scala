@@ -3,11 +3,11 @@ package graft
 import graft.operators.{Curation, Quality, TextQuality}
 import org.apache.spark.sql.functions._
 
-/** Law checks for the round-9 curation/sketch operators
-  * (q187-q190) — each is independently gated against DuckDB; these
-  * specs pin the SEMANTICS against brute-force recomputations so a
-  * refactor that changes both engine and oracle in the same wrong way
-  * still fails.
+/** Law checks for the round-9 operator batches (q187-q211: curation,
+  * sketches, graph features, event analytics, multimodal funnels) —
+  * each is independently gated against DuckDB; these specs pin the
+  * SEMANTICS against brute-force recomputations so a refactor that
+  * changes both engine and oracle in the same wrong way still fails.
   */
 class Batch9OpsSpec extends SparkSpec {
 
@@ -473,6 +473,15 @@ class Batch9OpsSpec extends SparkSpec {
       assert(unfill === filled.count(_.isEmpty).toLong)
       assert(fs === sum.toDouble, s"user $u")
     }
+  }
+
+  test("q212 vacuum: construction counts pinned, snapshot survives, " +
+    "rerun deletes nothing") {
+    val r = graft.operators.Advanced.vacuumOrphans(spark, sf).collect().head
+    assert(r.getLong(0) === 6L, "2+2 manifested + 2 orphaned files")
+    assert(r.getLong(1) === 2L, "vacuum deletes exactly the orphans")
+    assert(r.getLong(2) === 0L, "second vacuum is a no-op")
+    assert(r.getLong(3) === Tables.lineitem(spark, sf).count())
   }
 
   test("q211 imageFunnel: flags recompute from the closed-form fixture") {
