@@ -235,6 +235,44 @@ object Llm {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q213: embedding hygiene audit ---------------------------------
+  // The QA pass every ANN/semantic-dedup build should run FIRST: per
+  // label, vector count, dimension conformance (exactly 64), zero-
+  // vector count (a zero norm poisons cosine), and the norm profile
+  // (min/max/sum of 6-place-rounded L2 norms — sqrt is IEEE
+  // correctly-rounded and the dot runs in fixed index order on both
+  // engines, the proven q24 channel, so the profile hash-matches).
+  // One codegen'd projection + one grouped aggregate.
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val v = col("embedding").cast("array<double>")
+    val nrm = round(sqrt(graft.plans.GraftFunctions.graft_dot(v, v)), 6)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), size(v).as("d"), nrm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("d") === 64, 1L).otherwise(0L)).as("n_dim_ok"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"),
+        sum(col("nrm").cast("decimal(18,6)")).cast("double").as("sum_norm"))
+      .orderBy("label")
+  }
+
+  val embeddingAuditSql: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |n AS (SELECT label, len(v) AS d,
+      |        round(sqrt(list_inner_product(v, v)), 6) AS nrm FROM e)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       CAST(SUM(CASE WHEN d = 64 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dim_ok,
+      |       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_zero,
+      |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+      |       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q199: LSH recall confusion gate -------------------------------
   // The dedup-QA row: on the bounded q21 subset (doc_id < 300, where
   // exact all-pairs is affordable), compare the q22 MinHash+LSH pair
@@ -1886,6 +1924,7 @@ object Llm {
     "q99_prefix_jaccard"    -> (ngramJaccardPrefix _),
     "q22_minhash_lsh"       -> (minhashLsh _),
     "q199_lsh_recall"       -> (lshRecallGate _),
+    "q213_embedding_audit"  -> (embeddingAudit _),
     "q22x_minhash_xxhash"   -> (minhashLshXx _),
     "q23_simhash"           -> (simhash _),
     "q24_embedding_neardup" -> (embeddingNearDup _),
@@ -1937,6 +1976,7 @@ object Llm {
     "q99_prefix_jaccard"    -> ngramJaccardSql,
     "q22_minhash_lsh"       -> minhashLshSql,
     "q199_lsh_recall"       -> lshRecallGateSql,
+    "q213_embedding_audit"  -> embeddingAuditSql,
     // The xx lane emits the EXACT h64-set Jaccard for each verified
     // pair (minhashLshPairs' verify join is family-independent), so
     // the md5-lane oracle applies verbatim: the check asserts the

@@ -484,6 +484,30 @@ class Batch9OpsSpec extends SparkSpec {
     assert(r.getLong(3) === Tables.lineitem(spark, sf).count())
   }
 
+  test("q213 embeddingAudit: norm profile equals a driver-side fold") {
+    val got = graft.operators.Llm.embeddingAudit(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    embs.groupBy(_._1).foreach { case (lab, vs) =>
+      val norms = vs.map { case (_, v) =>
+        val dot = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        BigDecimal(math.sqrt(dot))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val (n, dimOk, nZero, mn, mx, sm) = got(lab)
+      assert(n === vs.length.toLong)
+      assert(dimOk === vs.count(_._2.length == 64).toLong)
+      assert(nZero === norms.count(_ == 0.0).toLong)
+      assert(mn === norms.min && mx === norms.max)
+      assert(sm === norms.map(d =>
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }
+  }
+
   test("q211 imageFunnel: flags recompute from the closed-form fixture") {
     val rows = graft.operators.Advanced.imageFunnel(spark, sf).collect()
     assert(rows.nonEmpty)
