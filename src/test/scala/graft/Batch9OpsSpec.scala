@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Curation, Quality, TextQuality}
 import org.apache.spark.sql.functions._
 
-/** Law checks for the round-9 operator batches (q187-q211: curation,
+/** Law checks for the round-9 operator batches (q187-q213: curation,
   * sketches, graph features, event analytics, multimodal funnels) —
   * each is independently gated against DuckDB; these specs pin the
   * SEMANTICS against brute-force recomputations so a refactor that
