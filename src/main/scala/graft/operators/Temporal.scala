@@ -500,8 +500,11 @@ object Temporal {
     counts
       .withColumn("prev_n", lag("n_users", 1).over(w))
       .select(col("stage"), col("n_users"),
-        coalesce(expr("n_users * 1000000 div prev_n"), lit(1000000L))
-          .as("conv_ppm"))
+        // greatest(,1) guards the empty-corpus stage (prev_n = 0, so
+        // n_users is 0 too and conv reads 0 instead of erroring under
+        // ANSI); a NULL prev (first stage) still coalesces to 10^6
+        coalesce(expr("n_users * 1000000 div greatest(prev_n, 1)"),
+          lit(1000000L)).as("conv_ppm"))
       .orderBy("stage")
   }
 
@@ -518,7 +521,8 @@ object Temporal {
       |      UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM s3)
       |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
       |       CAST(COALESCE(n_users * 1000000
-      |                     // lag(n_users) OVER (ORDER BY stage), 1000000)
+      |                     // greatest(lag(n_users) OVER (ORDER BY stage), 1),
+      |                     1000000)
       |            AS BIGINT) AS conv_ppm
       |FROM c ORDER BY stage""".stripMargin
 

@@ -81,4 +81,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("split", "n_docs", "id_hash_sum"))
     assert(out.count() === 0L)
   }
+
+  test("event-analytics block: empty events -> zero-stage funnels, " +
+    "empty frames, no NPE") {
+    val funnel = Temporal.conversionFunnel(spark, emptySf).collect()
+    assert(funnel.length === 3 && funnel.forall(_.getLong(1) === 0L))
+    val sFunnel = Temporal.sessionFunnel(spark, emptySf).collect()
+    assert(sFunnel.length === 3 && sFunnel.forall(_.getLong(1) === 0L))
+    assert(Temporal.retentionCohorts(spark, emptySf).count() === 0L)
+    assert(Temporal.eventTransitions(spark, emptySf).count() === 0L)
+    assert(Temporal.runningBalance(spark, emptySf).count() === 0L)
+    assert(Temporal.gapQuantiles(spark, emptySf).count() === 0L)
+    assert(Temporal.locfImpute(spark, emptySf).count() === 0L)
+  }
+
+  test("graph features: empty lineitem -> empty frames, no NPE") {
+    assert(graft.operators.Graph.twoHopReach(spark, emptySf).count() === 0L)
+    assert(graft.operators.Graph.labelPropagation(spark, emptySf).count() === 0L)
+  }
 }
