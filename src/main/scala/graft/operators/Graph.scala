@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over derived relationship graphs (q96): the
@@ -681,7 +681,117 @@ object Graph {
        |FROM r3 ORDER BY 1""".stripMargin
   }
 
+  // ---- q214: frequent triples (level-wise A-Priori, L3) ---------------
+  // The level past q110: 3-itemsets mined level-wise — L1 prunes items,
+  // L2 (the q110 frequent pairs) prunes the triple stream by ALL THREE
+  // sub-pairs before the support count (anti-monotonicity again: a
+  // triple with an infrequent sub-pair cannot be frequent, so the
+  // pruning is result-preserving — GraphSpec-style law, and the oracle
+  // is the UNPRUNED 3-way join, so the gate proves it). Candidate
+  // volume tracks surviving-pairs-per-basket, not basket-size³.
+  private val TripleSupport = 2L
+
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint(true) // L1 support pass + pruned stream
+    val l1 = b.groupBy("item").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= TripleSupport).select("item")
+    val pruned = b.join(l1, Seq("item"), "left_semi").localCheckpoint(true)
+    def side(n: String): DataFrame =
+      pruned.select(col("basket"), col("item").as(n))
+    val l2 = side("ia").join(side("ib"), Seq("basket"))
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TripleSupport)
+      .select("ia", "ib")
+      .localCheckpoint(true) // three sub-pair prunes consume it
+    side("ia").join(side("ib"), Seq("basket")).filter(col("ia") < col("ib"))
+      .join(side("ic"), Seq("basket")).filter(col("ib") < col("ic"))
+      .join(l2, Seq("ia", "ib"), "left_semi")
+      .join(l2.select(col("ia").as("ib"), col("ib").as("ic")),
+        Seq("ib", "ic"), "left_semi")
+      .join(l2.select(col("ia"), col("ib").as("ic")),
+        Seq("ia", "ic"), "left_semi")
+      .groupBy("ia", "ib", "ic").agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= TripleSupport)
+      .select(col("ia").as("part_a"), col("ib").as("part_b"),
+        col("ic").as("part_c"), col("n_baskets").as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+  }
+
+  val basketTriplesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |       c.l_partkey AS part_c, CAST(COUNT(*) AS BIGINT) AS n_orders
+       |FROM li a
+       |JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |JOIN li c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+       |GROUP BY 1, 2, 3 HAVING COUNT(*) >= $TripleSupport
+       |ORDER BY n_orders DESC, part_a, part_b, part_c""".stripMargin
+
+  // ---- q215: personalized PageRank (seed-teleport variant) ------------
+  // q146's fixed-round integer channel with the teleport restricted to
+  // a SEED set (part nodes with partkey % 100 == 0) — the
+  // recommendation/affinity form of link analysis: rank mass diffuses
+  // FROM the seeds through the co-purchase graph instead of from a
+  // uniform prior, so high ranks mean "close to the seed set", not
+  // "globally central". Same per-round join+aggregate shape, same
+  // exact integer recurrence (teleport term is seed-conditional), so
+  // the 5-round ranks are byte-identical cross-engine.
+  private def pprSeed(c: Column): Column =
+    pmod(c, lit(100L)) === 0L && c < SupplierOffset
+
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = pageRankEdges(spark, dir).select(col("src"), col("dst"))
+    val ed = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(true)
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(pprSeed(col("node")), 1000000L).otherwise(0L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankRounds) {
+      r = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (when(pprSeed(col("dst")), 150000L).otherwise(0L)
+            + expr("(85L * s) div 100L")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.orderBy(col("r").desc, col("node").asc).limit(20)
+  }
+
+  val personalizedPageRankSql: String = {
+    def seedOf(x: String) = s"$x % 100 = 0 AND $x < $SupplierOffset"
+    val head =
+      s"""WITH fwd AS (SELECT DISTINCT l_partkey AS src,
+         |                    l_suppkey + $SupplierOffset AS dst FROM lineitem),
+         |e AS MATERIALIZED (SELECT src, dst FROM fwd
+         |     UNION SELECT dst, src FROM fwd),
+         |d AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS node,
+         |         CAST(CASE WHEN ${seedOf("src")} THEN 1000000 ELSE 0 END
+         |              AS BIGINT) AS r
+         |       FROM d)""".stripMargin
+    val rounds = (1 to PageRankRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(CASE WHEN ${seedOf("e.dst")} THEN 150000 ELSE 0 END
+         |              + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, r FROM r$PageRankRounds ORDER BY r DESC, node LIMIT 20"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_basket_triples"       -> (basketTriples _),
+    "q215_personalized_pagerank" -> (personalizedPageRank _),
     "q195_two_hop"              -> (twoHopReach _),
     "q196_label_prop"           -> (labelPropagation _),
     "q177_chain_cc"             -> (chainComponents _),
@@ -694,6 +804,8 @@ object Graph {
     "q134_onion_layers"         -> (onionLayers _))
 
   val oracles: Map[String, String] = Map(
+    "q214_basket_triples"       -> basketTriplesSql,
+    "q215_personalized_pagerank" -> personalizedPageRankSql,
     "q195_two_hop"              -> twoHopReachSql,
     "q196_label_prop"           -> labelPropagationSql,
     "q177_chain_cc"             -> chainComponentsSql,

@@ -508,6 +508,37 @@ class Batch9OpsSpec extends SparkSpec {
     }
   }
 
+  test("q214 basketTriples: L2-pruned counts equal an unpruned driver fold") {
+    val got = graft.operators.Graph.basketTriples(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val expected = baskets.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size; k <- j + 1 until ps.size)
+        yield (ps(i), ps(j), ps(k))
+    }.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      .filter(_._2 >= 2L)
+    assert(got === expected)
+  }
+
+  test("q215 personalizedPageRank: ranks concentrate on/near seeds and " +
+    "differ from uniform PageRank") {
+    val ppr = graft.operators.Graph.personalizedPageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(ppr.nonEmpty)
+    // non-seed nodes can only hold diffused mass: every top node is
+    // either a seed or has positive rank strictly below the max seed
+    val seeds = ppr.filter { case (n, _) => n % 100 == 0 && n < 10000000L }
+    assert(seeds.nonEmpty, "seed nodes must surface in the top-20")
+    // personalization must actually change the ranking
+    val uniform = graft.operators.Graph.pageRank(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ppr.map(_._1).toSeq !== uniform)
+  }
+
   test("q211 imageFunnel: flags recompute from the closed-form fixture") {
     val rows = graft.operators.Advanced.imageFunnel(spark, sf).collect()
     assert(rows.nonEmpty)
