@@ -669,13 +669,9 @@ object Curation {
   // reassembly aggregate sorting only that page's lines. The line-key
   // shuffle is the unavoidable one; nothing is broadcast (the line
   // table is corpus-scale at 100 TB) and nothing collects.
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val pages = Tables.documents(spark, dir)
-      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-          x => x.getField("text")),
-        "\n").as("text"))
+  /** Core on an arbitrary `(page_id, text)` frame (PropertySpec's
+    * random-corpus entry point). Unsorted. */
+  def keepFirstLines(pages: DataFrame): DataFrame = {
     val lines = pages
       .select(col("page_id"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
@@ -695,7 +691,16 @@ object Curation {
               x => x.getField("keep")),
             x => x.getField("line")),
           "\n").as("cleaned"))
-      .orderBy("page_id")
+  }
+
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(spark, dir)
+      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")),
+        "\n").as("text"))
+    keepFirstLines(pages).orderBy("page_id")
   }
 
   val paragraphDedupSql: String =

@@ -368,4 +368,39 @@ class PropertySpec extends SparkSpec {
       assert(got === want.toSeq, s"case $k hist=$hist")
     }
   }
+
+  test("keepFirstLines laws on random page corpora: conservation, " +
+    "arg-min fill, idempotence") {
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val pageGen = Gen.listOfN(5, lineGen).map(_.mkString("\n"))
+    for (k <- 0 until 5) {
+      val texts = samples(pageGen, 8 + k)
+      val pages = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("page_id", "text")
+      val out = graft.operators.Curation.keepFirstLines(pages)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // conservation: total kept == distinct lines
+      val all = texts.zipWithIndex.flatMap { case (t, p) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, i) => (p.toLong, i, l) } }
+      assert(out.map(_._3).sum === all.map(_._3).distinct.size.toLong)
+      // arg-min occurrence fill, per page
+      val firstOcc = all.groupBy(_._3)
+        .map { case (l, o) => l -> o.map(x => x._1 * 1000000L + x._2).min }
+      out.foreach { case (pid, _, _, cleaned) =>
+        val want = all.filter(x =>
+            x._1 == pid && firstOcc(x._3) == x._1 * 1000000L + x._2)
+          .sortBy(_._2).map(_._3).mkString("\n")
+        assert(cleaned === want, s"case $k page $pid")
+      }
+      // idempotence: on the cleaned corpus every line is globally
+      // unique, so a second pass keeps everything
+      val cleanedPages = out.filter(_._4.nonEmpty)
+        .map(x => (x._1, x._4)).toSeq.toDF("page_id", "text")
+      val second = graft.operators.Curation.keepFirstLines(cleanedPages)
+        .collect()
+      second.foreach(r =>
+        assert(r.getLong(1) === r.getLong(2), s"case $k second pass dropped"))
+    }
+  }
 }
