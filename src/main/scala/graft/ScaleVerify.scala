@@ -63,6 +63,24 @@ object ScaleVerify {
       bands = 12, dim = 64).count()
     val s162x1 = statSet(ScaleBench.sharedSubstring(docs1))
 
+    // q187 keep-first line dedup: replica-aware 5-doc pages. Page key
+    // = (replica, x1-page): replica i holds ids ≡ i (mod N), so
+    // doc_id div N recovers the original id and div 5 the x1 page; at
+    // times=1 this is exactly q187's floor(doc_id/5) construction.
+    def linePages(docs: DataFrame, times: Int): DataFrame =
+      docs.groupBy((pmod(col("doc_id"), lit(times.toLong)) * 10000000L
+          + expr(s"(doc_id div ${times}L) div 5L")).as("page_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n").as("text"))
+    def lineStats(pages: DataFrame): Seq[(Long, Long, Long)] =
+      graft.operators.Curation.keepFirstLines(pages)
+        .select("page_id", "n_lines", "n_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val s187x1 = lineStats(linePages(docs1, 1))
+
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
       val embN = ScaleBench.embeddings(spark, sfDir, times).localCheckpoint(true)
@@ -117,6 +135,17 @@ object ScaleVerify {
         yield (id * times + i, nw, ns)
       val q162Pass = s162xN == expected162
 
+      // ---- q187 keep-first line dedup: exact replica-copy law --------
+      // Caesar rotation is a bijection on LINES too, so replica pages
+      // never share a line with another replica and each replica's
+      // keep-first structure must be an exact copy of x1's: the xN
+      // per-page (n_lines, n_kept) multiset == N re-keyed copies.
+      val s187xN = lineStats(linePages(docsN, times))
+      val expected187 = (for { (pid, nl, nk) <- s187x1; i <- 0 until times }
+        yield (i.toLong * 10000000L + pid, nl, nk)).toSet
+      val q187Pass = s187xN.toSet == expected187 &&
+        s187xN.size == expected187.size
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -136,6 +165,7 @@ object ScaleVerify {
         s""""q22_xx_replica_subset":{"pass":$q22Pass,"n_pairs":${p22xN.size},"expected":${expected.size},"recall":${d("%.4f", q22Recall)},"cand_pairs":$cand22xN,"cand_x1":$cand22x1,"cand_ratio":${d("%.2f", cand22xN.toDouble / math.max(cand22x1, 1L))}},""" +
         s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
         s""""q162_substr_replica":{"pass":$q162Pass,"n_docs":${s162xN.size},"expected":${expected162.size}},""" +
+        s""""q187_line_dedup_replica":{"pass":$q187Pass,"n_pages":${s187xN.size},"expected":${expected187.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()

@@ -807,7 +807,61 @@ object Temporal {
       |         AS filled_sum
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q216: seasonal-baseline outlier days --------------------------
+  // The ops-monitoring staple q97's spike detector doesn't cover:
+  // instead of a rolling window, the baseline is the SEASONAL profile
+  // — each day is compared against the mean of its own weekday bucket
+  // (dow = day_num mod 7: pure integer arithmetic both engines share,
+  // no locale-sensitive dayofweek numbering). Deviation is exact
+  // rational arithmetic in cents: |v·n_dow − S_dow|·10⁶ / S_dow in
+  // DECIMAL(38,0)/HUGEINT — no float mean ever materializes, so the
+  // outlier verdicts are bit-identical. Two grouped aggregates + one
+  // broadcast of the 7-row baseline.
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+        .cast("decimal(38,0)").as("cents"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+      .localCheckpoint(true) // baseline agg + the deviation join
+    val base = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_dow"),
+        sum("cents").cast("decimal(38,0)").as("s_cents"))
+    daily.join(broadcast(base), "dow")
+      .select(col("day"), col("dow"),
+        (col("cents").cast("double") / 10000).as("revenue"),
+        call_function("div",
+          abs(col("cents") * col("n_dow").cast("decimal(38,0)")
+            - col("s_cents")) * lit(1000000L).cast("decimal(38,0)"),
+          col("s_cents")).cast("long").as("deviation_ppm"))
+      .withColumn("is_outlier", col("deviation_ppm") > 500000L)
+      .orderBy("day")
+  }
+
+  val seasonalOutliersSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+      |              AS HUGEINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |d2 AS (SELECT day, cents,
+      |         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+      |           AS dow
+      |       FROM daily),
+      |base AS (SELECT dow, COUNT(*) AS n_dow, SUM(cents) AS s_cents
+      |         FROM d2 GROUP BY 1)
+      |SELECT day, d2.dow,
+      |       CAST(cents AS DOUBLE) / 10000 AS revenue,
+      |       CAST(abs(cents * n_dow - s_cents) * 1000000 // s_cents
+      |            AS BIGINT) AS deviation_ppm,
+      |       abs(cents * n_dow - s_cents) * 1000000 // s_cents > 500000
+      |         AS is_outlier
+      |FROM d2 JOIN base USING (dow)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_seasonal_outliers" -> (seasonalOutliers _),
     "q209_locf_impute"       -> (locfImpute _),
     "q205_running_balance"   -> (runningBalance _),
     "q206_session_funnel"    -> (sessionFunnel _),
@@ -829,6 +883,7 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
+    "q216_seasonal_outliers" -> seasonalOutliersSql,
     "q209_locf_impute"       -> locfImputeSql,
     "q205_running_balance"   -> runningBalanceSql,
     "q206_session_funnel"    -> sessionFunnelSql,

@@ -539,6 +539,34 @@ class Batch9OpsSpec extends SparkSpec {
     assert(ppr.map(_._1).toSeq !== uniform)
   }
 
+  test("q216 seasonalOutliers: deviation equals a BigInt weekday-baseline " +
+    "fold") {
+    val got = graft.operators.Temporal.seasonalOutliers(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select(to_date(col("l_shipdate")).as("day"), col("l_extendedprice"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val daily = rows.groupBy(_._1).map { case (d, vs) =>
+      val cents = vs.map(v => BigDecimal(v._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum * 10000
+      (d, cents.toBigInt)
+    }
+    val dowOf = (d: java.time.LocalDate) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1970, 1, 1), d) % 7 + 7) % 7
+    val base = daily.groupBy { case (d, _) => dowOf(d) }
+      .map { case (k, vs) => k -> (vs.size, vs.map(_._2).sum) }
+    daily.foreach { case (d, cents) =>
+      val (nDow, sCents) = base(dowOf(d))
+      val dev = ((cents * nDow - sCents).abs * 1000000 / sCents).toLong
+      val (gDow, gDev, gOut) = got(d.toString)
+      assert(gDow === dowOf(d), s"$d dow")
+      assert(gDev === dev, s"$d deviation")
+      assert(gOut === (dev > 500000L))
+    }
+  }
+
   test("q211 imageFunnel: flags recompute from the closed-form fixture") {
     val rows = graft.operators.Advanced.imageFunnel(spark, sf).collect()
     assert(rows.nonEmpty)
