@@ -661,7 +661,12 @@ object Curation {
   //
   // "First" is the minimum of an integer occurrence key
   // page_id*1_000_000+pos — an arg-min both engines compute with a
-  // plain MIN, no struct-ordering or window dependence.
+  // plain MIN, no struct-ordering or window dependence. Documented
+  // bound: the occ key is injective only while every page holds fewer
+  // than 10^6 lines (and page_id stays under ~9.2e12 for int64
+  // headroom); pages here are fixed 5-doc concatenations, orders of
+  // magnitude inside both bounds, and the DuckDB oracle uses the
+  // IDENTICAL key so any violation would diverge loudly, not drift.
   //
   // Scale shape: one posexplode (checkpointed — it feeds the arg-min
   // aggregate AND the join-back), one map-side-combinable MIN groupBy
@@ -694,8 +699,12 @@ object Curation {
   }
 
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    // integer floor-division for the page key — floor(doc_id / 5.0)
+    // routes through a double and loses integer precision above 2^53,
+    // where it could diverge from the oracle's doc_id // 5 (and from
+    // ScaleVerify's div-5 replica construction); `div` is exact int64
     val pages = Tables.documents(spark, dir)
-      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
+      .groupBy(expr("doc_id div 5").as("page_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
           x => x.getField("text")),
@@ -730,7 +739,14 @@ object Curation {
   // count distributions is a sum of |n_ws·N − n_w·N_s| integer cross
   // products — exact in 128-bit, no logarithms, so both engines agree
   // bit-for-bit where a log-based KL would be at the mercy of libm.
-  // tvd_ppm = Σ_w |n_ws·N − n_w·N_s| · 10^6 / (2·N_s·N).
+  // tvd_ppm = Σ_w |n_ws·N − n_w·N_s| · 10^6 / (2·N_s·N), with the sum
+  // over the FULL corpus vocabulary: words the source never emits
+  // (n_ws = 0) still contribute n_w·N_s each. The word-key equality
+  // join only materializes the source's OWN vocabulary, so that
+  // missing mass is restored in closed form — Σ_{w∉Vs} n_w·N_s =
+  // N_s·(N − Σ_{w∈Vs} n_w), where Σ_{w∈Vs} n_w (the corpus count of
+  // the source's observed words) already rides the join (round-9
+  // ADVICE: the inner-join-only sum under-reported the true TVD).
   //
   // Scale shape: one token explode feeding TWO map-side-combinable
   // count aggregates — (source, word) and, derived from it by a
@@ -757,10 +773,16 @@ object Curation {
         count(lit(1)).as("n_vocab"),
         sum(abs(col("n_ws").cast("decimal(38,0)") * col("n_tot").cast("decimal(38,0)")
               - col("n_w").cast("decimal(38,0)") * col("n_s").cast("decimal(38,0)")))
-          .as("cross_abs"))
+          .as("cross_abs"),
+        // corpus mass of the source's OBSERVED vocabulary — the term
+        // that closes the full-vocabulary sum without a right join
+        sum(col("n_w").cast("decimal(38,0)")).as("obs_nw"))
       .select(col("source"), col("n_tokens"), col("n_vocab"),
         call_function("div",
-          col("cross_abs") * lit(1000000L).cast("decimal(38,0)"),
+          (col("cross_abs")
+            + (col("nt").cast("decimal(38,0)") - col("obs_nw"))
+              * col("n_tokens").cast("decimal(38,0)"))
+            * lit(1000000L).cast("decimal(38,0)"),
           col("n_tokens").cast("decimal(38,0)") * col("nt").cast("decimal(38,0)") * lit(2).cast("decimal(38,0)"))
           .cast("long").as("tvd_ppm"))
       .orderBy("source")
@@ -776,8 +798,11 @@ object Curation {
       |g  AS (SELECT SUM(n_ws) AS n_tot FROM bs)
       |SELECT bs.source, CAST(MAX(ts.n_s) AS BIGINT) AS n_tokens,
       |       COUNT(*) AS n_vocab,
-      |       CAST(SUM(abs(CAST(bs.n_ws AS HUGEINT) * n_tot
-      |                    - CAST(bw.n_w AS HUGEINT) * ts.n_s)) * 1000000
+      |       CAST((SUM(abs(CAST(bs.n_ws AS HUGEINT) * n_tot
+      |                     - CAST(bw.n_w AS HUGEINT) * ts.n_s))
+      |             + (CAST(MAX(n_tot) AS HUGEINT)
+      |                - SUM(CAST(bw.n_w AS HUGEINT)))
+      |               * MAX(ts.n_s)) * 1000000
       |            // (CAST(MAX(ts.n_s) AS HUGEINT) * MAX(n_tot) * 2) AS BIGINT)
       |         AS tvd_ppm
       |FROM bs JOIN bw USING (w) JOIN ts USING (source), g

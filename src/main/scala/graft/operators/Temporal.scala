@@ -500,11 +500,17 @@ object Temporal {
     counts
       .withColumn("prev_n", lag("n_users", 1).over(w))
       .select(col("stage"), col("n_users"),
-        // greatest(,1) guards the empty-corpus stage (prev_n = 0, so
-        // n_users is 0 too and conv reads 0 instead of erroring under
-        // ANSI); a NULL prev (first stage) still coalesces to 10^6
-        coalesce(expr("n_users * 1000000 div greatest(prev_n, 1)"),
-          lit(1000000L)).as("conv_ppm"))
+        // Stage 1 has no previous stage: its conversion is DEFINED as
+        // 10^6 and computed explicitly — Spark's greatest() SKIPS
+        // nulls (greatest(NULL, 1) = 1), so routing the first stage
+        // through the ratio would quietly yield n_users·10^6 and the
+        // null-coalesce fallback would be dead code (round-9 ADVICE).
+        // greatest(,1) below guards only the empty-corpus stage
+        // (prev_n = 0 ⇒ n_users = 0 ⇒ conv reads 0 instead of
+        // erroring under ANSI division).
+        when(col("prev_n").isNull, lit(1000000L))
+          .otherwise(expr("n_users * 1000000 div greatest(prev_n, 1)"))
+          .as("conv_ppm"))
       .orderBy("stage")
   }
 
@@ -520,10 +526,11 @@ object Temporal {
       |      UNION ALL SELECT '2_click_after_view', COUNT(*) FROM s2
       |      UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM s3)
       |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
-      |       CAST(COALESCE(n_users * 1000000
-      |                     // greatest(lag(n_users) OVER (ORDER BY stage), 1),
-      |                     1000000)
-      |            AS BIGINT) AS conv_ppm
+      |       CAST(CASE WHEN lag(n_users) OVER (ORDER BY stage) IS NULL
+      |                 THEN 1000000
+      |                 ELSE n_users * 1000000
+      |                      // greatest(lag(n_users) OVER (ORDER BY stage), 1)
+      |            END AS BIGINT) AS conv_ppm
       |FROM c ORDER BY stage""".stripMargin
 
   // ---- q203: weekly retention cohorts --------------------------------

@@ -325,6 +325,10 @@ class Batch9OpsSpec extends SparkSpec {
     assert(got("1_view")._1 === tv.size.toLong)
     assert(got("2_click_after_view")._1 === tc.size.toLong)
     assert(got("3_purchase_after_click")._1 === tp.size.toLong)
+    // stage 1 has no previous stage: conv_ppm is DEFINED as 10^6, not
+    // n_users·10^6 (the value Spark's null-skipping greatest() would
+    // produce if the first stage rode the ratio path — round-9 ADVICE)
+    assert(got("1_view")._2 === 1000000L)
     assert(got("2_click_after_view")._2 === tc.size.toLong * 1000000L / tv.size)
     assert(got("3_purchase_after_click")._2 === tp.size.toLong * 1000000L / tc.size)
   }
@@ -603,8 +607,16 @@ class Batch9OpsSpec extends SparkSpec {
     assert(got.keySet === bySrc.keySet)
     bySrc.foreach { case (src, nS) =>
       val vocab = bySrcWord.keys.filter(_._1 == src).map(_._2).toSeq
-      val cross = vocab.map { w =>
-        (BigInt(bySrcWord((src, w))) * nTot - BigInt(byWord(w)) * nS).abs
+      // TRUE total variation: the fold runs over the FULL corpus
+      // vocabulary — words the source never emits contribute n_w·N_s
+      // each (round-9 ADVICE: the old fold shared the operator's
+      // inner-join truncation, so the gate couldn't see the missing
+      // mass)
+      // iterator, not .keys.map: mapping a key SET would collapse
+      // equal cross-term values before the sum
+      val cross = byWord.iterator.map { case (w, nW) =>
+        (BigInt(bySrcWord.getOrElse((src, w), 0L)) * nTot
+          - BigInt(nW) * nS).abs
       }.sum
       val tvd = (cross * 1000000 / (BigInt(nS) * nTot * 2)).toLong
       val (gTok, gVocab, gTvd) = got(src)
