@@ -60,6 +60,15 @@ object Bench {
     Session.tune(spark)
     graft.plans.PlanGuard.installWarn(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // The per-rep RDD cleanup below unpersists locally-checkpointed
+    // blocks by design (their lineage is gone, but so is every
+    // consumer — the rep's outputs are discarded). Each unpersist logs
+    // a WARN from the rdd package; hundreds of them would flood the
+    // driver's ~2000-char stdout-tail capture window, so raise that
+    // one package to ERROR (everything else stays at WARN).
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
     // "x10.q34_ivf_probe"). First failure wins per key; the message is
@@ -80,6 +89,11 @@ object Bench {
     // the spread (and the failure's fast wall-time) stays a visible
     // artifact in the detail file.
     val successLog = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // Measured shuffle-write MB per scale lane per factor ("x10.q146_
+    // pagerank" -> MB), from one untimed Metrics pass per lane after
+    // each factor's rep loop. Detail file (full map) + compact line
+    // (pagerank trio only — the q179 evidence).
+    val scaleIo = scala.collection.mutable.LinkedHashMap[String, Double]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
         // strip EVERY control char (exception messages can embed raw
@@ -237,7 +251,19 @@ object Bench {
         else try ScaleBench.pageRankBucketedLayout(spark, prEdges, times)
         catch { case t: Throwable =>
           recordErr(s"x$times.q179_pagerank_bucketed", t); null }
+      // Unpersist every RDD a finished unit of work pinned, KEEPING the
+      // standing inputs: rep-created localCheckpoint blocks (6 per
+      // pagerank rep, one per CC round, ...) otherwise accumulate
+      // across the block's ~60 reps, and the resulting storage-memory
+      // pressure grew WITHIN-factor rep times monotonically (round-9
+      // q179 x10 reps: 6.4 -> 10.9 -> 12.4 s) — the bench was timing
+      // its own garbage, not the operator.
+      def dropNewRdds(before: Set[Int]): Unit =
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
       val warmPath = s"${sys.props("user.dir")}/target/bench_ivf_warm"
+      val preWarm = spark.sparkContext.getPersistentRDDs.keySet.toSet
       try {
         noop(ScaleBench.minhashPairs(docs.limit(64)))
         noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
@@ -247,6 +273,7 @@ object Bench {
           ScaleBench.ccLabels(docs.limit(64)),
           ScaleBench.ccArrivals(spark, sfDir, times).limit(64)))
         noop(ScaleBench.chainCc(docs.limit(64)))
+        noop(ScaleBench.prefixJaccard(docs.limit(64)))
         noop(ScaleBench.lineDedup(docs.limit(64)))
         noop(ScaleBench.sharedSubstring(docs.limit(64)))
         noop(ScaleBench.vocab(docs.limit(64)))
@@ -256,13 +283,16 @@ object Bench {
           Tables.documents(spark, sfDir).limit(64),
           graft.operators.Dedup.XxMinhash))
         noop(ScaleBench.globalRank(ev.limit(64)))
+        noop(ScaleBench.skewJoin(ev.limit(64)))
         noop(ScaleBench.budgetCumsum(docs.limit(64)))
         if (prEdges != null) noop(ScaleBench.pageRank(prEdges.limit(256)))
         noop(ScaleBench.bloomDecon(docs.limit(64), times))
         noop(ScaleBench.ivfTopK(emb.limit(64)))
         val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
         noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
+        if (prEdges != null) noop(ScaleBench.pageRankMerge(prEdges.limit(256)))
       } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
+      finally dropNewRdds(preWarm) // warm-pass checkpoints are garbage
       // q140 standing state + fixed arrivals, built untimed (the
       // labeling is the input a continuous-dedup pipeline already
       // holds; the operator under test is the maintenance fold). A
@@ -271,6 +301,13 @@ object Bench {
         try (ScaleBench.ccLabels(docs), ScaleBench.ccArrivals(spark, sfDir, times))
         catch { case t: Throwable =>
           recordErr(s"x$times.q140_incremental_cc", t); (null, null) }
+      // streaming-lane file fixture, written once per factor (it is
+      // the lane's INPUT — ingest file layout, not the operator)
+      val streamPath = s"${sys.props("user.dir")}/target/bench_stream_x$times"
+      val streamOk =
+        try { ScaleBench.streamNearDupPrep(spark, sfDir, times, streamPath); true }
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q61_stream_neardup", t); false }
       val layoutPath =
         s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
       var probeArgs: (org.apache.spark.sql.DataFrame,
@@ -284,9 +321,14 @@ object Bench {
       // reps (round 7: driver q24/q29/q148; round 8 builder runs: both
       // IVF reps of one x20 block). Three interleaved reps means a
       // lane's min survives any single bad window.
-      def lane(name: String, reps: Int = 3, prep: () => Boolean = ok)(
-          run: => Unit): Option[(String, Int, () => Boolean, () => Unit)] =
-        Some((name, reps, prep, () => run))
+      // `keep = true` exempts a lane's created RDDs from the per-rep
+      // cleanup — only for lanes whose run PRODUCES standing state a
+      // later lane consumes (q34_ivf_build's centroid/query
+      // checkpoints feed q34_ivf_probe).
+      def lane(name: String, reps: Int = 3, prep: () => Boolean = ok,
+               keep: Boolean = false)(
+          run: => Unit): Option[(String, Int, () => Boolean, Boolean, () => Unit)] =
+        Some((name, reps, prep, keep, () => run))
       val lanes = Seq(
         lane("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
         lane("q24_srp_neardup", reps = 3)(
@@ -305,6 +347,12 @@ object Bench {
         // the factor, so this lane is the adaptive default's log-round
         // escalation under load — propagation would scale quadratically
         lane("q177_chain_cc")(noop(ScaleBench.chainCc(docs))),
+        // exact Jaccard with the full PPJoin filter stack (prefix +
+        // length + positional) — promoted into the scale block once
+        // the filters landed (pre-upgrade it measured 6.6x @ x10 /
+        // 22.8x @ x20 and was excluded as the documented superlinear
+        // op; the lane now tracks whether the filters hold the curve)
+        lane("q99_prefix_jaccard")(noop(ScaleBench.prefixJaccard(docs))),
         lane("q78_line_dedup")(noop(ScaleBench.lineDedup(docs))),
         // exact-substring dedup (q162, xxhash64 lane): the heaviest
         // round-8 linear-pass shape — one window explode (~tokens per
@@ -320,6 +368,23 @@ object Bench {
         lane("q150_corpus_pipeline")(
           noop(ScaleBench.corpusPipeline(spark, sfDir, times))),
         lane("q91_global_rank")(noop(ScaleBench.globalRank(ev))),
+        // planted-skew sort-merge join: AQE splits the hot partition
+        // (20% of fact rows on one key) at runtime. Thresholds are
+        // lowered ONLY inside this lane (local partitions are MBs;
+        // the production default split trigger is 256 MB): the
+        // mechanism under test is the split, and without it the lane
+        // gates on one straggler task growing with the factor.
+        lane("q185_skew_join") {
+          val c = spark.conf
+          val keys = Seq(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+          val olds = keys.map(k => k -> c.getOption(k))
+          c.set(keys(0), "1MB"); c.set(keys(1), "512KB"); c.set(keys(2), "2")
+          try noop(ScaleBench.skewJoin(ev))
+          finally olds.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+        },
         // the two round-7 flagships that shipped with plan-shape proof
         // only: fixed-round integer PageRank over Nx disjoint graph
         // copies (cost per round linear in edges), and the distributed
@@ -328,12 +393,30 @@ object Bench {
         if (prEdges != null)
           lane("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
         else None,
+        // the like-for-like unbucketed comparator for q179: same
+        // recurrence, per-round join PINNED to sort-merge — the plan
+        // the unbucketed lane runs at 100 TB where ranks outgrow any
+        // broadcast. (Plain q146 lets AQE broadcast the small rank
+        // side at bench scale, which hides the edge exchange the
+        // bucketed layout removes.)
+        if (prEdges != null)
+          lane("q146_pagerank_merge")(noop(ScaleBench.pageRankMerge(prEdges)))
+        else None,
         if (prLayout != null)
           lane("q179_pagerank_bucketed")(
             noop(ScaleBench.pageRankBucketed(spark, prLayout)))
         else None,
         lane("q155_budget_cumsum")(noop(ScaleBench.budgetCumsum(docs))),
         lane("q133_bloom_decon", reps = 3)(noop(ScaleBench.bloomDecon(docs, times))),
+        // the streaming surface's first scale lane: q61's stateful
+        // candidate pipeline replaying the xN corpus in `times`
+        // fixed-size microbatches (maxFilesPerTrigger pinned by the
+        // prep's file layout) — state growth, not ingest batching, is
+        // what the curve measures
+        if (streamOk)
+          lane("q61_stream_neardup")(
+            noop(ScaleBench.streamNearDup(spark, streamPath, times)))
+        else None,
         // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
         // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
         // set-similarity joins carry an irreducible postings^2
@@ -350,7 +433,7 @@ object Bench {
         // build failed, so the probe lane is OMITTED from timings
         // with its skip recorded in `errors` instead of NPE-aborting
         // the block and discarding every timing already measured.
-        lane("q34_ivf_build") {
+        lane("q34_ivf_build", keep = true) {
           probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
         },
         lane("q34_ivf_probe", prep = () => {
@@ -379,8 +462,9 @@ object Bench {
       val succTimes =
         scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
       val maxReps = lanes.map(_._2).max
-      for (r <- 0 until maxReps; (name, reps, prep, run) <- lanes if r < reps)
+      for (r <- 0 until maxReps; (name, reps, prep, keep, run) <- lanes if r < reps)
         if (prep()) {
+          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
           val t0 = System.nanoTime()
           val okRep = try { run(); true } catch { case t: Throwable =>
             recordErr(s"x$times.$name", t); false }
@@ -388,10 +472,33 @@ object Bench {
           repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+ dt
           if (okRep)
             succTimes(name) = succTimes.getOrElse(name, Vector.empty) :+ dt
+          // the rep's outputs are discarded — so are its checkpoints.
+          // The unpersist is OUTSIDE the timed region (and async), so
+          // rep r+1 starts with the same storage budget rep 1 had.
+          if (!keep) dropNewRdds(before)
         }
+      // One measured (untimed) pass per surviving lane: shuffle-write
+      // MB at this factor, so every scale lane carries a
+      // host-noise-immune byte curve beside its wall-time curve (the
+      // round-9 wall-time laws needed two quiet-host runs to trust;
+      // bytes are deterministic). The pagerank trio is the headline
+      // user: bucketed-vs-merge bytes is the measured form of "the
+      // layout removes the per-round edge exchange".
+      if (!sys.env.contains("SPARK_GRAFT_SKIP_SCALE_IO"))
+        for ((name, _, prep, keep, run) <- lanes if succTimes.contains(name))
+          if (prep()) {
+            val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+            try {
+              val io = Metrics.measure(spark)(run())
+              scaleIo(s"x$times.$name") = io.shuffleWriteBytes / 1e6
+            } catch { case t: Throwable => recordErr(s"io.x$times.$name", t) }
+            if (!keep) dropNewRdds(before)
+          }
       if (prLayout != null)
         try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
         catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(streamPath))
       repTimes.foreach { case (n, ts) => repLog(s"x$times.$n") = ts }
       succTimes.foreach { case (n, ts) => successLog(s"x$times.$n") = ts }
       // a lane's min is taken over SUCCESSFUL reps only — a rep that
@@ -501,8 +608,18 @@ object Bench {
       }
 
     val spreadJson = obj(spreadWarnings.map { case (k, r) => kvNum(k, r, 2) })
+    val scaleIoJson = obj(scaleIo.map { case (k, v) => kvNum(k, v, 2) })
+    // Compact pagerank byte trio at the LARGEST factor: the q179
+    // shuffle-byte evidence, small enough for the stdout line.
+    val prIoCompact = {
+      val f = scaleBlocks.map(_._1).maxOption.getOrElse(0)
+      val trio = Seq("q146_pagerank", "q146_pagerank_merge",
+        "q179_pagerank_bucketed").flatMap(n =>
+        scaleIo.get(s"x$f.$n").map(v => kvNum(n.stripPrefix("q"), v, 1)))
+      if (trio.isEmpty) "" else s""","pr_shuffle_mb_x$f":${obj(trio)}"""
+    }
     val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -519,7 +636,7 @@ object Bench {
     val spreadCompact =
       s""""rep_spread_warnings":${if (spreadKeys.length <= 300) spreadKeys else "[]"}"""
 
-    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact}"""
+    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
 
     // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
     // The compact line must be the LAST thing on stdout: the driver

@@ -174,6 +174,45 @@ object ScaleBench {
     graft.operators.Llm.corpusReportOn(reps, graft.operators.Dedup.XxMinhash)
   }
 
+  /** Planted-skew join (the q185 diagnostic's companion PROOF): ~20%
+    * of fact rows collapse onto ONE hot key (every 5th event), the
+    * rest keep their user key; the fact side joins a user-keyed dim
+    * with the join PINNED to sort-merge (a broadcast would dodge the
+    * skew instead of demonstrating AQE handling it). Under AQE
+    * skew-join the hot partition is split into advisory-sized slices
+    * at runtime, so the lane's x1/xN curve stays near-linear instead
+    * of gating on one straggler task that grows 20x. The bench lowers
+    * the split thresholds for the lane (local partitions are MBs,
+    * production default is 256 MB) — the mechanism, not the
+    * threshold, is under test; SkewSpec pins `skew=true` in the
+    * executed plan plus row-identical output vs the unsplit join.
+    *
+    * Deliberately NO fused aggregate on top: a downstream operator
+    * that reuses the join's hash partitioning plans into the SAME
+    * stage, and OptimizeSkewedJoin then declines the split (it would
+    * break the stage-internal distribution — measured, and
+    * forceOptimizeSkewedJoin does not override the stage-internal
+    * case). That is itself the 100 TB lesson: keep a skew-split join
+    * and its partitioning-reusing consumer in separate stages (or
+    * accept the straggler); here the join's materialized output IS
+    * the lane. */
+  def skewJoin(ev: DataFrame): DataFrame = {
+    val fact = ev.select(
+      when(col("event_id") % 5 === 0, lit(0L))
+        .otherwise(col("user_id")).as("k"),
+      col("event_id").as("payload"))
+    // dim materialized EAGERLY: OptimizeSkewedJoin only matches a join
+    // whose two inputs are Sort(ShuffleRead) — a distinct aggregate
+    // planned into the join stage above the dim exchange defeats the
+    // pattern (same stage-internal-consumer lesson as the scaladoc).
+    // The checkpoint makes the dim side a plain scan + exchange.
+    val dim = fact.select("k").distinct()
+      .select(col("k"), (col("k") * 3 + 1).as("w"))
+      .localCheckpoint(true)
+    fact.hint("merge").join(dim, "k")
+      .select(col("k"), (col("payload") + col("w")).as("v"))
+  }
+
   /** q91's core: global row_number over the replicated events (range
     * repartition + per-partition rank + broadcast prefix offsets) —
     * the no-single-partition-window primitive, timed raw. */
@@ -266,6 +305,16 @@ object ScaleBench {
   def pageRank(edges: DataFrame): DataFrame =
     graft.operators.Graph.pageRankOn(edges)
 
+  /** The 100 TB-shaped UNBUCKETED lane: the identical recurrence with
+    * the per-round join pinned to sort-merge, because at 100 TB the
+    * rank table outgrows any broadcast and this is the plan the
+    * unbucketed iteration actually runs. The q179-vs-this comparison
+    * (wall-time AND measured shuffle bytes) is the like-for-like
+    * evidence for the bucketed layout; plain q146 remains the
+    * AQE-chooses lane. */
+  def pageRankMerge(edges: DataFrame): DataFrame =
+    graft.operators.Graph.pageRankOnMerge(edges)
+
   /** q179's operating point: build the bucketed edge layout ONCE per
     * factor (off the clock — it is the standing table a 100 TB graph
     * pipeline maintains), then time the same fixed-round iteration
@@ -280,6 +329,32 @@ object ScaleBench {
 
   def pageRankBucketed(spark: SparkSession, table: String): DataFrame =
     graft.operators.Graph.pageRankOnBucketed(spark, table)
+
+  private val streamLaneCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** OFF-the-clock prep for the streaming near-dup scale lane: write
+    * the xN corpus as 2·times parquet files of ~constant size, so a
+    * pinned maxFilesPerTrigger=2 replays it in exactly `times`
+    * fixed-size microbatches. What then grows with the factor is the
+    * batch COUNT and the standing per-bucket state — not ingest
+    * batching — which is the continuous-ingest cost law under test. */
+  def streamNearDupPrep(spark: SparkSession, dir: String, times: Int,
+                        path: String): Unit =
+    documents(spark, dir, times).repartition(2 * times)
+      .write.mode("overwrite").parquet(path)
+
+  /** q61's stateful near-dup candidate pipeline (flatMapGroupsWithState
+    * over LSH buckets) draining the pre-written files with fixed-size
+    * microbatches. The call BLOCKS until the bounded replay finishes —
+    * the lane's wall-time is the whole streaming run plus the sink-side
+    * distinct over emitted pairs. */
+  def streamNearDup(spark: SparkSession, path: String, times: Int): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(path)
+    graft.streaming.StreamOps.nearDupCandidatesFrom(src,
+      s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}")
+  }
 
   /** q155's operating point over the replicated corpus: score every
     * document (tokenCount + qualityScore — one codegen'd pass), then

@@ -172,6 +172,75 @@ object Advanced {
       |       CAST(COALESCE(agg.longest_seg, 0) AS BIGINT) AS longest_seg
       |FROM nf LEFT JOIN agg USING (asset_id) ORDER BY 1""".stripMargin
 
+  // ---- q217: partition-amortized batch decode (the codec seam) -------
+  // [[Multimodal.batchDecode]] is the mapPartitions seam where a real
+  // JNI/ffmpeg codec batches blobs per task; its deterministic kernel
+  // (whole-file byte sum) was previously spec-tested only. This gate
+  // runs it over the SAME planted spec-conformant WAV/BMP assets as
+  // q125/q126, and the oracle recomputes each file's total byte sum
+  // ARITHMETICALLY — every header field is a closed-form function of
+  // the id (little-endian byte decomposition summed per field) and the
+  // payload follows the fixture formulas ((i*37) mod 256 sawtooth for
+  // WAV data; per-channel linear-in-(x,y) pixels + zero row padding
+  // for BMP) — so a hash match proves the partition-amortized decode
+  // pattern end to end, byte-exact, not just "it ran".
+  def batchDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.batchDecode(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .orderBy("asset_id")
+  }
+
+  val batchDecodeSql: String =
+    """WITH ids AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id < 100),
+      |wavp AS (
+      |  SELECT asset_id, asset_id % 3 + 1 AS c, 8000 * (asset_id % 4 + 1) AS sr,
+      |         (asset_id % 3 + 1) * 2 AS ba,
+      |         (asset_id % 100 + 1) * (asset_id % 3 + 1) * 2 AS ds
+      |  FROM ids WHERE asset_id % 2 = 1),
+      |wdata AS (
+      |  SELECT asset_id, SUM((r.k * 37) % 256) AS dsum
+      |  FROM wavp, range(0, 600) AS r(k) WHERE r.k < ds GROUP BY 1),
+      |wavsum AS (
+      |  -- 'RIFF'=295 'WAVE'=307 'fmt '=359 + fmtSize16 + tagPCM1 +
+      |  -- 'data'=410 + bits16 = 1404 constant header mass
+      |  SELECT w.asset_id,
+      |    1404 + w.c + w.ba
+      |    + (36+ds)%256 + ((36+ds)//256)%256 + ((36+ds)//65536)%256
+      |    + ((36+ds)//16777216)%256
+      |    + sr%256 + (sr//256)%256 + (sr//65536)%256 + (sr//16777216)%256
+      |    + (sr*ba)%256 + ((sr*ba)//256)%256 + ((sr*ba)//65536)%256
+      |    + ((sr*ba)//16777216)%256
+      |    + ds%256 + (ds//256)%256 + (ds//65536)%256 + (ds//16777216)%256
+      |    + dsum AS byte_sum
+      |  FROM wavp w JOIN wdata USING (asset_id)),
+      |bmpp AS (
+      |  SELECT asset_id, asset_id % 64 + 1 AS w, (asset_id * 7) % 48 + 1 AS h,
+      |         ((asset_id % 64 + 1) * 3 + 3) // 4 * 4 AS rb
+      |  FROM ids WHERE asset_id % 2 = 0),
+      |bdata AS (
+      |  SELECT asset_id,
+      |         SUM((x.k*31 + y.k*17) % 256 + (x.k*13 + y.k*7 + 1) % 256
+      |             + (x.k*5 + y.k*3 + 2) % 256) AS psum
+      |  FROM bmpp, range(0, 64) AS x(k), range(0, 48) AS y(k)
+      |  WHERE x.k < w AND y.k < h GROUP BY 1),
+      |bmpsum AS (
+      |  -- 'BM'=143 + pixelOffset54 + infoSize40 + planes1 + bpp24 +
+      |  -- two 2835-DPI fields (30 each) = 322 constant header mass;
+      |  -- row padding bytes are zeros, w<=64 and h<=48 so their LE
+      |  -- fields are single-byte
+      |  SELECT b.asset_id,
+      |    322 + w + h
+      |    + (54+rb*h)%256 + ((54+rb*h)//256)%256 + ((54+rb*h)//65536)%256
+      |    + ((54+rb*h)//16777216)%256
+      |    + (rb*h)%256 + ((rb*h)//256)%256 + ((rb*h)//65536)%256
+      |    + ((rb*h)//16777216)%256
+      |    + psum AS byte_sum
+      |  FROM bmpp b JOIN bdata USING (asset_id))
+      |SELECT asset_id, CAST(byte_sum AS BIGINT) AS byte_sum FROM wavsum
+      |UNION ALL
+      |SELECT asset_id, CAST(byte_sum AS BIGINT) AS byte_sum FROM bmpsum
+      |ORDER BY asset_id""".stripMargin
+
   // ---- q200: audio curation funnel (the q150 shape for speech) -------
   // Composes the oracled audio primitives into the per-asset keep/drop
   // decision a speech-corpus pipeline makes: decode features (q125's
@@ -1423,6 +1492,7 @@ object Advanced {
     "q122_manifest_ingest" -> (manifestIngest _),
     "q136_time_travel"     -> (timeTravel _),
     "q125_audio_energy" -> (audioEnergy _),
+    "q217_batch_decode" -> (batchDecodeFeatures _),
     "q192_audio_segments" -> (audioSegments _),
     "q200_audio_funnel" -> (audioFunnel _),
     "q211_image_funnel" -> (imageFunnel _),
@@ -1474,6 +1544,7 @@ object Advanced {
     "q122_manifest_ingest" -> manifestIngestSql,
     "q136_time_travel"     -> timeTravelSql,
     "q125_audio_energy" -> audioEnergySql,
+    "q217_batch_decode" -> batchDecodeSql,
     "q192_audio_segments" -> audioSegmentsSql,
     "q200_audio_funnel" -> audioFunnelSql,
     "q211_image_funnel" -> imageFunnelSql,

@@ -136,19 +136,37 @@ object Dedup {
     * `maxPostings` cap: exact recall with no cap to tune. Candidates
     * still verify with full exact Jaccard over ALL shingles.
     *
-    * Scale lane guidance: this optimizes the postings^2 CONSTANT, not
+    * Candidate pruning stacks three exact-safe filters (all from the
+    * PPJoin paper, all keeping every true pair):
+    *  - PREFIX: only the first |s| - ceil(t·|s|) + 1 rarest shingles
+    *    index;
+    *  - LENGTH: J >= t forces min(|a|,|b|) >= t·max(|a|,|b|), applied
+    *    INSIDE the index join so size-mismatched pairs never leave it;
+    *  - POSITIONAL: a match at prefix positions (i, j) bounds the
+    *    overlap by 1 + min(|a|−i, |b|−j); a pair survives only if its
+    *    best bound reaches the overlap threshold
+    *    α = ceil(t/(1+t)·(|a|+|b|)). Taken as MAX over the pair's
+    *    prefix matches — the max dominates the FIRST match's bound,
+    *    which is a valid overlap bound (no shared token precedes the
+    *    first shared token in the shared total order), so the filter
+    *    is conservative: it can only keep extra candidates, never
+    *    drop a true pair. Verification is exact Jaccard regardless.
+    *
+    * Scale lane guidance: these prune the postings^2 CONSTANT, not
     * the asymptotics — rare tokens shared across documents still pay
-    * quadratic candidates (measured 22.8x wall-time at a 20x corpus).
-    * For unbounded corpora use [[minhashLshPairs]]; use this where the
+    * quadratic candidates in the worst case (pre-upgrade this lane
+    * measured 22.8x wall-time at a 20x corpus; the bench's
+    * q99_prefix_jaccard scale lane tracks the upgraded curve). For
+    * unbounded corpora use [[minhashLshPairs]]; use this where the
     * result must be exact and the corpus is bounded.
     *
     * (Float care: a `threshold * |s|` product that rounds ABOVE an
     * integral value raises the ceil and SHORTENS the prefix — the
-    * recall-losing direction. The bound therefore subtracts a guard
+    * recall-losing direction. Every bound therefore subtracts a guard
     * epsilon (far above the product's max rounding error, ~2e-7 at
-    * |s|=1e9) before the ceil: at worst the prefix lengthens by one
-    * token — more candidates, never lost recall. The spec pins
-    * pair-set equality with exactAllPairs.) */
+    * |s|=1e9) before the ceil / compare: at worst a filter admits one
+    * extra candidate, never loses recall. The spec pins pair-set
+    * equality with exactAllPairs.) */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -161,11 +179,25 @@ object Dedup {
       .join(sz, "doc_id")
       .filter(col("rn") <=
         col("szn") - ceil(lit(threshold) * col("szn") - lit(1e-6)) + lit(1))
-      .select("doc_id", "h64")
+      .select("doc_id", "h64", "rn", "szn")
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+        col("a.h64") === col("b.h64") && col("a.doc_id") < col("b.doc_id")
+          // length filter, inside the join: prunes before the
+          // candidate rows ever hit the pair shuffle
+          && least(col("a.szn"), col("b.szn")).cast("double")
+             >= lit(threshold) * greatest(col("a.szn"), col("b.szn")).cast("double")
+                - lit(1e-6))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (lit(1L) + least(col("a.szn") - col("a.rn"),
+          col("b.szn") - col("b.rn"))).as("ub"),
+        (col("a.szn") + col("b.szn")).as("sumsz"))
+      // the groupBy replaces the old distinct() — same pair-key
+      // shuffle, now also carrying the positional bound
+      .groupBy("doc_a", "doc_b")
+      .agg(max("ub").as("ub"), max("sumsz").as("sumsz"))
+      .filter(col("ub") >=
+        ceil(lit(threshold / (1.0 + threshold)) * col("sumsz") - lit(1e-6)))
+      .select("doc_a", "doc_b")
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),

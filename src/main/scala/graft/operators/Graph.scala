@@ -396,6 +396,35 @@ object Graph {
     r
   }
 
+  /** [[pageRankOn]] with the per-round join PINNED to sort-merge — the
+    * plan shape the unbucketed lane degrades to at 100 TB, where the
+    * rank table outgrows any broadcast. At bench scale AQE broadcasts
+    * the small rank side of [[pageRankOn]]'s join, which moves the
+    * edge volume OFF the shuffle wire (a broadcast is not shuffle
+    * traffic) and makes the bucketed layout's byte saving invisible;
+    * this variant re-exchanges the O(E) edge table every round, so the
+    * measured (bucketed vs merge-unbucketed) shuffle-byte ratio is the
+    * like-for-like number behind the "bucketing removes the per-round
+    * edge exchange" claim. Identical integer recurrence — same ranks. */
+  def pageRankOnMerge(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val ed = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(true)
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      r = ed.hint("merge").join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * s) div 100L").as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
   /** q146's symmetrized part<->supplier edge set — exposed so the scale
     * bench can replicate it (re-keyed disjoint copies) and time
     * [[pageRankOn]] alone, with this distinct-heavy input construction

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   *    library). Oracle-checked in q52 against planted header values.
   *  - [[contentFeatures]]/[[sampleFrames]] compute real byte-level
   *    features (sha256, sizes, stride frame offsets) with no decode
-  *    stub anywhere on an oracle path. Only [[batchDecode]] — the
+  *    stub anywhere on an oracle path. [[batchDecode]] — the
   *    mapPartitions seam where a JNI/ffmpeg codec would drop in — keeps
-  *    a clearly-marked deterministic stand-in kernel (byte sum),
-  *    because the container has no jpeg/mp3/video codecs; it is
-  *    spec-tested, not oracle-facing.
+  *    a clearly-marked deterministic stand-in kernel (whole-file byte
+  *    sum), because the container has no jpeg/mp3/video codecs; since
+  *    round 10 it is oracle-gated too (q217: DuckDB recomputes each
+  *    planted WAV/BMP's total byte sum arithmetically from the fixture
+  *    closed forms, headers included).
   */
 object Multimodal {
 

@@ -165,6 +165,57 @@ class ScaleBenchSpec extends SparkSpec {
     assert(agree >= agree1, s"multi-assign ($agree) beat by single ($agree1)")
   }
 
+  test("shuffle-byte scale laws: per-lane x3/x1 write bytes stay linear, " +
+    "and the bucketed PageRank layout shuffles less than the merge join") {
+    // Wall-time scale laws need a quiet host; shuffle WRITE bytes are a
+    // deterministic function of the plan + data, so each lane gets a
+    // byte-ratio law: replicate x3 and require <= ~linear growth. The
+    // absolute floor keeps sub-MB lanes (where one AQE broadcast/plan
+    // flip moves more bytes than the data) out of false alarms while
+    // still catching a quadratic lane (x3 quadratic = 9x bytes).
+    def mb(df: => org.apache.spark.sql.DataFrame): Double =
+      Metrics.measure(spark)(
+        df.write.mode("overwrite").format("noop").save()
+      ).shuffleWriteBytes / 1e6
+    def docs(f: Int) = ScaleBench.documents(spark, sf, f)
+    def ev(f: Int) = ScaleBench.events(spark, sf, f)
+    val lanes: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      "q22_minhash" -> (f => ScaleBench.minhashPairs(docs(f))),
+      "q29_sessions" -> (f => ScaleBench.sessionStats(ev(f))),
+      "q40_clusters" -> (f => ScaleBench.clusters(docs(f))),
+      "q177_chain_cc" -> (f => ScaleBench.chainCc(docs(f))),
+      "q78_line_dedup" -> (f => ScaleBench.lineDedup(docs(f))),
+      "q99_ppjoin" -> (f => ScaleBench.prefixJaccard(docs(f))),
+      "q162_substring" -> (f => ScaleBench.sharedSubstring(docs(f))),
+      "q79_vocab" -> (f => ScaleBench.vocab(docs(f))),
+      "q143_bpe" -> (f => ScaleBench.bpeMerges(docs(f))),
+      "q148_bigram" -> (f => ScaleBench.bigramLm(docs(f))),
+      "q91_global_rank" -> (f => ScaleBench.globalRank(ev(f))),
+      "q155_budget" -> (f => ScaleBench.budgetCumsum(docs(f))),
+      "q133_bloom" -> (f => ScaleBench.bloomDecon(docs(f), f)),
+      "q185_skew_join" -> (f => ScaleBench.skewJoin(ev(f))),
+      "q146_pagerank" -> (f =>
+        ScaleBench.pageRank(ScaleBench.pageRankEdges(spark, sf, f))))
+    for ((name, mk) <- lanes) {
+      val m1 = mb(mk(1))
+      val m3 = mb(mk(3))
+      assert(m3 <= math.max(4.0 * m1, m1 + 2.0),
+        s"$name shuffle bytes superlinear: x1=${m1}MB x3=${m3}MB")
+    }
+    // the q179 headline byte law: same recurrence, bucketed layout vs
+    // the 100 TB-shaped merge join — the layout must remove most of
+    // the per-round edge-exchange volume
+    val edges = ScaleBench.pageRankEdges(spark, sf, 3)
+    val mMerge = mb(graft.operators.Graph.pageRankOnMerge(edges))
+    val t = graft.operators.Graph.pageRankEdgeLayout(spark, edges,
+      buckets = 4, suffix = "_bytelaw")
+    try {
+      val mBucketed = mb(graft.operators.Graph.pageRankOnBucketed(spark, t))
+      assert(mBucketed < 0.6 * mMerge,
+        s"bucketed=$mBucketed MB vs merge=$mMerge MB — layout saving gone")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("scale-block plans stay cartesian-free at 10x") {
     def noCartesian(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val plan = df.queryExecution.executedPlan.toString
