@@ -636,7 +636,16 @@ object Bench {
     val spreadCompact =
       s""""rep_spread_warnings":${if (spreadKeys.length <= 300) spreadKeys else "[]"}"""
 
-    val compactLine = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
+    // The driver parses the LAST JSON line in a ~2000-char stdout tail;
+    // a line longer than the window leaves only a suffix visible and
+    // the round's bench record parses to null (round 7's failure mode).
+    // The scale block is the only elastic part (24 lanes and growing):
+    // if the full line risks the window, drop it from stdout — the
+    // detail file always carries everything.
+    val withScale = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
+    val compactLine =
+      if (withScale.length <= 1800) withScale
+      else s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$prIoCompact}"""
 
     // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
     // The compact line must be the LAST thing on stdout: the driver
