@@ -417,6 +417,15 @@ object Bench {
           lane("q61_stream_neardup")(
             noop(ScaleBench.streamNearDup(spark, streamPath, times)))
         else None,
+        // same pipeline, batch COUNT pinned at 2 (batch size grows):
+        // per-microbatch overhead is constant here, so this curve is
+        // the pure data/state term — the delta vs q61_stream_neardup
+        // is the measured per-batch cost
+        if (streamOk)
+          lane("q61_stream_bulk")(
+            noop(ScaleBench.streamNearDup(spark, streamPath, times,
+              filesPerTrigger = times)))
+        else None,
         // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
         // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
         // set-similarity joins carry an irreducible postings^2

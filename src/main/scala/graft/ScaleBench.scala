@@ -344,14 +344,26 @@ object ScaleBench {
       .write.mode("overwrite").parquet(path)
 
   /** q61's stateful near-dup candidate pipeline (flatMapGroupsWithState
-    * over LSH buckets) draining the pre-written files with fixed-size
-    * microbatches. The call BLOCKS until the bounded replay finishes —
-    * the lane's wall-time is the whole streaming run plus the sink-side
-    * distinct over emitted pairs. */
-  def streamNearDup(spark: SparkSession, path: String, times: Int): DataFrame = {
+    * over LSH buckets) draining the pre-written files. The call BLOCKS
+    * until the bounded replay finishes — the lane's wall-time is the
+    * whole streaming run plus the sink-side distinct over emitted
+    * pairs.
+    *
+    * Two configurations isolate the two streaming cost terms:
+    *  - `filesPerTrigger = 2` (the q61_stream_neardup lane): batch
+    *    SIZE fixed, batch COUNT = times — the curve carries state
+    *    growth PLUS times x the per-microbatch fixed cost (planning,
+    *    state-store commit, sink append);
+    *  - `filesPerTrigger = times` (the q61_stream_bulk lane): batch
+    *    COUNT fixed at 2, batch size grows — per-batch overhead is
+    *    constant, so this curve is the pure data/state term. The DELTA
+    *    between the two lanes' curves is the measured per-batch
+    *    overhead — the number behind "use bigger triggers at 100 TB". */
+  def streamNearDup(spark: SparkSession, path: String, times: Int,
+                    filesPerTrigger: Int = 2): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(path)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)
     graft.streaming.StreamOps.nearDupCandidatesFrom(src,
       s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}")
   }
