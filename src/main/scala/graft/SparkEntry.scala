@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Advanced, Curation, Golden, Graph, Integrity, Lexical, Llm, Pipeline, Quality, Retail, Retrieval, Temporal, TextQuality}
+import graft.operators.{Advanced, Curation, Golden, Graph, Integrity, Lexical, Llm, Mining, Pipeline, Quality, Retail, Retrieval, Temporal, TextQuality}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,8 @@ object SparkEntry {
     Retail.queries ++ Quality.queries ++ Llm.queries ++ Advanced.queries ++
       Golden.queries ++ TextQuality.queries ++ Temporal.queries ++
       Pipeline.queries ++ Graph.queries ++ Retrieval.queries ++
-      Lexical.queries ++ Integrity.queries ++ Curation.queries
+      Lexical.queries ++ Integrity.queries ++ Curation.queries ++
+      Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     Retail.oracles ++ Quality.oracles ++ Llm.oracles ++ Advanced.oracles ++
       Golden.oracles ++ TextQuality.oracles ++ Temporal.oracles ++
       Pipeline.oracles ++ Graph.oracles ++ Retrieval.oracles ++
-      Lexical.oracles ++ Integrity.oracles ++ Curation.oracles
+      Lexical.oracles ++ Integrity.oracles ++ Curation.oracles ++
+      Mining.oracles
 }

@@ -1,0 +1,481 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 mining batch (beyond-parity, LLM-pipeline block): weighted
+  * similarity joins (q218), URL canonicalization (q219), annotator
+  * agreement (q220), mixture reweighting (q221), containment dedup
+  * (q222) and k-core graph pruning (q223). Reference scope: none —
+  * these are the corpus-curation operators a training-data pipeline
+  * layers on top of the reference's retail analytics. All integer-exact
+  * against the DuckDB oracles.
+  */
+object Mining {
+
+  // ---- q218: weighted (tf) Jaccard similarity join -------------------
+  // The multiset generalization of q21/q99: J_w(A,B) =
+  // sum_t min(tfA,tfB) / sum_t max(tfA,tfB), the measure that
+  // separates "same words, same emphasis" from "same vocabulary" —
+  // token-frequency near-dup detection where distinct-set Jaccard
+  // saturates. Candidate generation is the weighted AllPairs prefix
+  // filter (Bayardo, Ma & Srikant, WWW'07 "Scaling up all pairs
+  // similarity search", public literature):
+  //
+  //  - one TOTAL term order everywhere (global document frequency asc,
+  //    term asc — rarest first);
+  //  - per doc, a term at sorted position i enters the index only if
+  //    the doc's weight from i onward (sfx_i = sz - cum_i + tf_i)
+  //    can still reach the minimum overlap p*sz/q: a qualifying pair
+  //    must overlap by >= (p/q)*min-size (cross-multiplied from
+  //    q*num >= p*(sA+sB-num) with the length bound sB >= (p/q)*sA),
+  //    and the first shared term in the total order caps the overlap
+  //    by BOTH docs' suffix weights at that term, so a pair sharing no
+  //    (prefix x prefix) term cannot qualify;
+  //  - LENGTH filter inside the index join: q*min(sA,sB) >= p*max —
+  //    size-mismatched pairs never leave the join;
+  //  - every candidate verifies with the full exact overlap sum.
+  //
+  // Everything is integer: the threshold p/q compares cross-multiplied
+  // (no float epsilon anywhere, unlike the ceil-of-double q99 path),
+  // and the emitted score is wj_ppm = num*10^6 div den. Shape at
+  // scale: tf build is one map-side-combinable aggregate off a doc_id
+  // pre-partition; the df join is vocab-sized; prefix selection is one
+  // window cumsum per doc; the candidate join only indexes prefix
+  // terms (hot terms are never prefix terms under rarest-first order).
+  // The postings^2 caveat of q99's scaladoc applies unchanged — for
+  // unbounded corpora the recall-trading LSH lane (q22) is the tool.
+  private val WjP = 3L // threshold p/q = 3/5 = 0.6
+  private val WjQ = 5L
+
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           p: Long = WjP, q: Long = WjQ): DataFrame = {
+    val tf = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumed by df, sz, prefix AND verify
+    val sz = tf.groupBy("doc_id").agg(sum("tf").as("sz"))
+      .localCheckpoint(true)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("tdf"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("tdf"), col("term"))
+    val pre = tf.join(dfT, "term").join(sz, "doc_id")
+      .withColumn("cum", sum("tf").over(wDoc))
+      // keep position i iff suffix weight (this term + later) could
+      // still reach the p/q*sz minimum overlap — integer-exact prefix
+      .filter((col("sz") - col("cum") + col("tf")) * lit(q) >= col("sz") * lit(p))
+      .select(col("doc_id"), col("term"), col("sz"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * lit(q) >=
+            greatest(col("a.sz"), col("b.sz")) * lit(p))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val num = cand
+      .join(tf.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tf.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.term") === col("tb.term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ta.tf"), col("tb.tf"))).as("num"))
+    val den = col("sza") + col("szb") - col("num")
+    num
+      .join(sz.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("sz").as("szb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(col("num") * lit(q) >= den * lit(p))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("num") * lit(1000000L), den)
+          .cast("long").as("wj_ppm"))
+  }
+
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    weightedJaccardPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val weightedJaccardSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM documents WHERE doc_id < 400)
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, SUM(tf) AS sz FROM tf GROUP BY 1),
+       |num AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |               SUM(LEAST(a.tf, b.tf)) AS num
+       |        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(num * 1000000 // (za.sz + zb.sz - num) AS BIGINT) AS wj_ppm
+       |FROM num JOIN sz za ON doc_a = za.doc_id
+       |         JOIN sz zb ON doc_b = zb.doc_id
+       |WHERE num * $WjQ >= (za.sz + zb.sz - num) * $WjP
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q219: URL canonicalization + per-domain dup stats -------------
+  // The web-corpus hygiene pass (C4/CCNet-style curation, public
+  // literature): canonicalize each document's URL (strip fragment,
+  // strip utm_* tracking params, drop the dangling ?/& separator,
+  // lowercase the authority — NOT the path, which is case-sensitive),
+  // extract the registered domain (last two host labels), and report
+  // per-domain document / distinct-URL / dup counts. The corpus has no
+  // URL column, so both engines derive the SAME deterministic synthetic
+  // URL from (doc_id, source) — subdomain, TLD, casing noise, tracking
+  // params and fragments all planted as closed-form functions of
+  // doc_id, so the normalizer has real work to do and the oracle can
+  // rebuild it all arithmetically. Shape at scale: pure per-row
+  // projections (codegen'd regex) + one hash aggregate keyed by
+  // domain; COUNT(DISTINCT norm) is Spark's two-phase distinct
+  // aggregate — no join anywhere.
+  def urlHostStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val url = expr(
+      """concat(
+        |  'https://',
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN upper(concat(CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END,
+        |                         '.', source, '.',
+        |                         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END))
+        |       ELSE concat(CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END,
+        |                   '.', source, '.',
+        |                   CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+        |  END,
+        |  '/p/', CAST(doc_id % 10 AS STRING),
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 10 AS STRING))
+        |    WHEN 1 THEN concat('?id=', CAST(doc_id % 10 AS STRING), '&utm_campaign=w')
+        |    WHEN 2 THEN ''
+        |    ELSE concat('?ref=', CAST(doc_id % 5 AS STRING))
+        |  END,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat('#s', CAST(doc_id % 3 AS STRING)) ELSE '' END)""".stripMargin)
+    val n1 = regexp_replace(url, "#.*$", "")
+    val n2 = regexp_replace(n1, "utm_[a-z]+=[a-z0-9]*&?", "")
+    val n3 = regexp_replace(n2, "[?&]$", "")
+    val auth = regexp_extract(n3, "^https://([^/]+)", 1)
+    val norm = concat(lit("https://"), lower(auth),
+      regexp_replace(n3, "^https://[^/]+", ""))
+    val domain = regexp_extract(lower(auth), "([a-z0-9-]+\\.[a-z0-9]+)$", 1)
+    docs.select(domain.as("domain"), norm.as("norm"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_urls"))
+      .select(col("domain"), col("n_docs"), col("n_urls"),
+        (col("n_docs") - col("n_urls")).as("dup_docs"))
+      .orderBy("domain")
+  }
+
+  val urlHostStatsSql: String =
+    """WITH u AS (
+      |  SELECT 'https://' ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN upper((CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END)
+      |                    || '.' || source || '.' ||
+      |                    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END))
+      |         ELSE (CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END)
+      |              || '.' || source || '.' ||
+      |              (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      |    END ||
+      |    '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+      |      WHEN 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=w'
+      |      WHEN 2 THEN ''
+      |      ELSE '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+      |    END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END AS url
+      |  FROM documents),
+      |n AS (
+      |  SELECT regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(url, '#.*$', ''),
+      |             'utm_[a-z]+=[a-z0-9]*&?', ''),
+      |           '[?&]$', '') AS n3
+      |  FROM u),
+      |c AS (
+      |  SELECT 'https://' || lower(regexp_extract(n3, '^https://([^/]+)', 1))
+      |           || regexp_replace(n3, '^https://[^/]+', '') AS norm,
+      |         regexp_extract(lower(regexp_extract(n3, '^https://([^/]+)', 1)),
+      |                        '([a-z0-9-]+\.[a-z0-9]+)$', 1) AS domain
+      |  FROM n)
+      |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_urls,
+      |       CAST(COUNT(*) - COUNT(DISTINCT norm) AS BIGINT) AS dup_docs
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q220: inter-annotator agreement (Cohen's kappa) ---------------
+  // Cohen's kappa (Cohen 1960, public literature) — the label-quality
+  // gate an annotation pipeline runs before trusting human/model
+  // labels: chance-corrected agreement (po - pe) / (1 - pe). Annotator
+  // A is the event_type; annotator B is a planted deterministic
+  // corruption (agrees on event_id % 10 < 7, else emits an off-schema
+  // 'auxK' label — categories only one side uses contribute zero to
+  // pe, which the category inner join encodes naturally). Integer
+  // form: with S = sum_k nA_k*nB_k, kappa = (agree*n - S)/(n^2 - S),
+  // emitted in ppm via exact cross-multiplied div; the products run in
+  // DECIMAL(38,0)/HUGEINT so the web-scale operating point (n ~ 1e10
+  // labels) cannot overflow. Shape at scale: two map-side-combinable
+  // marginal aggregates + a category-sized join + three 1-row
+  // broadcasts — no per-row state.
+  def annotatorKappa(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.events(spark, dir).select(
+        col("event_type").as("a"),
+        expr("CASE WHEN event_id % 10 < 7 THEN event_type " +
+          "ELSE concat('aux', CAST(event_id % 3 AS STRING)) END").as("b"))
+      .localCheckpoint(true) // consumed by tot + both marginals
+    val tot = lab.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val ma = lab.groupBy(col("a").as("k")).agg(count(lit(1)).as("na"))
+    val mb = lab.groupBy(col("b").as("k")).agg(count(lit(1)).as("nb"))
+    val s = ma.join(mb, "k")
+      .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).as("s"))
+    tot.crossJoin(broadcast(s))
+      .select(
+        col("n"),
+        call_function("div", col("agree") * lit(1000000L), col("n"))
+          .cast("long").as("po_ppm"),
+        call_function("div", col("s") * lit(1000000L),
+          col("n").cast("decimal(38,0)") * col("n"))
+          .cast("long").as("pe_ppm"),
+        call_function("div",
+          (col("agree").cast("decimal(38,0)") * col("n") - col("s")) * lit(1000000L),
+          col("n").cast("decimal(38,0)") * col("n") - col("s"))
+          .cast("long").as("kappa_ppm"))
+  }
+
+  val annotatorKappaSql: String =
+    """WITH lab AS (
+      |  SELECT event_type AS a,
+      |         CASE WHEN event_id % 10 < 7 THEN event_type
+      |              ELSE 'aux' || CAST(event_id % 3 AS VARCHAR) END AS b
+      |  FROM events),
+      |tot AS (SELECT COUNT(*) AS n,
+      |               SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM lab),
+      |ma AS (SELECT a AS k, COUNT(*) AS na FROM lab GROUP BY 1),
+      |mb AS (SELECT b AS k, COUNT(*) AS nb FROM lab GROUP BY 1),
+      |s AS (SELECT SUM(CAST(na AS HUGEINT) * nb) AS s
+      |      FROM ma JOIN mb ON ma.k = mb.k)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+      |       CAST(s * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+      |       CAST((CAST(agree AS HUGEINT) * n - s) * 1000000
+      |            // (CAST(n AS HUGEINT) * n - s) AS BIGINT) AS kappa_ppm
+      |FROM tot, s""".stripMargin
+
+  // ---- q221: IPF mixture reweighting (raking) ------------------------
+  // Iterative proportional fitting (Deming & Stephan 1940, public
+  // literature) — the data-mixture tool that assigns per-(source,lang)
+  // sampling weights so BOTH marginals hit targets simultaneously
+  // (here: uniform across sources and across languages), the
+  // 2-marginal generalization of q137's single-axis temperature mix.
+  // Fixed 4 rounds of row-scale-then-column-scale in a 10^6
+  // fixed-point integer channel: w' = (w * target * 10^6) div
+  // current_marginal — `div` is exact floor division in both engines,
+  // every intermediate stays well inside int64 (documented bound
+  // ~ w_max * N * 10^6), so the oracle lands byte-identical weights,
+  // the q146 integer-iteration rule applied to scaling instead of
+  // propagation. Shape at scale: the cell table is
+  // |sources| x |langs| — dimension-sized — and each round is two
+  // tiny hash aggregates + two broadcast joins; the corpus-sized work
+  // (the initial count) happens once.
+  private val IpfRounds = 4
+
+  def ipfWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tgt = docs.agg(
+      expr("count(1) div count(DISTINCT source)").as("t_row"),
+      expr("count(1) div count(DISTINCT lang)").as("t_col"))
+    var w = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tgt))
+      .withColumn("w", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to IpfRounds) {
+      val rm = w.groupBy("source").agg(sum(col("n") * col("w")).as("m"))
+      val a = w.join(broadcast(rm), "source")
+        .withColumn("w", expr("(w * t_row * 1000000L) div m")).drop("m")
+      val cm = a.groupBy("lang").agg(sum(col("n") * col("w")).as("m"))
+      w = a.join(broadcast(cm), "lang")
+        .withColumn("w", expr("(w * t_col * 1000000L) div m")).drop("m")
+        .localCheckpoint(true)
+    }
+    w.select(col("source"), col("lang"), col("n"), col("w").as("w_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  val ipfWeightsSql: String = {
+    val head =
+      """WITH cells AS (SELECT source, lang, COUNT(*) AS n
+        |               FROM documents GROUP BY 1, 2),
+        |t AS (SELECT (SELECT COUNT(*) FROM documents)
+        |               // (SELECT COUNT(DISTINCT source) FROM documents) AS t_row,
+        |             (SELECT COUNT(*) FROM documents)
+        |               // (SELECT COUNT(DISTINCT lang) FROM documents) AS t_col),
+        |w0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS w FROM cells)""".stripMargin
+    val rounds = (1 to IpfRounds).map { i =>
+      s"""r$i AS (SELECT source, SUM(n * w) AS m FROM w${i - 1} GROUP BY 1),
+         |a$i AS (SELECT c.source, c.lang, c.n, (c.w * t_row * 1000000) // r$i.m AS w
+         |        FROM w${i - 1} c JOIN r$i ON c.source = r$i.source, t),
+         |c$i AS (SELECT lang, SUM(n * w) AS m FROM a$i GROUP BY 1),
+         |w$i AS (SELECT c.source, c.lang, c.n, (c.w * t_col * 1000000) // c$i.m AS w
+         |        FROM a$i c JOIN c$i ON c.lang = c$i.lang, t)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""\nSELECT source, lang, CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w_ppm
+         |FROM w$IpfRounds ORDER BY source, lang""".stripMargin
+  }
+
+  // ---- q222: shingle containment (asymmetric near-dup) ---------------
+  // Broder's containment c(A,B) = |S(A) n S(B)| / |S(A)| (Broder 1997
+  // "On the resemblance and containment of documents", public
+  // literature) over distinct 5-gram word shingles: the DIRECTIONAL
+  // measure that catches a short document living inside a longer one
+  // (quotes, boilerplate wrappers, excerpt pages) where symmetric
+  // Jaccard stays low because the size imbalance dilutes the union.
+  // Pairs are ORDERED (a contained-in b and b contained-in a are
+  // different rows). Integer-exact: cont_ppm = inter*10^6 div |A|,
+  // threshold 0.8 cross-multiplied (5*inter >= 4*|A|). Shape at scale:
+  // inverted-index self-join on the 8-byte shingle hash + one pair
+  // aggregate; the postings^2 guard toolbox (q39's stop-shingle cap,
+  // q99's prefix filter — prefix filtering adapts to containment with
+  // an |A|-only bound) applies unchanged when the corpus outgrows the
+  // exact index.
+  private val ContP = 4L // threshold 4/5 = 0.8
+  private val ContQ = 5L
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(
+        Tables.documents(spark, dir), "doc_id", "text", 5)
+      .localCheckpoint(true) // consumed by sz + both join sides
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val idx = sh.select("doc_id", "h64")
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.h64") === col("b.h64") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter.join(sz, col("doc_a") === col("doc_id")).drop("doc_id")
+      .filter(col("c") * lit(ContQ) >= col("szn") * lit(ContP))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("c") * lit(1000000L), col("szn"))
+          .cast("long").as("cont_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val containmentSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |              FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+       |        FROM toks WHERE len(t) >= 5),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+       |       FROM idx),
+       |sz AS (SELECT doc_id, COUNT(*) AS szn FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c * 1000000 // szn AS BIGINT) AS cont_ppm
+       |FROM inter JOIN sz ON doc_a = sz.doc_id
+       |WHERE c * $ContQ >= szn * $ContP
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q223: k-core decomposition (graph pruning) --------------------
+  // The k-core (Seidman 1983; synchronized peeling per Batagelj &
+  // Zaversnik 2003, public literature) of the part co-purchase graph
+  // (parts sharing an order >= 2 times): repeatedly remove nodes of
+  // degree < k until the residual graph stabilizes. The standard
+  // link-spam / weak-tie pruning pass before running PageRank-family
+  // scoring (q146) — the 2-core strips every tree and pendant chain,
+  // keeping only nodes embedded in cycles. The k-core is ORDER-
+  // INDEPENDENT (peeling is confluent), so synchronized rounds land
+  // the unique fixpoint any peel order would; the oracle unrolls
+  // MaxPeelRounds rounds (peeling is idempotent after convergence, so
+  // overshooting is harmless) and the Spark side REQUIREs convergence
+  // within the same budget — a truncated run fails the gate rather
+  // than shipping a non-core. Rounds needed grow with the depth of
+  // pendant chains, not graph size (measured: 0/3/6 rounds at
+  // sf0.001/0.01/0.1). Shape at scale: per round one degree aggregate
+  // + two semi-join-shaped hash joins against the (shrinking) keep
+  // set; edges are checkpointed per round to cut the loop's lineage,
+  // exactly the q140/q177 iteration discipline.
+  private val CoreK = 2L
+  private val CoreSupport = 2L
+  private val MaxPeelRounds = 10
+
+  /** Synchronized peel over a SYMMETRIC (src, dst) edge table; returns
+    * the unique k-core as `(node, deg)` with residual degrees. Throws
+    * if the peel has not stabilized within `maxRounds`. */
+  def kcoreOn(edges: DataFrame, k: Long = CoreK,
+              maxRounds: Int = MaxPeelRounds): DataFrame = {
+    var cur = edges.select("src", "dst").localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      if (deg.filter(col("d") < k).isEmpty) converged = true
+      else {
+        rounds += 1
+        val keep = deg.filter(col("d") >= k).select("src")
+          .localCheckpoint(true)
+        cur = cur.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select("src", "dst")
+          .localCheckpoint(true)
+      }
+    }
+    require(converged,
+      s"k-core peeling did not converge within $maxRounds rounds")
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CoreSupport)
+      .select("pa", "pb")
+    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    kcoreOn(sym).orderBy("node")
+  }
+
+  val kcoreSql: String = {
+    val head =
+      s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pr AS (SELECT a.p AS pa, b.p AS pb
+         |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $CoreSupport),
+         |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pr
+         |      UNION ALL SELECT pb, pa FROM pr)""".stripMargin
+    val rounds = (1 to MaxPeelRounds).map { i =>
+      s"""d$i AS (SELECT src, COUNT(*) AS d FROM e${i - 1} GROUP BY 1),
+         |k$i AS (SELECT src FROM d$i WHERE d >= $CoreK),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |       JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM e$MaxPeelRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_weighted_jaccard" -> (weightedJaccard _),
+    "q219_url_host_stats"   -> (urlHostStats _),
+    "q220_annotator_kappa"  -> (annotatorKappa _),
+    "q221_ipf_weights"      -> (ipfWeights _),
+    "q222_containment"      -> (containmentPairs _),
+    "q223_kcore"            -> (kcore _))
+
+  val oracles: Map[String, String] = Map(
+    "q218_weighted_jaccard" -> weightedJaccardSql,
+    "q219_url_host_stats"   -> urlHostStatsSql,
+    "q220_annotator_kappa"  -> annotatorKappaSql,
+    "q221_ipf_weights"      -> ipfWeightsSql,
+    "q222_containment"      -> containmentSql,
+    "q223_kcore"            -> kcoreSql)
+}

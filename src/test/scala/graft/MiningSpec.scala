@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.Mining
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Round-10 mining batch: weighted-Jaccard prefix-filter exactness,
+  * URL canonicalization invariants, kappa closed form, IPF marginal
+  * convergence, containment directionality, k-core vs brute peel. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic multi-token corpus with planted near/exact dups and
+  // heavy size skew — the shapes the prefix + length filters must not drop
+  private lazy val corpus: DataFrame = {
+    val base = Seq(
+      1L -> "alpha beta beta gamma gamma gamma delta",
+      2L -> "alpha beta beta gamma gamma gamma delta", // exact dup of 1
+      3L -> "alpha beta gamma gamma delta delta epsilon",
+      4L -> "zeta eta theta iota kappa",
+      5L -> "zeta eta theta iota kappa lambda lambda lambda lambda lambda",
+      6L -> "mu", // single-token doc
+      7L -> "alpha alpha alpha alpha alpha alpha alpha alpha alpha alpha")
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum",
+      "gold", "jade", "rust", "sand")
+    val random = (100L until 140L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    (base ++ random).toDF("doc_id", "text")
+  }
+
+  /** Unfiltered brute-force weighted Jaccard — the comparator. */
+  private def bruteWeighted(docs: DataFrame, p: Long, q: Long): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val sz = tf.groupBy("doc_id").agg(sum("tf").as("sz"))
+    val num = tf.as("a").join(tf.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("num"))
+    val den = col("sza") + col("szb") - col("num")
+    num
+      .join(sz.select(col("doc_id"), col("sz").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("sz").as("szb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(col("num") * lit(q) >= den * lit(p))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("num") * lit(1000000L), den)
+          .cast("long").as("wj_ppm"))
+  }
+
+  test("q218: prefix+length-filtered pairs identical to brute force") {
+    for ((p, q) <- Seq((3L, 5L), (1L, 2L), (4L, 5L))) {
+      val fast = Mining.weightedJaccardPairs(corpus, "doc_id", "text", p, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = bruteWeighted(corpus, p, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast === brute, s"pair set diverged at t=$p/$q")
+      assert(fast.nonEmpty, s"degenerate test corpus at t=$p/$q")
+    }
+  }
+
+  test("q218: exact duplicate scores 1000000 ppm") {
+    val out = Mining.weightedJaccardPairs(corpus, "doc_id", "text")
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 1000000L)
+  }
+
+  test("q219: domain partition + dup accounting invariants") {
+    val out = Mining.urlHostStats(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_docs")).first().getLong(0) === total)
+    // 20 sources x 3 TLDs, every residue class present at sf0.001
+    assert(out.count() === 60)
+    assert(out.filter(col("dup_docs") =!= col("n_docs") - col("n_urls")).isEmpty)
+    assert(out.filter(col("n_urls") > col("n_docs")).isEmpty)
+    // tracking params + fragments + case noise MUST collapse some URLs:
+    // doc_id%4 in {0,1} share '?id=K' after utm-stripping
+    assert(out.agg(sum("dup_docs")).first().getLong(0) > 0)
+  }
+
+  test("q220: kappa matches driver-side closed form") {
+    val row = Mining.annotatorKappa(spark, sf).first()
+    val lab = Tables.events(spark, sf).select(
+        col("event_type"),
+        expr("CASE WHEN event_id % 10 < 7 THEN event_type " +
+          "ELSE concat('aux', CAST(event_id % 3 AS STRING)) END"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = lab.length.toLong
+    val agree = lab.count { case (a, b) => a == b }.toLong
+    val na = lab.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nb = lab.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val s = na.map { case (k, v) => v * nb.getOrElse(k, 0L) }.sum
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("po_ppm") === agree * 1000000L / n)
+    assert(row.getAs[Long]("pe_ppm") === s * 1000000L / (n * n))
+    assert(row.getAs[Long]("kappa_ppm") === (agree * n - s) * 1000000L / (n * n - s))
+    // the planted 30% corruption keeps kappa strictly inside (0, 1)
+    assert(row.getAs[Long]("kappa_ppm") > 0L &&
+      row.getAs[Long]("kappa_ppm") < 1000000L)
+  }
+
+  test("q221: four IPF rounds land both marginals within 2% of target") {
+    val w = Mining.ipfWeights(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val tRow = total / docs.select("source").distinct().count()
+    val tCol = total / docs.select("lang").distinct().count()
+    val cells = w.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def maxDev(target: Long, marg: Iterable[Long]): Double =
+      marg.map(m => math.abs(m.toDouble / 1e6 - target) / target).max
+    val rows = cells.groupBy(_._1).values.map(_.map(c => c._3 * c._4).sum)
+    val cols = cells.groupBy(_._2).values.map(_.map(c => c._3 * c._4).sum)
+    // column scaling ran LAST, so columns are tighter; rows within 2%
+    assert(maxDev(tCol, cols) < 0.001, "column marginals off target")
+    assert(maxDev(tRow, rows) < 0.02, "row marginals off target")
+  }
+
+  test("q222: containment is directional and size-consistent") {
+    val out = Mining.containmentPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= 800000L && r.getLong(2) <= 1000000L))
+    // full containment requires |A| <= |B|
+    val sz = graft.operators.Dedup.shingleTable(
+        Tables.documents(spark, sf), "doc_id", "text", 5)
+      .groupBy("doc_id").agg(count(lit(1)).as("szn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_.getLong(2) == 1000000L).foreach { r =>
+      assert(sz(r.getLong(0)) <= sz(r.getLong(1)),
+        s"full containment ${r.getLong(0)} in ${r.getLong(1)} violates sizes")
+    }
+  }
+
+  test("q223: k-core equals brute-force peel; pendant trees stripped") {
+    // triangle 1-2-3 + pendant chain 3-4-5 + isolated edge 6-7:
+    // the 2-core is exactly the triangle with residual degree 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val sym = pairs.toDF("src", "dst")
+      .unionAll(pairs.map(_.swap).toDF("src", "dst"))
+    val core = Mining.kcoreOn(sym, k = 2L, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // random graph: synchronized peel == sequential brute-force peel
+    val rnd = new scala.util.Random(11)
+    val redges = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    var adj = redges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val bad = adj.collect { case (n, ns) if ns.size < 3 => n }.toSet
+      changed = bad.nonEmpty
+      adj = (adj -- bad).map { case (n, ns) => n -> (ns -- bad) }
+        .filter(_._2.nonEmpty)
+    }
+    val rsym = redges.toDF("src", "dst")
+      .unionAll(redges.map(_.swap).toDF("src", "dst"))
+    val got = Mining.kcoreOn(rsym, k = 3L, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === adj.view.mapValues(_.size.toLong).toMap)
+  }
+}
