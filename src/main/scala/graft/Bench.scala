@@ -251,6 +251,24 @@ object Bench {
         else try ScaleBench.pageRankBucketedLayout(spark, prEdges, times)
         catch { case t: Throwable =>
           recordErr(s"x$times.q179_pagerank_bucketed", t); null }
+      // q223: replicated co-purchase k-core edges, built+checkpointed
+      // untimed (the co-occurrence derivation is the graph pipeline's
+      // standing input; the operator under test is the peel)
+      val kcEdges =
+        try ScaleBench.kcoreEdges(spark, sfDir, times)
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q223_kcore", t); null }
+      // q218: the weighted-token Jaccard lane runs a FIXED 1/5 corpus
+      // slice per replica (the full-corpus token-level similarity join
+      // is a 30s+ x1 entry — tokens are far hotter than 3-gram
+      // shingles; the slice keeps the lane inside the block's budget
+      // while preserving the x1/xN curve), checkpointed so the slice
+      // filter is off the clock.
+      val wjDocs =
+        try docs.filter(org.apache.spark.sql.functions
+            .expr(s"(doc_id div $times) % 5 = 0")).localCheckpoint(true)
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q218_weighted_jaccard", t); null }
       // Unpersist every RDD a finished unit of work pinned, KEEPING the
       // standing inputs: rep-created localCheckpoint blocks (6 per
       // pagerank rep, one per CC round, ...) otherwise accumulate
@@ -291,6 +309,12 @@ object Bench {
         val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
         noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
         if (prEdges != null) noop(ScaleBench.pageRankMerge(prEdges.limit(256)))
+        if (wjDocs != null) noop(ScaleBench.weightedJaccard(wjDocs.limit(64)))
+        // kcore warms on the FULL standing edge set: a row-limit slice
+        // of a symmetric edge table is no longer symmetric and its
+        // peel can outrun the round budget — the real input is tiny
+        // (co-purchase support >= 2), so the untimed warm is cheap
+        if (kcEdges != null) noop(ScaleBench.kcore(kcEdges))
       } catch { case t: Throwable => recordErr(s"x$times.warmup", t) }
       finally dropNewRdds(preWarm) // warm-pass checkpoints are garbage
       // q140 standing state + fixed arrivals, built untimed (the
@@ -426,12 +450,22 @@ object Bench {
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               filesPerTrigger = times)))
         else None,
-        // q99 (prefix-filtered EXACT Jaccard) is deliberately NOT a
-        // scale entry: measured 6.6x @ x10 / 22.8x @ x20 — exact
-        // set-similarity joins carry an irreducible postings^2
-        // candidate term on shared rare tokens. Prefix filtering is
-        // the bounded-corpus constant-factor optimizer; the 100 TB
-        // near-dup lane is MinHash+LSH (q22 above). See PLANS.md.
+        // q218: weighted-token Jaccard with the AllPairs filter stack
+        // on the fixed 1/5 slice — the token-granularity sibling of
+        // the q99 lane (hot terms are hotter than hot shingles, so
+        // this curve is the harder test of the prefix filter)
+        if (wjDocs != null)
+          lane("q218_weighted_jaccard")(
+            noop(ScaleBench.weightedJaccard(wjDocs)))
+        else None,
+        // q223: k-core peel over N disjoint co-purchase graph copies —
+        // peel DEPTH is a per-replica structural property, so the
+        // round count stays flat and per-round cost is linear in
+        // edges; expected near-flat at this graph's (tiny) size, where
+        // per-round job overhead dominates
+        if (kcEdges != null)
+          lane("q223_kcore")(noop(ScaleBench.kcore(kcEdges)))
+        else None,
         lane("q34_ivf_topk")(noop(ScaleBench.ivfTopK(emb))),
         // the 100 TB design evidence: build the cell-partitioned
         // layout once, then probe it — probe cost tracks probed-cell

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** One-off scale-lane cost probe: times a named ScaleBench lane at the
+  * given replica factors in one warmed JVM, before the lane is wired
+  * into the bench proper (usage:
+  * runMain graft.LaneProbe <sfDir> <lane> <factors-csv> [reps]). */
+object LaneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val laneName = if (args.length > 1) args(1) else "q218_weighted_jaccard"
+    val factors = (if (args.length > 2) args(2) else "1,5").split(",").map(_.toInt)
+    val reps = if (args.length > 3) args(3).toInt else 2
+    val spark = Session.get("graft-lane-probe")
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    factors.foreach { times =>
+      val run: () => DataFrame = laneName match {
+        case "q218_weighted_jaccard" =>
+          // same 1/5 slice the bench lane runs (doc_id = base*times+i,
+          // so `div times` recovers the base id in every replica)
+          val docs = ScaleBench.documents(spark, sfDir, times)
+            .filter(org.apache.spark.sql.functions.expr(s"(doc_id div $times) % 5 = 0"))
+            .localCheckpoint(true)
+          () => ScaleBench.weightedJaccard(docs)
+        case "q223_kcore" =>
+          val e = ScaleBench.kcoreEdges(spark, sfDir, times).localCheckpoint(true)
+          () => ScaleBench.kcore(e)
+        case other => sys.error(s"unknown lane $other")
+      }
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        noop(run())
+        println(f"LANEPROBE $laneName x$times rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

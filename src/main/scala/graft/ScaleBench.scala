@@ -120,6 +120,42 @@ object ScaleBench {
   def prefixJaccard(docs: DataFrame): DataFrame =
     Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** q218's operating point: weighted (tf) token Jaccard with the
+    * AllPairs prefix+length filters over the replicated corpus. The
+    * Caesar rotation is a bijection on tokens, so each replica carries
+    * exactly the 1x weighted-pair structure (only all-digit tokens
+    * survive across replicas); candidate volume is N copies of 1x plus
+    * the digit-token cross terms the filters prune. Same postings^2
+    * caveat as [[prefixJaccard]] — the lane tracks whether the
+    * weighted filter stack holds the curve at token (not shingle)
+    * granularity, where hot terms are far hotter. */
+  def weightedJaccard(docs: DataFrame): DataFrame =
+    graft.operators.Mining.weightedJaccardPairs(docs, "doc_id", "text")
+
+  /** q223's edge builder: N disjoint re-keyed copies of the >=2-support
+    * part co-purchase graph — identical peel depth per replica, Nx
+    * edges per peel round. Built OFF the clock (lane prep). */
+  def kcoreEdges(spark: SparkSession, dir: String, times: Int): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2L)
+      .select("pa", "pb")
+    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    replicate(times)(i => sym.select(
+      (col("src") * times + i).as("src"),
+      (col("dst") * times + i).as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** q223's operating point: synchronized k-core peel (k=2). */
+  def kcore(edges: DataFrame): DataFrame =
+    graft.operators.Mining.kcoreOn(edges)
+
   def sessionStats(ev: DataFrame): DataFrame =
     Events.sessionStats(ev, gap = 30L * 60 * 1000 * 1000 * 1000, tsCol = "ts_ns")
 

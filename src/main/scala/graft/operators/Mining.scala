@@ -463,13 +463,220 @@ object Mining {
          |FROM e$MaxPeelRounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q224: weighted MinHash via multiset expansion -----------------
+  // The LSH scale path for q218: for INTEGER weights, weighted Jaccard
+  // over (term -> tf) multisets equals plain Jaccard over the expanded
+  // element sets {term#1 .. term#tf} (the shared elements of a term
+  // are exactly term#1..term#min(tfA,tfB)), so the entire proven q22
+  // machinery — md5-rotation signatures, banding, exact verify —
+  // applies verbatim to the expanded table and becomes a proper
+  // weighted MinHash (the classic integer-weight reduction; Haveliwala
+  // et al. 2000, public literature). Candidates band-join in O(corpus
+  // x bucket occupancy) instead of q218's prefix-postings^2; every
+  // surfaced pair carries the EXACT integer wj_ppm from the verify
+  // join, so the result is a subset of q218's pair set with identical
+  // scores (recall is the banding trade; MiningSpec measures it).
+  // Shape at scale: identical to q22 — the 100 TB weighted-dedup lane.
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                           p: Long = WjP, q: Long = WjQ,
+                           numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tf = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val exp = tf
+      .select(col("doc_id"), col("term"), explode(expr("sequence(1L, tf)")).as("k"))
+      .select(col("doc_id"),
+        concat(col("term"), lit("#"), col("k").cast("string")).as("s"))
+    val sh = exp
+      .withColumn("h64", xxhash64(col("s")))
+      .withColumn("__h", md5(col("s").cast("binary")))
+      .select("doc_id", "h64", "__h")
+      .localCheckpoint(true) // feeds signatures, sizes AND the verify join
+    val sig = Dedup.minhashSignatures(sh, numHashes).localCheckpoint(true)
+    val sz = sig.select(col("doc_id"), col("szn"))
+    val bandsDf = Dedup.lshBands(sig, numHashes, bands)
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val den = col("sza") + col("szb") - col("c")
+    inter
+      .join(sz.select(col("doc_id"), col("szn").as("sza")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("szn").as("szb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(col("c") * lit(q) >= den * lit(p))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("c") * lit(1000000L), den)
+          .cast("long").as("wj_ppm"))
+  }
+
+  def weightedMinhash(spark: SparkSession, dir: String): DataFrame =
+    weightedMinhashPairs(
+        Tables.documents(spark, dir).filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  val weightedMinhashSql: String = {
+    val numHashes = 12
+    val bands = 4
+    val rows = numHashes / bands
+    val minExprs = (0 until numHashes)
+      .map(i => s"MIN(substr(hh, ${i * 2 + 1}, 15)) AS m$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |        FROM documents WHERE doc_id < 400)
+       |  GROUP BY 1, 2),
+       |exp AS (
+       |  SELECT doc_id, term || '#' || CAST(k AS VARCHAR) AS s
+       |  FROM (SELECT doc_id, term, unnest(generate_series(1, tf)) AS k FROM tf)),
+       |hsh AS (SELECT doc_id, md5(s) || md5(s) AS hh, s FROM exp),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS szn FROM exp GROUP BY 1),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |           AND a.doc_id < b.doc_id),
+       |inter AS (SELECT doc_a, doc_b, COUNT(*) AS c
+       |          FROM cand JOIN exp sa ON sa.doc_id = doc_a
+       |          JOIN exp sb ON sb.doc_id = doc_b AND sb.s = sa.s GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(c * 1000000 // (za.szn + zb.szn - c) AS BIGINT) AS wj_ppm
+       |FROM inter JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+       |WHERE c * $WjQ >= (za.szn + zb.szn - c) * $WjP
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q226: l-diversity audit (k-anonymity's sharper sibling) -------
+  // A k-anonymous group is still re-identifying if everyone in it
+  // shares the sensitive value — distinct-l-diversity (Machanavajjhala
+  // et al., ICDE'06, public literature) requires every quasi-identifier
+  // group to carry >= l DISTINCT sensitive values. Quasi-identifiers:
+  // q89's (nation, segment); sensitive attribute: the $1000 account-
+  // balance bucket, shifted positive BEFORE the floor division
+  // (c_acctbal can be negative, and Spark `div` truncates toward zero
+  // while negative-operand semantics differ across engines — keeping
+  // the dividend nonnegative sidesteps the whole class). Shape at
+  // scale: one two-phase distinct aggregate + a group-domain-sized
+  // summary — no row-level state.
+  private val LDivThreshold = 3L
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000L) div 100000L").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_bucket")).as("l"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("l") < LDivThreshold, 1L).otherwise(0L)).as("n_low_div"),
+        sum(when(col("l") < LDivThreshold, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min("l").as("min_l"))
+
+  val lDiversitySql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+       |         COUNT(DISTINCT (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000) AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN l < $LDivThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_low_div,
+       |  CAST(SUM(CASE WHEN l < $LDivThreshold THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(MIN(l) AS BIGINT) AS min_l
+       |FROM g""".stripMargin
+
+  // ---- q227: modularity of an attribute partition --------------------
+  // Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] (Newman & Girvan
+  // 2004, public literature) — the cluster-quality score a dedup/
+  // community pipeline reports for a LABELING (here: the part's brand
+  // over the >=2-support co-purchase graph — do purchases cluster
+  // along brand lines?). Exact integer form: Q·4m² = Σ_c (4·m·e_c −
+  // d_c²), emitted as q_ppm = that numerator ·10⁶ div 4m² — DECIMAL
+  // (38,0)/HUGEINT products, no float until never. e_c counts intra-
+  // community edges once per unordered pair; d_c sums degrees over the
+  // community (isolated-in-graph nodes contribute nothing — the sums
+  // run over the edge table only). Shape at scale: two broadcast label
+  // attachments + two label-keyed aggregates + a 1-row fold.
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CoreSupport)
+      .select("pa", "pb")
+      .localCheckpoint(true) // feeds m, e_c and both degree passes
+    val lab = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val labeled = pairs
+      .join(lab.select(col("p_partkey").as("pa"), col("p_brand").as("ba")), Seq("pa"))
+      .join(lab.select(col("p_partkey").as("pb"), col("p_brand").as("bb")), Seq("pb"))
+      .localCheckpoint(true)
+    val m = labeled.count() // unordered edge count — driver-side 1 value
+    val ec = labeled.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("c")).agg(count(lit(1)).as("e_c"))
+    val dc = labeled.select(col("ba").as("c"))
+      .unionAll(labeled.select(col("bb").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("d_c"))
+    dc.join(ec, Seq("c"), "left")
+      .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L) * lit(m) * col("e_c").cast("decimal(38,0)")
+          - col("d_c").cast("decimal(38,0)") * col("d_c")).as("num"))
+      .select(
+        lit(m).as("m"),
+        col("n_communities"),
+        call_function("div", col("num") * lit(1000000L),
+          lit(4L).cast("decimal(38,0)") * lit(m) * lit(m))
+          .cast("long").as("q_ppm"))
+  }
+
+  val modularitySql: String =
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pr AS (SELECT a.p AS pa, b.p AS pb
+       |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $CoreSupport),
+       |lbl AS (SELECT pr.pa, pr.pb, x.p_brand AS ba, y.p_brand AS bb
+       |        FROM pr JOIN part x ON pr.pa = x.p_partkey
+       |                JOIN part y ON pr.pb = y.p_partkey),
+       |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM lbl),
+       |ec AS (SELECT ba AS c, COUNT(*) AS e_c FROM lbl WHERE ba = bb GROUP BY 1),
+       |dc AS (SELECT c, COUNT(*) AS d_c FROM (
+       |         SELECT ba AS c FROM lbl UNION ALL SELECT bb FROM lbl) GROUP BY 1),
+       |per AS (SELECT dc.c, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+       |        FROM dc LEFT JOIN ec ON dc.c = ec.c)
+       |SELECT CAST(m AS BIGINT) AS m,
+       |       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       CAST(SUM(4 * m * CAST(e_c AS HUGEINT)
+       |                - CAST(d_c AS HUGEINT) * d_c) * 1000000
+       |            // (4 * m * m) AS BIGINT) AS q_ppm
+       |FROM per, m GROUP BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_weighted_jaccard" -> (weightedJaccard _),
     "q219_url_host_stats"   -> (urlHostStats _),
     "q220_annotator_kappa"  -> (annotatorKappa _),
     "q221_ipf_weights"      -> (ipfWeights _),
     "q222_containment"      -> (containmentPairs _),
-    "q223_kcore"            -> (kcore _))
+    "q223_kcore"            -> (kcore _),
+    "q224_weighted_minhash" -> (weightedMinhash _),
+    "q226_l_diversity"      -> (lDiversity _),
+    "q227_modularity"       -> (modularity _))
 
   val oracles: Map[String, String] = Map(
     "q218_weighted_jaccard" -> weightedJaccardSql,
@@ -477,5 +684,8 @@ object Mining {
     "q220_annotator_kappa"  -> annotatorKappaSql,
     "q221_ipf_weights"      -> ipfWeightsSql,
     "q222_containment"      -> containmentSql,
-    "q223_kcore"            -> kcoreSql)
+    "q223_kcore"            -> kcoreSql,
+    "q224_weighted_minhash" -> weightedMinhashSql,
+    "q226_l_diversity"      -> lDiversitySql,
+    "q227_modularity"       -> modularitySql)
 }

@@ -133,6 +133,75 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q224: weighted MinHash pairs are a subset of q218 with identical " +
+    "scores; exact-dup recall is total; overall recall clears the band floor") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 400)
+    val exact = Mining.weightedJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sketch = Mining.weightedMinhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every surfaced pair verified exactly -> subset with equal scores
+    sketch.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k not in exact set or score drifted")
+    }
+    // banding cannot miss an identical pair: its band keys are equal
+    val dups = exact.filter(_._2 == 1000000L).keySet
+    assert(dups.subsetOf(sketch.keySet), "missed an exact duplicate")
+    // (12,4) banding at t=0.6: P(cand) = 1-(1-J^3)^4 = 0.62 at J=0.6,
+    // higher above — 0.4 is a safe floor for the measured mix
+    val recall = sketch.size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below band floor")
+  }
+
+  test("q226: l-diversity matches driver recompute") {
+    val row = Mining.lDiversity(spark, sf).first()
+    val groups = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000L) div 100000L"))
+      .collect()
+      .groupBy(r => (r.getAs[Number](0).longValue, r.getString(1)))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getLong(2)).distinct.length.toLong))
+      .toMap
+    assert(row.getAs[Long]("n_groups") === groups.size.toLong)
+    assert(row.getAs[Long]("n_low_div") === groups.values.count(_._2 < 3).toLong)
+    assert(row.getAs[Long]("rows_at_risk") ===
+      groups.values.filter(_._2 < 3).map(_._1).sum)
+    assert(row.getAs[Long]("min_l") === groups.values.map(_._2).min)
+  }
+
+  test("q227: modularity matches BigInt driver fold; self-partition scores 0 bound") {
+    val row = Mining.modularity(spark, sf).first()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .groupBy(_.getLong(0)).values
+      .flatMap(rs => {
+        // ROW-level co-occurrence (no within-order part dedup): a part
+        // on two lineitems of one order multiplies, matching the
+        // operator's row self-join support semantics
+        val ps = rs.map(_.getLong(1))
+        for (i <- ps.indices; j <- ps.indices; if ps(i) < ps(j))
+          yield (ps(i), ps(j))
+      })
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val brand = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the brand attachment is an INNER join: edges touching a planted
+    // orphan part (q12's fixture) fall out in both engines
+    val edges = li.filter(e => brand.contains(e._1) && brand.contains(e._2))
+    val m = BigInt(edges.size)
+    val ec = edges.filter(e => brand(e._1) == brand(e._2))
+      .groupBy(e => brand(e._1)).view.mapValues(es => BigInt(es.size)).toMap
+    val dc = edges.flatMap(e => Seq(brand(e._1), brand(e._2)))
+      .groupBy(identity).view.mapValues(es => BigInt(es.size)).toMap
+    val num = dc.map { case (c, d) => 4 * m * ec.getOrElse(c, BigInt(0)) - d * d }.sum
+    assert(row.getAs[Long]("m") === m.toLong)
+    assert(row.getAs[Long]("n_communities") === dc.size.toLong)
+    assert(row.getAs[Long]("q_ppm") === ((num * 1000000) / (4 * m * m)).toLong)
+    // brand communities on co-purchase are near-random: |Q| small but
+    // the exact value is pinned by the oracle; here only sanity-bound
+    assert(math.abs(row.getAs[Long]("q_ppm")) < 500000L)
+  }
+
   test("q223: k-core equals brute-force peel; pendant trees stripped") {
     // triangle 1-2-3 + pendant chain 3-4-5 + isolated edge 6-7:
     // the 2-core is exactly the triangle with residual degree 2

@@ -44,6 +44,37 @@ class ScaleBenchSpec extends SparkSpec {
     assert(pN === expected)
   }
 
+  test("weightedJaccard on replicas: pair structure is exactly N copies of 1x") {
+    val times = 3
+    val p1 = ScaleBench.weightedJaccard(ScaleBench.documents(spark, sf, 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pN = ScaleBench.weightedJaccard(ScaleBench.documents(spark, sf, times))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the Caesar rotation is a bijection on TOKENS too, so each
+    // replica carries the exact 1x weighted-pair structure (scores
+    // included); all-digit tokens survive across replicas but cannot
+    // carry a pair to the 0.6 threshold on their own — the law fails
+    // loudly if they ever do
+    val expected = for {
+      (a, b, wj) <- p1; i <- 0 until times
+    } yield (a * times + i, b * times + i, wj)
+    assert(pN === expected)
+  }
+
+  test("kcore on replicas: core is exactly N re-keyed copies of 1x") {
+    val times = 3
+    val c1 = ScaleBench.kcore(ScaleBench.kcoreEdges(spark, sf, 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cN = ScaleBench.kcore(ScaleBench.kcoreEdges(spark, sf, times))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // disjoint re-keyed graph copies peel independently to the same
+    // fixpoint with the same residual degrees
+    val expected = for {
+      (n, d) <- c1; i <- 0 until times
+    } yield (n * times + i, d)
+    assert(cN === expected)
+  }
+
   test("bloomDecon on replicas: survivor counts are exactly N times 1x") {
     val times = 3
     val r1 = ScaleBench.bloomDecon(ScaleBench.documents(spark, sf, 1), 1)
@@ -194,6 +225,8 @@ class ScaleBenchSpec extends SparkSpec {
       "q155_budget" -> (f => ScaleBench.budgetCumsum(docs(f))),
       "q133_bloom" -> (f => ScaleBench.bloomDecon(docs(f), f)),
       "q185_skew_join" -> (f => ScaleBench.skewJoin(ev(f))),
+      "q218_weighted_jaccard" -> (f => ScaleBench.weightedJaccard(docs(f))),
+      "q223_kcore" -> (f => ScaleBench.kcore(ScaleBench.kcoreEdges(spark, sf, f))),
       "q146_pagerank" -> (f =>
         ScaleBench.pageRank(ScaleBench.pageRankEdges(spark, sf, f))))
     for ((name, mk) <- lanes) {
@@ -228,5 +261,8 @@ class ScaleBenchSpec extends SparkSpec {
       ScaleBench.embeddings(spark, sf, 10)), "srp 10x")
     noCartesian(ScaleBench.sessionStats(
       ScaleBench.events(spark, sf, 10)), "sessions 10x")
+    noCartesian(ScaleBench.weightedJaccard(
+      ScaleBench.documents(spark, sf, 10)), "weighted jaccard 10x")
+    noCartesian(ScaleBench.kcoreEdges(spark, sf, 10), "kcore edges 10x")
   }
 }
