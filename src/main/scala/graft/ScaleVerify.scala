@@ -81,6 +81,12 @@ object ScaleVerify {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val s187x1 = lineStats(linePages(docs1, 1))
 
+    // q218 weighted Jaccard on the bench lane's 1/5 slice (doc_id =
+    // base*times + i, so `div times` recovers the base id per replica)
+    def wjSlice(docs: DataFrame, times: Int): DataFrame =
+      docs.filter(expr(s"(doc_id div ${times}L) % 5 = 0"))
+    val s218x1 = statSet(ScaleBench.weightedJaccard(wjSlice(docs1, 1)))
+
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
       val embN = ScaleBench.embeddings(spark, sfDir, times).localCheckpoint(true)
@@ -146,6 +152,17 @@ object ScaleVerify {
       val q187Pass = s187xN.toSet == expected187 &&
         s187xN.size == expected187.size
 
+      // ---- q218 weighted Jaccard: exact replica-copy law (scores too)
+      // The Caesar rotation is a bijection on TOKENS, so each replica's
+      // weighted-pair structure — including every exact wj_ppm — must
+      // be a re-keyed copy of x1's. Deterministic equality, the
+      // strongest law class: any cross-replica pair or score drift at
+      // the AllPairs prefix filter's scale operating point fails here.
+      val s218xN = statSet(ScaleBench.weightedJaccard(wjSlice(docsN, times)))
+      val expected218 = for { (a, b, w) <- s218x1; i <- 0 until times }
+        yield (a * times + i, b * times + i, w)
+      val q218Pass = s218xN == expected218
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -166,6 +183,7 @@ object ScaleVerify {
         s""""q24_srp_auto":{"pass":$q24Pass,"n_pairs":$nPairs,"n_false_positive":$nBad,"x1_pairs":$n24x1},""" +
         s""""q162_substr_replica":{"pass":$q162Pass,"n_docs":${s162xN.size},"expected":${expected162.size}},""" +
         s""""q187_line_dedup_replica":{"pass":$q187Pass,"n_pages":${s187xN.size},"expected":${expected187.size}},""" +
+        s""""q218_weighted_replica":{"pass":$q218Pass,"n_pairs":${s218xN.size},"expected":${expected218.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()

@@ -675,6 +675,7 @@ object Mining {
     "q222_containment"      -> (containmentPairs _),
     "q223_kcore"            -> (kcore _),
     "q224_weighted_minhash" -> (weightedMinhash _),
+    "q225_stream_late_data" -> ((s, d) => graft.streaming.StreamOps.streamLateData(s, d)),
     "q226_l_diversity"      -> (lDiversity _),
     "q227_modularity"       -> (modularity _))
 
@@ -686,6 +687,7 @@ object Mining {
     "q222_containment"      -> containmentSql,
     "q223_kcore"            -> kcoreSql,
     "q224_weighted_minhash" -> weightedMinhashSql,
+    "q225_stream_late_data" -> graft.streaming.StreamOps.streamLateDataSql,
     "q226_l_diversity"      -> lDiversitySql,
     "q227_modularity"       -> modularitySql)
 }

@@ -202,6 +202,26 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("q_ppm")) < 500000L)
   }
 
+  test("q225: late-data accounting conserves rows and drops strictly late ones") {
+    val out = graft.streaming.StreamOps.streamLateData(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_on_time") >= 1L) // emitted windows have survivors
+      assert(r.getAs[Long]("n_on_time") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_late_dropped") ===
+        r.getAs[Long]("n_total") - r.getAs[Long]("n_on_time"))
+    }
+    // the 3-way interleave plants real late arrivals — drops must occur
+    assert(out.map(_.getAs[Long]("n_late_dropped")).sum > 0L)
+    // conservation: emitted on-time + emitted drops + rows in the
+    // trailing unemitted (still-open) windows == corpus
+    val total = Tables.events(spark, sf).count()
+    val emittedTotals = out.map(_.getAs[Long]("n_total")).sum
+    assert(emittedTotals <= total)
+    assert(out.map(_.getAs[Long]("n_on_time")).sum +
+      out.map(_.getAs[Long]("n_late_dropped")).sum === emittedTotals)
+  }
+
   test("q223: k-core equals brute-force peel; pendant trees stripped") {
     // triangle 1-2-3 + pendant chain 3-4-5 + isolated edge 6-7:
     // the 2-core is exactly the triangle with residual degree 2
