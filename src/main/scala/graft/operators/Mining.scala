@@ -577,7 +577,7 @@ object Mining {
   def lDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .select(col("c_nationkey"), col("c_mktsegment"),
-        expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000L) div 100000L").as("bal_bucket"))
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000L) div 100000L").as("bal_bucket"))
       .groupBy("c_nationkey", "c_mktsegment")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("bal_bucket")).as("l"))
@@ -590,7 +590,7 @@ object Mining {
   val lDiversitySql: String =
     s"""WITH g AS (
        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
-       |         COUNT(DISTINCT (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 100000) AS l
+       |         COUNT(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000) AS l
        |  FROM customer GROUP BY 1, 2)
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
        |  CAST(SUM(CASE WHEN l < $LDivThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_low_div,
@@ -667,6 +667,143 @@ object Mining {
        |            // (4 * m * m) AS BIGINT) AS q_ppm
        |FROM per, m GROUP BY m""".stripMargin
 
+  // ---- q228: entity resolution (block → match → cluster → merge) -----
+  // The full ER pipeline (Fellegi–Sunter framing, public literature)
+  // end-to-end: BLOCK candidate pairs on exact attributes (nation,
+  // segment — the standard recall/cost dial that keeps the match step
+  // off the corpus square), MATCH within blocks by edit-distance <= 1
+  // on the name, CLUSTER matches into entities with the adaptive
+  // connected-components engine (q177's escalation path — sequential
+  // customer names chain, so components are NOT shallow), and MERGE
+  // with a survivorship rule (entity = min key; record count, max key,
+  // exact balance cents folded per entity). Only merged entities
+  // (>= 2 records) emit — the singleton majority stays out of the
+  // result. The oracle recomputes the clustering with a recursive-CTE
+  // reachability closure — a genuinely different algorithm, so
+  // agreement proves the clustering, not a reimplementation (q40's
+  // oracle discipline). Shape at scale: blocking join keyed by the
+  // block attributes, CC cost on the matched-pairs graph only,
+  // dimension-sized merge aggregate.
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(true) // feeds the block join (twice) + the merge
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey").as("doc_a"), col("b.c_custkey").as("doc_b"))
+    val cc = Dedup.componentsAdaptive(pairs)
+    require(cc.converged,
+      s"ER clustering failed to converge in ${cc.iterations} rounds")
+    c.join(cc.labels.withColumnRenamed("doc_id", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("rep"), col("c_custkey")).as("entity"), col("cents"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_records"),
+        max("c_custkey").as("max_key"),
+        sum("cents").as("cents_total"))
+      .filter(col("n_records") > 1)
+      .orderBy("entity")
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |   AND a.c_mktsegment = b.c_mktsegment
+      |   AND a.c_custkey < b.c_custkey
+      |   AND levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT ka AS x, kb AS y FROM pr
+      |          UNION ALL SELECT kb, ka FROM pr),
+      |nodes AS (SELECT DISTINCT x FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT x, x FROM nodes
+      |  UNION
+      |  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.dst),
+      |lab AS (SELECT src AS k, MIN(dst) AS entity FROM reach GROUP BY 1),
+      |merged AS (
+      |  SELECT c.c_custkey, COALESCE(l.entity, c.c_custkey) AS entity,
+      |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer c LEFT JOIN lab l ON c.c_custkey = l.k)
+      |SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_records,
+      |       CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+      |       CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM merged GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY entity""".stripMargin
+
+  // ---- q229: first/last-touch attribution ----------------------------
+  // The marketing-analytics standard: every purchase's value is
+  // attributed to (a) the FIRST event type of its gap session (the
+  // acquisition channel) and (b) the event type immediately PRECEDING
+  // it in-session (the converting touch; 'none' when the purchase
+  // opens its session). Sessions are q29's strict lag rule
+  // (gap > 30 min in integer µs under the total (us, event_id) order);
+  // revenue folds in DECIMAL(18,4) (the order-independent exact-sum
+  // channel) and emits as DOUBLE. Output is the |types|² attribution
+  // matrix — dimension-sized. Shape at scale: two window passes over
+  // one user-partitioned sort + one tiny aggregate; no self-join.
+  private val TouchGapUs = 1800000000L // 30 min
+
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000").as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > TouchGapUs, 1L).otherwise(0L))
+      .withColumn("session", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "session")
+      .orderBy(col("us"), col("event_id"))
+    sessioned
+      .withColumn("first_touch", first("event_type").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_touch", lag("event_type", 1).over(ws))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"),
+        coalesce(col("prev_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  val touchAttributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events),
+       |s AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $TouchGapUs
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+       |                                ORDER BY us, event_id) AS prev_us
+       |        FROM ev)),
+       |g AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+       |                             ORDER BY us, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS session
+       |  FROM s),
+       |t AS (
+       |  SELECT event_type, value,
+       |         first_value(event_type) OVER w AS first_touch,
+       |         lag(event_type) OVER w AS prev_touch
+       |  FROM g
+       |  WINDOW w AS (PARTITION BY user_id, session
+       |               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING))
+       |SELECT first_touch, COALESCE(prev_touch, 'none') AS last_touch,
+       |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_weighted_jaccard" -> (weightedJaccard _),
     "q219_url_host_stats"   -> (urlHostStats _),
@@ -677,7 +814,9 @@ object Mining {
     "q224_weighted_minhash" -> (weightedMinhash _),
     "q225_stream_late_data" -> ((s, d) => graft.streaming.StreamOps.streamLateData(s, d)),
     "q226_l_diversity"      -> (lDiversity _),
-    "q227_modularity"       -> (modularity _))
+    "q227_modularity"       -> (modularity _),
+    "q228_entity_resolution" -> (entityResolution _),
+    "q229_touch_attribution" -> (touchAttribution _))
 
   val oracles: Map[String, String] = Map(
     "q218_weighted_jaccard" -> weightedJaccardSql,
@@ -689,5 +828,7 @@ object Mining {
     "q224_weighted_minhash" -> weightedMinhashSql,
     "q225_stream_late_data" -> graft.streaming.StreamOps.streamLateDataSql,
     "q226_l_diversity"      -> lDiversitySql,
-    "q227_modularity"       -> modularitySql)
+    "q227_modularity"       -> modularitySql,
+    "q228_entity_resolution" -> entityResolutionSql,
+    "q229_touch_attribution" -> touchAttributionSql)
 }

@@ -202,6 +202,80 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("q_ppm")) < 500000L)
   }
 
+  test("q228: ER clusters equal a driver union-find over blocked edit-1 pairs") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue,
+        r.getString(3), r.getLong(4)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      block <- rows.groupBy(r => (r._3, r._4)).values
+      i <- block.indices; j <- i + 1 until block.length
+      if lev(block(i)._2, block(j)._2) <= 1
+    } {
+      val (ra, rb) = (find(block(i)._1), find(block(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = rows.groupBy(r => find(r._1)).collect {
+      case (ent, rs) if rs.length > 1 =>
+        ent -> (rs.length.toLong, rs.map(_._1).max, rs.map(_._5).sum)
+    }
+    val got = graft.operators.Mining.entityResolution(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q229: attribution matches a driver session fold; revenue conserved") {
+    val out = graft.operators.Mining.touchAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    val agg = scala.collection.mutable.Map[(String, String), (Long, BigDecimal)]()
+    for ((_, events) <- ev.groupBy(_._1)) {
+      val sorted = events.sortBy(e => (e._5, e._2))
+      var session = Vector.empty[(String, Double)]
+      var lastUs = Long.MinValue
+      for (e <- sorted) {
+        if (lastUs != Long.MinValue && e._5 - lastUs > 1800000000L)
+          session = Vector.empty
+        if (e._3 == "purchase") {
+          val firstT = session.headOption.map(_._1).getOrElse(e._3)
+          val lastT = session.lastOption.map(_._1).getOrElse("none")
+          val k = (firstT, lastT)
+          val (n, v) = agg.getOrElse(k, (0L, BigDecimal(0)))
+          agg(k) = (n + 1, v + BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        }
+        session = session :+ ((e._3, e._4))
+        lastUs = e._5
+      }
+    }
+    assert(out.keySet === agg.keySet.toSet)
+    out.foreach { case (k, (n, rev)) =>
+      assert(n === agg(k)._1, s"count drift at $k")
+      assert(math.abs(rev - agg(k)._2.toDouble) < 1e-6, s"revenue drift at $k")
+    }
+  }
+
   test("q225: late-data accounting conserves rows and drops strictly late ones") {
     val out = graft.streaming.StreamOps.streamLateData(spark, sf).collect()
     assert(out.nonEmpty)
