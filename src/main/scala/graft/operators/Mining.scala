@@ -7,12 +7,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-10 mining batch (beyond-parity, LLM-pipeline block): weighted
-  * similarity joins (q218), URL canonicalization (q219), annotator
-  * agreement (q220), mixture reweighting (q221), containment dedup
-  * (q222) and k-core graph pruning (q223). Reference scope: none —
-  * these are the corpus-curation operators a training-data pipeline
-  * layers on top of the reference's retail analytics. All integer-exact
-  * against the DuckDB oracles.
+  * similarity joins exact + sketched (q218/q224), URL canonicalization
+  * (q219), annotator agreement (q220), mixture reweighting (q221),
+  * containment dedup (q222), k-core graph pruning (q223), l-diversity
+  * (q226), modularity (q227), entity resolution (q228) and touch
+  * attribution (q229); the streaming late-data gate (q225) lives in
+  * streaming/StreamOps. Reference scope: none — these are the
+  * corpus-curation operators a training-data pipeline layers on top of
+  * the reference's retail analytics. All integer-exact against the
+  * DuckDB oracles (revenue via the DECIMAL exact-sum channel).
   */
 object Mining {
 
