@@ -331,7 +331,10 @@ object Bench {
       val streamOk =
         try { ScaleBench.streamNearDupPrep(spark, sfDir, times, streamPath); true }
         catch { case t: Throwable =>
-          recordErr(s"x$times.q61_stream_neardup", t); false }
+          // BOTH consumers of the fixture are skipped — record both, so
+          // a missing lane in the artifact always has an errors entry
+          recordErr(s"x$times.q61_stream_neardup", t)
+          recordErr(s"x$times.q61_stream_bulk", t); false }
       val layoutPath =
         s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
       var probeArgs: (org.apache.spark.sql.DataFrame,

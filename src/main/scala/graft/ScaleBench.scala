@@ -136,16 +136,9 @@ object ScaleBench {
     * part co-purchase graph — identical peel depth per replica, Nx
     * edges per peel round. Built OFF the clock (lane prep). */
   def kcoreEdges(spark: SparkSession, dir: String, times: Int): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2L)
-      .select("pa", "pb")
-    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    // the ONE shared derivation (support constant included) — the lane
+    // must peel the same graph the gated operator peels
+    val sym = graft.operators.Mining.coPurchaseEdges(spark, dir)
     replicate(times)(i => sym.select(
       (col("src") * times + i).as("src"),
       (col("dst") * times + i).as("dst")))

@@ -377,12 +377,21 @@ object Graph {
     * least one out-edge — symmetrize (as [[pageRank]] does) or add
     * self-loops for dangling nodes before calling. Returns the
     * UNSORTED `(node, r)` fixed-point-integer ranks. */
-  def pageRankOn(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame = {
+  def pageRankOn(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame =
+    pageRankImpl(edges, rounds, joinHint = None)
+
+  /** The ONE recurrence behind pageRankOn / pageRankOnMerge: any edit
+    * here (constants, init, checkpoint discipline) reaches both lanes,
+    * so the bench's q146-vs-merge comparison cannot silently diverge.
+    * `joinHint` only pins the per-round join's physical strategy. */
+  private def pageRankImpl(edges: DataFrame, rounds: Int,
+                           joinHint: Option[String]): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val ed = e.join(
+    val ed0 = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(true)
-    var r = ed.select(col("src").as("node")).distinct()
+    val ed = joinHint.fold(ed0)(ed0.hint(_))
+    var r = ed0.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -406,24 +415,8 @@ object Graph {
     * measured (bucketed vs merge-unbucketed) shuffle-byte ratio is the
     * like-for-like number behind the "bucketing removes the per-round
     * edge exchange" claim. Identical integer recurrence — same ranks. */
-  def pageRankOnMerge(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val ed = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint(true)
-    var r = ed.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      r = ed.hint("merge").join(r, ed("src") === r("node"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          expr("150000L + (85L * s) div 100L").as("r"))
-        .localCheckpoint(true)
-    }
-    r
-  }
+  def pageRankOnMerge(edges: DataFrame, rounds: Int = PageRankRounds): DataFrame =
+    pageRankImpl(edges, rounds, joinHint = Some("merge"))
 
   /** q146's symmetrized part<->supplier edge set — exposed so the scale
     * bench can replicate it (re-keyed disjoint copies) and time

@@ -295,13 +295,24 @@ object Mining {
       .crossJoin(broadcast(tgt))
       .withColumn("w", lit(1000000L))
       .localCheckpoint(true)
+    // products and marginals run in DECIMAL(38,0) (HUGEINT on the
+    // oracle side): w*target*10^6 leaves int64 around n ~ 2e8 docs per
+    // marginal cell, and a non-ANSI long would WRAP silently where the
+    // oracle errors loudly — the wide channel keeps both engines exact
+    // at any corpus size; only the ~10^6-scale w itself returns to long
     for (_ <- 1 to IpfRounds) {
-      val rm = w.groupBy("source").agg(sum(col("n") * col("w")).as("m"))
+      val rm = w.groupBy("source").agg(
+        sum((col("n") * col("w")).cast("decimal(38,0)")).as("m"))
       val a = w.join(broadcast(rm), "source")
-        .withColumn("w", expr("(w * t_row * 1000000L) div m")).drop("m")
-      val cm = a.groupBy("lang").agg(sum(col("n") * col("w")).as("m"))
+        .withColumn("w",
+          expr("CAST((CAST(w AS DECIMAL(38,0)) * t_row * 1000000) div m AS BIGINT)"))
+        .drop("m")
+      val cm = a.groupBy("lang").agg(
+        sum((col("n") * col("w")).cast("decimal(38,0)")).as("m"))
       w = a.join(broadcast(cm), "lang")
-        .withColumn("w", expr("(w * t_col * 1000000L) div m")).drop("m")
+        .withColumn("w",
+          expr("CAST((CAST(w AS DECIMAL(38,0)) * t_col * 1000000) div m AS BIGINT)"))
+        .drop("m")
         .localCheckpoint(true)
     }
     w.select(col("source"), col("lang"), col("n"), col("w").as("w_ppm"))
@@ -319,10 +330,10 @@ object Mining {
         |w0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS w FROM cells)""".stripMargin
     val rounds = (1 to IpfRounds).map { i =>
       s"""r$i AS (SELECT source, SUM(n * w) AS m FROM w${i - 1} GROUP BY 1),
-         |a$i AS (SELECT c.source, c.lang, c.n, (c.w * t_row * 1000000) // r$i.m AS w
+         |a$i AS (SELECT c.source, c.lang, c.n, CAST((CAST(c.w AS HUGEINT) * t_row * 1000000) // r$i.m AS BIGINT) AS w
          |        FROM w${i - 1} c JOIN r$i ON c.source = r$i.source, t),
          |c$i AS (SELECT lang, SUM(n * w) AS m FROM a$i GROUP BY 1),
-         |w$i AS (SELECT c.source, c.lang, c.n, (c.w * t_col * 1000000) // c$i.m AS w
+         |w$i AS (SELECT c.source, c.lang, c.n, CAST((CAST(c.w AS HUGEINT) * t_col * 1000000) // c$i.m AS BIGINT) AS w
          |        FROM a$i c JOIN c$i ON c.lang = c$i.lang, t)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
@@ -414,11 +425,16 @@ object Mining {
     var cur = edges.select("src", "dst").localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    while (!converged) {
       val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
       if (deg.filter(col("d") < k).isEmpty) converged = true
       else {
+        // budget check BEFORE the peel, confirmation check after: a
+        // graph needing exactly maxRounds peels converges (the oracle
+        // unrolls maxRounds rounds), and only peel maxRounds+1 throws
+        require(rounds < maxRounds,
+          s"k-core peeling did not converge within $maxRounds rounds")
         rounds += 1
         val keep = deg.filter(col("d") >= k).select("src")
           .localCheckpoint(true)
@@ -428,24 +444,35 @@ object Mining {
           .localCheckpoint(true)
       }
     }
-    require(converged,
-      s"k-core peeling did not converge within $maxRounds rounds")
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
-  def kcore(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered (pa < pb) co-purchase pairs with >= `support` row-level
+    * co-occurrences — the ONE derivation behind q223, q227 and the
+    * bench/ScaleVerify kcore lanes. */
+  def coPurchasePairs(spark: SparkSession, dir: String,
+                      support: Long = CoreSupport): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= CoreSupport)
+      .filter(col("cnt") >= support)
       .select("pa", "pb")
-    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-    kcoreOn(sym).orderBy("node")
   }
+
+  /** [[coPurchasePairs]] symmetrized into the (src, dst) edge table the
+    * peel iterates over. */
+  def coPurchaseEdges(spark: SparkSession, dir: String,
+                      support: Long = CoreSupport): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir, support)
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(coPurchaseEdges(spark, dir)).orderBy("node")
 
   val kcoreSql: String = {
     val head =
@@ -614,14 +641,7 @@ object Mining {
   // run over the edge table only). Shape at scale: two broadcast label
   // attachments + two label-keyed aggregates + a 1-row fold.
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= CoreSupport)
-      .select("pa", "pb")
+    val pairs = coPurchasePairs(spark, dir)
       .localCheckpoint(true) // feeds m, e_c and both degree passes
     val lab = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"))
@@ -647,6 +667,10 @@ object Mining {
         call_function("div", col("num") * lit(1000000L),
           lit(4L).cast("decimal(38,0)") * lit(m) * lit(m))
           .cast("long").as("q_ppm"))
+      // an EMPTY co-purchase graph must emit zero rows (matching the
+      // oracle's GROUP BY over no communities) instead of a 1-row
+      // global aggregate with a 0/0 q_ppm
+      .filter(lit(m) > 0L)
   }
 
   val modularitySql: String =
