@@ -831,6 +831,68 @@ object Mining {
        |FROM t WHERE event_type = 'purchase'
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q230: join-cardinality audit (planning diagnostics) -----------
+  // The exact form of the estimate every cost-based planner needs:
+  // |A ⨝_k B| = Σ_k nA_k · nB_k, computed from the two key histograms
+  // WITHOUT running the join — then audited against the actual join
+  // count so the gate proves the identity, not just the arithmetic.
+  // Per joinable key pair of the star schema: predicted rows, actual
+  // rows (equal by the identity — both emitted so the hash pins it),
+  // the heaviest key's contribution, and the skew share in ppm
+  // (top-key product / total product) — q185's hot-key diagnostic
+  // lifted from one table to the JOIN output, where a hot key's cost
+  // is the PRODUCT of its sides. DECIMAL(38,0)/HUGEINT products
+  // (n_a·n_b sums reach n²); integer ppm. Shape at scale: two
+  // map-side-combinable histograms + a key-domain-sized join — the
+  // whole point is that it costs O(distinct keys), not O(join output).
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(
+      ("orders_lineitem", Tables.orders(spark, dir).select(col("o_orderkey").as("k")),
+        Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))),
+      ("part_lineitem", Tables.part(spark, dir).select(col("p_partkey").as("k")),
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))),
+      ("customer_orders", Tables.customer(spark, dir).select(col("c_custkey").as("k")),
+        Tables.orders(spark, dir).select(col("o_custkey").as("k"))))
+    specs.map { case (name, a, b) =>
+      val ha = a.groupBy("k").agg(count(lit(1)).as("na"))
+      val hb = b.groupBy("k").agg(count(lit(1)).as("nb"))
+      val prod = ha.join(hb, "k")
+        .select(col("k"), (col("na").cast("decimal(38,0)") * col("nb")).as("p"))
+        .localCheckpoint(true) // feeds the total, the argmax AND the ppm
+      val actual = a.join(b, "k").count()
+      prod.agg(
+          sum("p").as("predicted"),
+          max("p").as("top_p"))
+        .select(
+          lit(name).as("join_key"),
+          col("predicted").cast("long").as("predicted_rows"),
+          lit(actual).as("actual_rows"),
+          col("top_p").cast("long").as("top_key_rows"),
+          call_function("div", col("top_p") * lit(1000000L), col("predicted"))
+            .cast("long").as("skew_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("join_key")
+  }
+
+  val joinCardinalitySql: String = {
+    def block(name: String, ta: String, ka: String, tb: String, kb: String) =
+      s"""SELECT '$name' AS join_key,
+         |  CAST(predicted AS BIGINT) AS predicted_rows,
+         |  (SELECT COUNT(*) FROM $ta a JOIN $tb b ON a.$ka = b.$kb) AS actual_rows,
+         |  CAST(top_p AS BIGINT) AS top_key_rows,
+         |  CAST(top_p * 1000000 // predicted AS BIGINT) AS skew_ppm
+         |FROM (
+         |  SELECT SUM(p) AS predicted, MAX(p) AS top_p FROM (
+         |    SELECT CAST(ha.na AS HUGEINT) * hb.nb AS p
+         |    FROM (SELECT $ka AS k, COUNT(*) AS na FROM $ta GROUP BY 1) ha
+         |    JOIN (SELECT $kb AS k, COUNT(*) AS nb FROM $tb GROUP BY 1) hb
+         |      ON ha.k = hb.k))""".stripMargin
+    Seq(
+      block("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      block("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      block("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY join_key"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_weighted_jaccard" -> (weightedJaccard _),
     "q219_url_host_stats"   -> (urlHostStats _),
@@ -843,7 +905,8 @@ object Mining {
     "q226_l_diversity"      -> (lDiversity _),
     "q227_modularity"       -> (modularity _),
     "q228_entity_resolution" -> (entityResolution _),
-    "q229_touch_attribution" -> (touchAttribution _))
+    "q229_touch_attribution" -> (touchAttribution _),
+    "q230_join_cardinality"  -> (joinCardinality _))
 
   val oracles: Map[String, String] = Map(
     "q218_weighted_jaccard" -> weightedJaccardSql,
@@ -857,5 +920,6 @@ object Mining {
     "q226_l_diversity"      -> lDiversitySql,
     "q227_modularity"       -> modularitySql,
     "q228_entity_resolution" -> entityResolutionSql,
-    "q229_touch_attribution" -> touchAttributionSql)
+    "q229_touch_attribution" -> touchAttributionSql,
+    "q230_join_cardinality"  -> joinCardinalitySql)
 }

@@ -276,6 +276,27 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q230: histogram-product prediction equals the actual join count") {
+    val out = graft.operators.Mining.joinCardinality(spark, sf).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      // the identity |A join B| = sum_k nA_k*nB_k, pinned per key pair
+      assert(r.getAs[Long]("predicted_rows") === r.getAs[Long]("actual_rows"),
+        s"identity broken for ${r.getString(0)}")
+      assert(r.getAs[Long]("top_key_rows") <= r.getAs[Long]("predicted_rows"))
+      assert(r.getAs[Long]("skew_ppm") >= 0L &&
+        r.getAs[Long]("skew_ppm") <= 1000000L)
+    }
+    // BigInt driver fold for one pair (customer x orders)
+    val co = Tables.orders(spark, sf).select("o_custkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val ck = Tables.customer(spark, sf).select("c_custkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val predicted = ck.map { case (k, n) => BigInt(n) * BigInt(co.getOrElse(k, 0L)) }.sum
+    val row = out.find(_.getString(0) == "customer_orders").get
+    assert(BigInt(row.getAs[Long]("predicted_rows")) === predicted)
+  }
+
   test("q225: late-data accounting conserves rows and drops strictly late ones") {
     val out = graft.streaming.StreamOps.streamLateData(spark, sf).collect()
     assert(out.nonEmpty)
