@@ -301,14 +301,16 @@ object Mining {
     // oracle errors loudly — the wide channel keeps both engines exact
     // at any corpus size; only the ~10^6-scale w itself returns to long
     for (_ <- 1 to IpfRounds) {
+      // the OPERAND is cast wide, not the product: a long n*w wraps
+      // silently under non-ANSI Spark before any post-hoc cast
       val rm = w.groupBy("source").agg(
-        sum((col("n") * col("w")).cast("decimal(38,0)")).as("m"))
+        sum(col("n").cast("decimal(38,0)") * col("w")).as("m"))
       val a = w.join(broadcast(rm), "source")
         .withColumn("w",
           expr("CAST((CAST(w AS DECIMAL(38,0)) * t_row * 1000000) div m AS BIGINT)"))
         .drop("m")
       val cm = a.groupBy("lang").agg(
-        sum((col("n") * col("w")).cast("decimal(38,0)")).as("m"))
+        sum(col("n").cast("decimal(38,0)") * col("w")).as("m"))
       w = a.join(broadcast(cm), "lang")
         .withColumn("w",
           expr("CAST((CAST(w AS DECIMAL(38,0)) * t_col * 1000000) div m AS BIGINT)"))
@@ -329,10 +331,10 @@ object Mining {
         |               // (SELECT COUNT(DISTINCT lang) FROM documents) AS t_col),
         |w0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS w FROM cells)""".stripMargin
     val rounds = (1 to IpfRounds).map { i =>
-      s"""r$i AS (SELECT source, SUM(n * w) AS m FROM w${i - 1} GROUP BY 1),
+      s"""r$i AS (SELECT source, SUM(CAST(n AS HUGEINT) * w) AS m FROM w${i - 1} GROUP BY 1),
          |a$i AS (SELECT c.source, c.lang, c.n, CAST((CAST(c.w AS HUGEINT) * t_row * 1000000) // r$i.m AS BIGINT) AS w
          |        FROM w${i - 1} c JOIN r$i ON c.source = r$i.source, t),
-         |c$i AS (SELECT lang, SUM(n * w) AS m FROM a$i GROUP BY 1),
+         |c$i AS (SELECT lang, SUM(CAST(n AS HUGEINT) * w) AS m FROM a$i GROUP BY 1),
          |w$i AS (SELECT c.source, c.lang, c.n, CAST((CAST(c.w AS HUGEINT) * t_col * 1000000) // c$i.m AS BIGINT) AS w
          |        FROM a$i c JOIN c$i ON c.lang = c$i.lang, t)""".stripMargin
     }
@@ -858,16 +860,25 @@ object Mining {
       val hb = b.groupBy("k").agg(count(lit(1)).as("nb"))
       val prod = ha.join(hb, "k")
         .select(col("k"), (col("na").cast("decimal(38,0)") * col("nb")).as("p"))
-        .localCheckpoint(true) // feeds the total, the argmax AND the ppm
       val actual = a.join(b, "k").count()
+      // GUARDED decimal->long emit (the q138 rule): past int64 a
+      // non-ANSI Spark cast yields NULL silently while the oracle's
+      // HUGEINT cast raises — raise_error makes both engines fail
+      // loudly and identically. top_p <= predicted, so one bound
+      // covers both emitted products; skew_ppm <= 10^6 by definition.
+      def guarded(c: org.apache.spark.sql.Column, label: String) =
+        when(c > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit(s"q230 $label exceeds int64: "),
+            c.cast("string"))).cast("long"))
+          .otherwise(c.cast("long"))
       prod.agg(
           sum("p").as("predicted"),
           max("p").as("top_p"))
         .select(
           lit(name).as("join_key"),
-          col("predicted").cast("long").as("predicted_rows"),
+          guarded(col("predicted"), "predicted_rows").as("predicted_rows"),
           lit(actual).as("actual_rows"),
-          col("top_p").cast("long").as("top_key_rows"),
+          guarded(col("top_p"), "top_key_rows").as("top_key_rows"),
           call_function("div", col("top_p") * lit(1000000L), col("predicted"))
             .cast("long").as("skew_ppm"))
     }.reduce(_.unionAll(_)).orderBy("join_key")

@@ -276,6 +276,21 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q223: a graph needing exactly maxRounds peels converges; +1 throws") {
+    // a path of 2R nodes sheds BOTH deg-1 endpoints per synchronized
+    // round: R rounds to the (empty) 2-core — the boundary the budget
+    // check must admit (the oracle unrolls exactly maxRounds rounds)
+    val R = 4
+    val chain = (1L until 2L * R).map(i => (i, i + 1))
+    val sym = chain.toDF("src", "dst")
+      .unionAll(chain.map(_.swap).toDF("src", "dst"))
+    assert(Mining.kcoreOn(sym, k = 2L, maxRounds = R).isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Mining.kcoreOn(sym, k = 2L, maxRounds = R - 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("q230: histogram-product prediction equals the actual join count") {
     val out = graft.operators.Mining.joinCardinality(spark, sf).collect()
     assert(out.length === 3)
