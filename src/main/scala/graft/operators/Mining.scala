@@ -917,7 +917,8 @@ object Mining {
     "q227_modularity"       -> (modularity _),
     "q228_entity_resolution" -> (entityResolution _),
     "q229_touch_attribution" -> (touchAttribution _),
-    "q230_join_cardinality"  -> (joinCardinality _))
+    "q230_join_cardinality"  -> (joinCardinality _),
+    "q231_restart_recovery"  -> ((s, d) => graft.streaming.StreamOps.streamRestartDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q218_weighted_jaccard" -> weightedJaccardSql,
@@ -932,5 +933,6 @@ object Mining {
     "q227_modularity"       -> modularitySql,
     "q228_entity_resolution" -> entityResolutionSql,
     "q229_touch_attribution" -> touchAttributionSql,
-    "q230_join_cardinality"  -> joinCardinalitySql)
+    "q230_join_cardinality"  -> joinCardinalitySql,
+    "q231_restart_recovery"  -> graft.streaming.StreamOps.streamRestartDedupSql)
 }

@@ -809,6 +809,71 @@ object StreamOps {
     * whose state is bounded by (open windows × groups), and the
     * dropped-row accounting is the join every ingest SLO dashboard
     * runs between the stream's output and the nightly batch recount. */
+  /** q231: CHECKPOINTED-STATE RECOVERY ACROSS A QUERY RESTART — the
+    * operational proof the other streaming rows assume but never
+    * exercise: a stateful query stopped and RESTARTED from its
+    * checkpoint must behave as one continuous query.
+    *
+    * Construction: the documents corpus is split into two generations
+    * under a pid-scoped input dir. Generation 1 (doc_id % 2 = 0) is
+    * processed by query INCARNATION A — `dropDuplicates("doc_id")`
+    * builds per-key state, the parquet file sink commits via its
+    * _spark_metadata log — then A STOPS. Generation 2 lands: the odd
+    * half PLUS an exact re-send of the even half (the at-least-once
+    * upstream retry every ingest pipeline eventually sees). Query
+    * incarnation B starts with the SAME checkpoint + sink: the source
+    * log tells it generation 1 is already consumed, and the restored
+    * dedup state is the ONLY thing that can drop the re-sent rows —
+    * a fresh-state restart would emit them and the totals below would
+    * double-count the even half. The final frame reads the sink
+    * through its commit log (exactly-once files only) and reduces to
+    * engine-comparable totals; the DuckDB oracle is the batch
+    * distinct over the same union. At 100 TB this is the upgrade/
+    * crash-recovery contract: state store + source offsets + sink log
+    * all resume from the same WAL, so a restart is invisible in the
+    * output. */
+  def streamRestartDedup(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+    val root = graft.Scratch.dir("restart_" + math.abs(dir.hashCode))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val in = s"$root/in"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    even.coalesce(1).write.mode("overwrite").parquet(s"$in/g1")
+    val schema = spark.read.parquet(s"$in/g1").schema
+    def runIncarnation(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in)
+        .dropDuplicates("doc_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runIncarnation() // incarnation A: generation 1, state built
+    // generation 2: the odd half + an exact RE-SEND of the even half
+    odd.coalesce(1).write.mode("overwrite").parquet(s"$in/g2")
+    even.coalesce(1).write.mode("overwrite").parquet(s"$in/g2_resend")
+    runIncarnation() // incarnation B: SAME checkpoint — state restored
+    spark.read.parquet(sink) // reads via _spark_metadata: committed only
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"),
+        sum("n_chars").as("sum_chars"))
+  }
+
+  val streamRestartDedupSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
   def streamLateData(spark: SparkSession, dir: String): DataFrame =
     withNanosAsLong(spark) {
     import org.apache.spark.sql.types.{StructType, StructField, LongType, TimestampType}

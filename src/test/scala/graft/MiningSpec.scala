@@ -291,6 +291,54 @@ class MiningSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("q231: restored dedup state drops re-sent rows; a fresh-state " +
+    "restart double-counts them (negative control)") {
+    val row = graft.streaming.StreamOps.streamRestartDedup(spark, sf).first()
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(row.getAs[Long]("sum_doc_id") === docs.map(_.getLong(0)).sum)
+    assert(row.getAs[Long]("sum_chars") === docs.map(_.getLong(1)).sum)
+
+    // negative control: same two-generation replay, but the
+    // checkpoint's state/ directory is DELETED between incarnations —
+    // offsets survive, dedup state does not. The recovery contract
+    // says a restart must never silently act on lost state: either
+    // the resumed query fails loudly (state store cannot load its
+    // expected version) or the re-sent rows leak into the sink and
+    // the totals diverge from the batch oracle. Both outcomes are
+    // gate-visible; SILENTLY matching the oracle would mean the
+    // positive run above proves nothing.
+    import org.apache.spark.sql.functions._
+    val root = Scratch.dir("restart_neg")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val even = d.filter(col("doc_id") % 2 === 0)
+    even.coalesce(1).write.mode("overwrite").parquet(s"$in/g1")
+    val schema = spark.read.parquet(s"$in/g1").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(in)
+        .dropDuplicates("doc_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // incarnation A: generation 1
+    d.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/g2")
+    even.coalesce(1).write.mode("overwrite").parquet(s"$in/g2_resend")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$ckpt/state"))
+    val outcome = scala.util.Try { run(); spark.read.parquet(sink).count() }
+    outcome match {
+      case scala.util.Success(n) =>
+        assert(n !== docs.length.toLong,
+          "state loss went UNDETECTED: sink matches the batch oracle")
+      case scala.util.Failure(_) => () // loud failure — acceptable outcome
+    }
+  }
+
   test("q230: histogram-product prediction equals the actual join count") {
     val out = graft.operators.Mining.joinCardinality(spark, sf).collect()
     assert(out.length === 3)
