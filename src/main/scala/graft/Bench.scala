@@ -294,6 +294,7 @@ object Bench {
         noop(ScaleBench.prefixJaccard(docs.limit(64)))
         noop(ScaleBench.lineDedup(docs.limit(64)))
         noop(ScaleBench.sharedSubstring(docs.limit(64)))
+        noop(graft.operators.Patterns.noveltyPerDoc(docs.limit(64)))
         noop(ScaleBench.vocab(docs.limit(64)))
         noop(ScaleBench.bpeMerges(docs.limit(64)))
         noop(ScaleBench.bigramLm(docs.limit(64)))
@@ -385,6 +386,12 @@ object Bench {
         // round-8 linear-pass shape — one window explode (~tokens per
         // corpus rows) + two hash shuffles on the window key
         lane("q162_shared_substring")(noop(ScaleBench.sharedSubstring(docs))),
+        // q233: first-occurrence novelty — same gram spine as q162 but
+        // ONE window-min shuffle on the gram key instead of the
+        // doc-frequency join-back; the wall/byte delta vs the q162
+        // lane is the measured cost of the join-back design
+        lane("q233_novelty")(
+          noop(graft.operators.Patterns.noveltyPerDoc(docs))),
         lane("q79_vocab")(noop(ScaleBench.vocab(docs))),
         // tokenizer prep end-to-end: histogram + 12 vocab-sized
         // merge rounds (the rounds amortize; the histogram scales)

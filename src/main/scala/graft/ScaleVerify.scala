@@ -87,6 +87,9 @@ object ScaleVerify {
       docs.filter(expr(s"(doc_id div ${times}L) % 5 = 0"))
     val s218x1 = statSet(ScaleBench.weightedJaccard(wjSlice(docs1, 1)))
 
+    // q233 novelty: x1 per-doc (n_grams, n_novel) reference
+    val s233x1 = statSet(graft.operators.Patterns.noveltyPerDoc(docs1))
+
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
       val embN = ScaleBench.embeddings(spark, sfDir, times).localCheckpoint(true)
@@ -163,6 +166,22 @@ object ScaleVerify {
         yield (a * times + i, b * times + i, w)
       val q218Pass = s218xN == expected218
 
+      // ---- q233 novelty: exact replica-copy law ----------------------
+      // The Caesar rotation is a bijection on tokens, hence on 8-token
+      // windows, and sf0.1 has ZERO letter-free 8-gram windows (checked
+      // against the raw corpus), so replica gram sets are pairwise
+      // disjoint; within a replica, doc_id = base*N + i preserves the
+      // base order, so first-occurrence attribution maps 1:1. The xN
+      // per-doc (n_grams, n_novel) set must therefore be EXACTLY the N
+      // re-keyed copies of x1's — in particular the global novel-gram
+      // mass is N * x1's (novelty is replication-covariant under
+      // disjoint replicas, and would HALVE per copy under verbatim
+      // replicas — the PatternsSpec unit law).
+      val s233xN = statSet(graft.operators.Patterns.noveltyPerDoc(docsN))
+      val expected233 = for { (id, ng, nn) <- s233x1; i <- 0 until times }
+        yield (id * times + i, ng, nn)
+      val q233Pass = s233xN == expected233
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -184,6 +203,7 @@ object ScaleVerify {
         s""""q162_substr_replica":{"pass":$q162Pass,"n_docs":${s162xN.size},"expected":${expected162.size}},""" +
         s""""q187_line_dedup_replica":{"pass":$q187Pass,"n_pages":${s187xN.size},"expected":${expected187.size}},""" +
         s""""q218_weighted_replica":{"pass":$q218Pass,"n_pairs":${s218xN.size},"expected":${expected218.size}},""" +
+        s""""q233_novelty_replica":{"pass":$q233Pass,"n_docs":${s233xN.size},"expected":${expected233.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()
