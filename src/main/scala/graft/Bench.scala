@@ -286,6 +286,7 @@ object Bench {
         noop(ScaleBench.minhashPairs(docs.limit(64)))
         noop(ScaleBench.srpPairsWithBits(emb.limit(64), srpBits))
         noop(ScaleBench.sessionStats(ev.limit(64)))
+        noop(ScaleBench.intervalCoverage(ev.limit(64)))
         noop(ScaleBench.clusters(docs.limit(64)))
         noop(graft.operators.Dedup.incrementalComponents(
           ScaleBench.ccLabels(docs.limit(64)),
@@ -362,6 +363,11 @@ object Bench {
         lane("q24_srp_neardup", reps = 3)(
           noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
         lane("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
+        // q236: interval union sweep — one user-partitioned window +
+        // one user-keyed aggregate; should track the q29 lane's slope
+        // (same shuffle key, same row volume)
+        lane("q236_interval_coverage", reps = 3)(
+          noop(ScaleBench.intervalCoverage(ev))),
         lane("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
         // the continuous-dedup flagship: fold a FIXED arrival batch
         // into the xN standing labeling — the curve should be

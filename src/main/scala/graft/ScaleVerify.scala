@@ -50,6 +50,11 @@ object ScaleVerify {
     def statSet(df: DataFrame): Set[(Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+    def stat4Set(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
     // x1 references, computed once
     val docs1 = ScaleBench.documents(spark, sfDir, 1).localCheckpoint(true)
     val emb1 = ScaleBench.embeddings(spark, sfDir, 1).localCheckpoint(true)
@@ -89,6 +94,11 @@ object ScaleVerify {
 
     // q233 novelty: x1 per-doc (n_grams, n_novel) reference
     val s233x1 = statSet(graft.operators.Patterns.noveltyPerDoc(docs1))
+
+    // q236 interval coverage: x1 per-user (n_spans, n_components,
+    // covered_us) reference
+    val ev1 = ScaleBench.events(spark, sfDir, 1).localCheckpoint(true)
+    val s236x1 = stat4Set(ScaleBench.intervalCoverage(ev1))
 
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
@@ -182,6 +192,20 @@ object ScaleVerify {
         yield (id * times + i, ng, nn)
       val q233Pass = s233xN == expected233
 
+      // ---- q236 interval coverage: exact replica-copy law ------------
+      // The replica map re-keys user_id (u*N + i) and leaves ts_ns and
+      // value untouched, so each replica's per-user sweep sees the
+      // identical span multiset — the xN per-user (n_spans,
+      // n_components, covered_us) set must be EXACTLY the N re-keyed
+      // copies of x1's. Any cross-replica interference (a window
+      // partition leak, a sort that drops the user key) breaks set
+      // equality loudly.
+      val evN = ScaleBench.events(spark, sfDir, times).localCheckpoint(true)
+      val s236xN = stat4Set(ScaleBench.intervalCoverage(evN))
+      val expected236 = for { (u, ns, nc, cov) <- s236x1; i <- 0 until times }
+        yield (u * times + i, ns, nc, cov)
+      val q236Pass = s236xN == expected236
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -204,6 +228,7 @@ object ScaleVerify {
         s""""q187_line_dedup_replica":{"pass":$q187Pass,"n_pages":${s187xN.size},"expected":${expected187.size}},""" +
         s""""q218_weighted_replica":{"pass":$q218Pass,"n_pairs":${s218xN.size},"expected":${expected218.size}},""" +
         s""""q233_novelty_replica":{"pass":$q233Pass,"n_docs":${s233xN.size},"expected":${expected233.size}},""" +
+        s""""q236_coverage_replica":{"pass":$q236Pass,"n_users":${s236xN.size},"expected":${expected236.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()

@@ -1472,7 +1472,61 @@ object Advanced {
       |                        (l_returnflag), (l_linestatus))
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q243: irregular band join (point-in-range dimension join) -----
+  // The "assign each fact to its price band" join where the band table
+  // has IRREGULAR, possibly OVERLAPPING ranges — not expressible as a
+  // fixed-width bucket formula, and written naively it's an inequality
+  // join (broadcast-nested-loop bomb at scale). Reuses q46's bucketed
+  // interval machinery (Events.intervalOverlapJoin) with the fact side
+  // as degenerate [cents, cents] points: candidates come from bucket
+  // EQUALITY, the exact lo<=x<hi check runs only on candidates, and a
+  // part landing in TWO overlapping bands is counted in both (the
+  // membership semantic, proven by the deliberately-overlapping band
+  // list and the all-covering band). Half-open [lo, hi) is encoded as
+  // the closed [lo, hi-1] integer interval.
+  //
+  // Shape at scale: the band side is |bands|·(width/bucket) exploded
+  // rows — broadcast; the fact side explodes to exactly ONE bucket row
+  // per fact (a point covers one bucket), so the join is a broadcast
+  // hash join with zero fact-side blowup, then one band-keyed
+  // map-side-combinable aggregate.
+  private val PriceBands: Seq[(String, Long, Long)] = Seq(
+    ("b1_budget",   0L,      90500L),
+    ("b2_mid",      90500L,  91500L),
+    ("b3_mid_wide", 91000L,  93000L), // overlaps b2 — multi-membership
+    ("b4_premium",  93000L,  100000L),
+    ("b5_all",      90000L,  100000L)) // contains every part
+
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .withColumn("s", col("cents")).withColumn("e", col("cents"))
+    val bands = PriceBands.toDF("band", "lo", "hi")
+      .select(col("band"), col("lo").as("s"), (col("hi") - 1).as("e"))
+    Events.intervalOverlapJoin(parts, bands, "s", "e",
+        bucket = 500L, joinFilter = lit(true))
+      .groupBy(col("r_band").as("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum("l_cents").as("sum_cents"))
+      .orderBy("band")
+  }
+
+  val bandJoinSql: String = {
+    val vals = PriceBands
+      .map { case (b, lo, hi) => s"('$b', ${lo}, ${hi})" }.mkString(", ")
+    s"""WITH p AS (SELECT p_partkey,
+       |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+       |bands(band, lo, hi) AS (VALUES $vals)
+       |SELECT band, COUNT(*) AS n_parts,
+       |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM p JOIN bands ON cents >= lo AND cents < hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_band_join"        -> (bandJoin _),
     "q208_grouping_sets"    -> (groupingSetsSummary _),
     "q201_inc_zonemaps"     -> (incrementalZoneMaps _),
     "q26_sql_runner"        -> (sqlRunner _),
@@ -1576,5 +1630,6 @@ object Advanced {
     "q67_json_extract"      -> jsonExtractSql,
     "q68_set_ops"           -> setOpsSql,
     "q71_cohort_retention"  -> cohortRetentionSql,
-    "q72_funnel"            -> funnelSql)
+    "q72_funnel"            -> funnelSql,
+    "q243_band_join"        -> bandJoinSql)
 }

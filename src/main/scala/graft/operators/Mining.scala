@@ -904,6 +904,238 @@ object Mining {
       .mkString("\nUNION ALL\n") + "\nORDER BY join_key"
   }
 
+  // ---- q239: chi-squared independence audit (type × day-of-week) -----
+  // Is event volume independent of weekday? The Pearson chi-squared
+  // statistic over the event_type × dow contingency table, with every
+  // cell term in the integer channel: cell contribution =
+  // (O·N − R·C)²·10⁶ div (N·R·C) — the ppm-scaled version of
+  // (O − E)²/E multiplied through by N so no expected-count fraction
+  // ever materializes. ZERO cells still contribute (their term is
+  // R·C·10⁶ div N), so the full |types|×7 cross is built explicitly —
+  // a left join that a naive groupBy would silently drop. Per-cell
+  // integer truncation is part of the operator contract (both engines
+  // truncate identically); df = (|types|−1)(7−1) rides along.
+  //
+  // Shape at scale: three map-side-combinable aggregates over one
+  // pass-shaped frame, then a |types|×7 driver-scale cross — nothing
+  // downstream of the first shuffles is data-sized.
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame =
+    chi2Of(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts_ns div 1000 div 86400000000) % 7").as("dow")))
+
+  /** Chi-squared core over (event_type, dow) observation rows —
+    * factored so the spec can plant uniform and 2×2 closed forms. */
+  private[graft] def chi2Of(obs: DataFrame): DataFrame = {
+    val e = obs.localCheckpoint(true) // feeds o, r, c AND n
+    val o = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val r = e.groupBy("event_type").agg(count(lit(1)).as("r"))
+    val c = e.groupBy("dow").agg(count(lit(1)).as("c"))
+    val n = e.agg(count(lit(1)).as("n"))
+    r.crossJoin(broadcast(c))
+      .join(o, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("d", col("o").cast("decimal(38,0)") * col("n")
+        - col("r").cast("decimal(38,0)") * col("c"))
+      .agg(
+        sum(call_function("div",
+          col("d") * col("d") * lit(1000000L).cast("decimal(38,0)"),
+          col("n").cast("decimal(38,0)") * col("r") * col("c")))
+          .cast("long").as("chi2_ppm"),
+        ((countDistinct("event_type") - 1) * (countDistinct("dow") - 1))
+          .as("df"),
+        max("n").as("n"))
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH e AS (SELECT event_type,
+      |        CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow
+      |      FROM events),
+      |o AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, COUNT(*) AS r FROM e GROUP BY 1),
+      |c AS (SELECT dow, COUNT(*) AS c FROM e GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM e),
+      |cells AS (
+      |  SELECT r.event_type, c.dow, COALESCE(o.o, 0) AS o, r.r, c.c
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow)
+      |SELECT CAST(SUM((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |             * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |             * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
+      |         AS chi2_ppm,
+      |       CAST((COUNT(DISTINCT cells.event_type) - 1)
+      |            * (COUNT(DISTINCT cells.dow) - 1) AS BIGINT) AS df,
+      |       CAST(MAX(n) AS BIGINT) AS n
+      |FROM cells, n""".stripMargin
+
+  // ---- q240: Gini concentration of customer revenue ------------------
+  // The inequality/concentration audit (Lorenz-curve Gini) for "how
+  // dependent is revenue on a few customers" — the continuous
+  // complement of q185's top-1/HHI diagnostics. The rank-weighted
+  // identity G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) over ASCENDING ranks
+  // is exact in DECIMAL(38,0)/HUGEINT; equal values make Σ rk·x
+  // invariant to tie order, so the (cents, custkey) tiebreak is for
+  // determinism of the rank frame only, not the statistic.
+  //
+  // Shape at scale: per-customer totals are one grouped aggregate; the
+  // global ascending rank goes through Ranking.globalRowNumber
+  // (range-repartition + in-partition rank + broadcast offsets — the
+  // q164 primitive, no single-partition sort); the moments are one
+  // map-side-combinable aggregate.
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame =
+    giniOfCents(Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 10000)
+        .cast("decimal(38,0)").as("cents")))
+
+  /** Gini core over (o_custkey, cents: decimal(38,0)) rows — factored
+    * so the spec can plant all-equal and one-owns-all closed forms. */
+  private[graft] def giniOfCents(cr: DataFrame): DataFrame = {
+    val (ranked, n) = graft.functions.Ranking
+      .globalRowNumberWithCount(cr, Seq("cents", "o_custkey"), "rk")
+    ranked.agg(
+        sum(col("rk").cast("decimal(38,0)") * col("cents"))
+          .cast("decimal(38,0)").as("s1"),
+        sum("cents").cast("decimal(38,0)").as("s0"))
+      .select(lit(n).as("n_customers"),
+        col("s0").cast("long").as("total_cents"),
+        call_function("div",
+          (lit(2L).cast("decimal(38,0)") * col("s1")
+            - lit(n + 1).cast("decimal(38,0)") * col("s0"))
+            * lit(1000000L).cast("decimal(38,0)"),
+          lit(n).cast("decimal(38,0)") * col("s0"))
+          .cast("long").as("gini_ppm"))
+  }
+
+  val giniRevenueSql: String =
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+      |              AS HUGEINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT cents,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS HUGEINT)
+      |          AS rk,
+      |        COUNT(*) OVER () AS n
+      |      FROM cr)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |       CAST((2 * SUM(rk * cents) - (MAX(n) + 1) * SUM(cents)) * 1000000
+      |            // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm
+      |FROM r""".stripMargin
+
+  // ---- q242: Kolmogorov-Smirnov two-sample test (src1 vs src2) -------
+  // Did two sources draw their document lengths from the same
+  // distribution? The two-sample KS statistic D = max_t |F1(t) − F2(t)|
+  // over the token-count distributions, computed without a single
+  // float: at each distinct value, |i·n2 − j·n1| (i, j = cumulative
+  // counts) is the CDF gap scaled by n1·n2, so D_ppm =
+  // max|i·n2 − j·n1|·10⁶ div (n1·n2) — exact in int64. The argmax
+  // value rides along (MIN value attaining the max, for determinism
+  // under plateaus). The drift-audit sibling of q190's TVD: KS weights
+  // the worst single threshold, TVD sums the whole vocabulary.
+  //
+  // Shape at scale: the full-data pass is one (tc) grouped aggregate;
+  // the cumulative window runs over the |distinct lengths|-sized frame
+  // (the pre-aggregated-window pattern — hundreds of rows, not docs).
+  def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    ksOf(Tables.documents(spark, dir)
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tc")))
+  }
+
+  /** KS core over (source ∈ {src1, src2}, tc) sample rows — factored so
+    * the spec can plant identical/disjoint distributions. */
+  private[graft] def ksOf(t: DataFrame): DataFrame = {
+    val v = t.groupBy("tc").agg(
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+    val n = v.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val c = v
+      .withColumn("i", sum("c1").over(Window.orderBy("tc")))
+      .withColumn("j", sum("c2").over(Window.orderBy("tc")))
+      .crossJoin(broadcast(n))
+      .withColumn("dev", abs(col("i") * col("n2") - col("j") * col("n1")))
+      .localCheckpoint(true) // consumed by the max AND the argmax pass
+    val m = c.agg(max("dev").as("m"))
+    c.crossJoin(broadcast(m))
+      .filter(col("dev") === col("m"))
+      .groupBy("n1", "n2")
+      .agg(expr("max(dev * 1000000 div (n1 * n2))").as("ks_ppm"),
+        min("tc").as("ks_at_tc"))
+  }
+
+  val ksTwoSampleSql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE source IN ('src1', 'src2')),
+      |v AS (SELECT tc,
+      |        SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1,
+      |        SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c2
+      |      FROM t GROUP BY 1),
+      |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM v),
+      |c AS (SELECT tc, SUM(c1) OVER (ORDER BY tc) AS i,
+      |             SUM(c2) OVER (ORDER BY tc) AS j FROM v),
+      |d AS (SELECT tc, abs(i * n2 - j * n1) AS dev, n1, n2 FROM c, n),
+      |m AS (SELECT MAX(dev) AS m FROM d)
+      |SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+      |       CAST(MAX(dev) * 1000000 // (MAX(n1) * MAX(n2)) AS BIGINT)
+      |         AS ks_ppm,
+      |       CAST(MIN(CASE WHEN dev = m THEN tc END) AS BIGINT) AS ks_at_tc
+      |FROM d, m""".stripMargin
+
+  // ---- q244: histogram intersection overlap (src1 vs src2) -----------
+  // The companion statistic to q242's KS: total distributional overlap
+  // rather than worst single threshold. Over fixed-width length bins
+  // (width 32), overlap = Σ_bins min(h1/n1, h2/n2) — computed in the
+  // cross-multiplied integer channel Σ min(h1·n2, h2·n1)·10⁶ div
+  // (n1·n2), so 10⁶ = identical histograms, 0 = disjoint support. Bins
+  // where only one source appears contribute 0 to the min and are
+  // counted in n_bins (support of the union).
+  //
+  // Shape at scale: one grouped aggregate over the docs builds both
+  // histograms in a single pass (conditional sums — no self-join, no
+  // pivot); the overlap fold runs on the |bins| frame.
+  def histogramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    histOverlapOf(Tables.documents(spark, dir)
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tc")))
+  }
+
+  /** Overlap core over (source ∈ {src1, src2}, tc) sample rows. */
+  private[graft] def histOverlapOf(t: DataFrame): DataFrame = {
+    val h = t.groupBy(expr("tc div 32").as("bin")).agg(
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("h1"),
+      sum(when(col("source") === "src2", 1L).otherwise(0L)).as("h2"))
+    val n = h.agg(sum("h1").as("n1"), sum("h2").as("n2"))
+    h.crossJoin(broadcast(n))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("n_bins"),
+        expr("sum(least(h1 * n2, h2 * n1)) * 1000000 div (n1 * n2)")
+          .as("overlap_ppm"))
+  }
+
+  val histogramOverlapSql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE source IN ('src1', 'src2')),
+      |h AS (SELECT tc // 32 AS bin,
+      |        SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS h1,
+      |        SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS h2
+      |      FROM t GROUP BY 1),
+      |n AS (SELECT SUM(h1) AS n1, SUM(h2) AS n2 FROM h)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       COUNT(*) AS n_bins,
+      |       CAST(SUM(LEAST(h1 * n2, h2 * n1)) * 1000000 // (n1 * n2)
+      |            AS BIGINT) AS overlap_ppm
+      |FROM h, n GROUP BY n1, n2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_weighted_jaccard" -> (weightedJaccard _),
     "q219_url_host_stats"   -> (urlHostStats _),
@@ -918,7 +1150,11 @@ object Mining {
     "q228_entity_resolution" -> (entityResolution _),
     "q229_touch_attribution" -> (touchAttribution _),
     "q230_join_cardinality"  -> (joinCardinality _),
-    "q231_restart_recovery"  -> ((s, d) => graft.streaming.StreamOps.streamRestartDedup(s, d)))
+    "q231_restart_recovery"  -> ((s, d) => graft.streaming.StreamOps.streamRestartDedup(s, d)),
+    "q239_chi2_independence" -> (chi2Independence _),
+    "q240_gini_revenue"      -> (giniRevenue _),
+    "q242_ks_two_sample"     -> (ksTwoSample _),
+    "q244_histogram_overlap" -> (histogramOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q218_weighted_jaccard" -> weightedJaccardSql,
@@ -934,5 +1170,9 @@ object Mining {
     "q228_entity_resolution" -> entityResolutionSql,
     "q229_touch_attribution" -> touchAttributionSql,
     "q230_join_cardinality"  -> joinCardinalitySql,
-    "q231_restart_recovery"  -> graft.streaming.StreamOps.streamRestartDedupSql)
+    "q231_restart_recovery"  -> graft.streaming.StreamOps.streamRestartDedupSql,
+    "q239_chi2_independence" -> chi2IndependenceSql,
+    "q240_gini_revenue"      -> giniRevenueSql,
+    "q242_ks_two_sample"     -> ksTwoSampleSql,
+    "q244_histogram_overlap" -> histogramOverlapSql)
 }

@@ -1207,7 +1207,71 @@ object Quality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  // ---- q237: percentile winsorization (outlier capping) --------------
+  // The standard pre-normalization cleaning step for numeric features:
+  // cap each event's value at its type's [p5, p95] so a handful of
+  // extreme rows can't dominate downstream scaling. Bounds are exact
+  // NEAREST-RANK (type-1) order statistics — ceil(p·n/100) as the
+  // all-integer (p*n + 99) div 100, the q164/q167 convention — on the
+  // round(value*1000) integer milli-unit channel, so lo/hi and both
+  // capped sums are bit-identical across engines (interpolated
+  // quantiles would put a float midpoint in the compare path). The lo
+  // and hi rows are selected in ONE pass (rank = either target; MIN is
+  // lo, MAX is hi, since value is nondecreasing in rank).
+  //
+  // Shape at scale: the rank window is hash-partitioned per
+  // event_type (q167's grouped-quantile shape — within-group sort,
+  // no global funnel; a single dominant type would call for the q164
+  // global-rank form instead). The bounds frame is |types| rows,
+  // broadcast back; the capping pass is one map-side-combinable
+  // aggregate over the fact table.
+  def winsorizeStats(spark: SparkSession, dir: String): DataFrame =
+    winsorizeCore(Tables.events(spark, dir).select(col("event_type"),
+      col("event_id"), round(col("value") * 1000).cast("long").as("mu")))
+
+  /** The bounds+cap core over (event_type, event_id, mu) — factored so
+    * the spec can plant exact distributions and prove idempotence. */
+  private[graft] def winsorizeCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("mu", "event_id")
+    val bounds = ev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(5 * n + 99) div 100")
+           || col("rn") === expr("(95 * n + 99) div 100"))
+      .groupBy("event_type").agg(min("mu").as("lo"), max("mu").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("wmu", least(greatest(col("mu"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        max("lo").as("lo_mu"), max("hi").as("hi_mu"),
+        sum(when(col("mu") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("mu") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum("mu").as("sum_mu"), sum("wmu").as("sum_wmu"))
+      .orderBy("event_type")
+  }
+
+  val winsorizeStatsSql: String =
+    """WITH v AS (SELECT event_type, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS mu FROM events),
+      |r AS (SELECT event_type, mu,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mu, event_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+      |b AS (SELECT event_type, MIN(mu) AS lo, MAX(mu) AS hi
+      |      FROM r
+      |      WHERE rn = (5 * n + 99) // 100 OR rn = (95 * n + 99) // 100
+      |      GROUP BY 1)
+      |SELECT v.event_type, COUNT(*) AS n_rows,
+      |       MAX(lo) AS lo_mu, MAX(hi) AS hi_mu,
+      |       CAST(SUM(CASE WHEN mu < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(SUM(CASE WHEN mu > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |       CAST(SUM(mu) AS BIGINT) AS sum_mu,
+      |       CAST(SUM(LEAST(GREATEST(mu, lo), hi)) AS BIGINT) AS sum_wmu
+      |FROM v JOIN b USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_winsorize"       -> (winsorizeStats _),
     "q184_benford_audit"   -> (benfordAudit _),
     "q185_hot_keys"        -> (hotKeys _),
     "q189_cms_accuracy"    -> (cmsAccuracy _),
@@ -1248,6 +1312,7 @@ object Quality {
     "q176_approx_percentile" -> (approxPercentileAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "q237_winsorize"       -> winsorizeStatsSql,
     "q184_benford_audit"   -> benfordAuditSql,
     "q185_hot_keys"        -> hotKeysSql,
     "q189_cms_accuracy"    -> cmsAccuracySql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval / curation operators over the documents corpus (q111-q116):
@@ -297,7 +298,10 @@ object Retrieval {
   // Shape at scale: the posting filter prunes to the query terms
   // before any shuffle; df/N/T frames are tiny and broadcast; dl is a
   // corpus-keyed aggregate joined once; top-k is TakeOrderedAndProject.
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The full BM25-scored candidate frame (doc_id, score) — every doc
+    * containing at least one query term. Factored out so q235's fusion
+    * can rank the same scores the q173 top-k consumes. */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val t = toks(docs).localCheckpoint(true) // feeds dl, T, and postings
     val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -315,9 +319,12 @@ object Retrieval {
         "(44 * t_tokens * tf * idf) div " +
           "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)"))
       .groupBy("doc_id").agg(sum("s").as("score"))
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
-  }
 
   val bm25TopKSql: String =
     s"""WITH $TokCte,
@@ -333,6 +340,85 @@ object Retrieval {
        |      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id, n, tot)
        |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
        |FROM s GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- q235: reciprocal-rank-fusion hybrid retrieval -----------------
+  // The standard way production search fuses a sparse (lexical) and a
+  // dense (embedding) ranker without score calibration: RRF(d) =
+  // Σ_lists 1/(k + rank_list(d)), k = 60 (Cormack/Clarke/Buettcher,
+  // SIGIR'09 — rank-only fusion, immune to incomparable score scales).
+  // Here the sparse list is q173's integer-exact BM25 (same scores, via
+  // bm25Scores) and the dense list is q25's brute-force cosine for
+  // query vec_id = 0 (vec_id and doc_id share the id domain in the
+  // testdata). Both engines compute contributions in the SAME integer
+  // channel — 10^6 div (60 + rank) — so fused scores and the final
+  // ordering are bit-identical; a float 1/(60+r) would agree here too,
+  // but the integer form keeps the repo's no-last-ulp discipline.
+  //
+  // Shape at scale: each ranker ends in TakeOrderedAndProject(N) — the
+  // global sort never materializes; the row_number that assigns ranks
+  // runs over the ALREADY-TRUNCATED N-row frame (single tiny
+  // partition by construction, not a corpus funnel). The fusion join
+  // is N-row × N-row — driver-scale, broadcast regardless of corpus
+  // size. Missing-from-one-list docs contribute 0 from that list
+  // (full outer join), the standard RRF convention.
+  private val RrfK = 60L
+  private val RrfN = 50
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = Seq(desc("score"), asc("doc_id"))
+    val sparse = bm25Scores(spark, dir)
+      .orderBy(byScore: _*).limit(RrfN) // TakeOrdered — no global sort
+      .withColumn("s_rank",
+        row_number().over(Window.orderBy(byScore: _*)).cast("long"))
+      .select("doc_id", "s_rank")
+    val emb = Tables.embeddings(spark, dir)
+    val dense = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = RrfN)
+      .select(col("vec_id").as("doc_id"), col("rank").as("d_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(expr(s"1000000 div ($RrfK + s_rank)"), lit(0L)).as("s_contrib"),
+        coalesce(expr(s"1000000 div ($RrfK + d_rank)"), lit(0L)).as("d_contrib"))
+      .withColumn("rrf", col("s_contrib") + col("d_contrib"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH $TokCte,
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |t AS (SELECT doc_id, token FROM tok WHERE token IN ('spark','table','hash')),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |tot AS (SELECT COUNT(*) AS t_tokens FROM tok),
+       |s AS (SELECT tf.doc_id,
+       |        (44 * t_tokens * tf * ((n_docs * 1000) // df)) //
+       |          (20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs) AS s
+       |      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id, n, tot),
+       |sc AS (SELECT doc_id, SUM(s) AS score FROM s GROUP BY 1),
+       |sr AS (SELECT doc_id,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS s_rank
+       |       FROM sc),
+       |sl AS (SELECT doc_id, s_rank FROM sr WHERE s_rank <= $RrfN),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
+       |      FROM c WHERE vec_id = 0),
+       |cv AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS cn FROM c),
+       |ds AS (SELECT vec_id, round(list_inner_product(qv, v) / (qn * cn), 6) AS cos
+       |       FROM cv, q WHERE vec_id <> 0),
+       |dr AS (SELECT vec_id AS doc_id,
+       |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS d_rank
+       |       FROM ds),
+       |dn AS (SELECT doc_id, d_rank FROM dr WHERE d_rank <= $RrfN),
+       |f AS (SELECT COALESCE(sl.doc_id, dn.doc_id) AS doc_id,
+       |        COALESCE(1000000 // ($RrfK + s_rank), 0) AS s_contrib,
+       |        COALESCE(1000000 // ($RrfK + d_rank), 0) AS d_contrib
+       |      FROM sl FULL OUTER JOIN dn ON sl.doc_id = dn.doc_id)
+       |SELECT doc_id, CAST(s_contrib AS BIGINT) AS s_contrib,
+       |       CAST(d_contrib AS BIGINT) AS d_contrib,
+       |       CAST(s_contrib + d_contrib AS BIGINT) AS rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   // ---- q182: positional-index phrase search --------------------------
   // Exact phrase match ("table window key") through a positional
@@ -450,7 +536,8 @@ object Retrieval {
     "q115_majority_vote"     -> (majorityVote _),
     "q116_composition"       -> (composition _),
     "q123_doc_similarity"    -> (docSimilarity _),
-    "q173_bm25_topk"         -> (bm25TopK _))
+    "q173_bm25_topk"         -> (bm25TopK _),
+    "q235_rrf_fusion"        -> (rrfFusion _))
 
   val oracles: Map[String, String] = Map(
     "q197_feature_hash"      -> featureHashSql,
@@ -462,5 +549,6 @@ object Retrieval {
     "q115_majority_vote"     -> majorityVoteSql,
     "q116_composition"       -> compositionSql,
     "q123_doc_similarity"    -> docSimilaritySql,
-    "q173_bm25_topk"         -> bm25TopKSql)
+    "q173_bm25_topk"         -> bm25TopKSql,
+    "q235_rrf_fusion"        -> rrfFusionSql)
 }

@@ -867,6 +867,200 @@ object Temporal {
       |FROM d2 JOIN base USING (dow)
       |ORDER BY day""".stripMargin
 
+  // ---- q236: interval union coverage (merge overlapping spans) -------
+  // The interval-UNION operator q46's overlap join does not give: each
+  // event opens a span [start, start + duration) (duration = 10·value
+  // minutes, through the q92 round(x*1000) integer channel — the ×600
+  // dial puts typical spans at the same order as the typical
+  // inter-event gap, so merges, partial overlaps, full containment AND
+  // gaps all occur on the real data: at sf0.001 the 1000 spans
+  // coalesce into 436 components with 313 fully-covered spans), and
+  // per user we want the MERGED time
+  // covered — overlaps counted once — plus how many disjoint
+  // components the spans coalesce into. The classic sweep is a single
+  // running-max window: cm = max(end) over all PRIOR spans in
+  // (start, event_id) order; a span's fresh contribution is
+  // max(0, end - max(start, cm)), and it opens a new component iff
+  // cm < start (touching spans, cm = start, merge). Summing both per
+  // user gives exact union length and component count in one pass —
+  // no interval self-join, no explode-per-unit-time.
+  //
+  // Shape at scale: ONE window shuffle hash-partitioned on user_id
+  // (within-user sort only — no global funnel), then a user-keyed
+  // map-side-combinable aggregate. All integer microseconds; the only
+  // float touch is the same round(value*1000) double→long channel q92
+  // established as cross-engine exact.
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageOfSpans(spansOfEvents(Tables.events(spark, dir)))
+
+  /** Span construction from an events frame (user_id, event_id, ts_ns,
+    * value): [start, start + 10·value minutes) in integer micros. */
+  private[graft] def spansOfEvents(ev: DataFrame): DataFrame = ev.select(
+    col("user_id"), col("event_id"),
+    expr("ts_ns div 1000").as("s"),
+    (expr("ts_ns div 1000")
+      + round(col("value") * 1000).cast("long") * 600000L).as("e"))
+
+  /** The sweep core over (user_id, event_id, s, e) spans — factored so
+    * the spec can drive planted overlap/containment/touching cases. */
+  private[graft] def coverageOfSpans(spans: DataFrame): DataFrame = {
+    val prior = Window.partitionBy("user_id").orderBy("s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans.withColumn("cm", max("e").over(prior))
+      .withColumn("contrib",
+        when(col("cm").isNull, col("e") - col("s"))
+          .otherwise(greatest(col("e") - greatest(col("s"), col("cm")), lit(0L))))
+      .withColumn("nc",
+        when(col("cm").isNull || col("cm") < col("s"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("nc").as("n_components"),
+        sum("contrib").as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  val intervalCoverageSql: String =
+    """WITH i AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(round(value * 1000) AS BIGINT) * 600000 AS e
+      |  FROM events),
+      |m AS (SELECT user_id, s, e,
+      |        MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      |      FROM i),
+      |c AS (SELECT user_id,
+      |        CASE WHEN cm IS NULL THEN e - s
+      |             ELSE GREATEST(e - GREATEST(s, cm), 0) END AS contrib,
+      |        CASE WHEN cm IS NULL OR cm < s THEN 1 ELSE 0 END AS nc
+      |      FROM m)
+      |SELECT user_id, COUNT(*) AS n_spans,
+      |       CAST(SUM(nc) AS BIGINT) AS n_components,
+      |       CAST(SUM(contrib) AS BIGINT) AS covered_us
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q238: per-brand revenue trend (exact OLS slope) ---------------
+  // The "is this segment growing or shrinking" primitive every
+  // analytics layer ships: ordinary-least-squares slope of daily
+  // revenue against the day index, per part brand. The normal-equation
+  // slope (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) is computed ENTIRELY in
+  // DECIMAL(38,0)/HUGEINT from integer day indexes and the q216
+  // 10⁻⁴-cent revenue channel, emitted as integer ppm — both engines
+  // share every intermediate bit, where a float OLS would diverge in
+  // the last ulp on the big products. Translation-invariance of the
+  // slope means no need to re-center x (the raw epoch-day products
+  // stay far inside 38 digits at any sf here).
+  //
+  // Shape at scale: one broadcast dim join, one (brand, day) grouped
+  // aggregate (map-side combinable), then a |brands|-row moment
+  // aggregate — nothing after the first shuffle is data-sized.
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("x"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+        .cast("decimal(38,0)").as("y"))
+    olsSlopePpm(daily)
+  }
+
+  /** Exact OLS slope (ppm) per brand over (brand, x: long, y: decimal)
+    * observation rows — factored so the spec can plant exact lines. */
+  private[graft] def olsSlopePpm(daily: DataFrame): DataFrame = {
+    daily.groupBy("brand").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")
+          .as("sxy"))
+      .filter(col("n") > 1)
+      .select(col("brand"), col("n").as("n_days"),
+        call_function("div",
+          (col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sx") * col("sy")) * lit(1000000L).cast("decimal(38,0)"),
+          col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("slope_ppm"))
+      .orderBy("brand")
+  }
+
+  val revenueTrendSql: String =
+    """WITH d AS (
+      |  SELECT p.p_brand AS brand,
+      |         CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x,
+      |         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000
+      |              AS HUGEINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |s AS (SELECT brand, COUNT(*) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(y) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM d GROUP BY 1)
+      |SELECT brand, CAST(n AS BIGINT) AS n_days,
+      |       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+      |            AS BIGINT) AS slope_ppm
+      |FROM s WHERE n > 1 ORDER BY brand""".stripMargin
+
+  // ---- q241: AR(1) autoregression of daily revenue -------------------
+  // Mean-reversion vs momentum audit: the lag-1 autoregression
+  // coefficient of the daily-revenue series — OLS slope of x_{t+1} on
+  // x_t over consecutive OBSERVED days (the lag is the previous
+  // observed day, not calendar-day-minus-one; calendar gap handling is
+  // q85's gap-fill, composable upstream). Negative = mean-reverting,
+  // positive = momentum. Reuses q238's exact DECIMAL moment engine on
+  // the lagged pairs, so the coefficient is integer-ppm exact.
+  // Magnitude bound: n·Σx² ≈ days·(daily cents)² stays inside 38
+  // digits up to ~sf100 here; a larger deployment would re-center x
+  // first (slope is translation-invariant).
+  //
+  // Shape at scale: the only full-data pass is the daily aggregate;
+  // the lag window and moments run over the |days|-sized frame (the
+  // module-header PRE-AGGREGATED-window pattern).
+  def ar1DailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("day"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+        .cast("decimal(38,0)").as("cents"))
+    val pairs = daily
+      .withColumn("x", lag("cents", 1).over(Window.orderBy("day")))
+      .filter(col("x").isNotNull)
+      .select(col("x").cast("decimal(38,0)").as("x"), col("cents").as("yd"))
+    // q238's moment engine expects (brand, x: long, y: decimal); here x
+    // is decimal too, so inline the same normal-equation moments
+    pairs.agg(
+        count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("yd").cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("x") * col("yd")).cast("decimal(38,0)").as("sxy"))
+      .select(col("n").as("n_pairs"),
+        call_function("div",
+          (col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sx") * col("sy")) * lit(1000000L).cast("decimal(38,0)"),
+          col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("ar1_ppm"))
+  }
+
+  val ar1DailyRevenueSql: String =
+    """WITH d AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+      |              AS HUGEINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |p AS (SELECT lag(cents) OVER (ORDER BY day) AS x, cents AS y FROM d),
+      |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |        SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      |      FROM p WHERE x IS NOT NULL)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+      |            AS BIGINT) AS ar1_ppm
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_seasonal_outliers" -> (seasonalOutliers _),
     "q209_locf_impute"       -> (locfImpute _),
@@ -887,7 +1081,10 @@ object Temporal {
     "q97_spike_days"     -> (spikeDays _),
     "q98_top_per_group"  -> (topPartsPerFlag _),
     "q104_gaps_islands"  -> (gapsAndIslands _),
-    "q108_rolling_users" -> (rollingActiveUsers _))
+    "q108_rolling_users" -> (rollingActiveUsers _),
+    "q236_interval_coverage" -> (intervalCoverage _),
+    "q238_revenue_trend" -> (revenueTrend _),
+    "q241_ar1_revenue"   -> (ar1DailyRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q216_seasonal_outliers" -> seasonalOutliersSql,
@@ -909,5 +1106,8 @@ object Temporal {
     "q97_spike_days"     -> spikeDaysSql,
     "q98_top_per_group"  -> topPartsPerFlagSql,
     "q104_gaps_islands"  -> gapsAndIslandsSql,
-    "q108_rolling_users" -> rollingActiveUsersSql)
+    "q108_rolling_users" -> rollingActiveUsersSql,
+    "q236_interval_coverage" -> intervalCoverageSql,
+    "q238_revenue_trend" -> revenueTrendSql,
+    "q241_ar1_revenue"   -> ar1DailyRevenueSql)
 }
