@@ -530,6 +530,25 @@ object Llm {
     graft.streaming.StreamOps.streamingNearDupCandidates(spark, dir,
       n = 3, numHashes = NumHashes, bands = Bands)
 
+  /** q245: the q61 stateful near-dup pipeline executed under the
+    * ROCKSDB state store — the provider a 100 TB streaming deployment
+    * actually runs (HDFS-backed keeps state on the executor heap;
+    * RocksDB spills to local SSD with changelog checkpoints). The
+    * oracle is IDENTICAL to q61's: the state-store provider is an
+    * execution detail, and this gate hash-pins that swapping it
+    * changes nothing. The cloned-session wrapper keeps the provider
+    * conf off the shared session (Verify runs queries concurrently).
+    * Multi-microbatch RocksDB state (pairs emitted from RESTORED
+    * RocksDB state across batches and across a query restart) is
+    * law-checked in RocksDbStateSpec; per-batch state-size metrics
+    * are recorded by the q61_stream_rocksdb bench lane. */
+  def streamingNearDupRocksDb(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.withStateStore(spark,
+        graft.streaming.StreamOps.RocksDbProvider) { s2 =>
+      graft.streaming.StreamOps.streamingNearDupCandidates(s2, dir,
+        n = 3, numHashes = NumHashes, bands = Bands)
+    }
+
   val streamingNearDupSql: String = {
     val rows = NumHashes / Bands
     val minExprs = (0 until NumHashes)
@@ -1944,6 +1963,7 @@ object Llm {
     "q141_stream_incremental_cc" -> (streamIncrementalCc _),
     "q59_deduped_corpus"    -> (dedupedCorpus _),
     "q61_stream_neardup"    -> (streamingNearDup _),
+    "q245_rocksdb_neardup"  -> (streamingNearDupRocksDb _),
     "q70_dedup_keep_longest" -> (dedupedKeepLongest _),
     "q73_cross_corpus_dedup" -> (crossCorpusNearDup _),
     "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
@@ -2006,6 +2026,7 @@ object Llm {
     "q141_stream_incremental_cc" -> dedupClustersSql,
     "q59_deduped_corpus"    -> dedupedCorpusSql,
     "q61_stream_neardup"    -> streamingNearDupSql,
+    "q245_rocksdb_neardup"  -> streamingNearDupSql,
     "q70_dedup_keep_longest" -> dedupedKeepLongestSql,
     "q73_cross_corpus_dedup" -> crossCorpusNearDupSql,
     // q75 must equal the BATCH cross-corpus result — same oracle as q73

@@ -1057,13 +1057,19 @@ object Mining {
       .withColumn("i", sum("c1").over(Window.orderBy("tc")))
       .withColumn("j", sum("c2").over(Window.orderBy("tc")))
       .crossJoin(broadcast(n))
-      .withColumn("dev", abs(col("i") * col("n2") - col("j") * col("n1")))
+      // cross-multiplied CDF gap in DECIMAL(38,0) (HUGEINT in the
+      // oracle) — the same guarded channel as q220/q227/q230/q234: at
+      // n1·n2 past ~9.2e12 (≈3e6 docs per source) the plain-int64 form
+      // wraps silently under non-ANSI Spark while DuckDB errors
+      .withColumn("dev", abs(col("i").cast("decimal(38,0)") * col("n2")
+        - col("j").cast("decimal(38,0)") * col("n1")))
       .localCheckpoint(true) // consumed by the max AND the argmax pass
     val m = c.agg(max("dev").as("m"))
     c.crossJoin(broadcast(m))
       .filter(col("dev") === col("m"))
       .groupBy("n1", "n2")
-      .agg(expr("max(dev * 1000000 div (n1 * n2))").as("ks_ppm"),
+      .agg(expr("max(dev * 1000000 div (cast(n1 as decimal(38,0)) * n2))")
+        .as("ks_ppm"),
         min("tc").as("ks_at_tc"))
   }
 
@@ -1079,11 +1085,12 @@ object Mining {
       |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM v),
       |c AS (SELECT tc, SUM(c1) OVER (ORDER BY tc) AS i,
       |             SUM(c2) OVER (ORDER BY tc) AS j FROM v),
-      |d AS (SELECT tc, abs(i * n2 - j * n1) AS dev, n1, n2 FROM c, n),
+      |d AS (SELECT tc, abs(CAST(i AS HUGEINT) * n2 - CAST(j AS HUGEINT) * n1)
+      |        AS dev, n1, n2 FROM c, n),
       |m AS (SELECT MAX(dev) AS m FROM d)
       |SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
-      |       CAST(MAX(dev) * 1000000 // (MAX(n1) * MAX(n2)) AS BIGINT)
-      |         AS ks_ppm,
+      |       CAST(MAX(dev) * 1000000 // (CAST(MAX(n1) AS HUGEINT) * MAX(n2))
+      |            AS BIGINT) AS ks_ppm,
       |       CAST(MIN(CASE WHEN dev = m THEN tc END) AS BIGINT) AS ks_at_tc
       |FROM d, m""".stripMargin
 
@@ -1115,8 +1122,12 @@ object Mining {
     val n = h.agg(sum("h1").as("n1"), sum("h2").as("n2"))
     h.crossJoin(broadcast(n))
       .groupBy("n1", "n2")
+      // min-products and the ·10⁶ numerator in DECIMAL(38,0) (HUGEINT
+      // in the oracle) — same silent-wrap guard as q242's dev channel
       .agg(count(lit(1)).as("n_bins"),
-        expr("sum(least(h1 * n2, h2 * n1)) * 1000000 div (n1 * n2)")
+        expr("""sum(least(cast(h1 as decimal(38,0)) * n2,
+                          cast(h2 as decimal(38,0)) * n1))
+                * 1000000 div (cast(n1 as decimal(38,0)) * n2)""")
           .as("overlap_ppm"))
   }
 
@@ -1132,8 +1143,9 @@ object Mining {
       |n AS (SELECT SUM(h1) AS n1, SUM(h2) AS n2 FROM h)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |       COUNT(*) AS n_bins,
-      |       CAST(SUM(LEAST(h1 * n2, h2 * n1)) * 1000000 // (n1 * n2)
-      |            AS BIGINT) AS overlap_ppm
+      |       CAST(SUM(LEAST(CAST(h1 AS HUGEINT) * n2, CAST(h2 AS HUGEINT) * n1))
+      |            * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+      |         AS overlap_ppm
       |FROM h, n GROUP BY n1, n2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

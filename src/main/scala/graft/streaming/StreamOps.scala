@@ -21,6 +21,49 @@ object StreamOps {
 
   private val queryCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Spark's built-in RocksDB state store (spark-sql ships rocksdbjni)
+    * — the provider every 100 TB streaming deployment runs, because
+    * HDFSBackedStateStoreProvider keeps the whole store on the
+    * executor HEAP (state is bounded by executor memory) while RocksDB
+    * spills to local SSD with incremental changelog checkpoints. The
+    * q245 gate + RocksDbStateSpec prove output parity with the default
+    * store; the q61_stream_rocksdb bench lane measures it at scale. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` against a CLONED session (shared SparkContext, private
+    * SQLConf) whose streaming state store is `provider`. A clone —
+    * not set/restore on the caller's conf — because the provider is
+    * read at query START: a restore racing another session thread's
+    * query start (Verify's concurrent query pool) would flip that
+    * query's store mid-flight. The parent's runtime SQL conf is copied
+    * first so the clone plans identically (shuffle partitions,
+    * nanosAsLong, ...); static/non-settable keys are skipped. */
+  def withStateStore[T](spark: SparkSession, provider: String)(
+      f: SparkSession => T): T = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    f(s2)
+  }
+
+  /** One stateful operator's progress in one microbatch — the
+    * state-size evidence row behind the RocksDB parity lanes. */
+  final case class StateBatchProgress(batchId: Long, operator: String,
+      numRowsTotal: Long, numRowsUpdated: Long, memoryUsedBytes: Long,
+      custom: Map[String, Long])
+
+  /** Per-microbatch state-operator progress of the most recently
+    * [[drain]]ed query in this JVM (from `recentProgress`, capped at
+    * spark.sql.streaming.numRecentProgressUpdates = 100 batches).
+    * Evidence capture only — specs and the StateProbe main read it to
+    * assert bounded state and RocksDB-specific custom metrics; no
+    * operator consumes it. */
+  @volatile var lastStateProgress: Seq[StateBatchProgress] = Seq.empty
+
   /** Collision-free memory-sink query name: `abs(dir.hashCode)` alone
     * can collide across distinct dirs (and repeats across runs), so a
     * process-wide monotonic counter disambiguates. */
@@ -54,6 +97,17 @@ object StreamOps {
       .start()
     try q.processAllAvailable()
     finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        lastStateProgress = q.recentProgress.toSeq.flatMap { p =>
+          p.stateOperators.toSeq.map { so =>
+            StateBatchProgress(p.batchId, so.operatorName, so.numRowsTotal,
+              so.numRowsUpdated, so.memoryUsedBytes,
+              so.customMetrics.asScala.map { case (k, v) =>
+                k -> v.longValue }.toMap)
+          }
+        }
+      } catch { case _: Throwable => () }
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
     }
@@ -795,7 +849,15 @@ object StreamOps {
     * k's offsets are planned before batch k−1's event-time stats are
     * folded into the tracker — verified row-exactly against three
     * candidate models at sf0.001: the k−1 model mispredicts 318 of
-    * 451 emitted windows, the k−2 model matches all 451). The final
+    * 451 emitted windows, the k−2 model matches all 451). VERSION
+    * PIN: the k−2 model was measured against Spark 4.1.2's
+    * micro-batch planner; it encodes that planner's watermark
+    * propagation timing, not a semantic contract. If this gate goes
+    * red after a Spark upgrade or a watermark-propagation config
+    * change while every OTHER streaming row stays green, diagnose as
+    * oracle-model drift (re-measure the lag, likely k−1 under
+    * eager-propagation planners) before suspecting the operator. The
+    * final
     * flush, by contrast, sees every batch: processAllAvailable keeps
     * running zero-data batches while the watermark still advances, so
     * emission cuts at max(all batches) − delay. Boundary note: every
