@@ -94,6 +94,12 @@ object Bench {
     // each factor's rep loop. Detail file (full map) + compact line
     // (pagerank trio only — the q179 evidence).
     val scaleIo = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // RocksDB state evidence per factor from the q61_stream_rocksdb
+    // lane's last rep: (microbatches, final state rows, final state
+    // bytes) — the bounded-state record behind the provider-parity
+    // claim. Detail file only.
+    val rocksState =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     def recordErr(name: String, t: Throwable): Unit =
       if (!errors.contains(name)) {
         // strip EVERY control char (exception messages can embed raw
@@ -337,6 +343,14 @@ object Bench {
           // a missing lane in the artifact always has an errors entry
           recordErr(s"x$times.q61_stream_neardup", t)
           recordErr(s"x$times.q61_stream_bulk", t); false }
+      // q141 lane fixture: the xN corpus's fixed 1/5 slice as 2·times
+      // files (the q218 budget discipline — full-corpus probing
+      // measured 19 s per rep at x5)
+      val inccPath = s"${sys.props("user.dir")}/target/bench_incc_fix_x$times"
+      val inccOk =
+        try { ScaleBench.streamIncCcPrep(spark, sfDir, times, inccPath); true }
+        catch { case t: Throwable =>
+          recordErr(s"x$times.q141_stream_incremental_cc", t); false }
       val layoutPath =
         s"${sys.props("user.dir")}/target/bench_ivf_layout_x$times"
       var probeArgs: (org.apache.spark.sql.DataFrame,
@@ -354,10 +368,20 @@ object Bench {
       // cleanup — only for lanes whose run PRODUCES standing state a
       // later lane consumes (q34_ivf_build's centroid/query
       // checkpoints feed q34_ivf_probe).
+      // `consecutive = true` runs ALL of a lane's reps back-to-back in
+      // its first round slot instead of round-major. For q34_ivf_probe
+      // only: a sub-second lane that READS an on-disk layout is
+      // page-cache-sensitive, and round-major interleaving runs ~28
+      // heavy lanes between its reps — rep 0 (right after the build,
+      // cache warm) was 6x faster than the evicted later reps in
+      // round 10 (x20 rep spread 6.23x). Back-to-back reps measure the
+      // lane's steady serving latency; the byte curve (deterministic)
+      // is unaffected either way.
       def lane(name: String, reps: Int = 3, prep: () => Boolean = ok,
-               keep: Boolean = false)(
-          run: => Unit): Option[(String, Int, () => Boolean, Boolean, () => Unit)] =
-        Some((name, reps, prep, keep, () => run))
+               keep: Boolean = false, consecutive: Boolean = false)(
+          run: => Unit): Option[(String, Int, () => Boolean, Boolean,
+            Boolean, () => Unit)] =
+        Some((name, reps, prep, keep, consecutive, () => run))
       val lanes = Seq(
         lane("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
         lane("q24_srp_neardup", reps = 3)(
@@ -466,6 +490,39 @@ object Bench {
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               filesPerTrigger = times)))
         else None,
+        // q61 under the ROCKSDB state store — identical pipeline and
+        // batch schedule to q61_stream_neardup, so the lane PAIR is
+        // the measured provider cost (HDFS-backed keeps state
+        // on-heap and caps it at executor memory; RocksDB is what a
+        // 100 TB deployment runs). The last rep's per-batch state
+        // rows/bytes land in the detail file as rocksdb_state.
+        if (streamOk)
+          lane("q61_stream_rocksdb") {
+            graft.streaming.StreamOps.withStateStore(spark,
+                graft.streaming.StreamOps.RocksDbProvider) { s2 =>
+              noop(ScaleBench.streamNearDup(s2, streamPath, times))
+            }
+            val prog = graft.streaming.StreamOps.lastStateProgress
+            if (prog.nonEmpty) {
+              val last = prog.maxBy(_.batchId)
+              rocksState(s"x$times") = (prog.map(_.batchId).max + 1,
+                last.numRowsTotal, last.memoryUsedBytes)
+            }
+          }
+        else None,
+        // q141: the FULL continuous-dedup state machine — per-batch
+        // LSH discovery (intra-batch + against the GROWING persisted
+        // band index), exact-Jaccard verify, incremental-CC fold,
+        // index append — replaying the xN slice in a FIXED ~4-batch
+        // schedule (the q61_stream_bulk discipline applied to the
+        // whole q141 machine). Seed clustering + per-batch overhead
+        // are the constant term, so the wall curve should be
+        // near-flat with a linear byte term.
+        if (inccOk)
+          lane("q141_stream_incremental_cc")(
+            noop(ScaleBench.streamIncrementalCc(spark, sfDir, inccPath,
+              times)))
+        else None,
         // q218: weighted-token Jaccard with the AllPairs filter stack
         // on the fixed 1/5 slice — the token-granularity sibling of
         // the q99 lane (hot terms are hotter than hot shingles, so
@@ -495,7 +552,7 @@ object Bench {
         lane("q34_ivf_build", keep = true) {
           probeArgs = ScaleBench.ivfBuildLayout(emb, layoutPath)
         },
-        lane("q34_ivf_probe", prep = () => {
+        lane("q34_ivf_probe", consecutive = true, prep = () => {
           if (probeArgs == null) {
             if (!probeSkipLogged) {
               probeSkipLogged = true
@@ -521,21 +578,29 @@ object Bench {
       val succTimes =
         scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
       val maxReps = lanes.map(_._2).max
-      for (r <- 0 until maxReps; (name, reps, prep, keep, run) <- lanes if r < reps)
-        if (prep()) {
-          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-          val t0 = System.nanoTime()
-          val okRep = try { run(); true } catch { case t: Throwable =>
-            recordErr(s"x$times.$name", t); false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+ dt
-          if (okRep)
-            succTimes(name) = succTimes.getOrElse(name, Vector.empty) :+ dt
-          // the rep's outputs are discarded — so are its checkpoints.
-          // The unpersist is OUTSIDE the timed region (and async), so
-          // rep r+1 starts with the same storage budget rep 1 had.
-          if (!keep) dropNewRdds(before)
+      for (r <- 0 until maxReps;
+           (name, reps, prep, keep, consec, run) <- lanes if r < reps) {
+        // consecutive lanes burn all reps in their round-0 slot
+        val runsNow = if (consec) (if (r == 0) reps else 0) else 1
+        var i = 0
+        while (i < runsNow) {
+          i += 1
+          if (prep()) {
+            val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+            val t0 = System.nanoTime()
+            val okRep = try { run(); true } catch { case t: Throwable =>
+              recordErr(s"x$times.$name", t); false }
+            val dt = (System.nanoTime() - t0) / 1e9
+            repTimes(name) = repTimes.getOrElse(name, Vector.empty) :+ dt
+            if (okRep)
+              succTimes(name) = succTimes.getOrElse(name, Vector.empty) :+ dt
+            // the rep's outputs are discarded — so are its checkpoints.
+            // The unpersist is OUTSIDE the timed region (and async), so
+            // rep r+1 starts with the same storage budget rep 1 had.
+            if (!keep) dropNewRdds(before)
+          }
         }
+      }
       // One measured (untimed) pass per surviving lane: shuffle-write
       // MB at this factor, so every scale lane carries a
       // host-noise-immune byte curve beside its wall-time curve (the
@@ -544,7 +609,7 @@ object Bench {
       // user: bucketed-vs-merge bytes is the measured form of "the
       // layout removes the per-round edge exchange".
       if (!sys.env.contains("SPARK_GRAFT_SKIP_SCALE_IO"))
-        for ((name, _, prep, keep, run) <- lanes if succTimes.contains(name))
+        for ((name, _, prep, keep, _, run) <- lanes if succTimes.contains(name))
           if (prep()) {
             val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
             try {
@@ -558,6 +623,8 @@ object Bench {
         catch { case _: Throwable => () }
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(streamPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(inccPath))
       repTimes.foreach { case (n, ts) => repLog(s"x$times.$n") = ts }
       succTimes.foreach { case (n, ts) => successLog(s"x$times.$n") = ts }
       // a lane's min is taken over SUCCESSFUL reps only — a rep that
@@ -598,6 +665,41 @@ object Bench {
     val spreadWarnings: Seq[(String, Double)] = successLog.toSeq.collect {
       case (k, ts) if ts.size >= 2 && ts.min > 0.2 && ts.max / ts.min > 5.0 =>
         k -> ts.max / ts.min
+    }
+
+    // ---- shuffle-byte scale law: the MACHINE gate (round-10 item 4) ----
+    // Bytes are deterministic where wall-time is noisy, so the linearity
+    // law is enforced here, per lane, at the LARGEST measured factor:
+    // bytes(xN)/bytes(x1) must stay within N x slack. The exceptions are
+    // the documented superlinear ops — widening this map requires
+    // writing the reason down beside the slack. A violation lands in
+    // `errors`, in byte_law_violations in both artifacts, AND fails the
+    // bench process (exit 3, after the JSON line is printed), so a byte
+    // regression at scale stops the round instead of waiting for a
+    // human to read the table. Lanes under 0.5 MB at x1 are skipped:
+    // their ratios are dominated by fixed per-job bytes, not the
+    // operator (q79_vocab writes 0.01 MB at x1).
+    val byteLawSlack: Map[String, (Double, String)] = Map(
+      "q99_prefix_jaccard" -> (1.6, "exact-join true-pair payload is honestly superlinear (27.5x at x20, r10); the q22 LSH lane is the unbounded-corpus path"),
+      "q162_shared_substring" -> (1.6, "window-key payload tracks gram-frequency growth (27.7x at x20, r10)"),
+      "q177_chain_cc" -> (1.6, "planted component diameter grows with the factor — more contraction rounds by construction"),
+      "q34_ivf_build" -> (1.6, "autoNCells grows with the corpus, so assignment payload is rows x a growing cell table"),
+      "q34_ivf_topk" -> (1.6, "same autoNCells growth as the build lane"),
+      "q146_pagerank" -> (Double.PositiveInfinity, "AQE plan flip: broadcast rank side at x1, SMJ at xN — x1 bytes are not comparable; q179/q146_merge carry the pagerank byte law"),
+      "q146_pagerank_merge" -> (1.6, "deliberately pessimal sort-merge comparator arm"))
+    val byteLawViolations: Seq[String] = (for {
+      maxF <- scaleBlocks.map(_._1).maxOption.toSeq
+      if maxF > 1
+      (k, x1b) <- scaleIo.toSeq if k.startsWith("x1.")
+      lane = k.stripPrefix("x1.")
+      xNb <- scaleIo.get(s"x$maxF.$lane")
+      if x1b >= 0.5
+      slack = byteLawSlack.get(lane).map(_._1).getOrElse(1.15)
+      if xNb / x1b > maxF * slack
+    } yield f"$lane: x$maxF/x1 bytes ${xNb / x1b}%.1fx > ${maxF * slack}%.1fx cap").toSeq
+    byteLawViolations.foreach { v =>
+      val lane = v.takeWhile(_ != ':')
+      if (!errors.contains(s"byte_law.$lane")) errors(s"byte_law.$lane") = v
     }
 
     // ---- JSON assembly -------------------------------------------------
@@ -668,6 +770,12 @@ object Bench {
 
     val spreadJson = obj(spreadWarnings.map { case (k, r) => kvNum(k, r, 2) })
     val scaleIoJson = obj(scaleIo.map { case (k, v) => kvNum(k, v, 2) })
+    val byteLawJson = byteLawViolations
+      .map(v => "\"" + v.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
+      .mkString("[", ",", "]")
+    val rocksStateJson = obj(rocksState.map { case (k, (b, rows, bytes)) =>
+      s""""$k":{"batches":$b,"state_rows":$rows,"state_bytes":$bytes}"""
+    })
     // Compact pagerank byte trio at the LARGEST factor: the q179
     // shuffle-byte evidence, small enough for the stdout line.
     val prIoCompact = {
@@ -678,7 +786,7 @@ object Bench {
       if (trio.isEmpty) "" else s""","pr_shuffle_mb_x$f":${obj(trio)}"""
     }
     val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -732,6 +840,9 @@ object Bench {
       System.out.flush()
       println(compactLine)
       System.out.flush()
+      // the byte-law gate FAILS the run (after the artifact is out):
+      // a superlinear byte curve at scale is a regression, not a note
+      if (byteLawViolations.nonEmpty) sys.exit(3)
     }
   }
 }

@@ -27,6 +27,17 @@ object LaneProbe {
         case "q223_kcore" =>
           val e = ScaleBench.kcoreEdges(spark, sfDir, times).localCheckpoint(true)
           () => ScaleBench.kcore(e)
+        case "q141_stream_incremental_cc" =>
+          val p = s"${sys.props("user.dir")}/target/probe_incc_x$times"
+          ScaleBench.streamIncCcPrep(spark, sfDir, times, p)
+          () => ScaleBench.streamIncrementalCc(spark, sfDir, p, times)
+        case "q61_stream_rocksdb" =>
+          val p = s"${sys.props("user.dir")}/target/probe_stream_x$times"
+          ScaleBench.streamNearDupPrep(spark, sfDir, times, p)
+          () => graft.streaming.StreamOps.withStateStore(spark,
+            graft.streaming.StreamOps.RocksDbProvider) { s2 =>
+            ScaleBench.streamNearDup(s2, p, times)
+          }
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

@@ -403,6 +403,57 @@ object ScaleBench {
       s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}")
   }
 
+  /** q141's FULL continuous-dedup state machine over the replicated
+    * corpus with a fixed microbatch count: the xN corpus (the q61
+    * lane's pre-written file fixture) replays in ~4 microbatches
+    * against a small FIXED seed corpus, so the curve carries the
+    * whole machine — per-batch LSH discovery (intra-batch + against
+    * the GROWING persisted band index), exact-Jaccard verify,
+    * incremental-CC label fold, index append — at xN data volume
+    * while per-batch fixed cost stays constant (the q61_stream_bulk
+    * discipline applied to the q141 pipeline). Near-linear wall is
+    * the target law: each batch pays |batch| x bucket-occupancy
+    * discovery plus new-pairs-sized CC work, and the index any batch
+    * scans is seed + prior batches = O(N) read O(batches) times.
+    *
+    * The seed's doc ids are negated (replica ids are nonnegative) so
+    * the standing corpus never aliases a streamed document; seed text
+    * is replica-0's (identity rotation), so seed-vs-stream cross
+    * pairs genuinely exist. The persisted index is APPENDED to during
+    * the run, so each invocation takes a fresh counter-keyed path,
+    * deleted on the way out (file removal is microseconds against a
+    * multi-second lane). */
+  /** OFF-the-clock fixture for the q141 lane: the xN corpus's FIXED
+    * 1/5 slice (the q218 budget discipline — `div times` recovers the
+    * base id, so every replica contributes the same base documents
+    * and the slice's pair structure is N exact copies of the 1x
+    * slice's), written as 2·times files so maxFilesPerTrigger can pin
+    * the batch count. Full-corpus probing measured 19 s at x5 — the
+    * slice keeps the x20 point inside the block budget while
+    * preserving the x1/xN curve. */
+  def streamIncCcPrep(spark: SparkSession, dir: String, times: Int,
+                      path: String): Unit =
+    documents(spark, dir, times)
+      .filter(expr(s"(doc_id div $times) % 5 = 0"))
+      .repartition(2 * times)
+      .write.mode("overwrite").parquet(path)
+
+  def streamIncrementalCc(spark: SparkSession, sfDir: String,
+                          path: String, times: Int): DataFrame = {
+    val seed = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 16 === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val schema = spark.read.parquet(path).schema
+    val perTrigger = math.max(1, (2 * times) / 4)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", perTrigger.toString).parquet(path)
+    val idx = s"${sys.props("user.dir")}/target/" +
+      s"bench_incc_x${times}_${streamLaneCounter.incrementAndGet()}"
+    try graft.streaming.StreamOps.streamIncrementalClusters(seed, src, idx)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(idx))
+  }
+
   /** q155's operating point over the replicated corpus: score every
     * document (tokenCount + qualityScore — one codegen'd pass), then
     * the distributed exclusive cumsum in (quality desc, doc_id) order

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Advanced, Curation, Golden, Graph, Integrity, Lexical, Llm, Mining, Patterns, Pipeline, Quality, Retail, Retrieval, Temporal, TextQuality}
+import graft.operators.{Advanced, Curation, Golden, Graph, Integrity, Lexical, Llm, Mining, Patterns, Pipeline, Quality, Retail, Retrieval, Robust, Temporal, TextQuality}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
       Golden.queries ++ TextQuality.queries ++ Temporal.queries ++
       Pipeline.queries ++ Graph.queries ++ Retrieval.queries ++
       Lexical.queries ++ Integrity.queries ++ Curation.queries ++
-      Mining.queries ++ Patterns.queries
+      Mining.queries ++ Patterns.queries ++ Robust.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       Golden.oracles ++ TextQuality.oracles ++ Temporal.oracles ++
       Pipeline.oracles ++ Graph.oracles ++ Retrieval.oracles ++
       Lexical.oracles ++ Integrity.oracles ++ Curation.oracles ++
-      Mining.oracles ++ Patterns.oracles
+      Mining.oracles ++ Patterns.oracles ++ Robust.oracles
 }

@@ -1,0 +1,390 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Robust statistics & drift audits (round-11 batch, q246–q251): the
+  * rank/median/first-digit family a corpus-monitoring pipeline runs
+  * beside the moment-based q236–q244 batch — robust statistics keep
+  * reporting sane numbers when a feed ships a pathological tail, which
+  * is exactly when the OLS/χ²/KS panel is hardest to read.
+  *
+  * House discipline (same as Mining.scala's stats batch): every
+  * statistic lives in an integer or DECIMAL(38,0) channel (HUGEINT in
+  * the DuckDB oracle) — cross-multiplied comparisons instead of
+  * divisions, explicit sign·(|a| div b) where a quotient's truncation
+  * direction would otherwise differ between engines, and positional
+  * (row_number) medians so both engines pick the identical element.
+  * Medians/windows run on PRE-AGGREGATED frames (distinct values,
+  * days) — hundreds of rows, never documents — the repo's
+  * pre-aggregated-window pattern.
+  */
+object Robust {
+
+  // ---- q246: Mann-Whitney U / rank-sum (src1 vs src2) ----------------
+  // The rank-based two-sample test beside q242's KS: U is driven by the
+  // whole ordering, not the single worst threshold, and U/(n1·n2) is
+  // the probability a random src1 doc is shorter than a random src2
+  // doc (the AUC). Tie handling is exact midranks computed in DOUBLED
+  // rank units so everything stays integral: at each distinct value
+  // with c1+c2=c occurrences after B cumulative predecessors,
+  // 2·midrank = 2B + c + 1, so 2·R1 = Σ c1·(2B + c + 1) and
+  // 2·U1 = 2·R1 − n1(n1+1). auc_ppm = 2U1·10⁶ div (2·n1·n2).
+  //
+  // Shape at scale: one (tc) grouped aggregate over the docs, then the
+  // cumulative window on the |distinct lengths| frame.
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    mannWhitneyOf(Tables.documents(spark, dir)
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tc")))
+  }
+
+  /** U core over (source ∈ {src1,src2}, tc) rows — factored so the spec
+    * can plant identical (AUC exactly 1/2) and disjoint (AUC 0 or 1)
+    * distributions. */
+  private[graft] def mannWhitneyOf(t: DataFrame): DataFrame = {
+    val v = t.groupBy("tc").agg(
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+    val n = v.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    v.withColumn("c", col("c1") + col("c2"))
+      .withColumn("cum", sum("c").over(Window.orderBy("tc")))
+      // 2·R1 contribution in DECIMAL(38,0): ranks reach n1+n2 and c1
+      // multiplies them — int64 wraps past ~3e9 docs
+      .select(sum((col("c1").cast("decimal(38,0)")) *
+        (lit(2) * (col("cum") - col("c")) + col("c") + lit(1))).as("r2x"))
+      .crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        (col("r2x") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+          .cast("decimal(38,0)").as("u2x"))
+      .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
+        expr("cast(u2x * 1000000 div (2 * cast(n1 as decimal(38,0)) * n2) as bigint)")
+          .as("auc_ppm"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE source IN ('src1', 'src2')),
+      |v AS (SELECT tc,
+      |        SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1,
+      |        SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c2
+      |      FROM t GROUP BY 1),
+      |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM v),
+      |w AS (SELECT c1, c1 + c2 AS c,
+      |             SUM(c1 + c2) OVER (ORDER BY tc) AS cum FROM v),
+      |r AS (SELECT SUM(CAST(c1 AS HUGEINT)
+      |                 * (2 * (cum - c) + c + 1)) AS r2x FROM w)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u2x,
+      |       CAST((r2x - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+      |            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+      |FROM r, n""".stripMargin
+
+  // ---- q247: Theil–Sen slope of daily event volume --------------------
+  // The robust trend estimator beside the moment-based drift panel:
+  // the median of all pairwise day-to-day slopes shrugs off outlier
+  // days that would drag an OLS fit. Slopes are quantized to ppm/day
+  // with EXPLICIT sign·(|Δcount|·10⁶ div Δday) — Spark's `div` and
+  // DuckDB's `//` disagree on negative operands (trunc vs floor), so
+  // the sign is factored out before either engine divides. The median
+  // is positional: the element at 1-indexed rank ceil(m/2) of the
+  // ascending slope list (the lower median — identical in both
+  // engines by construction, no averaging).
+  //
+  // Shape at scale: daily counts are one grouped aggregate; the pair
+  // self-join and rank run on the |days|² ≈ thousands-row frame (the
+  // documented pre-aggregated quadratic — days, never events).
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows. */
+  private[graft] def theilSenOf(t: DataFrame): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both sides of the pair join
+    val pairs = d.as("a").join(d.as("b"), col("b.day") > col("a.day"))
+      .select((col("b.cnt") - col("a.cnt")).as("dc"),
+        (col("b.day") - col("a.day")).as("dd"))
+      .select((signum(col("dc")).cast("long") *
+        expr("cast(abs(dc) as decimal(38,0)) * 1000000 div dd")).as("s_ppm"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    pairs.withColumn("rn", row_number().over(Window.orderBy("s_ppm")))
+      .crossJoin(broadcast(m))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_days"))))
+      .select(col("s_ppm").as("slope_ppm"), col("n_days"), col("m").as("n_pairs"))
+  }
+
+  val theilSenSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |p AS (SELECT CAST(CASE WHEN b.cnt > a.cnt THEN 1
+      |                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS BIGINT)
+      |             * CAST(CAST(abs(b.cnt - a.cnt) AS HUGEINT) * 1000000
+      |                    // (b.day - a.day) AS BIGINT) AS s_ppm
+      |      FROM d a JOIN d b ON b.day > a.day),
+      |r AS (SELECT s_ppm, ROW_NUMBER() OVER (ORDER BY s_ppm) AS rn,
+      |             COUNT(*) OVER () AS m FROM p)
+      |SELECT CAST(s_ppm AS BIGINT) AS slope_ppm,
+      |       (SELECT COUNT(*) FROM d) AS n_days,
+      |       CAST(m AS BIGINT) AS n_pairs
+      |FROM r WHERE rn = (m + 1) // 2""".stripMargin
+
+  // ---- q248: collocation mining by integer lift -----------------------
+  // Adjacent-token bigrams scored by lift = P(a,b)/(P(a·)·P(·b)) — the
+  // log-free core of PMI, exact in the integer channel:
+  // lift_ppm = c_ab·N·10⁶ div (c_a•·c_•b) with N = total bigrams,
+  // c_a• = bigrams with left token a, c_•b = right token b. Top 15 by
+  // (lift desc, a, b) at support ≥ 5 — boilerplate phrase discovery
+  // without a single float or log.
+  //
+  // Shape at scale: bigrams come from an ARRAY-LOCAL zip (no
+  // positional self-join, no window over tokens — the doc's token
+  // array is already in the row); then one (a,b) grouped count and two
+  // marginal joins on pre-aggregated vocab-sized frames.
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val bg = Tables.documents(spark, dir)
+      .select(graft.functions.Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] as a, t[i+1] as b))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .localCheckpoint(true) // feeds pair counts AND both marginals
+    val ab = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val la = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val rb = bg.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val n = bg.agg(count(lit(1)).as("n"))
+    ab.filter(col("c_ab") >= 5)
+      .join(la, "a").join(rb, "b").crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("c_ab * cast(n as decimal(38,0)) * 1000000 div (cast(c_a as decimal(38,0)) * c_b)")
+          .as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("a"), asc("b"))
+      .limit(15)
+  }
+
+  val collocationsSql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      |           FROM documents),
+      |t AS (SELECT doc_id, unnest(l) AS tok,
+      |             generate_subscripts(l, 1) AS pos FROM d),
+      |bg AS (SELECT x.tok AS a, y.tok AS b
+      |       FROM t x JOIN t y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+      |ab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |la AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY 1),
+      |rb AS (SELECT b, COUNT(*) AS c_b FROM bg GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM bg)
+      |SELECT ab.a, ab.b, c_ab,
+      |       CAST(c_ab * CAST(n AS HUGEINT) * 1000000
+      |            // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS lift_ppm
+      |FROM ab JOIN la ON ab.a = la.a JOIN rb ON ab.b = rb.b, n
+      |WHERE c_ab >= 5
+      |ORDER BY lift_ppm DESC, ab.a, ab.b LIMIT 15""".stripMargin
+
+  // ---- q249: vocabulary growth curve (Heaps'-law audit) ---------------
+  // Per source: how many distinct terms exist after the first 25%,
+  // 50%, 75%, 100% of documents (by doc_id order)? The empirical
+  // Heaps curve — sublinear growth is healthy natural text, a LINEAR
+  // curve is the signature of synthetic/ID-bearing junk flooding the
+  // vocabulary. Positional quartile cutoffs (row ceil(q·n), 1-indexed)
+  // keep both engines on the identical document.
+  //
+  // Shape at scale: first-occurrence doc per (source, term) is ONE
+  // grouped MIN over the exploded tokens (map-combinable); cutoffs
+  // come from a per-source window on the docs frame (docs, not
+  // tokens); the rollup is conditional counting on the terms frame.
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("t"))
+      .localCheckpoint(true) // feeds the cutoff frame AND the explode
+    val cuts = docs.select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source").agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("doc_id"))).as("cut25"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("doc_id"))).as("cut50"),
+        max(when(col("rn") === expr("(n * 3 + 3) div 4"), col("doc_id"))).as("cut75"),
+        count(lit(1)).as("n_docs"))
+    val firsts = docs.select(col("source"), col("doc_id"),
+        explode(col("t")).as("term"))
+      .groupBy("source", "term").agg(min("doc_id").as("fd"))
+    firsts.join(cuts, "source")
+      .groupBy("source")
+      .agg(sum(when(col("fd") <= col("cut25"), 1L).otherwise(0L)).as("q25_terms"),
+        sum(when(col("fd") <= col("cut50"), 1L).otherwise(0L)).as("q50_terms"),
+        sum(when(col("fd") <= col("cut75"), 1L).otherwise(0L)).as("q75_terms"),
+        count(lit(1)).as("total_terms"),
+        max("n_docs").as("n_docs"))
+      .orderBy("source")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH docs AS (SELECT source, doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+      |pos AS (SELECT source, doc_id,
+      |          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |          COUNT(*) OVER (PARTITION BY source) AS n
+      |        FROM docs),
+      |cuts AS (SELECT source,
+      |           MAX(CASE WHEN rn = (n + 3) // 4 THEN doc_id END) AS cut25,
+      |           MAX(CASE WHEN rn = (n + 1) // 2 THEN doc_id END) AS cut50,
+      |           MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN doc_id END) AS cut75,
+      |           COUNT(*) AS n_docs
+      |         FROM pos GROUP BY 1),
+      |firsts AS (SELECT source, term, MIN(doc_id) AS fd
+      |           FROM (SELECT source, doc_id, unnest(l) AS term FROM docs)
+      |           GROUP BY 1, 2)
+      |SELECT f.source,
+      |       CAST(SUM(CASE WHEN fd <= cut25 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS q25_terms,
+      |       CAST(SUM(CASE WHEN fd <= cut50 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS q50_terms,
+      |       CAST(SUM(CASE WHEN fd <= cut75 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS q75_terms,
+      |       COUNT(*) AS total_terms,
+      |       MAX(n_docs) AS n_docs
+      |FROM firsts f JOIN cuts ON f.source = cuts.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q250: MAD anomaly summary over daily event volume --------------
+  // Median-absolute-deviation outlier detection — the robust sibling
+  // of z-score spike detection (q97): MAD is immune to the outliers
+  // it hunts, where a mean/stddev channel lets one huge day mask the
+  // others. Both medians are positional lower medians (rank
+  // ceil(n/2)); a day is anomalous when |cnt − med| > 5·mad (integer
+  // compare, no scaling constant). One summary row: day count, median,
+  // MAD, anomaly count, and the worst day (min day among maximal
+  // deviations, for determinism).
+  def madAnomalies(spark: SparkSession, dir: String): DataFrame =
+    madOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows. */
+  private[graft] def madOf(t: DataFrame): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // 3 consumers: median, deviations, rollup
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame =
+      df.withColumn("rn",
+          row_number().over(Window.orderBy(col(c), col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col(c).as(out))
+    val med = lowerMedian(d, "cnt", "med")
+    val dev = d.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("cnt") - col("med")))
+      .localCheckpoint(true) // feeds the MAD median, the max AND the rollup
+    val mad = lowerMedian(dev, "dev", "mad")
+    val mx = dev.agg(max("dev").as("max_dev"))
+    dev.crossJoin(broadcast(mad)).crossJoin(broadcast(mx))
+      .groupBy("med", "mad", "max_dev")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("dev") > col("mad") * 5, 1L).otherwise(0L))
+          .as("n_anomalies"),
+        min(when(col("dev") === col("max_dev"), col("day"))).as("max_dev_day"))
+      .select(col("n_days"), col("med").as("med_cnt"), col("mad"),
+        col("n_anomalies"), col("max_dev_day"), col("max_dev"))
+  }
+
+  val madAnomaliesSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |m1 AS (SELECT cnt AS med FROM
+      |        (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+      |                COUNT(*) OVER () AS n FROM d)
+      |       WHERE rn = (n + 1) // 2),
+      |dv AS (SELECT day, cnt, abs(cnt - med) AS dev, med FROM d, m1),
+      |m2 AS (SELECT dev AS mad FROM
+      |        (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+      |                COUNT(*) OVER () AS n FROM dv)
+      |       WHERE rn = (n + 1) // 2),
+      |mx AS (SELECT MAX(dev) AS max_dev FROM dv)
+      |SELECT COUNT(*) AS n_days, CAST(MAX(med) AS BIGINT) AS med_cnt,
+      |       CAST(MAX(mad) AS BIGINT) AS mad,
+      |       CAST(SUM(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_anomalies,
+      |       MIN(CASE WHEN dev = max_dev THEN day END) AS max_dev_day,
+      |       CAST(MAX(max_dev) AS BIGINT) AS max_dev
+      |FROM dv, m2, mx""".stripMargin
+
+  // ---- q251: Benford first-digit audit over order totals ---------------
+  // The classic fabricated-numbers screen: natural multi-scale amounts
+  // follow P(first digit = d) = log10(1 + 1/d); uniform or hand-picked
+  // amounts do not. The expected shares are the nine CONSTANTS in ppm
+  // (they sum to exactly 1,000,000), so no log ever evaluates at query
+  // time; amounts go through the exact cents channel
+  // (DECIMAL(18,4)·10⁴) before the leading digit is read off the
+  // decimal string. Output: per digit, observed count, observed ppm
+  // share, expected ppm share, and the signed gap.
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val exp = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      .toDF("digit", "e_ppm")
+    val o = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)").as("cents"))
+      .select(substring(abs(col("cents")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val n = o.agg(sum("o").as("n"))
+    broadcast(exp).join(o, Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("digit").cast("long").as("digit"), col("o"),
+        expr("cast(o as decimal(38,0)) * 1000000 div n").as("o_ppm"),
+        col("e_ppm"),
+        (expr("cast(o as decimal(38,0)) * 1000000 div n") - col("e_ppm"))
+          .as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  val benfordSql: String =
+    """WITH exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+      |    (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+      |    (8, 51153), (9, 45757)) AS t(digit, e_ppm)),
+      |c AS (SELECT CAST(substr(CAST(abs(CAST(CAST(o_totalprice
+      |               AS DECIMAL(18,4)) * 10000 AS HUGEINT)) AS VARCHAR),
+      |             1, 1) AS INT) AS digit
+      |      FROM orders),
+      |o AS (SELECT digit, COUNT(*) AS o FROM c GROUP BY 1),
+      |n AS (SELECT SUM(o) AS n FROM o)
+      |SELECT CAST(exp.digit AS BIGINT) AS digit,
+      |       CAST(COALESCE(o.o, 0) AS BIGINT) AS o,
+      |       CAST(CAST(COALESCE(o.o, 0) AS HUGEINT) * 1000000 // n AS BIGINT)
+      |         AS o_ppm,
+      |       CAST(e_ppm AS BIGINT) AS e_ppm,
+      |       CAST(CAST(COALESCE(o.o, 0) AS HUGEINT) * 1000000 // n - e_ppm
+      |            AS BIGINT) AS dev_ppm
+      |FROM exp LEFT JOIN o ON exp.digit = o.digit, n
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_mann_whitney"  -> (mannWhitney _),
+    "q247_theil_sen"     -> (theilSen _),
+    "q248_collocations"  -> (collocations _),
+    "q249_vocab_growth"  -> (vocabGrowth _),
+    "q250_mad_anomalies" -> (madAnomalies _),
+    "q251_benford"       -> (benford _))
+
+  val oracles: Map[String, String] = Map(
+    "q246_mann_whitney"  -> mannWhitneySql,
+    "q247_theil_sen"     -> theilSenSql,
+    "q248_collocations"  -> collocationsSql,
+    "q249_vocab_growth"  -> vocabGrowthSql,
+    "q250_mad_anomalies" -> madAnomaliesSql,
+    "q251_benford"       -> benfordSql)
+}
