@@ -497,6 +497,88 @@ object Advanced {
       |       CAST(SUM(bb) AS BIGINT) AS sum_b
       |FROM c GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  // ---- q253: perceptual-hash image near-dup (banded Hamming LSH) -----
+  // Image dedup by content, not bytes: each planted BMP is reduced to
+  // a 64-bit aHash decoded from its REAL pixel bytes
+  // (Multimodal.imagePHash), packed as 4×16-bit bands. Candidate pairs
+  // come from a BANDED self-join (pairs sharing any band value) — the
+  // SimHash/Hamming-LSH pattern applied to images, never the all-pairs
+  // square — then the exact Hamming distance (≤ 3) is computed from
+  // xor popcounts. Pigeonhole makes the banding LOSSLESS at this
+  // radius: Hamming ≤ 3 can corrupt at most 3 of the 4 bands, so one
+  // must match. The fixture plants true duplicate content (ids ≡ mod
+  // 192 share dims and therefore the exact pixel pattern), and the
+  // oracle recomputes every hash arithmetically from the closed-form
+  // pattern and checks ALL pairs definitionally. Output: pair count +
+  // deterministic min witness per Hamming distance.
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir) // fixed 500-doc fixture
+    val ph = Multimodal.imagePHash(Multimodal.plantedMediaAssets(docs, "doc_id"))
+      .select("asset_id", "b0", "b1", "b2", "b3")
+      .localCheckpoint(true) // feeds the band explode + both pair sides
+    val bands = ph.select(col("asset_id"), explode(array(
+        struct(lit(0).as("k"), col("b0").as("bv")),
+        struct(lit(1).as("k"), col("b1").as("bv")),
+        struct(lit(2).as("k"), col("b2").as("bv")),
+        struct(lit(3).as("k"), col("b3").as("bv")))).as("band"))
+      .select(col("asset_id"), col("band.k").as("k"), col("band.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ph.select(col("asset_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "id_a")
+      .join(ph.select(col("asset_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "id_b")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1)" +
+          " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("id_a") * 1000000 + col("id_b")).as("min_pair"))
+      .orderBy("hamming")
+  }
+
+  val phashNearDupSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id * 7 % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |g AS (SELECT asset_id, r.p AS p,
+      |        (r.p % 8) * w // 8 AS sx, (r.p // 8) * h // 8 AS sy
+      |      FROM b, range(0, 64) r(p)),
+      |v AS (SELECT asset_id, p,
+      |        (sx * 31 + sy * 17) % 256 + (sx * 13 + sy * 7 + 1) % 256
+      |          + (sx * 5 + sy * 3 + 2) % 256 AS gray
+      |      FROM g),
+      |s AS (SELECT asset_id, SUM(gray) AS gsum FROM v GROUP BY 1),
+      |bits AS (SELECT v.asset_id, v.p,
+      |           CASE WHEN v.gray * 64 > s.gsum THEN 1 ELSE 0 END AS bit
+      |         FROM v JOIN s ON v.asset_id = s.asset_id),
+      |hx AS (SELECT asset_id,
+      |    CAST(SUM(CASE WHEN p // 16 = 0 THEN bit << (p % 16) ELSE 0 END)
+      |      AS BIGINT) AS b0,
+      |    CAST(SUM(CASE WHEN p // 16 = 1 THEN bit << (p % 16) ELSE 0 END)
+      |      AS BIGINT) AS b1,
+      |    CAST(SUM(CASE WHEN p // 16 = 2 THEN bit << (p % 16) ELSE 0 END)
+      |      AS BIGINT) AS b2,
+      |    CAST(SUM(CASE WHEN p // 16 = 3 THEN bit << (p % 16) ELSE 0 END)
+      |      AS BIGINT) AS b3
+      |  FROM bits GROUP BY 1),
+      |pr AS (SELECT a.asset_id AS id_a, c.asset_id AS id_b,
+      |         bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+      |           + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3))
+      |           AS hamming
+      |       FROM hx a JOIN hx c ON a.asset_id < c.asset_id)
+      |SELECT CAST(hamming AS BIGINT) AS hamming,
+      |       COUNT(*) AS n_pairs,
+      |       MIN(id_a * 1000000 + id_b) AS min_pair
+      |FROM pr WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q128: exactly-once epoch sink round trip ----------------------
   // The events stream drains through the idempotent foreachBatch sink
   // (StreamOps.epochUpsert: epoch-partitioned dynamic overwrite), then
@@ -1553,6 +1635,7 @@ object Advanced {
     "q212_vacuum" -> (vacuumOrphans _),
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
+    "q253_phash_neardup" -> (phashNearDup _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
     "q129_session_window" -> (sessionWindowStats _),
     "q119_stream_stream_join" ->
@@ -1605,6 +1688,7 @@ object Advanced {
     "q212_vacuum" -> vacuumOrphansSql,
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
+    "q253_phash_neardup" -> phashNearDupSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events

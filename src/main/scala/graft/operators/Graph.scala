@@ -205,6 +205,17 @@ object Graph {
     * drives, so the test exercises THIS code, not a copy). */
   def trianglesFromEdges(edges0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint(true) // consumed 4x below
+    val triangles = closedWedges(edges)
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Degree-ordered wedge enumeration + closure — the shared core of
+    * q96 (global count) and q252 (per-node coefficients). Input MUST be
+    * an id-ordered (u < v) undirected edge list, already checkpointed;
+    * output is one row per triangle as (s, x, y) with s the wedge apex
+    * and x < y its closing edge (each triangle appears exactly once). */
+  private def closedWedges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -220,27 +231,29 @@ object Graph {
       .select(col("e.s").as("s"), col("e.t").as("t"))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("x"), col("e2.t").as("y"))
+      .select(col("e1.s").as("s"), col("e1.t").as("x"), col("e2.t").as("y"))
     // close each wedge against the id-ordered undirected edge list —
     // wedges emit x < y, so this is a pure equality join (an OR over
     // both orientations would forfeit the hash join)
-    val triangles = wedges.join(edges,
-      col("x") === col("u") && col("y") === col("v"))
-    edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+    wedges.join(edges, col("x") === col("u") && col("y") === col("v"))
+      .select(col("s"), col("x"), col("y"))
   }
 
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q96/q252 graph: distinct undirected co-purchase edges from
+    * the deterministic 1-in-10 order subset (id-ordered u < v). */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") % 10 === 0)
       .select("l_orderkey", "l_partkey").distinct()
-    val edges = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    trianglesFromEdges(edges)
   }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    trianglesFromEdges(coPurchaseEdges(spark, dir))
 
   val triangleCountSql: String =
     """WITH li AS (
@@ -254,6 +267,71 @@ object Graph {
       |    ON e3.u = e1.u AND e3.v = e2.v)
       |SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
       |       CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles""".stripMargin
+
+  // ---- q252: local clustering coefficient distribution ----------------
+  // Per-node clustering coefficient on the co-purchase graph:
+  // lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — how close
+  // each node's neighborhood is to a clique (Watts & Strogatz 1998,
+  // public literature). Per-node triangle counts come from the SAME
+  // degree-ordered closed-wedge enumeration as q96 (each triangle
+  // lands once as (s,x,y); exploding its three nodes and grouping
+  // gives tri(v) with oriented-out-degree-bounded fan-out, never the
+  // hub-quadratic neighborhood join). The coefficient is quantized to
+  // ppm by integer div and the output is the decile histogram of the
+  // lcc distribution plus per-bucket triangle mass — the corpus-sized
+  // summary a graph-health dashboard tracks; both engines bucket the
+  // identical integers.
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    lccFromEdges(coPurchaseEdges(spark, dir))
+
+  /** Core over an id-ordered (u < v) undirected edge list — factored so
+    * the spec can drive planted graphs (clique lcc=1, star lcc=0)
+    * through THIS code. */
+  private[graft] def lccFromEdges(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true) // consumed by deg + wedges
+    val tri = closedWedges(edges)
+      .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("lcc_ppm",
+        expr("cast(2 * tri as decimal(38,0)) * 1000000" +
+          " div (deg * (deg - 1))").cast("long"))
+      .groupBy(expr("lcc_ppm * 10 div 1000000").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_nodes"), sum("tri").as("sum_tri"))
+      .orderBy("decile")
+  }
+
+  val clusteringCoeffSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 10 = 0),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                     AND a.l_partkey < b.l_partkey),
+      |tri3 AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u JOIN edges e3
+      |    ON e3.u = e1.u AND e3.v = e2.v),
+      |tn AS (SELECT node, COUNT(*) AS tri FROM
+      |         (SELECT unnest([a, b, c]) AS node FROM tri3) GROUP BY 1),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |          (SELECT u AS node FROM edges
+      |           UNION ALL SELECT v FROM edges) GROUP BY 1),
+      |lcc AS (SELECT CAST(CAST(2 * COALESCE(tn.tri, 0) AS HUGEINT)
+      |                 * 1000000 // (deg.deg * (deg.deg - 1)) AS BIGINT)
+      |          AS lcc_ppm, COALESCE(tn.tri, 0) AS tri
+      |        FROM deg LEFT JOIN tn ON deg.node = tn.node
+      |        WHERE deg.deg >= 2)
+      |SELECT CAST(lcc_ppm * 10 // 1000000 AS BIGINT) AS decile,
+      |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |       CAST(SUM(tri) AS BIGINT) AS sum_tri
+      |FROM lcc GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q106: frequent co-occurrence mining (market-basket pairwise
     * support): top-k part pairs by the number of orders containing
@@ -819,6 +897,7 @@ object Graph {
     "q177_chain_cc"             -> (chainComponents _),
     "q179_pagerank_bucketed"    -> (pageRankBucketed _),
     "q96_triangle_count"        -> (triangleCount _),
+    "q252_clustering_coeff"     -> (clusteringCoeff _),
     "q146_pagerank"             -> (pageRank _),
     "q106_basket_pairs"         -> (basketPairs _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
@@ -833,6 +912,7 @@ object Graph {
     "q177_chain_cc"             -> chainComponentsSql,
     "q179_pagerank_bucketed"    -> pageRankSql,
     "q96_triangle_count"        -> triangleCountSql,
+    "q252_clustering_coeff"     -> clusteringCoeffSql,
     "q146_pagerank"             -> pageRankSql,
     "q106_basket_pairs"         -> basketPairsSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,

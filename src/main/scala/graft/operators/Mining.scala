@@ -1148,7 +1148,104 @@ object Mining {
       |         AS overlap_ppm
       |FROM h, n GROUP BY n1, n2""".stripMargin
 
+  // ---- q258: smoothed target encoding (category -> label rate) -------
+  // The classic ML feature-engineering primitive: replace a categorical
+  // column by the smoothed empirical rate of a binary label,
+  // enc = (Σy + m·prior)/(n + m) with m pseudo-observations of the
+  // global prior (the standard mean-encoding regularization; m = 20).
+  // Everything is counts, so the ppm channel is exact: prior_ppm =
+  // ΣY·10⁶ div N first, then enc_ppm = (Σy·10⁶ + m·prior_ppm) div
+  // (n + m) — the same two-step quantization in both engines, so the
+  // truncated integers agree bit-for-bit. Label: order ever finished
+  // (o_orderstatus = 'F'); category: o_orderpriority.
+  //
+  // Shape at scale: one grouped count over orders + a broadcast 1-row
+  // prior — a map-side-combine aggregate, no extra shuffle.
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame =
+    targetEncodingOf(Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("cat"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y")))
+
+  /** Core over (cat, y∈{0,1}) rows — factored so the spec can plant a
+    * pure category (rate 1) and check the shrinkage toward the prior. */
+  private[graft] def targetEncodingOf(t: DataFrame): DataFrame = {
+    val m = 20L
+    val g = t.groupBy("cat").agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    val prior = g.agg(
+      expr("cast(sum(sum_y) as decimal(38,0)) * 1000000 div sum(n)")
+        .cast("long").as("prior_ppm"))
+    g.crossJoin(broadcast(prior))
+      .select(col("cat"), col("n"), col("sum_y"), col("prior_ppm"),
+        expr(s"cast((cast(sum_y as decimal(38,0)) * 1000000 + $m * prior_ppm)" +
+          s" div (n + $m) as bigint)").as("enc_ppm"))
+      .orderBy("cat")
+  }
+
+  val targetEncodingSql: String =
+    """WITH t AS (SELECT o_orderpriority AS cat,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+      |g AS (SELECT cat, COUNT(*) AS n, SUM(y) AS sum_y FROM t GROUP BY 1),
+      |p AS (SELECT CAST(CAST(SUM(sum_y) AS HUGEINT) * 1000000 // SUM(n)
+      |        AS BIGINT) AS prior_ppm FROM g)
+      |SELECT cat, CAST(n AS BIGINT) AS n, CAST(sum_y AS BIGINT) AS sum_y,
+      |       prior_ppm,
+      |       CAST((CAST(sum_y AS HUGEINT) * 1000000 + 20 * prior_ppm)
+      |            // (n + 20) AS BIGINT) AS enc_ppm
+      |FROM g, p ORDER BY cat""".stripMargin
+
+  // ---- q259: largest-remainder mixture quota --------------------------
+  // Allocating an exact sample budget across sources proportionally:
+  // Hamilton / largest-remainder apportionment (public civics-math
+  // literature) — base_s = c_s·K div N seats, then the K − Σbase
+  // leftover seats go to the largest remainders c_s·K mod N (ties by
+  // source name, so the allocation is deterministic). Unlike q221's
+  // IPF (which reweights toward target MARGINALS), this turns observed
+  // shares into an exact integer head-count that sums to K — the
+  // "sample exactly 10,000 docs, fairly" primitive a mixture planner
+  // executes after deciding the shares. Everything is integer
+  // arithmetic on grouped counts; the rank runs on the |sources| frame.
+  def mixtureQuota(spark: SparkSession, dir: String): DataFrame =
+    mixtureQuotaOf(
+      Tables.documents(spark, dir).select(col("source")), 10000L)
+
+  /** Core over (source) rows — factored so the spec can assert ΣK
+    * exactness and the worst-case one-seat rounding bound. */
+  private[graft] def mixtureQuotaOf(t: DataFrame, k: Long): DataFrame = {
+    val c = t.groupBy("source").agg(count(lit(1)).as("c"))
+    val n = c.agg(sum("c").as("n"), count(lit(1)).as("n_sources"))
+    val based = c.crossJoin(broadcast(n))
+      .withColumn("base", expr(s"cast(c as decimal(38,0)) * $k div n").cast("long"))
+      .withColumn("rem", expr(s"cast(c as decimal(38,0)) * $k - cast(base as decimal(38,0)) * n").cast("long"))
+    val leftover = based.agg((lit(k) - sum("base")).as("l"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("extra", when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select(col("source"), col("c"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("quota"))
+      .orderBy("source")
+  }
+
+  val mixtureQuotaSql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM c),
+      |b AS (SELECT source, c,
+      |        CAST(CAST(c AS HUGEINT) * 10000 // n AS BIGINT) AS base,
+      |        CAST(CAST(c AS HUGEINT) * 10000
+      |             - (CAST(c AS HUGEINT) * 10000 // n) * n AS BIGINT) AS rem
+      |      FROM c, n),
+      |l AS (SELECT 10000 - SUM(base) AS l FROM b),
+      |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |      FROM b)
+      |SELECT source, CAST(c AS BIGINT) AS c, base,
+      |       CAST(CASE WHEN rk <= l.l THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |       CAST(base + CASE WHEN rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
+      |         AS quota
+      |FROM r, l ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_target_encoding"  -> (targetEncoding _),
+    "q259_mixture_quota"    -> (mixtureQuota _),
     "q218_weighted_jaccard" -> (weightedJaccard _),
     "q219_url_host_stats"   -> (urlHostStats _),
     "q220_annotator_kappa"  -> (annotatorKappa _),
@@ -1169,6 +1266,8 @@ object Mining {
     "q244_histogram_overlap" -> (histogramOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "q258_target_encoding"  -> targetEncodingSql,
+    "q259_mixture_quota"    -> mixtureQuotaSql,
     "q218_weighted_jaccard" -> weightedJaccardSql,
     "q219_url_host_stats"   -> urlHostStatsSql,
     "q220_annotator_kappa"  -> annotatorKappaSql,

@@ -256,6 +256,51 @@ object Multimodal {
         channel(2).as("sum_r"), channel(1).as("sum_g"), channel(0).as("sum_b"))
   }
 
+  /** Perceptual average-hash (aHash) per image, decoded from the raw
+    * BMP bytes: an 8×8 grid samples pixel (gx·w div 8, gy·h div 8)
+    * (the q127 nearest-neighbor addressing generalized to a fixed
+    * output size), gray = B+G+R, and bit p is set when
+    * 64·gray(p) > Σgray — the mean compare cross-multiplied so no
+    * division ever truncates. The 64 bits are packed as FOUR 16-bit
+    * band integers (b0..b3) rather than one signed 64-bit value: the
+    * bands double as the Hamming-LSH blocking key (pigeonhole: any two
+    * hashes within Hamming distance 3 agree on at least one of 4
+    * bands), and nothing ever touches the int64 sign bit. Pure Column
+    * expressions — at scale this is a projection over the binary scan,
+    * the fingerprint step before any banded image-dedup join. */
+  def imagePHash(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    val w = leUInt(c, 19, 4)
+    // signed biHeight + positive-dims filter: see imageStats
+    val h = leSInt32(c, 23)
+    val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    def band(k: Int): Column = aggregate(
+      // accumulate the band's 16 bits most-significant-first:
+      // acc·2 + bit walks p from bit 15 down to bit 0
+      sequence(lit(k * 16L + 15L), lit(k * 16L), lit(-1L)),
+      lit(0L),
+      (acc, p) => acc * 2 +
+        when(element_at(col("grays"), (p + 1).cast("int")) * 64 >
+          col("gsum"), 1L).otherwise(0L))
+    assets
+      .filter(sniffKind(c) === "bmp" && length(c) >= 54)
+      .withColumn("w", w).withColumn("h", h)
+      .filter(col("w") > 0 && col("h") > 0)
+      .withColumn("rb", rowBytes)
+      .withColumn("grays", transform(sequence(lit(0L), lit(63L)), p => {
+        val gx = pmod(p, lit(8L))
+        val gy = ((p - gx) / 8).cast("long")
+        val sx = floor(gx * col("w") / 8).cast("long")
+        val sy = floor(gy * col("h") / 8).cast("long")
+        val off = lit(55L) + sy * col("rb") + sx * 3L
+        byteAt(c, off) + byteAt(c, off + 1) + byteAt(c, off + 2)
+      }))
+      .withColumn("gsum", aggregate(col("grays"), lit(0L), (a, v) => a + v))
+      .select(col("asset_id"), col("w"), col("h"),
+        band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3"))
+  }
+
   /** Planted media assets for the q52 oracle: each id becomes a REAL
     * BMP (even ids) or WAV (odd ids) whose header fields derive from
     * the id by fixed formulas — the fixture side; generation is

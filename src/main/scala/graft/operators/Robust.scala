@@ -372,13 +372,368 @@ object Robust {
       |FROM exp LEFT JOIN o ON exp.digit = o.digit, n
       |ORDER BY 1""".stripMargin
 
+  // ---- q254: CUSUM changepoint scan over daily event volume ----------
+  // The sequential drift detector beside q250's MAD spike screen: MAD
+  // flags single outlier days, CUSUM accumulates SMALL sustained
+  // shifts that no single day trips. The textbook recurrence
+  // S_t = max(0, S_{t-1} + (x_t − k)) has the closed form
+  // S_t = P_t − min_{j≤t} P_j with P_t = Σ_{i≤t}(x_i − k) — a running
+  // sum and a running min, so both engines compute it as two window
+  // scans with NO recursion (and at scale it stays one sort-free pass
+  // over the pre-aggregated |days| frame). The reference level k is
+  // the positional lower median of the daily counts (q250's rank
+  // ceil(n/2) discipline); the downward scan is the mirror
+  // max_{j≤t} P_j − P_t. All integers end to end.
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows — factored so the spec can plant
+    * a level shift (CUSUM ramps; MAD stays silent) and a pure spike. */
+  private[graft] def cusumOf(t: DataFrame): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the median pick and the scan
+    val med = d.withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("cnt").as("k"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(med))
+      .withColumn("p", sum(col("cnt") - col("k")).over(w))
+      .withColumn("cusum_up", col("p") - min("p").over(w))
+      .withColumn("cusum_down", max("p").over(w) - col("p"))
+      .select(col("day"), col("cnt"), col("k"),
+        col("cusum_up"), col("cusum_down"))
+      .orderBy("day")
+  }
+
+  val cusumSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |m AS (SELECT cnt AS k FROM
+      |        (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+      |                COUNT(*) OVER () AS n FROM d)
+      |      WHERE rn = (n + 1) // 2),
+      |p AS (SELECT day, cnt, k,
+      |        SUM(cnt - k) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |      FROM d, m)
+      |SELECT day, CAST(cnt AS BIGINT) AS cnt, CAST(k AS BIGINT) AS k,
+      |       CAST(p - MIN(p) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cusum_up,
+      |       CAST(MAX(p) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - p
+      |         AS BIGINT) AS cusum_down
+      |FROM p ORDER BY day""".stripMargin
+
+  // ---- q255: Spearman rank correlation of two daily series -----------
+  // Rank correlation between the click and view daily volumes — the
+  // robust dependence measure beside q239's moment panel: monotone
+  // but curved co-movement scores the same as linear. Ranks use the
+  // q246 doubled-midrank trick (2·midrank = 2B + c + 1 is always
+  // integral, exact under ties); Pearson-on-doubled-ranks needs a
+  // square root, so the channel carries sign(num)·num²·10⁶ div
+  // (d1·d2) = the SIGNED SQUARED correlation in ppm — exact in
+  // DECIMAL(38,0), no float ever materializes. Days missing a series
+  // count as 0 (the day frame is the union of observed days).
+  def spearmanDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day"),
+        col("event_type"))
+    spearmanOf(e.filter(col("event_type") === "click").select("day"),
+      e.filter(col("event_type") === "view").select("day"))
+  }
+
+  /** Core over two (day) observation streams — factored so the spec
+    * can plant perfectly concordant (rho²=1, sign +), reversed
+    * (sign −) and shuffled series. */
+  private[graft] def spearmanOf(ta: DataFrame, tb: DataFrame): DataFrame = {
+    val a = ta.groupBy("day").agg(count(lit(1)).as("ca"))
+    val b = tb.groupBy("day").agg(count(lit(1)).as("cb"))
+    val d = a.join(b, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // doubled midrank per series: 2B + c + 1 via RANGE frames on the
+    // value (B = strictly-smaller count, c = tie-group size)
+    def rank2(c: String, out: String) = {
+      val smaller = Window.orderBy(col(c))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val equal = Window.orderBy(col(c)).rangeBetween(0, 0)
+      (df: DataFrame) => df.withColumn(out,
+        lit(2) * count(lit(1)).over(smaller) + count(lit(1)).over(equal) + 1)
+    }
+    val r = rank2("ca", "u")(rank2("cb", "v")(d))
+    r.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("u").cast("decimal(38,0)") * col("v")).as("suv"),
+        sum(col("u").cast("decimal(38,0)")).as("su"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(col("u").cast("decimal(38,0)") * col("u")).as("suu"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      .select(col("n").cast("long").as("n_days"),
+        (col("n") * col("suv") - col("su") * col("sv")).as("num"),
+        (col("n") * col("suu") - col("su") * col("su")).as("d1"),
+        (col("n") * col("svv") - col("sv") * col("sv")).as("d2"))
+      .select(col("n_days"), col("num").cast("long").as("num"),
+        col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+        (signum(col("num")).cast("long") *
+          expr("cast(num as decimal(38,0)) * num * 1000000 div (d1 * d2)")
+            .cast("long")).as("rho2_ppm"))
+  }
+
+  val spearmanDailySql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  event_type FROM events),
+      |a AS (SELECT day, COUNT(*) AS ca FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |b AS (SELECT day, COUNT(*) AS cb FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |d AS (SELECT COALESCE(a.day, b.day) AS day,
+      |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |      FROM a FULL OUTER JOIN b ON a.day = b.day),
+      |r AS (SELECT
+      |    2 * COUNT(*) OVER (ORDER BY ca
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      + COUNT(*) OVER (ORDER BY ca RANGE BETWEEN CURRENT ROW
+      |          AND CURRENT ROW) + 1 AS u,
+      |    2 * COUNT(*) OVER (ORDER BY cb
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      + COUNT(*) OVER (ORDER BY cb RANGE BETWEEN CURRENT ROW
+      |          AND CURRENT ROW) + 1 AS v
+      |  FROM d),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |             SUM(CAST(u AS HUGEINT) * v) AS suv,
+      |             SUM(CAST(u AS HUGEINT)) AS su,
+      |             SUM(CAST(v AS HUGEINT)) AS sv,
+      |             SUM(CAST(u AS HUGEINT) * u) AS suu,
+      |             SUM(CAST(v AS HUGEINT) * v) AS svv FROM r),
+      |f AS (SELECT CAST(n AS BIGINT) AS n_days,
+      |             n * suv - su * sv AS num,
+      |             n * suu - su * su AS d1,
+      |             n * svv - sv * sv AS d2 FROM s)
+      |SELECT n_days, CAST(num AS BIGINT) AS num, CAST(d1 AS BIGINT) AS d1,
+      |       CAST(d2 AS BIGINT) AS d2,
+      |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+      |            * (num * num * 1000000 // (d1 * d2)) AS BIGINT) AS rho2_ppm
+      |FROM f""".stripMargin
+
+  // ---- q256: Goodman–Kruskal lambda (lang predictability from source) -
+  // The log-free categorical association measure: how much better a
+  // modal guess of `lang` gets once `source` is known, λ =
+  // (Σ_s max_l n_sl − max_l n_l) / (n − max_l n_l) — proportional
+  // reduction in prediction error (Goodman & Kruskal 1954, public
+  // literature). Every term is a COUNT, so unlike mutual information
+  // there is no log and the ppm channel is exact; numerator and
+  // denominator are non-negative, so plain integer div has one
+  // truncation direction in both engines.
+  def gkLambda(spark: SparkSession, dir: String): DataFrame =
+    gkLambdaOf(Tables.documents(spark, dir).select("source", "lang"))
+
+  /** Core over (source, lang) rows — factored so the spec can plant
+    * perfect prediction (λ=1) and independence (λ=0). */
+  private[graft] def gkLambdaOf(t: DataFrame): DataFrame = {
+    val cell = t.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds per-source maxima AND the margins
+    val perSrc = cell.groupBy("source").agg(max("c").as("mx"))
+      .agg(sum("mx").as("sum_max"))
+    val marg = cell.groupBy("lang").agg(sum("c").as("m"))
+      .agg(max("m").as("max_marg"))
+    val n = cell.agg(sum("c").as("n"))
+    n.crossJoin(broadcast(perSrc)).crossJoin(broadcast(marg))
+      .select(col("n"), col("sum_max"), col("max_marg"),
+        expr("cast((sum_max - max_marg) as decimal(38,0)) * 1000000" +
+          " div (n - max_marg)").cast("long").as("lambda_ppm"))
+  }
+
+  val gkLambdaSql: String =
+    """WITH cell AS (SELECT source, lang, COUNT(*) AS c
+      |              FROM documents GROUP BY 1, 2),
+      |s AS (SELECT SUM(mx) AS sum_max FROM
+      |        (SELECT source, MAX(c) AS mx FROM cell GROUP BY 1)),
+      |m AS (SELECT MAX(m) AS max_marg FROM
+      |        (SELECT lang, SUM(c) AS m FROM cell GROUP BY 1)),
+      |n AS (SELECT SUM(c) AS n FROM cell)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(sum_max AS BIGINT) AS sum_max,
+      |       CAST(max_marg AS BIGINT) AS max_marg,
+      |       CAST(CAST(sum_max - max_marg AS HUGEINT) * 1000000
+      |            // (n - max_marg) AS BIGINT) AS lambda_ppm
+      |FROM n, s, m""".stripMargin
+
+  // ---- q257: Fano-factor burstiness per event type --------------------
+  // Variance-to-mean ratio of the daily arrival counts, the standard
+  // burstiness index: a Poisson-like feed sits near F=1, a bursty one
+  // far above. With x̄ = Σx/n and s² = (nΣx² − (Σx)²)/(n(n−1)),
+  // F = s²/x̄ = (nΣx² − (Σx)²)/((n−1)·Σx) — one division at the end,
+  // everything before it integer. The day frame is the full observed
+  // day × type grid (missing combinations count 0, so every type is
+  // scored over the SAME n days).
+  def fanoBurstiness(spark: SparkSession, dir: String): DataFrame =
+    fanoOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day"),
+        col("event_type")))
+
+  /** Core over (day, event_type) rows — factored so the spec can plant
+    * a constant feed (F=0) and an all-in-one-day burst (F=n·x̄ scale). */
+  private[graft] def fanoOf(t: DataFrame): DataFrame = {
+    val cnt = t.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the grid join and the day frame
+    val days = cnt.select("day").distinct()
+    val types = cnt.select("event_type").distinct()
+    val grid = types.crossJoin(days) // |types|·|days| — a metadata frame
+      .join(cnt, Seq("event_type", "day"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("sum_c"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sum_c2"))
+      .select(col("event_type"), col("n_days"), col("sum_c"),
+        expr("cast((n_days * sum_c2 - cast(sum_c as decimal(38,0)) * sum_c)" +
+          " * 1000000 div ((n_days - 1) * cast(sum_c as decimal(38,0)))" +
+          " as bigint)").as("fano_ppm"))
+      .orderBy("event_type")
+  }
+
+  val fanoBurstinessSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  event_type FROM events),
+      |cnt AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+      |         FROM (SELECT DISTINCT event_type FROM cnt) t
+      |         CROSS JOIN (SELECT DISTINCT day FROM cnt) d
+      |         LEFT JOIN cnt c ON c.event_type = t.event_type
+      |                        AND c.day = d.day),
+      |s AS (SELECT event_type, COUNT(*) AS n_days, SUM(c) AS sum_c,
+      |             SUM(CAST(c AS HUGEINT) * c) AS sum_c2
+      |      FROM grid GROUP BY 1)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(sum_c AS BIGINT) AS sum_c,
+      |       CAST((n_days * sum_c2 - CAST(sum_c AS HUGEINT) * sum_c)
+      |            * 1000000 // ((n_days - 1) * CAST(sum_c AS HUGEINT))
+      |            AS BIGINT) AS fano_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ---- q260: day-of-week seasonality profile --------------------------
+  // The weekday fingerprint of the event feed: per weekday, the
+  // positional lower median of that weekday's daily totals, plus the
+  // worst deviation day — the profile a seasonality-aware anomaly
+  // gate subtracts before applying q250/q254. The weekday comes from
+  // pure integer arithmetic on the epoch day ((day + 4) mod 7, 0 =
+  // Sunday; 1970-01-01 was a Thursday) so neither engine's calendar
+  // functions (with their locale-dependent week starts) ever runs.
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame =
+    dowOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows. */
+  private[graft] def dowOf(t: DataFrame): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7L)))
+      .localCheckpoint(true) // feeds the median pick and the residuals
+    val med = d.withColumn("rn", row_number().over(
+        Window.partitionBy("dow").orderBy(col("cnt"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dow")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("dow"), col("cnt").as("med"), col("n").as("n_days"))
+    d.join(broadcast(med), "dow")
+      .withColumn("resid", abs(col("cnt") - col("med")))
+      .groupBy("dow", "med", "n_days")
+      .agg(max("resid").as("max_resid"))
+      .orderBy("dow")
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt, (day + 4) % 7 AS dow
+      |      FROM e GROUP BY 1),
+      |m AS (SELECT dow, cnt AS med, n AS n_days FROM
+      |        (SELECT dow, cnt, day,
+      |                ROW_NUMBER() OVER (PARTITION BY dow
+      |                  ORDER BY cnt, day) AS rn,
+      |                COUNT(*) OVER (PARTITION BY dow) AS n FROM d)
+      |      WHERE rn = (n + 1) // 2)
+      |SELECT d.dow, CAST(MAX(m.med) AS BIGINT) AS med,
+      |       CAST(MAX(m.n_days) AS BIGINT) AS n_days,
+      |       CAST(MAX(abs(d.cnt - m.med)) AS BIGINT) AS max_resid
+      |FROM d JOIN m ON d.dow = m.dow
+      |GROUP BY d.dow ORDER BY d.dow""".stripMargin
+
+  // ---- q261: per-slice AUC (grouped Mann-Whitney) ---------------------
+  // q246's rank-sum AUC computed WITHIN each language slice — the
+  // fairness/segment audit pattern: a global AUC of 0.5 can hide a
+  // src1-longer-in-German, src2-longer-in-French cancellation that a
+  // per-slice breakdown exposes. Same doubled-midrank integer channel,
+  // with every window PARTITIONED by the slice key — at scale the
+  // slices rank in parallel after one grouped aggregate (the window
+  // runs on the |slice × distinct-length| frame, never documents).
+  // Slices missing either source are dropped (AUC undefined).
+  def aucBySlice(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    aucBySliceOf(Tables.documents(spark, dir)
+      .filter(col("source").isin("src1", "src2"))
+      .select(col("lang").as("slice"), col("source"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("tc")))
+  }
+
+  /** Core over (slice, source ∈ {src1,src2}, tc) rows. */
+  private[graft] def aucBySliceOf(t: DataFrame): DataFrame = {
+    val v = t.groupBy("slice", "tc").agg(
+      sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("slice").orderBy("tc")
+    v.withColumn("c", col("c1") + col("c2"))
+      .withColumn("cum", sum("c").over(w))
+      .groupBy("slice")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum((col("c1").cast("decimal(38,0)")) *
+          (lit(2) * (col("cum") - col("c")) + col("c") + lit(1))).as("r2x"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("slice"), col("n1"), col("n2"),
+        (col("r2x") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+          .cast("decimal(38,0)").as("u2x"))
+      .select(col("slice"), col("n1"), col("n2"),
+        expr("cast(u2x * 1000000 div (2 * cast(n1 as decimal(38,0)) * n2) as bigint)")
+          .as("auc_ppm"))
+      .orderBy("slice")
+  }
+
+  val aucBySliceSql: String =
+    """WITH t AS (SELECT lang AS slice, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE source IN ('src1', 'src2')),
+      |v AS (SELECT slice, tc,
+      |        SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1,
+      |        SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c2
+      |      FROM t GROUP BY 1, 2),
+      |w AS (SELECT slice, c1, c2, c1 + c2 AS c,
+      |             SUM(c1 + c2) OVER (PARTITION BY slice ORDER BY tc) AS cum
+      |      FROM v),
+      |r AS (SELECT slice, SUM(c1) AS n1, SUM(c2) AS n2,
+      |             SUM(CAST(c1 AS HUGEINT) * (2 * (cum - c) + c + 1)) AS r2x
+      |      FROM w GROUP BY 1)
+      |SELECT slice, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST((r2x - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+      |            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+      |FROM r WHERE n1 > 0 AND n2 > 0 ORDER BY slice""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_mann_whitney"  -> (mannWhitney _),
     "q247_theil_sen"     -> (theilSen _),
     "q248_collocations"  -> (collocations _),
     "q249_vocab_growth"  -> (vocabGrowth _),
     "q250_mad_anomalies" -> (madAnomalies _),
-    "q251_benford"       -> (benford _))
+    "q251_benford"       -> (benford _),
+    "q254_cusum_changepoint" -> (cusum _),
+    "q255_spearman_daily"    -> (spearmanDaily _),
+    "q256_gk_lambda"         -> (gkLambda _),
+    "q257_fano_burstiness"   -> (fanoBurstiness _),
+    "q260_dow_seasonality"   -> (dowSeasonality _),
+    "q261_auc_by_slice"      -> (aucBySlice _))
 
   val oracles: Map[String, String] = Map(
     "q246_mann_whitney"  -> mannWhitneySql,
@@ -386,5 +741,11 @@ object Robust {
     "q248_collocations"  -> collocationsSql,
     "q249_vocab_growth"  -> vocabGrowthSql,
     "q250_mad_anomalies" -> madAnomaliesSql,
-    "q251_benford"       -> benfordSql)
+    "q251_benford"       -> benfordSql,
+    "q254_cusum_changepoint" -> cusumSql,
+    "q255_spearman_daily"    -> spearmanDailySql,
+    "q256_gk_lambda"         -> gkLambdaSql,
+    "q257_fano_burstiness"   -> fanoBurstinessSql,
+    "q260_dow_seasonality"   -> dowSeasonalitySql,
+    "q261_auc_by_slice"      -> aucBySliceSql)
 }

@@ -35,6 +35,27 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(1) === 4L)
   }
 
+  test("lccFromEdges: clique saturates at 1e6, star at 0, pendant truncates") {
+    // K4: every node lcc = 1 -> single decile-10 bucket, tri mass 4·3
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("u", "v")
+    assert(Graph.lccFromEdges(k4).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10L, 4L, 12L)))
+    // star: only the center has deg >= 2, zero triangles -> decile 0
+    val star = (1L to 5L).map(l => (0L, l)).toDF("u", "v")
+    assert(Graph.lccFromEdges(star).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 0L)))
+    // triangle {1,2,3} + pendant 4 on node 1: node 1 has deg 3, tri 1
+    // -> lcc 1/3 -> 333333 ppm -> decile 3 (integer truncation);
+    // nodes 2,3 have deg 2, tri 1 -> decile 10; node 4 deg 1 excluded
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    assert(Graph.lccFromEdges(tp).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((3L, 1L, 1L), (10L, 2L, 2L)))
+  }
+
   test("spikeDays: every flagged day beats 9/8 of its trailing mean") {
     val rows = Temporal.spikeDays(spark, sf).collect()
     rows.foreach { r =>

@@ -117,4 +117,49 @@ class MediaDecodeSpec extends SparkSpec {
     assert(row.getLong(1) === 20L)
     assert((row.getLong(2), row.getLong(3), row.getLong(4)) === ((sr, sg, sb)))
   }
+
+  test("imagePHash: bands equal an aHash computed from ImageIO's decode") {
+    import spark.implicits._
+    // distinct shapes incl. sub-8x8 (cells repeat pixels) and padded rows
+    for ((w, h) <- Seq((37, 21), (5, 4), (64, 48), (8, 8))) {
+      val bytes = MediaFixture.bmp(w, h)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      // independent aHash: ImageIO row 0 is the TOP of the bottom-up
+      // bitmap, so file row sy maps to ImageIO row h-1-sy
+      val grays = (0 until 64).map { p =>
+        val gx = p % 8; val gy = p / 8
+        val sx = gx * w / 8; val sy = gy * h / 8
+        val rgb = img.getRGB(sx, h - 1 - sy)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+      }
+      val gsum = grays.sum
+      val expect = (0 until 4).map { k =>
+        (15 to 0 by -1).foldLeft(0L) { (acc, i) =>
+          acc * 2 + (if (grays(k * 16 + i) * 64 > gsum) 1L else 0L) }
+      }
+      val row = graft.operators.Multimodal.imagePHash(
+        Seq((1L, bytes)).toDF("asset_id", "content")).collect().head
+      assert((row.getAs[Long]("w"), row.getAs[Long]("h")) === ((w.toLong, h.toLong)))
+      val got = Seq(row.getAs[Long]("b0"), row.getAs[Long]("b1"),
+        row.getAs[Long]("b2"), row.getAs[Long]("b3"))
+      assert(got === expect, s"aHash mismatch for ${w}x$h")
+    }
+  }
+
+  test("imagePHash: equal dims imply equal hashes across distinct ids") {
+    import spark.implicits._
+    // ids 0 and 192 plant identical 1x1 BMPs; 16 and 208 identical 17x?;
+    // a different-dims control must produce a different hash
+    val ids = Seq(16L, 208L, 20L).toDF("doc_id")
+    val ph = graft.operators.Multimodal.imagePHash(
+      graft.operators.Multimodal.plantedMediaAssets(ids, "doc_id"))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("b0"), r.getAs[Long]("b1"),
+          r.getAs[Long]("b2"), r.getAs[Long]("b3"))).toMap
+    assert(ph(16L) === ph(208L),
+      "identical planted content must fingerprint identically")
+    assert(ph(16L) !== ph(20L),
+      "different dims should not collide on this fixture")
+  }
 }

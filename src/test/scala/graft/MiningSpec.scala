@@ -410,4 +410,35 @@ class MiningSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === adj.view.mapValues(_.size.toLong).toMap)
   }
+
+  test("q258 target encoding: exact shrinkage toward the 50% prior") {
+    // cat A: 10/10 positive, cat B: 0/10 -> prior 500000 ppm;
+    // enc_A = (10·1e6 + 20·5e5) div 30 = 666666, enc_B = 1e7 div 30
+    val t = Seq.fill(10)(("A", 1L)) ++ Seq.fill(10)(("B", 0L))
+    val rows = Mining.targetEncodingOf(t.toDF("cat", "y")).collect()
+    val m = rows.map(r => r.getAs[String]("cat") ->
+      (r.getAs[Long]("prior_ppm"), r.getAs[Long]("enc_ppm"))).toMap
+    assert(m("A") === ((500000L, 666666L)))
+    assert(m("B") === ((500000L, 333333L)))
+    // shrinkage sits strictly between the raw rate and the prior
+    assert(m("A")._2 > 500000L && m("A")._2 < 1000000L)
+  }
+
+  test("q259 mixture quota: seats sum to K and each is within 1 of exact") {
+    val t = Tables.documents(spark, sf).select("source")
+    val rows = Mining.mixtureQuotaOf(t, 10000L).collect()
+    val n = rows.map(_.getAs[Long]("c")).sum
+    assert(rows.map(_.getAs[Long]("quota")).sum === 10000L)
+    rows.foreach { r =>
+      val (c, q) = (r.getAs[Long]("c"), r.getAs[Long]("quota"))
+      // Hamilton bound: |q - c·K/N| < 1  <=>  c·K - N < q·N < c·K + N
+      assert(q * n > c * 10000L - n && q * n < c * 10000L + n,
+        s"${r.getAs[String]("source")}: quota $q off exact share")
+    }
+    // deterministic tie-break: equal counts, leftover to smallest name
+    val tie = Seq("s1", "s2", "s3").flatMap(s => Seq.fill(1)(s))
+    val tr = Mining.mixtureQuotaOf(tie.toDF("source"), 10L).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    assert(tr === Map("s1" -> 4L, "s2" -> 3L, "s3" -> 3L))
+  }
 }

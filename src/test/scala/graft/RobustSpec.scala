@@ -101,4 +101,104 @@ class RobustSpec extends SparkSpec {
         r.getAs[Long]("o_ppm") - r.getAs[Long]("e_ppm"))
     }
   }
+
+  test("q254 CUSUM: hand-computed spike frame matches exactly") {
+    // counts per day: (5,5,8,5,5) -> k = positional median 5,
+    // P = (0,0,3,3,3), up = P - runmin = (0,0,3,3,3), down = runmax - P = 0
+    val days = (0L to 4L).flatMap(d =>
+      Seq.fill(if (d == 2L) 8 else 5)(d))
+    val rows = Robust.cusumOf(days.toDF("day")).collect()
+    assert(rows.map(r => (r.getAs[Long]("day"), r.getAs[Long]("cnt"),
+      r.getAs[Long]("cusum_up"), r.getAs[Long]("cusum_down"))).toSeq ===
+      Seq((0L, 5L, 0L, 0L), (1L, 5L, 0L, 0L), (2L, 8L, 3L, 0L),
+        (3L, 5L, 3L, 0L), (4L, 5L, 3L, 0L)))
+    assert(rows.forall(_.getAs[Long]("k") === 5L))
+  }
+
+  test("q254 CUSUM: sustained small shift ramps while MAD stays silent") {
+    // 20 days alternating 9/11, then 20 days alternating 10/12: every
+    // per-day deviation is within 2 of the median (MAD threshold 5·mad
+    // = 5 never trips), but the +1 mean shift accumulates in CUSUM.
+    val counts = (0 until 20).map(d => if (d % 2 == 0) 9 else 11) ++
+      (20 until 40).map(d => if (d % 2 == 0) 10 else 12)
+    val days = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(d.toLong) }
+    val mad = Robust.madOf(days.toDF("day")).head()
+    assert(mad.getAs[Long]("n_anomalies") === 0L,
+      "MAD flagged the gradual shift — fixture broken")
+    val rows = Robust.cusumOf(days.toDF("day")).collect()
+    val finalUp = rows.maxBy(_.getAs[Long]("day")).getAs[Long]("cusum_up")
+    assert(finalUp >= 15L,
+      s"CUSUM failed to accumulate the sustained shift: $finalUp")
+  }
+
+  test("q255 Spearman: concordant series hit +1e6, reversed hit -1e6") {
+    // series a: day d has d+1 events; series b: 2(d+1) (same order)
+    val a = (0L until 10L).flatMap(d => Seq.fill((d + 1).toInt)(d))
+    val b = (0L until 10L).flatMap(d => Seq.fill(2 * (d + 1).toInt)(d))
+    val r1 = Robust.spearmanOf(a.toDF("day"), b.toDF("day")).head()
+    assert(r1.getAs[Long]("n_days") === 10L)
+    assert(r1.getAs[Long]("rho2_ppm") === 1000000L)
+    // reversed: day d carries what day 9-d carried
+    val brev = (0L until 10L).flatMap(d => Seq.fill(2 * (10 - d).toInt)(d))
+    val r2 = Robust.spearmanOf(a.toDF("day"), brev.toDF("day")).head()
+    assert(r2.getAs[Long]("rho2_ppm") === -1000000L)
+  }
+
+  test("q256 lambda: perfect prediction gives 1e6, independence gives 0") {
+    val perfect = Seq.tabulate(30)(i => (s"s${i % 3}", s"L${i % 3}"))
+    val r1 = Robust.gkLambdaOf(perfect.toDF("source", "lang")).head()
+    assert(r1.getAs[Long]("lambda_ppm") === 1000000L)
+    // two sources, identical lang mix {A:4, B:2}: knowing the source
+    // never improves the modal guess
+    val indep = (Seq.fill(4)(("s1", "A")) ++ Seq.fill(2)(("s1", "B")) ++
+      Seq.fill(4)(("s2", "A")) ++ Seq.fill(2)(("s2", "B")))
+    val r2 = Robust.gkLambdaOf(indep.toDF("source", "lang")).head()
+    assert(r2.getAs[Long]("lambda_ppm") === 0L)
+  }
+
+  test("q257 Fano: constant feed scores 0, one-day burst scores total·1e6") {
+    // type A: 4/day for 5 days (establishes the day frame);
+    // type B: all 20 events on day 0
+    val t = (0L until 5L).flatMap(d => Seq.fill(4)((d, "A"))) ++
+      Seq.fill(20)((0L, "B"))
+    val rows = Robust.fanoOf(t.toDF("day", "event_type")).collect()
+    val byType = rows.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("fano_ppm")).toMap
+    assert(byType("A") === 0L)
+    // F = (n·T² − T²)/((n−1)·T) = T: 20 → 20,000,000 ppm
+    assert(byType("B") === 20000000L)
+    assert(rows.forall(_.getAs[Long]("n_days") === 5L))
+  }
+
+  test("q260 DOW profile: planted weekly pattern recovered exactly") {
+    // two full weeks; day d carries 10 + 2·dow events (dow = (d+4)%7)
+    // -> per weekday both observations equal the median, residual 0
+    val days = (0L until 14L).flatMap(d =>
+      Seq.fill((10 + 2 * ((d + 4) % 7)).toInt)(d))
+    val rows = Robust.dowOf(days.toDF("day")).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      assert(r.getAs[Long]("med") === 10L + 2 * dow)
+      assert(r.getAs[Long]("n_days") === 2L)
+      assert(r.getAs[Long]("max_resid") === 0L)
+    }
+  }
+
+  test("q261 sliced AUC exposes a cancellation the global AUC hides") {
+    // slice X: src1 strictly shorter (AUC 0); slice Y: the mirror
+    // (AUC 1e6). Globally the multisets are identical -> AUC exactly 1/2.
+    val x = Seq(("X", "src1", 1L), ("X", "src1", 2L),
+      ("X", "src2", 10L), ("X", "src2", 11L))
+    val y = Seq(("Y", "src1", 10L), ("Y", "src1", 11L),
+      ("Y", "src2", 1L), ("Y", "src2", 2L))
+    val t = (x ++ y).toDF("slice", "source", "tc")
+    val sliced = Robust.aucBySliceOf(t).collect()
+      .map(r => r.getAs[String]("slice") -> r.getAs[Long]("auc_ppm")).toMap
+    assert(sliced === Map("X" -> 0L, "Y" -> 1000000L))
+    val global = Robust.mannWhitneyOf(t.select("source", "tc")).head()
+    assert(global.getAs[Long]("auc_ppm") === 500000L,
+      "fixture broken: global AUC should cancel to exactly 1/2")
+  }
 }
