@@ -117,6 +117,48 @@ object Advanced {
       .orderBy("asset_id")
   }
 
+  // ---- q265: audio fingerprint duplicate grouping ---------------------
+  // The planted WAV content is fully determined by (id mod 3, id mod 4,
+  // id mod 100), and 300 = lcm of all three — so odd ids congruent
+  // mod 300 carry byte-identical recordings: every duplicate class
+  // {i, i+300, i+600} ∩ [0, min(700, |docs|)) is the planted ground
+  // truth this lane's fingerprint grouping must recover exactly.
+  def audioFingerprintDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 700)
+    Multimodal.audioFingerprint(Multimodal.plantedMediaAssets(docs, "doc_id"))
+  }
+
+  val audioFingerprintDupsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST((doc_id % 3 + 1) * (doc_id % 100 + 1) AS BIGINT) AS n_vals,
+      |         CAST(8000 * (doc_id % 4 + 1) AS BIGINT) AS rate,
+      |         CAST(doc_id % 3 + 1 AS BIGINT) AS channels
+      |  FROM documents WHERE doc_id < 700 AND doc_id % 2 = 1),
+      |s AS (SELECT asset_id, rate, channels, n_vals,
+      |        (n_vals + 3) // 4 AS q, r.k AS k,
+      |        CAST((2 * r.k * 37) % 256 + 256 * (((2 * r.k + 1) * 37) % 256)
+      |          AS BIGINT) AS u
+      |      FROM w, range(0, 300) AS r(k) WHERE r.k < w.n_vals),
+      |v AS (SELECT asset_id, rate, channels, n_vals, k // q AS band,
+      |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s),
+      |f AS (SELECT asset_id, rate, channels, n_vals,
+      |        SUM(CASE WHEN band = 0 THEN x * x ELSE 0 END) AS e0,
+      |        SUM(CASE WHEN band = 1 THEN x * x ELSE 0 END) AS e1,
+      |        SUM(CASE WHEN band = 2 THEN x * x ELSE 0 END) AS e2,
+      |        SUM(CASE WHEN band = 3 THEN x * x ELSE 0 END) AS e3
+      |      FROM v GROUP BY 1, 2, 3, 4),
+      |g AS (SELECT rate, channels, n_vals, e0, e1, e2, e3,
+      |        COUNT(*) AS n_members,
+      |        MIN(asset_id) AS min_id, MAX(asset_id) AS max_id
+      |      FROM f GROUP BY 1, 2, 3, 4, 5, 6, 7)
+      |SELECT CAST(min_id AS BIGINT) AS min_id,
+      |       CAST(max_id AS BIGINT) AS max_id,
+      |       CAST(n_members AS BIGINT) AS n_members, rate, channels, n_vals,
+      |       CAST(e0 AS BIGINT) AS e0, CAST(e1 AS BIGINT) AS e1,
+      |       CAST(e2 AS BIGINT) AS e2, CAST(e3 AS BIGINT) AS e3
+      |FROM g WHERE n_members > 1 ORDER BY min_id""".stripMargin
+
   val audioEnergySql: String =
     """WITH w AS (
       |  SELECT doc_id AS asset_id,
@@ -1636,6 +1678,7 @@ object Advanced {
     "q126_image_stats" -> (imageStats _),
     "q127_image_resize" -> (imageResize _),
     "q253_phash_neardup" -> (phashNearDup _),
+    "q265_audio_fingerprint" -> (audioFingerprintDups _),
     "q128_epoch_sink" -> (epochSinkRoundtrip _),
     "q129_session_window" -> (sessionWindowStats _),
     "q119_stream_stream_join" ->
@@ -1689,6 +1732,7 @@ object Advanced {
     "q126_image_stats" -> imageStatsSql,
     "q127_image_resize" -> imageResizeSql,
     "q253_phash_neardup" -> phashNearDupSql,
+    "q265_audio_fingerprint" -> audioFingerprintDupsSql,
     "q128_epoch_sink" -> epochSinkRoundtripSql,
     "q119_stream_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events

@@ -1243,7 +1243,63 @@ object Mining {
       |         AS quota
       |FROM r, l ORDER BY source""".stripMargin
 
+  // ---- q266: RFM customer segmentation --------------------------------
+  // The classic recency/frequency/monetary marketing segmentation as a
+  // SCALABLE quintile assignment: each dimension ranks every customer
+  // globally, and a naive NTILE(5) OVER (ORDER BY ...) funnels the
+  // whole customer frame through one task — so all three rankings run
+  // through Ranking.globalRowNumber (range-repartition + per-partition
+  // offsets, the q91 machinery) with ntileFromRowNumber's exact ANSI
+  // arithmetic on top. Monetary is exact decimal cents; ties break on
+  // custkey everywhere so both engines rank identically. Output is the
+  // 125-cell (r,f,m) histogram a campaign planner reads.
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long")).as("last_day"),
+        count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast("decimal(18,4)")) * 10000)
+          .cast("decimal(38,0)").cast("long").as("cents"))
+    def addQuintile(df: DataFrame, metric: String, out: String): DataFrame = {
+      val (ranked, n) = graft.functions.Ranking.globalRowNumberWithCount(
+        df, Seq(metric, "o_custkey"), "__rn")
+      ranked.withColumn(out,
+        graft.functions.Ranking.ntileFromRowNumber(col("__rn"), n, 5))
+        .drop("__rn")
+    }
+    val scored = addQuintile(addQuintile(addQuintile(
+      cust, "last_day", "r_q"), "freq", "f_q"), "cents", "m_q")
+    scored.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("total_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(MAX(date_diff('day', DATE '1970-01-01',
+      |                       CAST(o_orderdate AS DATE))) AS BIGINT)
+      |      AS last_day,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |q AS (SELECT cents,
+      |        NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_q,
+      |        NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+      |        NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_q
+      |      FROM c)
+      |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |       CAST(m_q AS BIGINT) AS m_q,
+      |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_rfm_segments"     -> (rfmSegments _),
     "q258_target_encoding"  -> (targetEncoding _),
     "q259_mixture_quota"    -> (mixtureQuota _),
     "q218_weighted_jaccard" -> (weightedJaccard _),
@@ -1266,6 +1322,7 @@ object Mining {
     "q244_histogram_overlap" -> (histogramOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "q266_rfm_segments"     -> rfmSegmentsSql,
     "q258_target_encoding"  -> targetEncodingSql,
     "q259_mixture_quota"    -> mixtureQuotaSql,
     "q218_weighted_jaccard" -> weightedJaccardSql,

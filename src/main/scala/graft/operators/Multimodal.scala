@@ -122,6 +122,57 @@ object Multimodal {
         array_max(transform(col("s"), x => abs(x))).as("max_abs"))
   }
 
+  /** Banded audio fingerprint + duplicate grouping (q265): quarter the
+    * decoded PCM stream into 4 contiguous bands of q = ceil(n/4)
+    * samples, fingerprint = (sample_rate, channels, n_vals, 4
+    * exact band energies), then group identical fingerprints — the audio twin of
+    * q253's image pHash: re-uploaded recordings collapse on a
+    * 6-integer key instead of a byte-compare over the corpus square.
+    * The rate is part of the key (identical PCM at a different
+    * declared rate is a different recording, it plays at a different
+    * speed), and so is the channel count (a stereo and a mono file can
+    * share the flat int16 stream yet interleave it differently).
+    * Integer end-to-end; the oracle recomputes every band from
+    * the closed-form planted samples.
+    *
+    * Scale shape: the decode+band reduce is a projection over the
+    * binary scan (no shuffle, codegen'd Column arithmetic); the group
+    * is ONE shuffle on the 6-integer fingerprint — asset-count-sized,
+    * never content-sized. */
+  def audioFingerprint(assets: DataFrame): DataFrame = {
+    val c = col("content")
+    val fp = assets
+      .filter(sniffKind(c) === "wav" && length(c) >= 44)
+      .withColumn("n_vals", (leUInt(c, 41, 4) / 2).cast("long"))
+      .filter(col("n_vals") > 0)
+      .withColumn("rate", leUInt(c, 25, 4))
+      .withColumn("channels", leUInt(c, 23, 2))
+      .withColumn("q", expr("(n_vals + 3) div 4"))
+      .withColumn("s",
+        transform(sequence(lit(0L), col("n_vals") - 1), k => pcm16Sample(c, k)))
+      // band b = exact energy of samples [b·q, min((b+1)·q, n)); a
+      // trailing short band and bands past a tiny stream reduce over
+      // the empty slice to 0 — mirrored by the oracle's k div q key
+      .withColumn("bands", transform(sequence(lit(0), lit(3)), b =>
+        aggregate(
+          slice(col("s"), (b.cast("long") * col("q") + 1).cast("int"),
+            col("q").cast("int")),
+          lit(0L), (acc, x) => acc + x * x)))
+      .select(col("asset_id"), col("rate"), col("channels"),
+        col("n_vals"), col("bands"))
+    fp.groupBy("rate", "channels", "n_vals", "bands")
+      .agg(count(lit(1)).as("n_members"),
+        min("asset_id").as("min_id"), max("asset_id").as("max_id"))
+      .filter(col("n_members") > 1)
+      .select(col("min_id"), col("max_id"), col("n_members"),
+        col("rate"), col("channels"), col("n_vals"),
+        element_at(col("bands"), 1).as("e0"),
+        element_at(col("bands"), 2).as("e1"),
+        element_at(col("bands"), 3).as("e2"),
+        element_at(col("bands"), 4).as("e3"))
+      .orderBy("min_id")
+  }
+
   /** Energy-gated audio segmentation (q192): frame the decoded PCM
     * stream into fixed 8-sample windows, gate each frame on mean
     * energy, and reduce the gate sequence to contiguous ACTIVE

@@ -721,6 +721,85 @@ object Robust {
       |            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
       |FROM r WHERE n1 > 0 AND n2 > 0 ORDER BY slice""".stripMargin
 
+  // ---- q263: Kendall tau-b of the click-vs-view daily series ----------
+  // The third rank-dependence measure beside q255's Spearman: tau
+  // counts pairwise ORDER AGREEMENTS (concordant minus discordant day
+  // pairs), so a single wild day moves it by at most n−1 pairs —
+  // strictly more outlier-robust than Spearman's rank covariance.
+  // tau-b's denominator sqrt((n0−tx)(n0−ty)) is irrational, so the
+  // channel carries the signed SQUARED tau-b in ppm (q255's
+  // discipline): sign(C−D)·(C−D)²·10⁶ div ((n0−tx)(n0−ty)), with the
+  // raw C/D/tie counts emitted alongside as exact integers. Day pairs
+  // come from the q247 pattern: a self-join on the PRE-AGGREGATED
+  // |days|² frame (calendar-bounded quadratic — days, never events).
+  // Days missing a series count as 0 (union day frame, as q255).
+  def kendallDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day"),
+        col("event_type"))
+    kendallOf(e.filter(col("event_type") === "click").select("day"),
+      e.filter(col("event_type") === "view").select("day"))
+  }
+
+  /** Core over two (day) observation streams — factored so the spec
+    * can plant concordant (tau²=1), reversed (sign −) and tied data. */
+  private[graft] def kendallOf(ta: DataFrame, tb: DataFrame): DataFrame = {
+    val a = ta.groupBy("day").agg(count(lit(1)).as("ca"))
+    val b = tb.groupBy("day").agg(count(lit(1)).as("cb"))
+    val d = a.join(b, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true) // feeds both sides of the pair join
+    val p = d.as("l").join(d.as("r"), col("r.day") > col("l.day"))
+      .select((col("r.ca") - col("l.ca")).as("dx"),
+        (col("r.cb") - col("l.cb")).as("dy"))
+    p.agg(count(lit(1)).as("n0"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n0").as("n_pairs"), col("conc").as("concordant"),
+        col("disc").as("discordant"),
+        col("tx").as("ties_x"), col("ty").as("ties_y"),
+        (signum(col("conc") - col("disc")).cast("long") *
+          expr("""cast(cast(conc - disc as decimal(38,0)) * (conc - disc)
+                  * 1000000 div ((n0 - tx) * (n0 - ty)) as bigint)"""))
+          .as("tau2_ppm"))
+  }
+
+  val kendallDailySql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |                  event_type FROM events),
+      |a AS (SELECT day, COUNT(*) AS ca FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |b AS (SELECT day, COUNT(*) AS cb FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |d AS (SELECT COALESCE(a.day, b.day) AS day,
+      |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |      FROM a FULL OUTER JOIN b ON a.day = b.day),
+      |p AS (SELECT r.ca - l.ca AS dx, r.cb - l.cb AS dy
+      |      FROM d l JOIN d r ON r.day > l.day),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n0,
+      |        CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |          AS conc,
+      |        CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |          AS disc,
+      |        CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS tx,
+      |        CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ty
+      |      FROM p)
+      |SELECT CAST(n0 AS BIGINT) AS n_pairs,
+      |       CAST(conc AS BIGINT) AS concordant,
+      |       CAST(disc AS BIGINT) AS discordant,
+      |       CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y,
+      |       CAST(CASE WHEN conc >= disc
+      |            THEN (conc - disc) * (conc - disc) * 1000000
+      |                 // ((n0 - tx) * (n0 - ty))
+      |            ELSE -((disc - conc) * (disc - conc) * 1000000
+      |                 // ((n0 - tx) * (n0 - ty))) END
+      |            AS BIGINT) AS tau2_ppm
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_mann_whitney"  -> (mannWhitney _),
     "q247_theil_sen"     -> (theilSen _),
@@ -733,7 +812,8 @@ object Robust {
     "q256_gk_lambda"         -> (gkLambda _),
     "q257_fano_burstiness"   -> (fanoBurstiness _),
     "q260_dow_seasonality"   -> (dowSeasonality _),
-    "q261_auc_by_slice"      -> (aucBySlice _))
+    "q261_auc_by_slice"      -> (aucBySlice _),
+    "q263_kendall_tau"       -> (kendallDaily _))
 
   val oracles: Map[String, String] = Map(
     "q246_mann_whitney"  -> mannWhitneySql,
@@ -747,5 +827,6 @@ object Robust {
     "q256_gk_lambda"         -> gkLambdaSql,
     "q257_fano_burstiness"   -> fanoBurstinessSql,
     "q260_dow_seasonality"   -> dowSeasonalitySql,
-    "q261_auc_by_slice"      -> aucBySliceSql)
+    "q261_auc_by_slice"      -> aucBySliceSql,
+    "q263_kendall_tau"       -> kendallDailySql)
 }

@@ -225,6 +225,46 @@ object Temporal {
        |  CAST(MIN(n) AS BIGINT) AS min_group_size
        |FROM g""".stripMargin
 
+  // ---- q264: l-diversity histogram over quasi-identifier groups -------
+  // k-anonymity (q89) counts group SIZES; a group can be large yet
+  // leak everything if all its members share one sensitive value.
+  // Distinct l-diversity audits that: per quasi-identifier group
+  // (nation × market segment), l = number of DISTINCT sensitive values
+  // (the order priority of the group's orders), reduced to the l →
+  // (groups, rows) histogram a privacy review reads. One fact-dim
+  // shuffle join, then two aggregates on the QI-domain-bounded frame
+  // (the per-(QI, priority) pre-aggregate keeps the distinct count
+  // exact without a distinct over raw orders).
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("qi1"), col("c_mktsegment").as("qi2"),
+        col("o_orderpriority").as("sensitive")))
+
+  /** Core over (qi1, qi2, sensitive) rows — factored so the spec can
+    * plant a large-but-zero-diversity group that q89's size audit
+    * would wave through. */
+  private[graft] def lDiversityOf(t: DataFrame): DataFrame =
+    t.groupBy("qi1", "qi2", "sensitive")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("qi1", "qi2")
+      .agg(count(lit(1)).as("l"), sum("n").as("rows"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), sum("rows").as("n_rows"))
+      .orderBy("l")
+
+  val lDiversityAuditSql: String =
+    """WITH p AS (
+      |  SELECT c_nationkey, c_mktsegment, o_orderpriority, COUNT(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS l,
+      |             SUM(n) AS rows FROM p GROUP BY 1, 2)
+      |SELECT CAST(l AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |       CAST(SUM(rows) AS BIGINT) AS n_rows
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q97: anomaly (spike) detection with exact integer arithmetic --
   // Flags days whose event count exceeds 9/8 of the trailing-7-day
   // mean. The comparison `8*n*k > 9*sum` stays in integers — no
@@ -1061,6 +1101,75 @@ object Temporal {
       |            AS BIGINT) AS ar1_ppm
       |FROM s""".stripMargin
 
+  // ---- q262: autocorrelation panel (lags 1..7) of daily volume -------
+  // q241 measures ONE lag; periodicity detection needs the panel — a
+  // weekly cycle shows as the lag-7 coefficient towering over lags
+  // 1..6. Per lag, the Pearson correlation of (x_t, x_{t+L}) over
+  // consecutive OBSERVED-day ranks; correlation needs a square root,
+  // so the channel carries q255's signed SQUARED correlation in ppm
+  // (sign(num)·num²·10⁶ div (d1·d2)), exact in DECIMAL(38,0). The
+  // seven lagged frames come from ONE equi-join: the day frame cross
+  // a broadcast 7-row lag dim, matched on rank+lag — no per-lag pass,
+  // no non-equi band join.
+  //
+  // Shape at scale: one full-data grouped aggregate; the lag join and
+  // moments run on the 7·|days| pre-aggregated frame.
+  def acfPanel(spark: SparkSession, dir: String): DataFrame =
+    acfOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")), 7)
+
+  /** Core over (day) observation rows — factored so the spec can plant
+    * an exact period-3 series (lags 3,6 at +1e6 ppm; others negative). */
+  private[graft] def acfOf(t: DataFrame, maxLag: Int): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .localCheckpoint(true) // feeds both sides of the lag join
+    val lags = d.sparkSession.range(1, maxLag + 1).toDF("lag")
+    val pairs = d.select(col("rn"), col("cnt").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(d.select(col("rn").as("rn2"), col("cnt").as("y")),
+        col("rn2") === col("rn") + col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .select(col("lag"), col("n_pairs"),
+        (signum(col("num")).cast("long") *
+          expr("cast(num * num * 1000000 div (d1 * d2) as bigint)"))
+          .as("acf2_ppm"))
+      .orderBy("lag")
+  }
+
+  val acfPanelSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |i AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+      |l AS (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT) AS lag),
+      |p AS (SELECT l.lag, a.cnt AS x, b.cnt AS y
+      |      FROM i a CROSS JOIN l JOIN i b ON b.rn = a.rn + l.lag),
+      |s AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM p GROUP BY 1),
+      |c AS (SELECT lag, n, n * sxy - sx * sy AS num,
+      |             n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+      |      FROM s)
+      |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+      |       CAST(CASE WHEN num >= 0 THEN num * num * 1000000 // (d1 * d2)
+      |            ELSE -(num * num * 1000000 // (d1 * d2)) END
+      |            AS BIGINT) AS acf2_ppm
+      |FROM c ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_seasonal_outliers" -> (seasonalOutliers _),
     "q209_locf_impute"       -> (locfImpute _),
@@ -1084,7 +1193,9 @@ object Temporal {
     "q108_rolling_users" -> (rollingActiveUsers _),
     "q236_interval_coverage" -> (intervalCoverage _),
     "q238_revenue_trend" -> (revenueTrend _),
-    "q241_ar1_revenue"   -> (ar1DailyRevenue _))
+    "q241_ar1_revenue"   -> (ar1DailyRevenue _),
+    "q262_acf_panel"     -> (acfPanel _),
+    "q264_ldiversity"    -> (lDiversityAudit _))
 
   val oracles: Map[String, String] = Map(
     "q216_seasonal_outliers" -> seasonalOutliersSql,
@@ -1109,5 +1220,7 @@ object Temporal {
     "q108_rolling_users" -> rollingActiveUsersSql,
     "q236_interval_coverage" -> intervalCoverageSql,
     "q238_revenue_trend" -> revenueTrendSql,
-    "q241_ar1_revenue"   -> ar1DailyRevenueSql)
+    "q241_ar1_revenue"   -> ar1DailyRevenueSql,
+    "q262_acf_panel"     -> acfPanelSql,
+    "q264_ldiversity"    -> lDiversityAuditSql)
 }

@@ -162,4 +162,29 @@ class MediaDecodeSpec extends SparkSpec {
     assert(ph(16L) !== ph(20L),
       "different dims should not collide on this fixture")
   }
+
+  test("q265 audio fingerprint: recovers exactly the mod-300 duplicate classes") {
+    import spark.implicits._
+    // odd ids 1..699 -> WAV content determined by (id%3, id%4, id%100);
+    // lcm = 300, so classes {i, i+300, i+600} are byte-identical:
+    // 50 triples (i <= 99) + 100 pairs (101 <= i <= 299)
+    val ids = (0L until 700L).toDF("doc_id")
+    val assets = Multimodal.plantedMediaAssets(ids, "doc_id")
+    val groups = Multimodal.audioFingerprint(assets).collect()
+    assert(groups.length === 150)
+    val bySize = groups.groupBy(_.getAs[Long]("n_members"))
+      .view.mapValues(_.length).toMap
+    assert(bySize === Map(3L -> 50, 2L -> 100))
+    // no false positives: every group's min and max member carry
+    // byte-identical content (the ground truth the fingerprint claims)
+    val content = assets.collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("content"))
+      .toMap
+    groups.foreach { g =>
+      val (lo, hi) = (g.getAs[Long]("min_id"), g.getAs[Long]("max_id"))
+      assert(java.util.Arrays.equals(content(lo), content(hi)),
+        s"group ($lo, $hi) members differ in content")
+      assert((hi - lo) % 300 === 0)
+    }
+  }
 }

@@ -201,4 +201,32 @@ class RobustSpec extends SparkSpec {
     assert(global.getAs[Long]("auc_ppm") === 500000L,
       "fixture broken: global AUC should cancel to exactly 1/2")
   }
+
+  test("q263 Kendall tau-b: concordant, reversed, and tied fixtures") {
+    // series a: day d gets d+1 clicks; series b concordant (2d+1 views)
+    def obs(f: Long => Long) =
+      (0L until 6L).flatMap(d => Seq.fill(f(d).toInt)(d)).toDF("day")
+    val conc = Robust.kendallOf(obs(_ + 1), obs(d => 2 * d + 1)).head()
+    assert(conc.getAs[Long]("n_pairs") === 15L)
+    assert(conc.getAs[Long]("concordant") === 15L)
+    assert(conc.getAs[Long]("discordant") === 0L)
+    assert(conc.getAs[Long]("tau2_ppm") === 1000000L)
+
+    // reversed: b runs 6-d views per day -> every pair discordant
+    val rev = Robust.kendallOf(obs(_ + 1), obs(d => 6 - d)).head()
+    assert(rev.getAs[Long]("discordant") === 15L)
+    assert(rev.getAs[Long]("tau2_ppm") === -1000000L)
+
+    // ties: a constant (all 15 pairs tied in x) -> tau undefined-free
+    // path not exercised; instead tie HALF of a: days 0..2 get 5
+    // clicks each (3 tied pairs in x), b stays strictly increasing
+    val halfTied = Robust.kendallOf(
+      obs(d => if (d < 3) 5 else d + 10), obs(d => 2 * d + 1)).head()
+    assert(halfTied.getAs[Long]("ties_x") === 3L)
+    assert(halfTied.getAs[Long]("ties_y") === 0L)
+    // tau-b with the tie correction: C=12, D=0, n0=15, tx=3, ty=0
+    // -> tau² = 144/(12*15) = 0.8 exactly
+    assert(halfTied.getAs[Long]("concordant") === 12L)
+    assert(halfTied.getAs[Long]("tau2_ppm") === 800000L)
+  }
 }

@@ -123,4 +123,32 @@ class TemporalSpec extends SparkSpec {
       s"kept(${r.getString(0)})"))
     assert(rows.map(_.getLong(2)).sum > 0, "cap must bind on this data")
   }
+
+  test("q262 ACF panel: an exact period-3 series scores 1e6 at lags 3 and 6") {
+    import spark.implicits._
+    // days 0..11, counts cycling 1,5,9 -> lags 3,6 pair identical
+    // values (acf2 = +1e6 exactly); lag 1 pairs cycle (1,5),(5,9),(9,1)
+    // whose covariance is negative
+    val obs = (0L until 12L).flatMap(d =>
+      Seq.fill((1 + 4 * (d % 3)).toInt)(d)).toDF("day")
+    val rows = Temporal.acfOf(obs, 7).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("acf2_ppm")).toMap
+    assert(rows.keySet === (1L to 7L).toSet)
+    assert(rows(3L) === 1000000L)
+    assert(rows(6L) === 1000000L)
+    assert(rows(1L) < 0L, s"lag-1 should be negative, got ${rows(1L)}")
+    assert(rows(2L) < 0L)
+  }
+
+  test("q264 l-diversity flags a large group k-anonymity waves through") {
+    import spark.implicits._
+    // group A: 50 rows, ONE sensitive value (l=1, the leak);
+    // group B: 6 rows, 3 distinct values (l=3, healthy but small)
+    val rows = Seq.fill(50)(("A", "seg", "s1")) ++
+      Seq.tabulate(6)(i => ("B", "seg", s"s${i % 3}"))
+    val hist = Temporal.lDiversityOf(rows.toDF("qi1", "qi2", "sensitive"))
+      .collect().map(r => r.getAs[Long]("l") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"))).toMap
+    assert(hist === Map(1L -> ((1L, 50L)), 3L -> ((1L, 6L))))
+  }
 }
