@@ -1003,7 +1003,80 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q267: PSI drift per source (length-decile bins) ---------------
+  // The log-weighted companion to q190's TVD: the Population Stability
+  // Index Σ_b (p̂_sb − q̂_b)·ln(p̂_sb/q̂_b) of each source's document-
+  // length profile against the corpus — the metric model-monitoring
+  // stacks alarm on (PSI > 0.25 = shifted). Bins are GLOBAL n_chars
+  // deciles from the q91/q266 distributed ranking (exact ANSI ntile —
+  // no single-partition window), with add-one smoothing on both
+  // numerators so an empty (source, bin) cell contributes a finite
+  // penalty instead of ln 0. The log term follows q80's float
+  // discipline: both engines evaluate the IDENTICAL double expression
+  // from identical integers, round it to 6 places, and sum as exact
+  // DECIMAL(18,6) — addition order can't move the result, and the only
+  // cross-engine exposure is libm's ln landing within 1e-6 of a .5
+  // rounding boundary (q80's measured, accepted risk).
+  //
+  // Scale shape: one ranked pass over docs (range-repartition), two
+  // grouped counts, then all arithmetic on the |sources|·10 grid.
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** Core over (doc_id, source, n_chars) rows — factored so the spec
+    * can plant a distribution-matched source (near-zero PSI) against a
+    * fully shifted one. */
+  private[graft] def psiDriftOf(docs: DataFrame): DataFrame = {
+    val (ranked, n) = graft.functions.Ranking.globalRowNumberWithCount(
+      docs, Seq("n_chars", "doc_id"), "__rn")
+    val binned = ranked.withColumn("bin",
+      graft.functions.Ranking.ntileFromRowNumber(col("__rn"), n, 10))
+    val byBin = binned.groupBy("bin").agg(count(lit(1)).as("c_b"))
+    val bySrcBin = binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("c_sb"))
+    val srcTot = bySrcBin.groupBy("source").agg(sum("c_sb").as("n_s"))
+    srcTot.crossJoin(broadcast(byBin)) // |sources|×10 grid
+      .join(bySrcBin, Seq("source", "bin"), "left")
+      .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+      .withColumn("p",
+        (col("c_sb") + 1).cast("double") / (col("n_s") + 10).cast("double"))
+      .withColumn("q",
+        (col("c_b") + 1).cast("double") / lit((n + 10).toDouble))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), sum("term").cast("double").as("psi"))
+      .orderBy("source")
+  }
+
+  val psiDriftSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM d),
+      |r AS (SELECT source,
+      |        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM d),
+      |bb AS (SELECT bin, COUNT(*) AS c_b FROM r GROUP BY 1),
+      |sb AS (SELECT source, bin, COUNT(*) AS c_sb FROM r GROUP BY 1, 2),
+      |st AS (SELECT source, SUM(c_sb) AS n_s FROM sb GROUP BY 1),
+      |g AS (SELECT st.source, bb.bin, bb.c_b, st.n_s,
+      |             COALESCE(sb.c_sb, 0) AS c_sb
+      |      FROM st CROSS JOIN bb
+      |        LEFT JOIN sb ON sb.source = st.source AND sb.bin = bb.bin),
+      |t AS (SELECT source, n_s,
+      |        CAST(round(
+      |          (CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE)
+      |           - CAST(c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))
+      |          * ln((CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE))
+      |               / (CAST(c_b + 1 AS DOUBLE) / CAST(n.n + 10 AS DOUBLE))),
+      |          6) AS DECIMAL(18,6)) AS term
+      |      FROM g, n)
+      |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+      |       CAST(SUM(term) AS DOUBLE) AS psi
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_psi_drift"        -> (psiDrift _),
     "q191_source_overlap"   -> (sourceOverlap _),
     "q193_dup_span_profile" -> (dupSpanProfile _),
     "q187_paragraph_dedup"  -> (paragraphDedup _),
@@ -1019,6 +1092,7 @@ object Curation {
     "q174_incremental_curation" -> (incrementalCuration _))
 
   val oracles: Map[String, String] = Map(
+    "q267_psi_drift"        -> psiDriftSql,
     "q191_source_overlap"   -> sourceOverlapSql,
     "q193_dup_span_profile" -> dupSpanProfileSql,
     "q187_paragraph_dedup"  -> paragraphDedupSql,

@@ -265,6 +265,77 @@ object Temporal {
       |       CAST(SUM(rows) AS BIGINT) AS n_rows
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q269: robust seasonal decomposition (median STL-lite) ----------
+  // cnt = trend + seasonal + residual over the daily series, all
+  // integer: trend is the CENTERED 7-day rolling lower median
+  // (positional pick from the sorted window list — robust to spike
+  // days, unlike a rolling mean), seasonal is the per-weekday lower
+  // median of the detrended values (q260's integer (day+4) mod 7
+  // weekday), residual is the exact remainder. Classical STL runs
+  // loess — floats, iterated — this is the median-based variant a
+  // monitoring pipeline can hash-verify: both engines materialize the
+  // same sorted 7-window and pick the same element, so the
+  // decomposition is bit-exact. Edge days see a shrunken window
+  // (lower median of 4..6 values), identically in both engines.
+  //
+  // Shape at scale: one full-data grouped aggregate; every window runs
+  // on the |days| frame (pre-aggregated-window pattern).
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows — factored so the spec can plant
+    * a pure weekly pattern (residual identically 0) plus one spike the
+    * median trend must NOT absorb. */
+  private[graft] def seasonalOf(t: DataFrame): DataFrame = {
+    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = d
+      .withColumn("win", sort_array(collect_list("cnt").over(w7)))
+      .withColumn("trend",
+        element_at(col("win"),
+          expr("cast((size(win) + 1) div 2 as int)")))
+      .withColumn("detr", col("cnt") - col("trend"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7L)))
+      .drop("win")
+      .localCheckpoint(true) // feeds the seasonal median AND the output
+    val seasonal = trended
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("dow").orderBy(col("detr"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dow")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("dow"), col("detr").as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("cnt"), col("trend"), col("seasonal"),
+        (col("cnt") - col("trend") - col("seasonal")).as("residual"))
+      .orderBy("day")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |t AS (SELECT day, cnt,
+      |        list_sort(list(cnt) OVER (ORDER BY day
+      |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win,
+      |        (day + 4) % 7 AS dow
+      |      FROM d),
+      |tr AS (SELECT day, cnt, dow, win[(len(win) + 1) // 2] AS trend,
+      |              cnt - win[(len(win) + 1) // 2] AS detr
+      |       FROM t),
+      |m AS (SELECT dow, detr AS seasonal FROM
+      |        (SELECT dow, detr, day,
+      |                ROW_NUMBER() OVER (PARTITION BY dow
+      |                  ORDER BY detr, day) AS rn,
+      |                COUNT(*) OVER (PARTITION BY dow) AS n FROM tr)
+      |      WHERE rn = (n + 1) // 2)
+      |SELECT tr.day, CAST(tr.cnt AS BIGINT) AS cnt,
+      |       CAST(tr.trend AS BIGINT) AS trend,
+      |       CAST(m.seasonal AS BIGINT) AS seasonal,
+      |       CAST(tr.cnt - tr.trend - m.seasonal AS BIGINT) AS residual
+      |FROM tr JOIN m ON tr.dow = m.dow
+      |ORDER BY tr.day""".stripMargin
+
   // ---- q97: anomaly (spike) detection with exact integer arithmetic --
   // Flags days whose event count exceeds 9/8 of the trailing-7-day
   // mean. The comparison `8*n*k > 9*sum` stays in integers — no
@@ -1195,7 +1266,8 @@ object Temporal {
     "q238_revenue_trend" -> (revenueTrend _),
     "q241_ar1_revenue"   -> (ar1DailyRevenue _),
     "q262_acf_panel"     -> (acfPanel _),
-    "q264_ldiversity"    -> (lDiversityAudit _))
+    "q264_ldiversity"    -> (lDiversityAudit _),
+    "q269_seasonal_decompose" -> (seasonalDecompose _))
 
   val oracles: Map[String, String] = Map(
     "q216_seasonal_outliers" -> seasonalOutliersSql,
@@ -1222,5 +1294,6 @@ object Temporal {
     "q238_revenue_trend" -> revenueTrendSql,
     "q241_ar1_revenue"   -> ar1DailyRevenueSql,
     "q262_acf_panel"     -> acfPanelSql,
-    "q264_ldiversity"    -> lDiversityAuditSql)
+    "q264_ldiversity"    -> lDiversityAuditSql,
+    "q269_seasonal_decompose" -> seasonalDecomposeSql)
 }

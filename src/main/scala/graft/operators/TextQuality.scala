@@ -454,7 +454,78 @@ object TextQuality {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q268: readability profile (Flesch-Kincaid grade, quantized) ----
+  // The classic readability screen a curation pipeline runs beside the
+  // Gopher/C4 signals (q56): grade ≈ 0.39·(words/sentences) +
+  // 11.8·(syllables/words) − 15.59, with syllables approximated by
+  // vowel-group runs ([aeiouy]+) and sentences by terminal-punct runs
+  // ([.!?]+, floor 1) — both countable by one regex scan in either
+  // engine. The grade is QUANTIZED to an integer-ppm channel by
+  // definition (390000·w div s + 11800000·y div w − 15590000): each
+  // division has positive operands, so Spark's trunc and DuckDB's
+  // floor agree, and no float ever materializes. Per-source average
+  // routes the (possibly negative) sum through the sign·(|a| div b)
+  // idiom the repo uses wherever a quotient's operand can be negative.
+  //
+  // Scale shape: one projection over the doc scan (regex counts are
+  // codegen'd), one map-side-combinable grouped aggregate.
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    readabilityOf(Tables.documents(spark, dir))
+  }
+
+  /** Core over (source, text) rows — factored so the spec can pin the
+    * closed-form grade of planted sentences. */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"),
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("w"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+        .cast("long"), lit(1L)).as("s"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("y"))
+      .filter(col("w") > 0)
+      .withColumn("fk_ppm", expr(
+        """cast(390000 as bigint) * w div s
+           + cast(11800000 as bigint) * y div w - 15590000"""))
+    t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("words"), sum("s").as("sentences"),
+        sum("y").as("syllables"),
+        sum(col("fk_ppm").cast("decimal(38,0)")).as("fk_sum"))
+      .select(col("source"), col("n_docs"), col("words"),
+        col("sentences"), col("syllables"),
+        (signum(col("fk_sum")).cast("long") *
+          expr("cast(abs(fk_sum) div n_docs as bigint)")).as("fk_avg_ppm"))
+      .orderBy("source")
+  }
+
+  val readabilitySql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS w,
+      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+      |             1) AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS y
+      |  FROM documents),
+      |f AS (SELECT source, w, s, y,
+      |        390000 * w // s + 11800000 * y // w - 15590000 AS fk_ppm
+      |      FROM t WHERE w > 0),
+      |g AS (SELECT source, COUNT(*) AS n_docs, SUM(w) AS words,
+      |        SUM(s) AS sentences, SUM(y) AS syllables,
+      |        SUM(CAST(fk_ppm AS HUGEINT)) AS fk_sum
+      |      FROM f GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(words AS BIGINT) AS words,
+      |       CAST(sentences AS BIGINT) AS sentences,
+      |       CAST(syllables AS BIGINT) AS syllables,
+      |       CAST(CASE WHEN fk_sum >= 0 THEN abs(fk_sum) // n_docs
+      |            ELSE -(abs(fk_sum) // n_docs) END AS BIGINT) AS fk_avg_ppm
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_readability" -> (readability _),
     "q188_quality_classifier" -> (qualityClassifier _),
     "q55_pii_redact" -> (piiRedact _),
     "q56_quality_signals" -> (qualitySignals _),
@@ -464,6 +535,7 @@ object TextQuality {
     "q181_encoding_audit" -> (encodingAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q268_readability" -> readabilitySql,
     "q188_quality_classifier" -> qualityClassifierSql,
     "q55_pii_redact" -> piiRedactSql,
     "q56_quality_signals" -> qualitySignalsSql,

@@ -193,4 +193,25 @@ class CurationSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("q267 PSI: a shifted source scores far above a matched one") {
+    import spark.implicits._
+    // 200 docs in two sources; U mirrors the global length profile's
+    // lower half, S the upper half -> both are fully shifted vs the
+    // corpus mixture; then a third source M that SAMPLES the whole
+    // range uniformly must sit near zero
+    val rows =
+      (1 to 100).map(i => (i.toLong, "U", i.toLong)) ++
+      (1 to 100).map(i => (100L + i, "S", 900L + i)) ++
+      (1 to 100).map(i => (200L + i, "M",
+        if (i % 2 == 0) i.toLong else 900L + i))
+    val psi = graft.operators.Curation.psiDriftOf(
+      rows.toDF("doc_id", "source", "n_chars")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    assert(psi.keySet === Set("U", "S", "M"))
+    assert(psi("M") < 0.3, s"mixed source should be near zero, got ${psi("M")}")
+    assert(psi("U") > 2 * psi("M") && psi("S") > 2 * psi("M"),
+      s"shifted sources must dominate: $psi")
+    psi.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+  }
 }

@@ -151,4 +151,34 @@ class TemporalSpec extends SparkSpec {
         (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"))).toMap
     assert(hist === Map(1L -> ((1L, 50L)), 3L -> ((1L, 6L))))
   }
+
+  test("q269 seasonal decompose: pure weekly pattern has zero residual; a spike stays in the residual") {
+    import spark.implicits._
+    // 28 days of exact weekly pattern 10 + 3*dow, plus day 16 spiked.
+    // Day 16 is the weekly MAX (dow 6): inflating a value already above
+    // the window median leaves every rolling lower median at 19, so the
+    // whole spike must surface in the residual — the robustness claim a
+    // rolling MEAN trend would fail (it would absorb 1/7 per window).
+    def cnt(d: Long): Long = 10 + 3 * ((d + 4) % 7)
+    val obs = (0L until 28L).flatMap { d =>
+      val c = if (d == 16) cnt(d) + 50 else cnt(d)
+      Seq.fill(c.toInt)(d)
+    }.toDF("day")
+    val rows = Temporal.seasonalOf(obs).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    // the spike day's excess lands ENTIRELY in the residual
+    assert(rows(16L).getAs[Long]("residual") === 50L,
+      s"spike absorbed: ${rows(16L)}")
+    // interior days decompose exactly: residual 0 (edge days 0-2 and
+    // 25-27 see shrunken windows; their lone member per dow group
+    // cannot move a lower median of 4)
+    val clean = (3L to 24L).filter(_ != 16L)
+      .map(d => rows(d).getAs[Long]("residual"))
+    assert(clean.forall(_ === 0L), s"nonzero clean residuals: $clean")
+    // identity holds everywhere by construction
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("cnt") === r.getAs[Long]("trend") +
+        r.getAs[Long]("seasonal") + r.getAs[Long]("residual"))
+    }
+  }
 }

@@ -58,4 +58,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got(0).getDouble(4) === 1.0)
     assert(got(1).getLong(2) === 1L && got(1).getLong(3) === 3L)
   }
+
+  test("q268 readability: closed-form grade of a planted simple sentence") {
+    import spark.implicits._
+    // "the cat sat. the dog ran." -> w=6, s=2, y=6:
+    // fk_ppm = 390000*6 div 2 + 11800000*6 div 6 - 15590000 = -2620000
+    // (negative grade exercises the sign-factored average)
+    val docs = Seq(("k", "The cat sat. The dog ran.")).toDF("source", "text")
+    val r = graft.operators.TextQuality.readabilityOf(docs).head()
+    assert(r.getAs[Long]("words") === 6L)
+    assert(r.getAs[Long]("sentences") === 2L)
+    assert(r.getAs[Long]("syllables") === 6L)
+    assert(r.getAs[Long]("fk_avg_ppm") === -2620000L)
+    // a long-word, run-on control must score strictly higher
+    val hard = Seq(("k",
+      "Administrative bureaucratization necessitates organizational " +
+      "accountability irrespective of implementation")).toDF("source", "text")
+    val h = graft.operators.TextQuality.readabilityOf(hard).head()
+    assert(h.getAs[Long]("fk_avg_ppm") > r.getAs[Long]("fk_avg_ppm"))
+  }
 }
