@@ -110,6 +110,47 @@ object Ranking {
       .drop("__pid", "__off", "__v")
   }
 
+  /** Global EXCLUSIVE running MAXIMUM of `valueCol` in `sortCols`
+    * order, the same two-pass shape as [[globalCumSumSorted]]: range-
+    * repartition on the sort key, one partition-max row per partition
+    * to the driver, exclusive-prefix-max those, then combine the
+    * broadcast offset with each partition's local exclusive running
+    * max. Rows with no predecessor get NULL (not a sentinel — the
+    * caller decides what an empty prefix means). The primitive under
+    * 2-D skyline/Pareto queries: a point is on the front iff its y
+    * beats the running extreme of every strictly-earlier x. */
+  def globalCumMaxSorted(df: DataFrame, sortCols: Seq[Column],
+                         valueCol: Column,
+                         out: String = "max_before"): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val maxes = ranged.groupBy("__pid").agg(max("__v").as("m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = maxes.map { case (pid, m) =>
+      val o = acc
+      acc = (acc.toSeq ++ m.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+      pid -> o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.map { case (pid, o) =>
+      (pid, o.map(java.lang.Long.valueOf).orNull)
+    }.toSeq.toDF("__pid", "__off")
+    val wIntra = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), "__pid")
+      // greatest() ignores NULLs (null only when BOTH sides are null —
+      // exactly "no predecessor anywhere")
+      .withColumn(out, greatest(max(col("__v")).over(wIntra), col("__off")))
+      .drop("__pid", "__off", "__v")
+  }
+
   /** SQL NTILE(k) bucket (1-based) from a 1-based global row number:
     * the first `n % k` buckets take `n/k + 1` rows, the rest `n/k` —
     * exactly the ANSI definition, computed arithmetically so no

@@ -1298,7 +1298,58 @@ object Mining {
       |       CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- q271: 2-D Pareto front (skyline) of parts ----------------------
+  // The skyline operator — parts where no other part is both cheaper
+  // AND at-least-as-large (minimize price, maximize size): the
+  // multi-objective shortlist a sourcing/curation planner reads. A
+  // block-nested-loop skyline is O(n²); in 2-D it collapses to a sort
+  // + running extreme: pre-aggregate to the best (max) size per
+  // distinct price, then a point survives iff its size strictly beats
+  // the running max over every STRICTLY cheaper price — computed with
+  // Ranking.globalCumMaxSorted (range-repartition two-pass), so no
+  // single-partition window touches the price frame. Duplicate
+  // multiplicity at the surviving (price, size) cell rides along.
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.part(spark, dir)
+      .select((col("p_retailprice").cast("decimal(18,4)") * 10000)
+        .cast("long").as("price_cents"), col("p_size").cast("long").as("size"))
+      .groupBy("price_cents", "size").agg(count(lit(1)).as("n"))
+    val best = cells.groupBy("price_cents").agg(max("size").as("best_size"))
+    val front = graft.functions.Ranking.globalCumMaxSorted(
+        best, Seq(col("price_cents")), col("best_size"), "prev_best")
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      // break lineage with cells (front derives from it) before the
+      // multiplicity join-back
+      .select(col("price_cents").as("fp"), col("best_size").as("fs"))
+    front.join(cells,
+        col("fp") === col("price_cents") && col("fs") === col("size"))
+      .select(col("fp").as("price_cents"), col("fs").as("size"),
+        col("n").as("n_parts"))
+      .orderBy("price_cents")
+  }
+
+  val paretoFrontSql: String =
+    """WITH p AS (SELECT CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000
+      |                       AS BIGINT) AS price_cents,
+      |                  CAST(p_size AS BIGINT) AS size
+      |           FROM part),
+      |d AS (SELECT price_cents, size, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |b AS (SELECT price_cents, MAX(size) AS best_size FROM d GROUP BY 1),
+      |s AS (SELECT price_cents, best_size,
+      |        MAX(best_size) OVER (ORDER BY price_cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS prev_best
+      |      FROM b),
+      |f AS (SELECT price_cents, best_size FROM s
+      |      WHERE prev_best IS NULL OR best_size > prev_best)
+      |SELECT f.price_cents, f.best_size AS size, CAST(d.n AS BIGINT)
+      |         AS n_parts
+      |FROM f JOIN d ON d.price_cents = f.price_cents
+      |            AND d.size = f.best_size
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_pareto_front"     -> (paretoFront _),
     "q266_rfm_segments"     -> (rfmSegments _),
     "q258_target_encoding"  -> (targetEncoding _),
     "q259_mixture_quota"    -> (mixtureQuota _),
@@ -1322,6 +1373,7 @@ object Mining {
     "q244_histogram_overlap" -> (histogramOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "q271_pareto_front"     -> paretoFrontSql,
     "q266_rfm_segments"     -> rfmSegmentsSql,
     "q258_target_encoding"  -> targetEncodingSql,
     "q259_mixture_quota"    -> mixtureQuotaSql,

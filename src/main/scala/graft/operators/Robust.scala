@@ -800,6 +800,59 @@ object Robust {
       |            AS BIGINT) AS tau2_ppm
       |FROM s""".stripMargin
 
+  // ---- q272: grouped weighted median -------------------------------
+  // The weighted lower median of floor(extendedprice) per return flag,
+  // weighted by quantity: the smallest value v whose cumulative weight
+  // reaches half the group total (2·cumW ≥ W, all integers — no
+  // interpolation, so both engines pick the identical element). The
+  // quantity-weighted median answers "the price of the median UNIT
+  // shipped", which a fat order at one price moves very differently
+  // from the per-row median — the robust price-point statistic.
+  //
+  // Shape at scale: one grouped aggregate to the (flag, price) frame,
+  // then the cumulative window runs per flag over |distinct prices|.
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedianOf(Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity")).cast("long").as("wt"),
+        floor(col("l_extendedprice")).cast("long").as("v")))
+
+  /** Core over (grp, wt, v) rows — factored so the spec can plant a
+    * fat-weight row that drags the weighted median off the row
+    * median. */
+  private[graft] def weightedMedianOf(t: DataFrame): DataFrame = {
+    val cells = t.groupBy("grp", "v").agg(sum("wt").as("w"))
+    val cum = cells
+      .withColumn("cw", sum("w").over(
+        Window.partitionBy("grp").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("w").over(Window.partitionBy("grp")))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("v")))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("v").as("weighted_median"),
+        col("tw").as("total_weight"))
+      .orderBy("grp")
+  }
+
+  val weightedMedianSql: String =
+    """WITH t AS (SELECT l_returnflag AS grp,
+      |                  CAST(floor(l_quantity) AS BIGINT) AS wt,
+      |                  CAST(floor(l_extendedprice) AS BIGINT) AS v
+      |           FROM lineitem),
+      |c AS (SELECT grp, v, SUM(wt) AS w FROM t GROUP BY 1, 2),
+      |s AS (SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |        SUM(w) OVER (PARTITION BY grp) AS tw
+      |      FROM c),
+      |r AS (SELECT grp, v, tw,
+      |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+      |      FROM s WHERE cw * 2 >= tw)
+      |SELECT grp, CAST(v AS BIGINT) AS weighted_median,
+      |       CAST(tw AS BIGINT) AS total_weight
+      |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_mann_whitney"  -> (mannWhitney _),
     "q247_theil_sen"     -> (theilSen _),
@@ -813,7 +866,8 @@ object Robust {
     "q257_fano_burstiness"   -> (fanoBurstiness _),
     "q260_dow_seasonality"   -> (dowSeasonality _),
     "q261_auc_by_slice"      -> (aucBySlice _),
-    "q263_kendall_tau"       -> (kendallDaily _))
+    "q263_kendall_tau"       -> (kendallDaily _),
+    "q272_weighted_median"   -> (weightedMedian _))
 
   val oracles: Map[String, String] = Map(
     "q246_mann_whitney"  -> mannWhitneySql,
@@ -828,5 +882,6 @@ object Robust {
     "q257_fano_burstiness"   -> fanoBurstinessSql,
     "q260_dow_seasonality"   -> dowSeasonalitySql,
     "q261_auc_by_slice"      -> aucBySliceSql,
-    "q263_kendall_tau"       -> kendallDailySql)
+    "q263_kendall_tau"       -> kendallDailySql,
+    "q272_weighted_median"   -> weightedMedianSql)
 }

@@ -336,6 +336,61 @@ object Temporal {
       |FROM tr JOIN m ON tr.dow = m.dow
       |ORDER BY tr.day""".stripMargin
 
+  // ---- q270: cohort LTV curves (cumulative revenue by cohort age) ----
+  // The lifetime-value read beside q203's retention cohorts: customers
+  // cohorted by FIRST-ORDER month, each later order binned by age =
+  // months since the cohort month, revenue accumulated along age. The
+  // month index is pure integer calendar math ((year−1970)·12 +
+  // month−1 — no interval arithmetic, no locale), revenue is exact
+  // decimal cents, and the running total is a window over the
+  // |cohorts × ages| pre-aggregated frame. Active-customer counts are
+  // exact distincts per cell.
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      ((year(to_date(col("o_orderdate"))) - 1970) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).cast("long").as("m"),
+      (col("o_totalprice").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+    val cells = o.join(first, "o_custkey")
+      .withColumn("age", col("m") - col("cohort"))
+      .groupBy("cohort", "age")
+      .agg(countDistinct("o_custkey").as("n_active"),
+        sum("cents").cast("decimal(38,0)").as("cents"))
+    cells
+      .withColumn("cum_cents",
+        sum("cents").over(Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(38,0)"))
+      .select(col("cohort"), col("age"), col("n_active"),
+        col("cents").cast("long").as("cents"),
+        col("cum_cents").cast("long").as("cum_cents"))
+      .orderBy("cohort", "age")
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST((EXTRACT(year FROM CAST(o_orderdate AS DATE)) - 1970) * 12
+      |         + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1
+      |         AS BIGINT) AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS HUGEINT)
+      |      AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1),
+      |c AS (SELECT f.cohort, o.m - f.cohort AS age,
+      |             COUNT(DISTINCT o.o_custkey) AS n_active,
+      |             SUM(o.cents) AS cents
+      |      FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |      GROUP BY 1, 2)
+      |SELECT cohort, age, CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(cents AS BIGINT) AS cents,
+      |       CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_cents
+      |FROM c ORDER BY cohort, age""".stripMargin
+
   // ---- q97: anomaly (spike) detection with exact integer arithmetic --
   // Flags days whose event count exceeds 9/8 of the trailing-7-day
   // mean. The comparison `8*n*k > 9*sum` stays in integers — no
@@ -1267,7 +1322,8 @@ object Temporal {
     "q241_ar1_revenue"   -> (ar1DailyRevenue _),
     "q262_acf_panel"     -> (acfPanel _),
     "q264_ldiversity"    -> (lDiversityAudit _),
-    "q269_seasonal_decompose" -> (seasonalDecompose _))
+    "q269_seasonal_decompose" -> (seasonalDecompose _),
+    "q270_cohort_ltv"    -> (cohortLtv _))
 
   val oracles: Map[String, String] = Map(
     "q216_seasonal_outliers" -> seasonalOutliersSql,
@@ -1295,5 +1351,6 @@ object Temporal {
     "q241_ar1_revenue"   -> ar1DailyRevenueSql,
     "q262_acf_panel"     -> acfPanelSql,
     "q264_ldiversity"    -> lDiversityAuditSql,
-    "q269_seasonal_decompose" -> seasonalDecomposeSql)
+    "q269_seasonal_decompose" -> seasonalDecomposeSql,
+    "q270_cohort_ltv"    -> cohortLtvSql)
 }

@@ -441,4 +441,42 @@ class MiningSpec extends SparkSpec {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
     assert(tr === Map("s1" -> 4L, "s2" -> 3L, "s3" -> 3L))
   }
+
+  test("q271 Pareto front equals brute-force dominance; cumMax primitive law") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 400).map(_ =>
+      (rnd.nextInt(50).toLong * 10 + 100, rnd.nextInt(30).toLong))
+    // brute-force skyline: p=(price,size) survives iff no q with
+    // q.price <= p.price, q.size >= p.size, and one strict
+    val distinct = pts.distinct
+    val brute = distinct.filter { case (px, py) =>
+      !distinct.exists { case (qx, qy) =>
+        qx <= px && qy >= py && (qx < px || qy > py) }
+    }.toSet
+    val cells = pts.toDF("price_cents", "size")
+      .groupBy("price_cents", "size").agg(count(lit(1)).as("n"))
+    val best = cells.groupBy("price_cents")
+      .agg(max("size").as("best_size"))
+    val front = graft.functions.Ranking.globalCumMaxSorted(
+        best, Seq(col("price_cents")), col("best_size"), "prev_best")
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      .collect().map(r => (r.getAs[Long]("price_cents"),
+        r.getAs[Long]("best_size"))).toSet
+    assert(front === brute, s"front != brute: extra=${front -- brute} missing=${brute -- front}")
+
+    // the primitive itself: exclusive running max must agree with a
+    // sequential scan, including the NULL first row
+    val seq0 = (1 to 200).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val got = graft.functions.Ranking.globalCumMaxSorted(
+        seq0.toDF("k", "v"), Seq(col("k")), col("v"), "mb")
+      .collect().map(r => r.getAs[Long]("k") ->
+        (if (r.isNullAt(r.fieldIndex("mb"))) None else Some(r.getAs[Long]("mb"))))
+      .toMap
+    var run: Option[Long] = None
+    seq0.foreach { case (k, v) =>
+      assert(got(k) === run, s"k=$k")
+      run = Some(run.fold(v)(math.max(_, v)))
+    }
+  }
 }

@@ -350,4 +350,39 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"),
       s"no pushed shipdate filter:\n$plan")
   }
+
+  test("round-11 batch-2 operators stay cartesian-free where they must") {
+    def noCartesian(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+    }
+    def keyedOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    // corpus/fact-scale paths: every join must be keyed (hash or
+    // broadcast-hash), never a nested loop
+    keyedOnly(graft.operators.Multimodal.audioFingerprint(
+      graft.operators.Multimodal.plantedMediaAssets(
+        Tables.documents(spark, sf).filter(col("doc_id") < 100), "doc_id")),
+      "audioFingerprint")
+    keyedOnly(graft.operators.Mining.rfmSegments(spark, sf), "rfmSegments")
+    keyedOnly(graft.operators.Mining.paretoFront(spark, sf), "paretoFront")
+    keyedOnly(graft.operators.Temporal.cohortLtv(spark, sf), "cohortLtv")
+    keyedOnly(graft.operators.Robust.weightedMedian(spark, sf),
+      "weightedMedian")
+    keyedOnly(graft.operators.TextQuality.readability(spark, sf),
+      "readability")
+    keyedOnly(graft.operators.Temporal.lDiversityAudit(spark, sf),
+      "lDiversity")
+    // broadcast-tiny-dim shapes (7-row lag dim, 10-cell bin grid,
+    // |days|-frame pair joins): BNLJ against a broadcast few-row build
+    // side is the documented design — but a CartesianProduct is not
+    noCartesian(graft.operators.Temporal.acfPanel(spark, sf), "acfPanel")
+    noCartesian(graft.operators.Curation.psiDrift(spark, sf), "psiDrift")
+    noCartesian(graft.operators.Robust.kendallDaily(spark, sf), "kendall")
+    noCartesian(graft.operators.Temporal.seasonalDecompose(spark, sf),
+      "seasonalDecompose")
+  }
 }

@@ -229,4 +229,19 @@ class RobustSpec extends SparkSpec {
     assert(halfTied.getAs[Long]("concordant") === 12L)
     assert(halfTied.getAs[Long]("tau2_ppm") === 800000L)
   }
+
+  test("q272 weighted median: a fat weight drags it off the row median") {
+    import spark.implicits._
+    // values 1..9 weight 1, plus value 9 with weight 100:
+    // row median = 5, weighted median = 9 (2*cw >= W first at v=9)
+    val t = ((1L to 9L).map(v => ("g", 1L, v)) :+ (("g", 100L, 9L)))
+      .toDF("grp", "wt", "v")
+    val r = Robust.weightedMedianOf(t).head()
+    assert(r.getAs[Long]("weighted_median") === 9L)
+    assert(r.getAs[Long]("total_weight") === 109L)
+    // uniform weights reduce to the positional lower median
+    val u = (1L to 9L).map(v => ("u", 1L, v)).toDF("grp", "wt", "v")
+    assert(Robust.weightedMedianOf(u).head()
+      .getAs[Long]("weighted_median") === 5L)
+  }
 }
