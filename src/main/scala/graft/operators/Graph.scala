@@ -71,6 +71,78 @@ object Graph {
       .orderBy("node")
   }
 
+  // ---- q275: double-sweep diameter lower bound ------------------------
+  // The standard cheap diameter estimate (Magnien–Latapy–Habib): BFS
+  // from an arbitrary node, re-BFS from the farthest node found, and
+  // the second eccentricity is a lower bound that is exact on trees
+  // and empirically tight on real graphs — two BFS instead of |V|.
+  // Determinism: the start is the MINIMUM node id, the far pivot
+  // breaks distance ties by minimum id, and both sweeps are h-bounded
+  // (h = 6) so the oracle's recursive CTE terminates identically. The
+  // h-bound makes the reported figure "diameter observed within 6
+  // hops" — still a valid lower bound, identically in both engines.
+  // Scale shape: each sweep is the q130 frontier loop (per-hop cost =
+  // frontier edge cut); everything between sweeps is 1-row frames.
+  def doubleSweepDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().localCheckpoint(true)
+    doubleSweepOn(edges, maxHops = 6)
+  }
+
+  /** Double-sweep core over an undirected (u, v) edge list — factored
+    * so the spec can assert tree-exactness (the bound is the true
+    * diameter on any tree). */
+  private[graft] def doubleSweepOn(edges: DataFrame,
+                                   maxHops: Int): DataFrame = {
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    val seed = nodes.agg(min("node").as("node"))
+    val d1 = bfsDistances(edges, seed, maxHops)
+    val far = d1.orderBy(col("dist").desc, col("node").asc).limit(1)
+    val d2 = bfsDistances(edges, far.select("node"), maxHops)
+    seed.select(col("node").cast("long").as("seed_node"))
+      .crossJoin(broadcast(far.select(col("node").cast("long").as("far_node"),
+        col("dist").as("ecc_first"))))
+      .crossJoin(broadcast(d2.agg(max("dist").as("diameter_lb"),
+        count(lit(1)).as("n_reached"))))
+  }
+
+  val doubleSweepDiameterSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 10 = 0),
+      |e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |                     AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |seed AS (SELECT MIN(u) AS node FROM edges),
+      |w1(node, d) AS (
+      |  SELECT node, 0 FROM seed
+      |  UNION
+      |  SELECT e.v, w.d + 1 FROM w1 w JOIN edges e ON e.u = w.node
+      |  WHERE w.d < 6),
+      |d1 AS (SELECT node, MIN(d) AS dist FROM w1 GROUP BY 1),
+      |far AS (SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1),
+      |w2(node, d) AS (
+      |  SELECT node, 0 FROM far
+      |  UNION
+      |  SELECT e.v, w.d + 1 FROM w2 w JOIN edges e ON e.u = w.node
+      |  WHERE w.d < 6),
+      |d2 AS (SELECT node, MIN(d) AS dist FROM w2 GROUP BY 1)
+      |SELECT CAST(seed.node AS BIGINT) AS seed_node,
+      |       CAST(far.node AS BIGINT) AS far_node,
+      |       CAST(far.dist AS BIGINT) AS ecc_first,
+      |       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb,
+      |       CAST((SELECT COUNT(*) FROM d2) AS BIGINT) AS n_reached
+      |FROM seed, far""".stripMargin
+
   val bfsFromSeedsSql: String =
     """WITH RECURSIVE li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
@@ -902,6 +974,7 @@ object Graph {
     "q106_basket_pairs"         -> (basketPairs _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
     "q130_bfs_distance"         -> (bfsFromSeeds _),
+    "q275_double_sweep_diameter" -> (doubleSweepDiameter _),
     "q134_onion_layers"         -> (onionLayers _))
 
   val oracles: Map[String, String] = Map(
@@ -917,5 +990,6 @@ object Graph {
     "q106_basket_pairs"         -> basketPairsSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
     "q130_bfs_distance"         -> bfsFromSeedsSql,
+    "q275_double_sweep_diameter" -> doubleSweepDiameterSql,
     "q134_onion_layers"         -> onionLayersSql)
 }

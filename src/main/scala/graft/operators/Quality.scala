@@ -1270,7 +1270,139 @@ object Quality {
       |FROM v JOIN b USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q273: functional-dependency discovery --------------------------
+  // Metanome-style profiling: does column A determine column B? For
+  // each candidate (table, lhs → rhs) the audit counts lhs groups
+  // carrying MORE than one distinct rhs (violations) — the primitive
+  // under schema inference, normalization advice, and "is this column
+  // safe to use as a join key" checks. The candidate list deliberately
+  // mixes true FDs (keys, the nation→region hierarchy) with false ones
+  // so the report discriminates. Each candidate is one grouped
+  // count-distinct (map-side combinable) on its own table — no joins,
+  // no windows; the union frame is |candidates| rows.
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def audit(tbl: String, df: DataFrame, lhs: String, rhs: String) =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    audit("customer", c, "c_custkey", "c_nationkey")
+      .unionByName(audit("customer", c, "c_nationkey", "c_mktsegment"))
+      .unionByName(audit("nation", n, "n_nationkey", "n_regionkey"))
+      .unionByName(audit("orders", o, "o_orderkey", "o_custkey"))
+      .unionByName(audit("orders", o, "o_custkey", "o_orderpriority"))
+      .orderBy("tbl", "lhs", "rhs")
+  }
+
+  val fdDiscoverySql: String =
+    """WITH cand AS (
+      |  SELECT 'customer' AS tbl, 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+      |         COUNT(*) AS n_groups,
+      |         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_violating
+      |  FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS d
+      |        FROM customer GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'customer', 'c_nationkey', 'c_mktsegment', COUNT(*),
+      |         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS d
+      |        FROM customer GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'nation', 'n_nationkey', 'n_regionkey', COUNT(*),
+      |         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS d
+      |        FROM nation GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'orders', 'o_orderkey', 'o_custkey', COUNT(*),
+      |         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS d
+      |        FROM orders GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'orders', 'o_custkey', 'o_orderpriority', COUNT(*),
+      |         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+      |        FROM orders GROUP BY 1))
+      |SELECT tbl, lhs, rhs, CAST(n_groups AS BIGINT) AS n_groups,
+      |       CAST(n_violating AS BIGINT) AS n_violating,
+      |       n_violating = 0 AS holds
+      |FROM cand ORDER BY tbl, lhs, rhs""".stripMargin
+
+  // ---- q274: inclusion-dependency discovery (FK inference) ------------
+  // The companion profile: is every value of column A present in
+  // column B (A ⊆ B — the necessary condition for A being a foreign
+  // key into B)? Checked on DISTINCT value sets with one left-anti
+  // join per candidate — the distinct frames are key-cardinality
+  // sized, and the anti join shuffles only them. True INDs (the
+  // TPC-H FK web) sit beside a deliberately false one (not every
+  // customer has placed an order).
+  def indDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, a: DataFrame, ac: String,
+              b: DataFrame, bc: String) = {
+      val da = a.select(col(ac).as("v")).distinct()
+      val db = b.select(col(bc).as("v")).distinct()
+      val missing = da.join(db, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      da.agg(count(lit(1)).as("n_distinct"))
+        .crossJoin(broadcast(missing))
+        .select(lit(name).as("candidate"), col("n_distinct"),
+          col("n_missing"), (col("n_missing") === 0).as("holds"))
+    }
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    audit("orders.o_custkey<customer.c_custkey", o, "o_custkey", c, "c_custkey")
+      .unionByName(audit("lineitem.l_orderkey<orders.o_orderkey",
+        l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(audit("customer.c_nationkey<nation.n_nationkey",
+        c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(audit("nation.n_regionkey<region.r_regionkey",
+        n, "n_regionkey", r, "r_regionkey"))
+      .unionByName(audit("customer.c_custkey<orders.o_custkey",
+        c, "c_custkey", o, "o_custkey"))
+      .orderBy("candidate")
+  }
+
+  val indDiscoverySql: String =
+    """WITH cand AS (
+      |  SELECT 'orders.o_custkey<customer.c_custkey' AS candidate,
+      |    (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) a
+      |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |      AS n_missing
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey<orders.o_orderkey',
+      |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) a
+      |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey<nation.n_nationkey',
+      |    (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) a
+      |      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |  UNION ALL
+      |  SELECT 'nation.n_regionkey<region.r_regionkey',
+      |    (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey FROM nation) a
+      |      WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+      |  UNION ALL
+      |  SELECT 'customer.c_custkey<orders.o_custkey',
+      |    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) a
+      |      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+      |SELECT candidate, CAST(n_distinct AS BIGINT) AS n_distinct,
+      |       CAST(n_missing AS BIGINT) AS n_missing,
+      |       n_missing = 0 AS holds
+      |FROM cand ORDER BY candidate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_fd_discovery"    -> (fdDiscovery _),
+    "q274_ind_discovery"   -> (indDiscovery _),
     "q237_winsorize"       -> (winsorizeStats _),
     "q184_benford_audit"   -> (benfordAudit _),
     "q185_hot_keys"        -> (hotKeys _),
@@ -1312,6 +1444,8 @@ object Quality {
     "q176_approx_percentile" -> (approxPercentileAccuracy _))
 
   val oracles: Map[String, String] = Map(
+    "q273_fd_discovery"    -> fdDiscoverySql,
+    "q274_ind_discovery"   -> indDiscoverySql,
     "q237_winsorize"       -> winsorizeStatsSql,
     "q184_benford_audit"   -> benfordAuditSql,
     "q185_hot_keys"        -> hotKeysSql,

@@ -123,4 +123,33 @@ class AuditOpsSpec extends SparkSpec {
       (BigInt(n) * BigInt(n))
     assert(row.getLong(6) === hhi.toLong)
   }
+
+  test("q273/q274: profiling discovers the TPC-H key FDs and FK INDs") {
+    val fd = Quality.fdDiscovery(spark, sf).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs")) -> r.getAs[Boolean]("holds")).toMap
+    // key-determined FDs must hold by construction
+    assert(fd(("customer", "c_custkey", "c_nationkey")))
+    assert(fd(("orders", "o_orderkey", "o_custkey")))
+    assert(fd(("nation", "n_nationkey", "n_regionkey")))
+    // a customer placing orders of different priorities breaks the
+    // false candidate (guaranteed at every sf by order volume)
+    assert(!fd(("orders", "o_custkey", "o_orderpriority")),
+      "o_custkey -> o_orderpriority should not hold")
+
+    val ind = Quality.indDiscovery(spark, sf).collect()
+      .map(r => r.getAs[String]("candidate") ->
+        (r.getAs[Long]("n_missing"), r.getAs[Boolean]("holds"))).toMap
+    // the FK web holds
+    assert(ind("orders.o_custkey<customer.c_custkey")._2)
+    assert(ind("lineitem.l_orderkey<orders.o_orderkey")._2)
+    assert(ind("customer.c_nationkey<nation.n_nationkey")._2)
+    assert(ind("nation.n_regionkey<region.r_regionkey")._2)
+    // the reverse direction counts exactly the order-less customers
+    val custNoOrders = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").distinct().count()
+    assert(ind("customer.c_custkey<orders.o_custkey")._1 === custNoOrders)
+  }
 }

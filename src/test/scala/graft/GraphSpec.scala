@@ -270,4 +270,24 @@ class GraphSpec extends SparkSpec {
       } finally spark.conf.set(key, prev)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("q275 double sweep is exact on trees and from the worst seed") {
+    import spark.implicits._
+    // a "broom": path 10-11-12-13-14 with extra twigs 13-20, 13-21.
+    // min node = 10 (an endpoint); true diameter = 4 (10..14 or 10..20)
+    val broom = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (13L, 20L), (13L, 21L)).toDF("u", "v")
+    val r = graft.operators.Graph.doubleSweepOn(broom, 6).head()
+    assert(r.getAs[Long]("seed_node") === 10L)
+    assert(r.getAs[Long]("ecc_first") === 4L)
+    assert(r.getAs[Long]("diameter_lb") === 4L)
+    assert(r.getAs[Long]("n_reached") === 7L)
+    // seed in the MIDDLE (min node 0 is the center): first sweep sees
+    // ecc 2, the pivot jumps to an endpoint, second sweep finds the
+    // true diameter 4 — the whole point of the double sweep
+    val star = Seq((0L, 1L), (1L, 3L), (0L, 2L), (2L, 4L)).toDF("u", "v")
+    val r2 = graft.operators.Graph.doubleSweepOn(star, 6).head()
+    assert(r2.getAs[Long]("ecc_first") === 2L)
+    assert(r2.getAs[Long]("diameter_lb") === 4L)
+  }
 }
