@@ -272,8 +272,13 @@ object Robust {
       .select(expr("ts_ns div 1000 div 86400000000").as("day")))
 
   /** Core over (day) observation rows. */
-  private[graft] def madOf(t: DataFrame): DataFrame = {
-    val d = t.groupBy("day").agg(count(lit(1)).as("cnt"))
+  private[graft] def madOf(t: DataFrame): DataFrame =
+    madOnFrame(t.groupBy("day").agg(count(lit(1)).as("cnt")))
+
+  /** The MAD screen over an arbitrary pre-built (day, cnt) frame — the
+    * seam q276 reuses to screen q269's seasonal residuals. */
+  private[graft] def madOnFrame(d0: DataFrame): DataFrame = {
+    val d = d0
       .localCheckpoint(true) // 3 consumers: median, deviations, rollup
     def lowerMedian(df: DataFrame, c: String, out: String): DataFrame =
       df.withColumn("rn",
@@ -853,6 +858,63 @@ object Robust {
       |       CAST(tw AS BIGINT) AS total_weight
       |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin
 
+  // ---- q276: seasonal-adjusted MAD anomaly screen ---------------------
+  // The composed monitoring stack: q269's decomposition strips the
+  // weekly pattern, then q250's MAD screen runs ON THE RESIDUALS — so
+  // a day that is normal in absolute volume but WRONG FOR ITS WEEKDAY
+  // (Wednesday traffic on a Sunday) is flagged, where the raw q250
+  // screen stays silent because the value sits inside the overall
+  // spread. Same output shape and 5·MAD threshold as q250; medians
+  // positional on the |days| frame.
+  def seasonalMad(spark: SparkSession, dir: String): DataFrame =
+    seasonalMadOf(Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")))
+
+  /** Core over (day) observation rows — factored so the spec can plant
+    * the in-season anomaly raw MAD provably misses. */
+  private[graft] def seasonalMadOf(t: DataFrame): DataFrame =
+    madOnFrame(Temporal.seasonalOf(t)
+      .select(col("day"), col("residual").as("cnt")))
+
+  val seasonalMadSql: String =
+    """WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events),
+      |d0 AS (SELECT day, COUNT(*) AS cnt FROM e GROUP BY 1),
+      |t0 AS (SELECT day, cnt,
+      |        list_sort(list(cnt) OVER (ORDER BY day
+      |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win,
+      |        (day + 4) % 7 AS dow
+      |      FROM d0),
+      |tr AS (SELECT day, cnt, dow, win[(len(win) + 1) // 2] AS trend,
+      |              cnt - win[(len(win) + 1) // 2] AS detr
+      |       FROM t0),
+      |sm AS (SELECT dow, detr AS seasonal FROM
+      |        (SELECT dow, detr, day,
+      |                ROW_NUMBER() OVER (PARTITION BY dow
+      |                  ORDER BY detr, day) AS rn,
+      |                COUNT(*) OVER (PARTITION BY dow) AS n FROM tr)
+      |      WHERE rn = (n + 1) // 2),
+      |d AS (SELECT tr.day, tr.cnt - tr.trend - sm.seasonal AS cnt
+      |      FROM tr JOIN sm ON tr.dow = sm.dow),
+      |m1 AS (SELECT cnt AS med FROM
+      |        (SELECT cnt, day, ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+      |                COUNT(*) OVER () AS n FROM d)
+      |       WHERE rn = (n + 1) // 2),
+      |dv AS (SELECT day, cnt, abs(cnt - med) AS dev, med FROM d, m1),
+      |m2 AS (SELECT dev AS mad FROM
+      |        (SELECT dev, day, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+      |                COUNT(*) OVER () AS n FROM dv)
+      |       WHERE rn = (n + 1) // 2),
+      |mx AS (SELECT MAX(dev) AS max_dev FROM dv)
+      |SELECT COUNT(*) AS n_days, CAST(MAX(med) AS BIGINT) AS med_cnt,
+      |       CAST(MAX(mad) AS BIGINT) AS mad,
+      |       CAST(SUM(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_anomalies,
+      |       CAST(MIN(CASE WHEN dev = mx.max_dev THEN day END) AS BIGINT)
+      |         AS max_dev_day,
+      |       CAST(MAX(mx.max_dev) AS BIGINT) AS max_dev
+      |FROM dv, m2, mx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_mann_whitney"  -> (mannWhitney _),
     "q247_theil_sen"     -> (theilSen _),
@@ -867,7 +929,8 @@ object Robust {
     "q260_dow_seasonality"   -> (dowSeasonality _),
     "q261_auc_by_slice"      -> (aucBySlice _),
     "q263_kendall_tau"       -> (kendallDaily _),
-    "q272_weighted_median"   -> (weightedMedian _))
+    "q272_weighted_median"   -> (weightedMedian _),
+    "q276_seasonal_mad"      -> (seasonalMad _))
 
   val oracles: Map[String, String] = Map(
     "q246_mann_whitney"  -> mannWhitneySql,
@@ -883,5 +946,6 @@ object Robust {
     "q260_dow_seasonality"   -> dowSeasonalitySql,
     "q261_auc_by_slice"      -> aucBySliceSql,
     "q263_kendall_tau"       -> kendallDailySql,
-    "q272_weighted_median"   -> weightedMedianSql)
+    "q272_weighted_median"   -> weightedMedianSql,
+    "q276_seasonal_mad"      -> seasonalMadSql)
 }

@@ -244,4 +244,23 @@ class RobustSpec extends SparkSpec {
     assert(Robust.weightedMedianOf(u).head()
       .getAs[Long]("weighted_median") === 5L)
   }
+
+  test("q276 seasonal MAD flags the in-season anomaly raw MAD misses") {
+    import spark.implicits._
+    // 35 days of strong weekly pattern 20 + 10*dow (values 20..80);
+    // day 17 (dow 0, expected 20) carries 50 — inside the overall
+    // 20..80 spread (raw MAD silent) but 30 off its weekday level
+    def cnt(d: Long): Long = 20 + 10 * ((d + 4) % 7)
+    val obs = (0L until 35L).flatMap { d =>
+      val c = if (d == 17) 50L else cnt(d)
+      Seq.fill(c.toInt)(d)
+    }.toDF("day")
+    val raw = Robust.madOf(obs).head()
+    assert(raw.getAs[Long]("n_anomalies") === 0L,
+      s"fixture broken: raw MAD flagged the in-season day: $raw")
+    val seas = Robust.seasonalMadOf(obs).head()
+    assert(seas.getAs[Long]("n_anomalies") >= 1L,
+      s"seasonal MAD missed the weekday-wrong day: $seas")
+    assert(seas.getAs[Long]("max_dev_day") === 17L)
+  }
 }
