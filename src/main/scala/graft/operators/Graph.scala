@@ -493,6 +493,77 @@ object Graph {
       |SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
       |FROM pairs ORDER BY n_orders DESC, part_a, part_b LIMIT 10""".stripMargin
 
+  // ---- q279: association rules (confidence + lift) -------------------
+  // The rule-generation half of A-Priori (Agrawal & Srikant, VLDB'94):
+  // from q110's guarded frequent pairs, emit BOTH directed rules
+  // ant -> cons with confidence = s_ab/s_ant and lift =
+  // s_ab·N/(s_ant·s_cons), each in the exact ppm integer channel
+  // (cross-multiplied through DECIMAL(38,0)/HUGEINT — at web scale
+  // s_ant·s_cons·10⁶ overflows int64 around s ≈ 3e6, the same
+  // silent-wrap class the q242/q244 fixes closed). Top-20 by lift
+  // with a full tiebreak chain.
+  //
+  // Shape at scale: the pair mining is q110's A-Priori guarded join
+  // (nothing quadratic in basket size survives the prune); supports
+  // and the basket count are grouped aggregates of the SAME distinct
+  // (basket, item) frame (checkpointed once, consumed three times);
+  // both support joins broadcast (|frequent items| rows).
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")))
+
+  /** Rule core over a (basket, item) frame — factored so the spec can
+    * plant baskets with hand-computed confidence/lift. */
+  private[graft] def assocRulesOf(basketItems: DataFrame): DataFrame = {
+    val li = basketItems.select("basket", "item").distinct()
+      .localCheckpoint(true) // 3 consumers: N, supports, pair mining
+    val nB = li.select("basket").distinct().groupBy()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = li.groupBy("item").agg(count(lit(1)).as("supp"))
+    val pairs = frequentPairs(li, "basket", "item", minSupport = 2L)
+    val directed = pairs.select(col("item_a").as("ant"),
+        col("item_b").as("cons"), col("n_baskets").as("s_ab"))
+      .union(pairs.select(col("item_b").as("ant"),
+        col("item_a").as("cons"), col("n_baskets").as("s_ab")))
+    directed
+      .join(broadcast(supp.select(col("item").as("ant"), col("supp").as("s_ant"))),
+        Seq("ant"))
+      .join(broadcast(supp.select(col("item").as("cons"), col("supp").as("s_cons"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nB))
+      .select(col("ant"), col("cons"), col("s_ab"),
+        expr("s_ab * 1000000 div s_ant").as("conf_ppm"),
+        expr("""CAST(CAST(s_ab AS DECIMAL(38,0)) * n_baskets * 1000000
+                div (CAST(s_ant AS DECIMAL(38,0)) * s_cons) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("ant"), col("cons"))
+      .limit(20)
+  }
+
+  val assocRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |            FROM lineitem),
+      |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM li),
+      |supp AS (SELECT item, COUNT(*) AS supp FROM li GROUP BY 1),
+      |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+      |            COUNT(*) AS s_ab
+      |          FROM li a JOIN li b
+      |            ON a.basket = b.basket AND a.item < b.item
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |d AS (SELECT item_a AS ant, item_b AS cons, s_ab FROM pairs
+      |      UNION ALL
+      |      SELECT item_b AS ant, item_a AS cons, s_ab FROM pairs)
+      |SELECT d.ant, d.cons, CAST(d.s_ab AS BIGINT) AS s_ab,
+      |       CAST(d.s_ab * 1000000 // sa.supp AS BIGINT) AS conf_ppm,
+      |       CAST(CAST(d.s_ab AS HUGEINT) * nb.n_baskets * 1000000
+      |            // (CAST(sa.supp AS HUGEINT) * sc.supp) AS BIGINT)
+      |         AS lift_ppm
+      |FROM d JOIN supp sa ON d.ant = sa.item
+      |       JOIN supp sc ON d.cons = sc.item
+      |       CROSS JOIN nb
+      |ORDER BY lift_ppm DESC, conf_ppm DESC, ant, cons LIMIT 20""".stripMargin
+
   // ---- q146: PageRank (fixed-round, integer-exact) --------------------
   // PageRank (Brin & Page 1998, public literature) over the symmetrized
   // part<->supplier graph from lineitem (supplier nodes offset into
@@ -972,6 +1043,7 @@ object Graph {
     "q252_clustering_coeff"     -> (clusteringCoeff _),
     "q146_pagerank"             -> (pageRank _),
     "q106_basket_pairs"         -> (basketPairs _),
+    "q279_assoc_rules"          -> (assocRules _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
     "q130_bfs_distance"         -> (bfsFromSeeds _),
     "q275_double_sweep_diameter" -> (doubleSweepDiameter _),
@@ -988,6 +1060,7 @@ object Graph {
     "q252_clustering_coeff"     -> clusteringCoeffSql,
     "q146_pagerank"             -> pageRankSql,
     "q106_basket_pairs"         -> basketPairsSql,
+    "q279_assoc_rules"          -> assocRulesSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
     "q130_bfs_distance"         -> bfsFromSeedsSql,
     "q275_double_sweep_diameter" -> doubleSweepDiameterSql,

@@ -526,7 +526,108 @@ object Retrieval {
        |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q277: mutual-kNN pairs (reciprocal best match) ----------------
+  // The bitext/parallel-corpus mining primitive (Artetxe & Schwenk
+  // 2019, "Margin-based Parallel Corpus Mining", public literature):
+  // a pair (a, b) is kept only when b is a's single nearest neighbor
+  // AND a is b's — reciprocity kills the hub vectors that are
+  // "everyone's neighbor" and produce the false matches a one-sided
+  // top-1 keeps. Built from Similarity.bruteForceTopK (k=1, cos
+  // rounded to 6 with vec_id tiebreak, so the NN function is
+  // deterministic cross-engine) + ONE self-equi-join on the oriented
+  // pair — no second scoring pass.
+  //
+  // Shape at scale: the oracle lane bounds the slice; the library path
+  // feeds the same reciprocity join from lshTopK/ivfTopK candidates
+  // (equality joins on bucket keys), so corpus-scale mutual-kNN is
+  // two bucketed top-1 passes + a pair equi-join — never all-pairs.
+  private[graft] def nn1Of(sub: DataFrame): DataFrame =
+    Similarity.bruteForceTopK(sub, sub, k = 1)
+      .select(col("query_id").as("a"), col("vec_id").as("b"), col("cos"))
+
+  /** Reciprocity core over any (a, b, cos) top-1 frame — the seam the
+    * spec uses to plant a hub vector and assert it is filtered. */
+  private[graft] def mutualOf(nn: DataFrame): DataFrame =
+    nn.as("x").join(nn.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a") &&
+          col("x.a") < col("x.b"))
+      .select(col("x.a").as("vec_a"), col("x.b").as("vec_b"), col("x.cos"))
+
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame =
+    mutualOf(nn1Of(Tables.embeddings(spark, dir).filter(col("vec_id") < 300)))
+      .orderBy("vec_a")
+
+  val mutualKnnSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 300),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm FROM c),
+      |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    round(list_inner_product(a.v, b.v) / (a.nm * b.nm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT qa, qb, cos, ROW_NUMBER() OVER (PARTITION BY qa
+      |        ORDER BY cos DESC, qb ASC) AS rn FROM scored),
+      |nn AS (SELECT qa, qb, cos FROM r WHERE rn = 1)
+      |SELECT x.qa AS vec_a, x.qb AS vec_b, x.cos AS cos
+      |FROM nn x JOIN nn y ON x.qa = y.qb AND x.qb = y.qa AND x.qa < x.qb
+      |ORDER BY vec_a""".stripMargin
+
+  // ---- q278: ratio-margin scoring (k=4 neighborhood) -----------------
+  // The companion filter to q277: margin(x, y) = cos(x, y) scaled by
+  // the mean of both endpoints' top-k cosine neighborhoods — a raw
+  // cosine of 0.7 is a strong match in a sparse region and noise next
+  // to a hub, and the margin is what separates the two (same paper as
+  // q277). Exactness: the 6-decimal cosine is lifted into an integer
+  // micro-cosine channel (cos6 = round(cos·10⁶)), neighborhood sums
+  // stay integral, and margin_ppm = cos6·8·10⁶ div (Σk(x) + Σk(y)) —
+  // ratio-of-integers, bit-identical cross-engine. Pairs whose summed
+  // neighborhood is non-positive are dropped (floor division on
+  // negative denominators is the one place Spark `div` and DuckDB `//`
+  // disagree; a non-positive 4-NN neighborhood sum also means the
+  // margin denominator has no mass to normalize by).
+  private[graft] def marginOf(sub: DataFrame): DataFrame = {
+    val k4 = Similarity.bruteForceTopK(sub, sub, k = 4)
+      .withColumn("cos6", expr("CAST(round(cos * 1000000) AS BIGINT)"))
+      .localCheckpoint(true) // consumed 2x: neighborhood sums + top-1
+    val sums = k4.groupBy(col("query_id").as("q")).agg(sum("cos6").as("sumk"))
+    k4.filter(col("rank") === 1L)
+      .join(sums.select(col("q").as("query_id"), col("sumk").as("sum_x")),
+        Seq("query_id"))
+      .join(sums.select(col("q").as("vec_id"), col("sumk").as("sum_y")),
+        Seq("vec_id"))
+      .filter(col("sum_x") + col("sum_y") > 0L)
+      .select(col("query_id"), col("vec_id").as("nn_id"), col("cos"),
+        expr("cos6 * 8 * 1000000 div (sum_x + sum_y)").as("margin_ppm"))
+  }
+
+  def marginFilter(spark: SparkSession, dir: String): DataFrame =
+    marginOf(Tables.embeddings(spark, dir).filter(col("vec_id") < 300))
+      .orderBy("query_id")
+
+  val marginFilterSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 300),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm FROM c),
+      |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    round(list_inner_product(a.v, b.v) / (a.nm * b.nm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT qa, qb, cos, ROW_NUMBER() OVER (PARTITION BY qa
+      |        ORDER BY cos DESC, qb ASC) AS rn FROM scored),
+      |k4 AS (SELECT qa, qb, cos,
+      |        CAST(round(cos * 1000000) AS BIGINT) AS cos6, rn
+      |      FROM r WHERE rn <= 4),
+      |s AS (SELECT qa, SUM(cos6) AS sumk FROM k4 GROUP BY 1)
+      |SELECT t.qa AS query_id, t.qb AS nn_id, t.cos AS cos,
+      |       CAST((t.cos6 * 8 * 1000000) // (sx.sumk + sy.sumk) AS BIGINT)
+      |         AS margin_ppm
+      |FROM (SELECT * FROM k4 WHERE rn = 1) t
+      |JOIN s sx ON t.qa = sx.qa
+      |JOIN s sy ON t.qb = sy.qa
+      |WHERE sx.sumk + sy.sumk > 0
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_mutual_knn"        -> (mutualKnn _),
+    "q278_margin_filter"     -> (marginFilter _),
     "q197_feature_hash"      -> (featureHash _),
     "q182_phrase_search"     -> ((s, d) => phraseSearch(s, d)),
     "q111_group_filter"      -> (groupFilter _),
@@ -540,6 +641,8 @@ object Retrieval {
     "q235_rrf_fusion"        -> (rrfFusion _))
 
   val oracles: Map[String, String] = Map(
+    "q277_mutual_knn"        -> mutualKnnSql,
+    "q278_margin_filter"     -> marginFilterSql,
     "q197_feature_hash"      -> featureHashSql,
     "q182_phrase_search"     -> phraseSearchSql,
     "q111_group_filter"      -> groupFilterSql,

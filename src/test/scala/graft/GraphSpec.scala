@@ -290,4 +290,21 @@ class GraphSpec extends SparkSpec {
     assert(r2.getAs[Long]("ecc_first") === 2L)
     assert(r2.getAs[Long]("diameter_lb") === 4L)
   }
+
+  test("q279 assoc rules: hand-computed confidence and lift") {
+    import spark.implicits._
+    // baskets: {A,B}, {A,B}, {A,C}, {B} -> N=4, supp A=3 B=3 C=1;
+    // only pair (A,B) reaches minSupport 2. conf(A->B) = 2/3,
+    // lift = 2*4/(3*3) = 8/9; duplicate (basket, item) rows must not
+    // inflate supports (basket 1 lists A twice).
+    val li = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("basket", "item")
+    val got = graft.operators.Graph.assocRulesOf(li).collect()
+      .map(r => (r.getAs[String]("ant"), r.getAs[String]("cons"),
+        r.getAs[Long]("s_ab"), r.getAs[Long]("conf_ppm"),
+        r.getAs[Long]("lift_ppm"))).toSeq.sorted
+    assert(got === Seq(
+      ("A", "B", 2L, 666666L, 888888L),
+      ("B", "A", 2L, 666666L, 888888L)))
+  }
 }

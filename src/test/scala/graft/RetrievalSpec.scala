@@ -153,4 +153,62 @@ class RetrievalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     assert(got === want, "BM25 scores and order re-derive exactly")
   }
+
+  // deterministic pseudo-random unit-free vectors for q277/q278 laws
+  private def plantedVecs: Seq[(Long, Array[Float])] =
+    (0 until 24).map { i =>
+      i.toLong -> Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat)
+    }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** plain-loop reference: id -> neighbors sorted by (cos desc, id) */
+  private def bruteNeighbors: Map[Long, Seq[(Long, Double)]] = {
+    val vs = plantedVecs.map { case (id, a) => id -> a.map(_.toDouble) }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    vs.map { case (id, a) =>
+      id -> vs.filter(_._1 != id).map { case (jd, b) =>
+        jd -> round6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      }.sortBy { case (jd, c) => (-c, jd) }.toSeq
+    }.toMap
+  }
+
+  test("q277 mutualOf == plain-loop reciprocal best match") {
+    import spark.implicits._
+    val df = plantedVecs.toDF("vec_id", "embedding")
+    val nn = bruteNeighbors.map { case (id, ns) => (id, ns.head._1, ns.head._2) }
+    val want = nn.flatMap { case (a, b, c) =>
+      if (a < b && nn.exists(t => t._1 == b && t._2 == a)) Some((a, b, c))
+      else None
+    }.toSeq.sorted
+    val got = Retrieval.mutualOf(Retrieval.nn1Of(df)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce at least one mutual pair")
+    assert(want.size < nn.size / 2, "one-sided matches must be filtered")
+  }
+
+  test("q278 marginOf == plain-loop ratio margin in the cos6 channel") {
+    import spark.implicits._
+    val df = plantedVecs.toDF("vec_id", "embedding")
+    def cos6(c: Double): Long =
+      BigDecimal(c * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sums = bruteNeighbors.map { case (id, ns) =>
+      id -> ns.take(4).map(t => cos6(t._2)).sum
+    }
+    val want = bruteNeighbors.flatMap { case (id, ns) =>
+      val (nnId, c) = ns.head
+      val denom = sums(id) + sums(nnId)
+      if (denom > 0L)
+        Some((id, nnId, c, Math.floorDiv(cos6(c) * 8L * 1000000L, denom)))
+      else None
+    }.toSeq.sorted
+    val got = Retrieval.marginOf(df).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("margin_ppm"))).toSeq.sorted
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
