@@ -564,6 +564,60 @@ object Graph {
       |       CROSS JOIN nb
       |ORDER BY lift_ppm DESC, conf_ppm DESC, ant, cons LIMIT 20""".stripMargin
 
+  // ---- q281: butterfly counting (bipartite 2x2 bicliques) ------------
+  // The bipartite analogue of q96's triangles (Sariyüce & Pinar,
+  // "Peeling Bipartite Networks", WSDM'18 — public literature): a
+  // butterfly is two orders sharing two parts, the smallest unit of
+  // bipartite clustering and the backbone of co-purchase community
+  // metrics. Count = sum over part pairs of C(co_orders, 2), computed
+  // from the q106-shaped per-basket pair join — only pairs with
+  // co >= 2 can contribute, so the A-Priori guard applies verbatim.
+  // C(co, 2) = co*(co-1) div 2 is exact per term (the product of two
+  // consecutive integers is even) and runs through DECIMAL(38,0)/
+  // HUGEINT: a single hub pair co-occurring in 1e10 baskets squares
+  // past int64.
+  //
+  // Shape at scale: the same distinct + self-join-per-basket + grouped
+  // count as q106/q110 (degree-ordered wedge enumeration is the
+  // published refinement when per-basket fan-out is unbounded; the
+  // prune keeps candidate volume at surviving-items-per-basket², not
+  // basket-size²), then a 1-row fold.
+  def butterflyCount(spark: SparkSession, dir: String): DataFrame =
+    butterfliesOf(Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")))
+
+  /** Fold core over a (basket, item) frame — factored so the spec can
+    * plant a complete 2x3 biclique with a hand-counted 3 butterflies. */
+  private[graft] def butterfliesOf(basketItems: DataFrame): DataFrame = {
+    val li = basketItems.select("basket", "item").distinct()
+    val co = li.as("a").join(li.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+    co.groupBy()
+      .agg(count(lit(1)).as("n_item_pairs"),
+        sum(when(col("co") >= 2L, 1L).otherwise(0L)).as("n_pairs_co2"),
+        expr("CAST(SUM(CAST(co AS DECIMAL(38,0)) * (co - 1) div 2) AS BIGINT)")
+          .as("n_butterflies"),
+        max("co").as("max_co"))
+  }
+
+  val butterflyCountSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |            FROM lineitem WHERE l_orderkey % 10 = 0),
+      |co AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      |       FROM li a JOIN li b
+      |         ON a.basket = b.basket AND a.item < b.item
+      |       GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_item_pairs,
+      |       CAST(SUM(CASE WHEN co >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_pairs_co2,
+      |       CAST(SUM(CAST(co AS HUGEINT) * (co - 1) // 2) AS BIGINT)
+      |         AS n_butterflies,
+      |       CAST(MAX(co) AS BIGINT) AS max_co
+      |FROM co""".stripMargin
+
   // ---- q146: PageRank (fixed-round, integer-exact) --------------------
   // PageRank (Brin & Page 1998, public literature) over the symmetrized
   // part<->supplier graph from lineitem (supplier nodes offset into
@@ -1044,6 +1098,7 @@ object Graph {
     "q146_pagerank"             -> (pageRank _),
     "q106_basket_pairs"         -> (basketPairs _),
     "q279_assoc_rules"          -> (assocRules _),
+    "q281_butterfly_count"      -> (butterflyCount _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
     "q130_bfs_distance"         -> (bfsFromSeeds _),
     "q275_double_sweep_diameter" -> (doubleSweepDiameter _),
@@ -1061,6 +1116,7 @@ object Graph {
     "q146_pagerank"             -> pageRankSql,
     "q106_basket_pairs"         -> basketPairsSql,
     "q279_assoc_rules"          -> assocRulesSql,
+    "q281_butterfly_count"      -> butterflyCountSql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
     "q130_bfs_distance"         -> bfsFromSeedsSql,
     "q275_double_sweep_diameter" -> doubleSweepDiameterSql,

@@ -5,6 +5,7 @@ import graft.functions.{Sampling, Validate}
 import graft.quality.Profiler
 import graft.sources.CsvSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1400,7 +1401,92 @@ object Quality {
       |       n_missing = 0 AS holds
       |FROM cand ORDER BY candidate""".stripMargin
 
+  // ---- q282: order-dependency discovery ------------------------------
+  // The third profiling family next to q273 (FDs) and q274 (INDs):
+  // order dependencies (Szlichta et al., VLDB'12 — public literature)
+  // — "sorted by X, is Y also sorted?" — the property that licenses
+  // sort-merge reuse and tells a warehouse which layout orders come
+  // for free. Per candidate Y over lineitem lines ordered by
+  // (l_linenumber) within each order: adjacent-pair violations
+  // (next < prev) and the number of orders with at least one
+  // violation. Doubles are only COMPARED (never summed), so the float
+  // columns are exact cross-engine.
+  //
+  // Shape at scale: ONE window pass (partitioned by order — the
+  // natural key, no global sort) computes all three candidates'
+  // lag comparisons; per-order flags reduce map-side; the 3-candidate
+  // output is an unpivot of one aggregate row.
+  def odDiscovery(spark: SparkSession, dir: String): DataFrame =
+    odOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_quantity")))
+
+  /** Discovery core over lineitem-shaped rows — factored so the spec
+    * can plant orders with hand-counted violations. */
+  private[graft] def odOf(rows: DataFrame): DataFrame = {
+    // The synthetic lineitem does NOT keep (orderkey, linenumber)
+    // unique, so the window order carries a canonical tiebreak over
+    // the compared columns — remaining ties are identical tuples,
+    // making every lag comparison well-defined cross-engine.
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber",
+      "l_shipdate", "l_extendedprice", "l_quantity")
+    val t = rows
+      .withColumn("p_sd", lag("l_shipdate", 1).over(w))
+      .withColumn("p_pr", lag("l_extendedprice", 1).over(w))
+      .withColumn("p_qt", lag("l_quantity", 1).over(w))
+      .filter(col("p_sd").isNotNull)
+    val perOrder = t.groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("l_shipdate") < col("p_sd"), 1L).otherwise(0L)).as("v_sd"),
+        sum(when(col("l_extendedprice") < col("p_pr"), 1L).otherwise(0L)).as("v_pr"),
+        sum(when(col("l_quantity") < col("p_qt"), 1L).otherwise(0L)).as("v_qt"))
+      .localCheckpoint(true) // one row per candidate below
+    def lane(name: String, v: String): DataFrame =
+      perOrder.groupBy().agg(
+        lit(name).as("candidate"),
+        sum("n_pairs").as("n_pairs"),
+        sum(v).as("n_violations"),
+        sum(when(col(v) > 0L, 1L).otherwise(0L)).as("n_orders_violated"))
+        .select("candidate", "n_pairs", "n_violations", "n_orders_violated")
+    lane("linenumber->extendedprice", "v_pr")
+      .unionAll(lane("linenumber->quantity", "v_qt"))
+      .unionAll(lane("linenumber->shipdate", "v_sd"))
+      .orderBy("candidate")
+  }
+
+  val odDiscoverySql: String =
+    """WITH t AS (SELECT l_orderkey, l_shipdate, l_extendedprice, l_quantity,
+      |        lag(l_shipdate) OVER w AS p_sd,
+      |        lag(l_extendedprice) OVER w AS p_pr,
+      |        lag(l_quantity) OVER w AS p_qt
+      |      FROM lineitem
+      |      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+      |        l_shipdate, l_extendedprice, l_quantity)),
+      |po AS (SELECT l_orderkey, COUNT(*) AS n_pairs,
+      |        SUM(CASE WHEN l_shipdate < p_sd THEN 1 ELSE 0 END) AS v_sd,
+      |        SUM(CASE WHEN l_extendedprice < p_pr THEN 1 ELSE 0 END) AS v_pr,
+      |        SUM(CASE WHEN l_quantity < p_qt THEN 1 ELSE 0 END) AS v_qt
+      |      FROM t WHERE p_sd IS NOT NULL GROUP BY 1)
+      |SELECT 'linenumber->extendedprice' AS candidate,
+      |       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(v_pr) AS BIGINT) AS n_violations,
+      |       CAST(SUM(CASE WHEN v_pr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_orders_violated
+      |FROM po
+      |UNION ALL
+      |SELECT 'linenumber->quantity', CAST(SUM(n_pairs) AS BIGINT),
+      |       CAST(SUM(v_qt) AS BIGINT),
+      |       CAST(SUM(CASE WHEN v_qt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM po
+      |UNION ALL
+      |SELECT 'linenumber->shipdate', CAST(SUM(n_pairs) AS BIGINT),
+      |       CAST(SUM(v_sd) AS BIGINT),
+      |       CAST(SUM(CASE WHEN v_sd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM po
+      |ORDER BY candidate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_od_discovery"    -> (odDiscovery _),
     "q273_fd_discovery"    -> (fdDiscovery _),
     "q274_ind_discovery"   -> (indDiscovery _),
     "q237_winsorize"       -> (winsorizeStats _),
@@ -1445,6 +1531,7 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q273_fd_discovery"    -> fdDiscoverySql,
+    "q282_od_discovery"    -> odDiscoverySql,
     "q274_ind_discovery"   -> indDiscoverySql,
     "q237_winsorize"       -> winsorizeStatsSql,
     "q184_benford_audit"   -> benfordAuditSql,

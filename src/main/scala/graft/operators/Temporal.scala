@@ -754,6 +754,97 @@ object Temporal {
       .orderBy("from_type", "to_type")
   }
 
+  // ---- q280: Markov stationary distribution (power iteration) --------
+  // The long-run visit share of each event type under the empirical
+  // transition matrix from q204 — the "where do user journeys spend
+  // their time" statistic behind landing-page weighting. Six fixed
+  // power-iteration rounds from the uniform ppm vector; every round is
+  // pi'(dst) = sum_src (pi(src) * n(src,dst)) div tot(src), the q146
+  // integer-PageRank discipline (nonnegative floor division, products
+  // through DECIMAL(38,0)/HUGEINT so per-state counts up to ~1e12
+  // can't wrap int64): truncation loss is deterministic and identical,
+  // so six rounds land on byte-identical ppm vectors cross-engine.
+  //
+  // Shape at scale: states are a |event-type| frame (broadcast); each
+  // round is ONE edges-join-pi hash join + ONE groupBy(to_type) —
+  // rounds checkpointed so the lineage stays flat, exactly the q146
+  // loop. The oracle unrolls the six rounds as chained CTEs (no
+  // recursive aggregation needed, genuinely different plan shape).
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    stationaryOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** Power-iteration core over a (from_type, to_type, n) count frame —
+    * factored so the spec can plant a chain with a closed-form
+    * stationary vector. */
+  private[graft] def stationaryOf(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true) // totals + edge stream
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    val edges = pairs.join(broadcast(totals), "from_type")
+      .localCheckpoint(true) // consumed every round
+    val states = edges.select(col("from_type").as("state"))
+      .unionAll(edges.select(col("to_type").as("state"))).distinct()
+      .localCheckpoint(true) // init + per-round left join
+    var pi = states
+      .crossJoin(broadcast(states.groupBy().agg(count(lit(1)).as("ns"))))
+      .select(col("state"), expr("1000000 div ns").as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val contrib = edges.join(pi, edges("from_type") === pi("state"))
+        .groupBy(col("to_type").as("state"))
+        .agg(expr("CAST(SUM(CAST(pi AS DECIMAL(38,0)) * n div tot) AS BIGINT)")
+          .as("mass"))
+      pi = states.join(contrib, Seq("state"), "left")
+        .select(col("state"), coalesce(col("mass"), lit(0L)).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.join(broadcast(totals.select(col("from_type").as("state"),
+        col("tot").as("n_out"))), Seq("state"), "left")
+      .select(col("state"), col("pi").as("pi_ppm"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
+      .orderBy("state")
+  }
+
+  val markovStationarySql: String = {
+    def round(k: Int): String =
+      s"""p$k AS (SELECT s.state, COALESCE(x.pi, 0) AS pi
+         |  FROM states s LEFT JOIN (
+         |    SELECT e.to_type AS state,
+         |           SUM((CAST(p.pi AS HUGEINT) * e.n) // e.tot) AS pi
+         |    FROM e JOIN p${k - 1} p ON p.state = e.from_type
+         |    GROUP BY 1) x USING (state))""".stripMargin
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |            FROM events),
+       |pr AS (SELECT user_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |                              ORDER BY us, event_id) AS prev_type
+       |      FROM ev),
+       |c AS (SELECT prev_type AS from_type, event_type AS to_type,
+       |        COUNT(*) AS n
+       |      FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1),
+       |e AS (SELECT c.from_type, c.to_type, c.n, t.tot
+       |      FROM c JOIN t USING (from_type)),
+       |states AS (SELECT from_type AS state FROM e
+       |           UNION SELECT to_type FROM e),
+       |p0 AS (SELECT state,
+       |         1000000 // (SELECT COUNT(*) FROM states) AS pi
+       |       FROM states),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT p6.state, CAST(p6.pi AS BIGINT) AS pi_ppm,
+       |       CAST(COALESCE(t.tot, 0) AS BIGINT) AS n_out
+       |FROM p6 LEFT JOIN t ON p6.state = t.from_type
+       |ORDER BY state""".stripMargin
+  }
+
   val eventTransitionsSql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |            FROM events),
@@ -1305,6 +1396,7 @@ object Temporal {
     "q202_conversion_funnel" -> (conversionFunnel _),
     "q203_retention_cohorts" -> (retentionCohorts _),
     "q204_event_transitions" -> (eventTransitions _),
+    "q280_markov_stationary" -> (markovStationary _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1334,6 +1426,7 @@ object Temporal {
     "q202_conversion_funnel" -> conversionFunnelSql,
     "q203_retention_cohorts" -> retentionCohortsSql,
     "q204_event_transitions" -> eventTransitionsSql,
+    "q280_markov_stationary" -> markovStationarySql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

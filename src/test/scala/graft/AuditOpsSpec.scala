@@ -152,4 +152,30 @@ class AuditOpsSpec extends SparkSpec {
       .select("c_custkey").distinct().count()
     assert(ind("customer.c_custkey<orders.o_custkey")._1 === custNoOrders)
   }
+
+  test("q282 order dependencies: planted violations counted per candidate") {
+    import spark.implicits._
+    // order 1: price dips at line 2 (1 violation); qty/date sorted.
+    // order 2: date goes backwards and qty drops (1 violation each);
+    //          price sorted.
+    // order 3: two rows share linenumber 1 — the canonical tiebreak
+    //          orders them by the compared columns, so neither pair
+    //          direction can register a violation.
+    val rows = Seq(
+      (1L, 1, "2024-01-01", 10.0, 1.0),
+      (1L, 2, "2024-01-02", 5.0, 2.0),
+      (1L, 3, "2024-01-03", 7.0, 3.0),
+      (2L, 1, "2024-02-05", 3.0, 5.0),
+      (2L, 2, "2024-02-01", 4.0, 2.0),
+      (3L, 1, "2024-03-01", 9.0, 1.0),
+      (3L, 1, "2024-03-01", 5.0, 1.0)
+    ).toDF("l_orderkey", "l_linenumber", "l_shipdate",
+      "l_extendedprice", "l_quantity")
+    val got = Quality.odOf(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("linenumber->extendedprice") === ((4L, 1L, 1L)))
+    assert(got("linenumber->quantity") === ((4L, 1L, 1L)))
+    assert(got("linenumber->shipdate") === ((4L, 1L, 1L)))
+  }
 }

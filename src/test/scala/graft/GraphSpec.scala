@@ -307,4 +307,24 @@ class GraphSpec extends SparkSpec {
       ("A", "B", 2L, 666666L, 888888L),
       ("B", "A", 2L, 666666L, 888888L)))
   }
+
+  test("q281 butterflies: hand-counted bicliques; duplicate rows ignored") {
+    import spark.implicits._
+    // baskets {1: XYZ, 2: XYZ} = complete 2x3 biclique: item pairs
+    // XY/XZ/YZ each co-occur in both baskets -> C(2,2) = 1 butterfly
+    // each, 3 total. Basket 1 lists X twice - distinct() must dedup.
+    val bi = Seq((1L, "X"), (1L, "X"), (1L, "Y"), (1L, "Z"),
+      (2L, "X"), (2L, "Y"), (2L, "Z")).toDF("basket", "item")
+    val r = graft.operators.Graph.butterfliesOf(bi).head()
+    assert(r.getAs[Long]("n_item_pairs") === 3L)
+    assert(r.getAs[Long]("n_pairs_co2") === 3L)
+    assert(r.getAs[Long]("n_butterflies") === 3L)
+    assert(r.getAs[Long]("max_co") === 2L)
+    // add basket {3: XY}: pair XY now co=3 -> C(3,2)=3; XZ,YZ stay 1
+    // each -> 5 butterflies total
+    val bi2 = bi.unionAll(Seq((3L, "X"), (3L, "Y")).toDF("basket", "item"))
+    val r2 = graft.operators.Graph.butterfliesOf(bi2).head()
+    assert(r2.getAs[Long]("n_butterflies") === 5L)
+    assert(r2.getAs[Long]("max_co") === 3L)
+  }
 }

@@ -181,4 +181,25 @@ class TemporalSpec extends SparkSpec {
         r.getAs[Long]("seasonal") + r.getAs[Long]("residual"))
     }
   }
+
+  test("q280 markov stationary: hand-iterated 2-state chain; cycle stays uniform") {
+    import spark.implicits._
+    // A->B always; B->A or B->B each 1/2. True stationary (1/3, 2/3);
+    // six integer-ppm power rounds from (500000, 500000) land on
+    // (335937, 664062) — hand-iterated: 250000/750000, 375000/625000,
+    // 312500/687500, 343750/656250, 328125/671875, 335937/664062.
+    val pairs = Seq(("A", "B", 2L), ("B", "A", 1L), ("B", "B", 1L))
+      .toDF("from_type", "to_type", "n")
+    val got = Temporal.stationaryOf(pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("A") === ((335937L, 2L)))
+    assert(got("B") === ((664062L, 2L)))
+    // a deterministic 3-cycle is stationary at the uniform init:
+    // every round moves the full 333333 mass around the ring
+    val cyc = Seq(("A", "B", 5L), ("B", "C", 7L), ("C", "A", 2L))
+      .toDF("from_type", "to_type", "n")
+    val g2 = Temporal.stationaryOf(cyc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 === Map("A" -> 333333L, "B" -> 333333L, "C" -> 333333L))
+  }
 }
