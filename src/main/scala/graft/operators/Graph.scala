@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over derived relationship graphs (q96): the
   * co-occurrence graph construction + triangle counting, the standard
@@ -618,6 +619,88 @@ object Graph {
       |       CAST(MAX(co) AS BIGINT) AS max_co
       |FROM co""".stripMargin
 
+  // ---- q285: degree assortativity (bipartite part<->supplier) --------
+  // Newman's degree assortativity (Phys. Rev. Lett. 89, 2002 — public
+  // literature): the Pearson correlation of endpoint degrees across
+  // edges. r < 0 (disassortative) is the hub-and-spoke signature —
+  // high-degree parts sourced by low-degree suppliers — and decides
+  // whether degree-based partitioning splits hubs from leaves. Over the
+  // DISTINCT part-supplier edge set; x = part degree, y = supplier
+  // degree per edge.
+  //
+  // Exactness: the six moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+  // exact DECIMAL(38,0)/HUGEINT integers; ONLY then does each cast to
+  // double, and both engines evaluate the identical expression tree
+  // (num = n·Σxy − Σx·Σy over sqrt of the two variance terms), so the
+  // rounded-6dp r is byte-identical — the q267 PSI double discipline.
+  // Σx² ≤ E·D² needs 38 digits long before any realistic corpus does
+  // (1e12 edges × 1e12-degree hubs).
+  //
+  // Shape at scale: two grouped degree counts (each one shuffle of the
+  // edge list), two hash joins back onto edges, ONE map-side-combined
+  // global fold. No pair enumeration, no windows.
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("u"), col("l_suppkey").as("v")))
+
+  /** Assortativity core over a bipartite (u, v) edge frame — factored
+    * so the spec can plant a perfectly assortative two-block graph
+    * (r = 1) and a star (r undefined: zero variance on one side). */
+  private[graft] def assortativityOf(raw: DataFrame): DataFrame = {
+    val edges = raw.select("u", "v").distinct()
+    val du = edges.groupBy("u").agg(count(lit(1)).as("x"))
+    val dv = edges.groupBy("v").agg(count(lit(1)).as("y"))
+    edges.join(du, "u").join(dv, "v")
+      .select(col("x").cast(DecimalType(38, 0)).as("x"),
+        col("y").cast(DecimalType(38, 0)).as("y"))
+      .groupBy()
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+        sum(col("y") * col("y")).cast(DecimalType(38, 0)).as("syy"))
+      .select(col("n").cast("bigint").as("n_edges"),
+        col("sxy").cast("bigint").as("sum_xy"),
+        assortColumn.as("assortativity"))
+  }
+
+  /** round((n·Σxy − ΣxΣy) / sqrt(vx·vy), 6) with every operand cast to
+    * double AFTER the exact integer fold — the identical expression
+    * tree the oracle evaluates, so the doubles agree bit-for-bit. */
+  private def assortColumn: Column = {
+    def d(c: String): Column = col(c).cast("double")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    round(when(vx * vy === 0d, lit(null)).otherwise(num / sqrt(vx * vy)), 6)
+  }
+
+  val degreeAssortativitySql: String =
+    """WITH e AS (SELECT DISTINCT l_partkey AS u, l_suppkey AS v
+      |           FROM lineitem),
+      |du AS (SELECT u, COUNT(*) AS x FROM e GROUP BY 1),
+      |dv AS (SELECT v, COUNT(*) AS y FROM e GROUP BY 1),
+      |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        SUM(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM e JOIN du USING (u) JOIN dv USING (v))
+      |SELECT CAST(n AS BIGINT) AS n_edges, CAST(sxy AS BIGINT) AS sum_xy,
+      |       round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+      |         THEN NULL
+      |         ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |                     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         END, 6) AS assortativity
+      |FROM m""".stripMargin
+
   // ---- q146: PageRank (fixed-round, integer-exact) --------------------
   // PageRank (Brin & Page 1998, public literature) over the symmetrized
   // part<->supplier graph from lineitem (supplier nodes offset into
@@ -1099,6 +1182,7 @@ object Graph {
     "q106_basket_pairs"         -> (basketPairs _),
     "q279_assoc_rules"          -> (assocRules _),
     "q281_butterfly_count"      -> (butterflyCount _),
+    "q285_assortativity"        -> (degreeAssortativity _),
     "q110_basket_pairs_guarded" -> (basketPairsGuarded _),
     "q130_bfs_distance"         -> (bfsFromSeeds _),
     "q275_double_sweep_diameter" -> (doubleSweepDiameter _),
@@ -1117,6 +1201,7 @@ object Graph {
     "q106_basket_pairs"         -> basketPairsSql,
     "q279_assoc_rules"          -> assocRulesSql,
     "q281_butterfly_count"      -> butterflyCountSql,
+    "q285_assortativity"        -> degreeAssortativitySql,
     "q110_basket_pairs_guarded" -> basketPairsGuardedSql,
     "q130_bfs_distance"         -> bfsFromSeedsSql,
     "q275_double_sweep_diameter" -> doubleSweepDiameterSql,

@@ -845,6 +845,111 @@ object Temporal {
        |ORDER BY state""".stripMargin
   }
 
+  // ---- q283: time-weighted average value (TWAP) per event type -------
+  // The metric behind "average position/price while it was held": each
+  // event's value persists until the user's NEXT event, so it weighs by
+  // its holding duration, not its row count — a burst of 100 ticks in
+  // one second must not outvote one value held for a day. Weight =
+  // microseconds to the next event in the same user's stream (the last
+  // event has no duration and drops out, the standard open-interval
+  // convention). Exactness: value goes through the repo's DECIMAL(18,4)
+  // float discipline BEFORE multiplying by the integer duration, so the
+  // weighted sum is an exact DECIMAL(38,4) in both engines; the final
+  // twap is one double division of two exactly-agreed operands.
+  //
+  // Shape at scale: ONE window (partitioned by user — the q29
+  // sessionization shuffle, no global sort) computes every duration;
+  // the per-type reduction combines map-side. Nothing here is
+  // per-pair or per-interval-expansion.
+  def twapByType(spark: SparkSession, dir: String): DataFrame =
+    twapOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts_ns div 1000").as("us")))
+
+  /** TWAP core over (user_id, event_id, event_type, value, us) rows —
+    * factored so the spec can plant a two-event stream whose TWAP is a
+    * hand-computed weighted mean. */
+  private[graft] def twapOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("dt_us", lead("us", 1).over(w) - col("us"))
+      .filter(col("dt_us").isNotNull)
+      .withColumn("vdec", col("value").cast(DecimalType(18, 4)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("dt_us").as("held_us"),
+        sum(col("vdec") * col("dt_us")).cast(DecimalType(38, 4)).as("vdt"))
+      .select(col("event_type"), col("n_segments"), col("held_us"),
+        round(col("vdt").cast("double") / col("held_us").cast("double"), 6)
+          .as("twap"))
+      .orderBy("event_type")
+  }
+
+  val twapByTypeSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, value,
+      |                   epoch_us(ts) AS us FROM events),
+      |d AS (SELECT event_type, value,
+      |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |          - us AS dt_us
+      |      FROM ev)
+      |SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |       CAST(SUM(dt_us) AS BIGINT) AS held_us,
+      |       round(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt_us) AS DOUBLE)
+      |             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
+      |FROM d WHERE dt_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q284: DAU / rolling-7-day WAU / stickiness ---------------------
+  // The product-analytics headline triple. WAU(d) = DISTINCT users over
+  // days [d-6, d]; a user active on 5 of the 7 days counts ONCE, so a
+  // windowed SUM over daily counts is wrong by construction — the
+  // correct unit is the user-day. DAU*1e6 div WAU is the integer
+  // stickiness ratio (ppm).
+  //
+  // Shape at scale: the only full-events pass is the DISTINCT to the
+  // user-day frame (one shuffle, map-side combine; |user-days| <<
+  // |events|). Each user-day then fans out to exactly the 7 window
+  // anchors it serves (`sequence` — codegen'd, no lambda), and the
+  // second DISTINCT + count is a shuffle of the 7x user-day frame, NOT
+  // a per-day rescan. No day-range self-join, no window over an
+  // unpartitioned global sort.
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersOf(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day")))
+
+  /** DAU/WAU core over (user_id, day) rows — factored so the spec can
+    * plant a user active every day vs one-day visitors. */
+  private[graft] def activeUsersOf(rows: DataFrame): DataFrame = {
+    val ud = rows.select("user_id", "day").distinct()
+      .localCheckpoint(true) // feeds DAU and the 7-day fan-out
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct() // a user-day pair can serve the same anchor only once
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day") // anchors with no DAU row are future-only ghosts
+      .select(date_add(to_date(lit("1970-01-01")), col("day").cast("int"))
+          .as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM (
+      |          SELECT DISTINCT ud.user_id, ud.day + r.k AS day
+      |          FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) r)
+      |        GROUP BY 1)
+      |SELECT DATE '1970-01-01' + CAST(dau.day AS INTEGER) AS day,
+      |       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+      |       dau.dau * 1000000 // wau.wau AS stickiness_ppm
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY 1""".stripMargin
+
   val eventTransitionsSql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |            FROM events),
@@ -1397,6 +1502,8 @@ object Temporal {
     "q203_retention_cohorts" -> (retentionCohorts _),
     "q204_event_transitions" -> (eventTransitions _),
     "q280_markov_stationary" -> (markovStationary _),
+    "q283_twap_by_type"  -> (twapByType _),
+    "q284_active_users"  -> (activeUsers _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1427,6 +1534,8 @@ object Temporal {
     "q203_retention_cohorts" -> retentionCohortsSql,
     "q204_event_transitions" -> eventTransitionsSql,
     "q280_markov_stationary" -> markovStationarySql,
+    "q283_twap_by_type"  -> twapByTypeSql,
+    "q284_active_users"  -> activeUsersSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

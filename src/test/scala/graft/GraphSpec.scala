@@ -327,4 +327,22 @@ class GraphSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_butterflies") === 5L)
     assert(r2.getAs[Long]("max_co") === 3L)
   }
+
+  test("q285 assortativity: matched blocks give r=1, a star is undefined") {
+    import spark.implicits._
+    // K2,2 (all degrees 2) + K1,1 (degrees 1): x == y on every edge,
+    // so r = 1 exactly. Moments: n=5, sx=sy=9, sxy=sxx=syy=17 ->
+    // num = 5*17-81 = 4, vx = vy = 4, r = 4/sqrt(16) = 1.
+    val blocks = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 12L)).toDF("u", "v")
+    val r = graft.operators.Graph.assortativityOf(blocks).head()
+    assert(r.getAs[Long]("n_edges") === 5L)
+    assert(r.getAs[Long]("sum_xy") === 17L)
+    assert(r.getAs[Double]("assortativity") === 1.0)
+    // star: every edge sees x = 3 (zero variance) -> r is NULL, not a
+    // divide-by-zero NaN
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("u", "v")
+    val r2 = graft.operators.Graph.assortativityOf(star).head()
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
 }

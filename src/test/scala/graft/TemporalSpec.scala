@@ -202,4 +202,37 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g2 === Map("A" -> 333333L, "B" -> 333333L, "C" -> 333333L))
   }
+
+  test("q283 twap: duration-weighted, not row-weighted; last event drops") {
+    import spark.implicits._
+    // user 1: v=10 held 100us, v=20 held 300us, then a terminal event.
+    // TWAP = (10*100 + 20*300) / 400 = 17.5 — a row-weighted mean
+    // would say 15 (and 16.6 with the terminal event wrongly kept).
+    val ev = Seq(
+      (1L, 1L, "x", 10.0, 0L), (1L, 2L, "x", 20.0, 100L),
+      (1L, 3L, "x", 99.0, 400L),
+      (2L, 4L, "y", 5.0, 0L), (2L, 5L, "y", 7.0, 50L)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+    val got = Temporal.twapOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("x") === ((2L, 400L, 17.5)))
+    assert(got("y") === ((1L, 50L, 5.0)))
+  }
+
+  test("q284 active users: WAU counts a user once across the window") {
+    import spark.implicits._
+    // user 1 active days 0-9; users 2 and 3 only day 5. A windowed SUM
+    // of daily counts would claim WAU(9) = 7 (u1 seven times); the
+    // user-day distinct says 1 + the two day-5 visitors = 3.
+    val rows = ((0L to 9L).map(d => (1L, d)) ++ Seq((2L, 5L), (3L, 5L)))
+      .toDF("user_id", "day")
+    val got = Temporal.activeUsersOf(rows).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === (0L to 9L).toSet) // anchors 10-11 have no DAU
+    assert(got(4L) === ((1L, 1L, 1000000L)))
+    assert(got(5L) === ((3L, 3L, 1000000L)))
+    (6L to 9L).foreach(d => assert(got(d) === ((1L, 3L, 333333L)), s"day $d"))
+  }
 }
