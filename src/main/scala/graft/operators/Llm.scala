@@ -639,6 +639,56 @@ object Llm {
        |       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
        |FROM cnt ORDER BY token_id""".stripMargin
 
+  // ---- q286: Zipf rank-frequency audit --------------------------------
+  // Zipf's law (public literature) says rank x frequency is roughly
+  // constant; a corpus whose r*f curve bends sharply is the signature
+  // of template/boilerplate flooding (head too heavy) or tokenizer
+  // breakage (tail too heavy) — the audit a crawl pipeline runs before
+  // committing a snapshot to training. Per rank-decile of the q79
+  // frequency-ranked vocab (minCount 1): token count, min/max/mean of
+  // r*f, and the decile's token-mass share. All integer: mean is a
+  // floor division, r*f stays in int64 for any real corpus (rf ~ total
+  // token count; rank and frequency can't both be large).
+  //
+  // Shape at scale: the corpus pass is q79's explode+groupBy; the
+  // ranking is the distributed range-partition ranker (no single-
+  // partition window); the decile fold is ONE map-side-combinable
+  // groupBy over the vocab frame. No windows after the rank.
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(Tables.documents(spark, dir), "text", 1L)
+      .select(col("token"), col("n").as("f"), (col("token_id") + 1L).as("r"))
+      .localCheckpoint(true) // consumed twice: driver count + decile fold
+    zipfOf(v, v.count())
+  }
+
+  /** Decile fold over a (f, r) ranked-vocab frame — factored so the
+    * spec can plant a perfect C div r curve and read C back. */
+  private[graft] def zipfOf(ranked: DataFrame, nVocab: Long): DataFrame =
+    ranked
+      .withColumn("decile", expr(s"(r - 1) * 10 div ${nVocab}L + 1"))
+      .withColumn("rf", col("r") * col("f"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_tokens"),
+        min("rf").as("min_rf"), max("rf").as("max_rf"),
+        expr("sum(rf) div count(1)").as("mean_rf"),
+        sum("f").as("sum_f"))
+      .orderBy("decile")
+
+  val zipfAuditSql: String =
+    """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+      |                     '[a-z0-9]+')) AS token FROM documents),
+      |cnt AS (SELECT token, COUNT(*) AS f FROM toks GROUP BY 1),
+      |rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, token ASC)
+      |                 AS BIGINT) AS r FROM cnt),
+      |d AS (SELECT (r - 1) * 10 // (SELECT COUNT(*) FROM cnt) + 1 AS decile,
+      |             r * f AS rf, f FROM rk)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(MIN(rf) AS BIGINT) AS min_rf,
+      |       CAST(MAX(rf) AS BIGINT) AS max_rf,
+      |       CAST(SUM(rf) // COUNT(*) AS BIGINT) AS mean_rf,
+      |       CAST(SUM(f) AS BIGINT) AS sum_f
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q143: BPE merge training (tokenizer prep) ----------------------
   // Deterministic byte-pair-encoding merge-rank trainer — the step that
   // turns q79's word histogram into an actual subword tokenizer (the
@@ -1969,6 +2019,7 @@ object Llm {
     "q75_stream_cross_corpus" -> (streamingCrossCorpus _),
     "q77_contamination"     -> (contamination _),
     "q79_vocab_build"       -> (buildVocab _),
+    "q286_zipf_audit"       -> (zipfAudit _),
     "q143_bpe_merges"       -> (bpeMerges _),
     "q153_bpe_fertility"    -> (bpeFertility _),
     "q154_prefix_groups"    -> (prefixCacheGroups _),
@@ -2033,6 +2084,7 @@ object Llm {
     "q75_stream_cross_corpus" -> crossCorpusNearDupSql,
     "q77_contamination"     -> contaminationSql,
     "q79_vocab_build"       -> buildVocabSql,
+    "q286_zipf_audit"       -> zipfAuditSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),
     "q154_prefix_groups"    -> prefixCacheGroupsSql,

@@ -1485,8 +1485,63 @@ object Quality {
       |FROM po
       |ORDER BY candidate""".stripMargin
 
+  // ---- q288: approximate-FD g3 error ----------------------------------
+  // The quantitative companion to q273's boolean FD verdicts: the g3
+  // measure (Kivinen & Mannila, TCS 1995 — public literature) is the
+  // MINIMUM number of rows to delete so X -> Y holds = n - Σ_x max_y
+  // count(x, y). Data stewards rank candidate keys and repair targets
+  // by g3, not by holds/fails — a 0.01% violation rate is a typo to
+  // fix, 40% is not a dependency at all. Four candidates spanning a
+  // true FD (g3 = 0), a key-like near-FD, and two broken ones.
+  //
+  // Shape at scale, per candidate: one (lhs, rhs) grouped count (map-
+  // side combinable), one lhs-grouped max+sum over the GROUP frame
+  // (|distinct pairs|, not |rows|), one 1-row fold. Unioning the
+  // candidates keeps them independent scans — no multi-way shuffle.
+  def fdG3Error(spark: SparkSession, dir: String): DataFrame = {
+    def lane(df: DataFrame, lhs: String, rhs: String, name: String) =
+      g3Of(df.select(col(lhs).as("l"), col(rhs).as("r0")), name)
+    lane(Tables.nation(spark, dir), "n_nationkey", "n_regionkey",
+        "nation.n_nationkey->n_regionkey")
+      .unionAll(lane(Tables.orders(spark, dir), "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"))
+      .unionAll(lane(Tables.customer(spark, dir), "c_nationkey", "c_mktsegment",
+        "customer.c_nationkey->c_mktsegment"))
+      .unionAll(lane(Tables.lineitem(spark, dir), "l_partkey", "l_suppkey",
+        "lineitem.l_partkey->l_suppkey"))
+      .orderBy("candidate")
+  }
+
+  /** g3 core over a (l, r0) projection — factored so the spec can
+    * plant a relation whose minimal repair set is hand-countable. */
+  private[graft] def g3Of(rows: DataFrame, name: String): DataFrame =
+    rows.groupBy("l", "r0").agg(count(lit(1)).as("c"))
+      .groupBy("l").agg(max("c").as("m"), sum("c").as("tot"))
+      .groupBy()
+      .agg(sum("tot").as("n_rows"), (sum("tot") - sum("m")).as("g3"))
+      .select(lit(name).as("candidate"), col("n_rows"), col("g3"),
+        expr("g3 * 1000000 div n_rows").as("g3_ppm"))
+
+  val fdG3ErrorSql: String = {
+    def lane(tbl: String, lhs: String, rhs: String): String =
+      s"""SELECT '$tbl.$lhs->$rhs' AS candidate,
+         |  CAST(SUM(tot) AS BIGINT) AS n_rows,
+         |  CAST(SUM(tot) - SUM(m) AS BIGINT) AS g3,
+         |  CAST((SUM(tot) - SUM(m)) * 1000000 // SUM(tot) AS BIGINT)
+         |    AS g3_ppm
+         |FROM (SELECT l, MAX(c) AS m, SUM(c) AS tot
+         |      FROM (SELECT $lhs AS l, $rhs AS r0, COUNT(*) AS c
+         |            FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    Seq(lane("nation", "n_nationkey", "n_regionkey"),
+      lane("orders", "o_custkey", "o_orderpriority"),
+      lane("customer", "c_nationkey", "c_mktsegment"),
+      lane("lineitem", "l_partkey", "l_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_od_discovery"    -> (odDiscovery _),
+    "q288_fd_g3"           -> (fdG3Error _),
     "q273_fd_discovery"    -> (fdDiscovery _),
     "q274_ind_discovery"   -> (indDiscovery _),
     "q237_winsorize"       -> (winsorizeStats _),
@@ -1532,6 +1587,7 @@ object Quality {
   val oracles: Map[String, String] = Map(
     "q273_fd_discovery"    -> fdDiscoverySql,
     "q282_od_discovery"    -> odDiscoverySql,
+    "q288_fd_g3"           -> fdG3ErrorSql,
     "q274_ind_discovery"   -> indDiscoverySql,
     "q237_winsorize"       -> winsorizeStatsSql,
     "q184_benford_audit"   -> benfordAuditSql,

@@ -571,6 +571,54 @@ object Retrieval {
       |FROM nn x JOIN nn y ON x.qa = y.qb AND x.qb = y.qa AND x.qa < x.qb
       |ORDER BY vec_a""".stripMargin
 
+  // ---- q287: 1-NN label purity (embedding-space label quality) -------
+  // The leave-one-out 1-NN classifier's per-class accuracy — the
+  // standard label-noise / cluster-coherence probe over an embedding
+  // column: if a label's members don't even retrieve each other at
+  // k=1, that label is noise to any downstream contrastive or
+  // classifier training. Reuses q277's deterministic top-1 frame
+  // (6-decimal cosine, vec_id tiebreak); purity = matched queries per
+  // label in ppm (ratio of integers, bit-identical cross-engine).
+  //
+  // Shape at scale: the NN frame comes from the bucketed top-1 passes
+  // (q33/q34 lshTopK/ivfTopK) exactly as q277 documents; the label
+  // join is a hash join against the embedding metadata (no broadcast
+  // assumption — labels are corpus-sized), and the fold is one
+  // map-side-combinable groupBy on label.
+  private[graft] def purityOf(nn: DataFrame, labels: DataFrame): DataFrame =
+    nn.join(labels.select(col("vec_id").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("label"), col("n_queries"), col("n_match"),
+        expr("n_match * 1000000 div n_queries").as("purity_ppm"))
+      .orderBy("label")
+
+  def knnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+    purityOf(nn1Of(sub), sub.select("vec_id", "label"))
+  }
+
+  val knnLabelPuritySql: String =
+    """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 300),
+      |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nm FROM c),
+      |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    round(list_inner_product(a.v, b.v) / (a.nm * b.nm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT qa, qb, cos, ROW_NUMBER() OVER (PARTITION BY qa
+      |        ORDER BY cos DESC, qb ASC) AS rn FROM scored),
+      |nn AS (SELECT qa, qb FROM r WHERE rn = 1)
+      |SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |       CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_match,
+      |       CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+      |            * 1000000 // COUNT(*) AS BIGINT) AS purity_ppm
+      |FROM nn JOIN c la ON nn.qa = la.vec_id
+      |        JOIN c lb ON nn.qb = lb.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q278: ratio-margin scoring (k=4 neighborhood) -----------------
   // The companion filter to q277: margin(x, y) = cos(x, y) scaled by
   // the mean of both endpoints' top-k cosine neighborhoods — a raw
@@ -627,6 +675,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q277_mutual_knn"        -> (mutualKnn _),
+    "q287_knn_label_purity"  -> (knnLabelPurity _),
     "q278_margin_filter"     -> (marginFilter _),
     "q197_feature_hash"      -> (featureHash _),
     "q182_phrase_search"     -> ((s, d) => phraseSearch(s, d)),
@@ -642,6 +691,7 @@ object Retrieval {
 
   val oracles: Map[String, String] = Map(
     "q277_mutual_knn"        -> mutualKnnSql,
+    "q287_knn_label_purity"  -> knnLabelPuritySql,
     "q278_margin_filter"     -> marginFilterSql,
     "q197_feature_hash"      -> featureHashSql,
     "q182_phrase_search"     -> phraseSearchSql,

@@ -178,4 +178,19 @@ class AuditOpsSpec extends SparkSpec {
     assert(got("linenumber->quantity") === ((4L, 1L, 1L)))
     assert(got("linenumber->shipdate") === ((4L, 1L, 1L)))
   }
+
+  test("q288 g3: minimal repair count, not violating-row count") {
+    import spark.implicits._
+    // l=1 maps to a,a,a,b: ONE deletion repairs it (the naive
+    // "rows in violating groups" answer would say 4); l=2 is clean.
+    val rows = Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "c"), (2L, "c")).toDF("l", "r0")
+    val r = Quality.g3Of(rows, "t.l->r0").head()
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("g3") === 1L)
+    assert(r.getAs[Long]("g3_ppm") === 166666L)
+    // an exact FD scores zero
+    val clean = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("l", "r0")
+    assert(Quality.g3Of(clean, "x").head().getAs[Long]("g3") === 0L)
+  }
 }

@@ -211,4 +211,19 @@ class RetrievalSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("q287 purity: per-label match share from a planted NN frame") {
+    import spark.implicits._
+    // labels: {1,2} -> 7, {3,4} -> 9. NN: 1<->2 (intra), 3 -> 4
+    // (intra) but 4 -> 1 (cross): label 7 purity 1e6, label 9 half.
+    val nn = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (3L, 4L, 0.8),
+      (4L, 1L, 0.7)).toDF("a", "b", "cos")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 9), (4L, 9))
+      .toDF("vec_id", "label")
+    val got = graft.operators.Retrieval.purityOf(nn, labels).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(7) === ((2L, 2L, 1000000L)))
+    assert(got(9) === ((2L, 1L, 500000L)))
+  }
 }

@@ -263,4 +263,25 @@ class RobustSpec extends SparkSpec {
       s"seasonal MAD missed the weekday-wrong day: $seas")
     assert(seas.getAs[Long]("max_dev_day") === 17L)
   }
+
+  test("q286 zipf: perfect C div r curve reads C back; bucketing exact") {
+    import spark.implicits._
+    // f = 1000 div r at ranks 1..10: one token per decile, and
+    // mean_rf = r * (1000 div r) exactly (998-1000 band)
+    val perfect = (1L to 10L).map(r => (1000L / r, r)).toDF("f", "r")
+    val got = graft.operators.Llm.zipfOf(perfect, 10L).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("mean_rf")))).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    assert(got(1L) === ((1L, 1000L)))
+    assert(got(3L) === ((1L, 999L)))   // 3 * 333
+    assert(got(7L) === ((1L, 994L)))   // 7 * 142
+    // 20 ranks -> 2 per decile; decile 1 mean = (1*20 + 2*19) div 2
+    val linear = (1L to 20L).map(r => (21L - r, r)).toDF("f", "r")
+    val g2 = graft.operators.Llm.zipfOf(linear, 20L).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("mean_rf")))).toMap
+    assert(g2.values.forall(_._1 === 2L))
+    assert(g2(1L) === ((2L, 29L)))
+  }
 }
