@@ -168,7 +168,8 @@ object Dedup {
     * extra candidate, never loses recall. The spec pins pair-set
     * equality with exactAllPairs.) */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         n: Int = 3, threshold: Double = 0.5,
+                         stats: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleTable(df, idCol, textCol, n).localCheckpoint(true)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("szn"))
@@ -203,17 +204,22 @@ object Dedup {
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    withJaccard(inter, sz, threshold)
+    withJaccard(inter, sz, threshold, stats)
   }
 
-  private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double): DataFrame = {
-    val j = col("c").cast("double") /
-      (col("za.szn") + col("zb.szn") - col("c")).cast("double")
-    inter
+  private def withJaccard(inter: DataFrame, sz: DataFrame, threshold: Double,
+                          stats: Boolean = false): DataFrame = {
+    val uni = col("za.szn") + col("zb.szn") - col("c")
+    val j = col("c").cast("double") / uni.cast("double")
+    val joined = inter
       .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val out =
+      if (stats) // exact integer numerator/denominator, for band math
+        joined.select(col("doc_a"), col("doc_b"), col("c").as("inter_n"),
+          uni.as("union_n"), j.as("jaccard"))
+      else joined.select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+    out.filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature: numHashes BIGINT columns m0..m{k-1}, plus the

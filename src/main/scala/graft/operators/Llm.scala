@@ -117,6 +117,59 @@ object Llm {
         "doc_id", "text", n = 3, threshold = 0.2)
       .orderBy("doc_a", "doc_b")
 
+  // ---- q289: dedup threshold sensitivity curve ------------------------
+  // "What does moving the near-dup threshold buy?" — the histogram of
+  // verified pair similarities in 10%-bands, plus the distinct docs a
+  // cut at each band would touch. Pipelines pick thresholds off this
+  // curve (a cliff at 0.9 = boilerplate twins; a fat 0.5-0.7 shoulder =
+  // paraphrase mass a 0.8 cut silently keeps). Bands are EXACT:
+  // band = (|∩|·10) div |∪| from the integer stats the PPJoin verify
+  // already carries — never floor(jaccard*10) on a double, whose ULP
+  // sits exactly on the band edges (3/5 rounds below 0.6).
+  //
+  // Shape at scale: the pair frame is the q99 prefix-filtered join
+  // (never all-pairs); both folds below run over PAIRS, so their cost
+  // tracks the curve's own payload.
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    curveOf(Dedup.jaccardPrefixPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      "doc_id", "text", n = 3, threshold = 0.2, stats = true))
+
+  /** Band fold over a (doc_a, doc_b, inter_n, union_n) pair frame —
+    * factored so the spec can plant boundary pairs (3/5 must band 6). */
+  private[graft] def curveOf(pairs: DataFrame): DataFrame = {
+    val banded = pairs
+      .withColumn("band", expr("inter_n * 10 div union_n"))
+      .localCheckpoint(true) // pair count + doc fan-out both read it
+    val np = banded.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val nd = banded
+      .select(col("band"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+    np.join(nd, "band").orderBy("band")
+  }
+
+  val thresholdCurveSql: String =
+    s"""WITH ${shingleCte.replace("%FILTER%", " WHERE doc_id < 300")},
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, c, za.szn + zb.szn - c AS uni
+       |      FROM inter JOIN sz za ON za.doc_id = doc_a
+       |                 JOIN sz zb ON zb.doc_id = doc_b
+       |      WHERE CAST(c AS DOUBLE) / CAST(za.szn + zb.szn - c AS DOUBLE)
+       |            >= 0.2),
+       |b AS (SELECT c * 10 // uni AS band, doc_a, doc_b FROM j),
+       |np AS (SELECT band, COUNT(*) AS n_pairs FROM b GROUP BY 1),
+       |nd AS (SELECT band, COUNT(*) AS n_docs FROM (
+       |         SELECT DISTINCT band, doc FROM (
+       |           SELECT band, doc_a AS doc FROM b
+       |           UNION ALL SELECT band, doc_b FROM b))
+       |       GROUP BY 1)
+       |SELECT band, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_docs AS BIGINT) AS n_docs
+       |FROM np JOIN nd USING (band) ORDER BY band""".stripMargin
+
   // ---- q39: n-gram Jaccard with stop-shingle cap (scale guard) -------
   // Same subset as q21 but the candidate index drops shingles shared by
   // more than MaxPost docs (postings^2 guard); candidates still verify
@@ -2020,6 +2073,7 @@ object Llm {
     "q77_contamination"     -> (contamination _),
     "q79_vocab_build"       -> (buildVocab _),
     "q286_zipf_audit"       -> (zipfAudit _),
+    "q289_threshold_curve"  -> (thresholdCurve _),
     "q143_bpe_merges"       -> (bpeMerges _),
     "q153_bpe_fertility"    -> (bpeFertility _),
     "q154_prefix_groups"    -> (prefixCacheGroups _),
@@ -2085,6 +2139,7 @@ object Llm {
     "q77_contamination"     -> contaminationSql,
     "q79_vocab_build"       -> buildVocabSql,
     "q286_zipf_audit"       -> zipfAuditSql,
+    "q289_threshold_curve"  -> thresholdCurveSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),
     "q154_prefix_groups"    -> prefixCacheGroupsSql,

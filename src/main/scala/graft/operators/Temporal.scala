@@ -950,6 +950,114 @@ object Temporal {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY 1""".stripMargin
 
+  // ---- q290: temporal co-occurrence (same user, same half hour) ------
+  // Which event types happen TOGETHER, not merely back-to-back: q204's
+  // transitions only see adjacent pairs, so "view and purchase in the
+  // same session-ish window, with a search in between" never counts.
+  // Unit of evidence is the (user, 30-minute bucket) cell; each cell
+  // contributes each unordered type pair at most ONCE (distinct before
+  // pairing — a 50-view burst must not manufacture 50 votes).
+  //
+  // Shape at scale: one DISTINCT to the (user, bucket, type) frame,
+  // then a per-cell self-join whose fan-out is bounded by the type
+  // ALPHABET squared per cell (alphabets are small; for open alphabets
+  // this is where the q110 A-Priori guard would bolt on), one grouped
+  // count. No interval explosion, no windows.
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    cooccurrenceOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("(ts_ns div 1000) div 1800000000").as("bucket")))
+
+  /** Pair fold over (user_id, event_type, bucket) rows — factored so
+    * the spec can plant a burst that must count once. */
+  private[graft] def cooccurrenceOf(rows: DataFrame): DataFrame = {
+    val cell = rows.select("user_id", "bucket", "event_type").distinct()
+    cell.as("a").join(cell.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_cells"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeCooccurrenceSql: String =
+    """WITH cell AS (SELECT DISTINCT user_id,
+      |        epoch_us(ts) // 1800000000 AS bucket, event_type
+      |      FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(COUNT(*) AS BIGINT) AS n_cells
+      |FROM cell a JOIN cell b
+      |  ON a.user_id = b.user_id AND a.bucket = b.bucket
+      | AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q291: transition reciprocity -----------------------------------
+  // Garlaschelli & Loffredo's reciprocity (PRL 2004, public
+  // literature) over the q204 transition digraph: how much of the
+  // A->B traffic flows back B->A — navigation loops vs a one-way
+  // funnel. Unweighted: reciprocated edges over all non-loop edges.
+  // Weighted: 2·Σ min(n_ab, n_ba) over Σ n (each unordered pair's
+  // returnable mass, both in ppm).
+  //
+  // Shape at scale: the edge frame is the q204 grouped count
+  // (|alphabet|², small); ONE self-equi-join on the reversed key and a
+  // 1-row fold. Generalizes verbatim to any directed edge frame.
+  def transitionReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    reciprocityOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** Reciprocity core over a (from_type, to_type, n) edge frame —
+    * factored so the spec can plant a pure cycle (r = 1) and a pure
+    * funnel (r = 0). */
+  private[graft] def reciprocityOf(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("from_type") =!= col("to_type"))
+      .localCheckpoint(true) // both sides of the reverse join
+    e.as("x").join(e.as("y"),
+        col("x.from_type") === col("y.to_type") &&
+          col("x.to_type") === col("y.from_type"), "left")
+      .groupBy()
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("y.n").isNotNull, 1L).otherwise(0L)).as("n_recip"),
+        sum(col("x.n")).as("w_total"),
+        sum(least(col("x.n"), coalesce(col("y.n"), lit(0L)))).as("w_recip"))
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip * 1000000 div n_edges").as("recip_ppm"),
+        expr("w_recip * 1000000 div w_total").as("w_recip_ppm"))
+  }
+
+  val transitionReciprocitySql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |pr AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY us, event_id) AS prev_type
+      |      FROM ev),
+      |c AS (SELECT prev_type AS from_type, event_type AS to_type,
+      |        COUNT(*) AS n
+      |      FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |e AS (SELECT * FROM c WHERE from_type <> to_type),
+      |m AS (SELECT COUNT(*) AS n_edges,
+      |        SUM(CASE WHEN y.n IS NOT NULL THEN 1 ELSE 0 END) AS n_recip,
+      |        SUM(x.n) AS w_total,
+      |        SUM(LEAST(x.n, COALESCE(y.n, 0))) AS w_recip
+      |      FROM e x LEFT JOIN e y
+      |        ON x.from_type = y.to_type AND x.to_type = y.from_type)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+      |       CAST(n_recip AS BIGINT) AS n_recip,
+      |       CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_ppm,
+      |       CAST(w_recip * 1000000 // w_total AS BIGINT) AS w_recip_ppm
+      |FROM m""".stripMargin
+
   val eventTransitionsSql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
       |            FROM events),
@@ -1504,6 +1612,8 @@ object Temporal {
     "q280_markov_stationary" -> (markovStationary _),
     "q283_twap_by_type"  -> (twapByType _),
     "q284_active_users"  -> (activeUsers _),
+    "q290_type_cooccurrence" -> (typeCooccurrence _),
+    "q291_reciprocity"   -> (transitionReciprocity _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1536,6 +1646,8 @@ object Temporal {
     "q280_markov_stationary" -> markovStationarySql,
     "q283_twap_by_type"  -> twapByTypeSql,
     "q284_active_users"  -> activeUsersSql,
+    "q290_type_cooccurrence" -> typeCooccurrenceSql,
+    "q291_reciprocity"   -> transitionReciprocitySql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

@@ -235,4 +235,32 @@ class TemporalSpec extends SparkSpec {
     assert(got(5L) === ((3L, 3L, 1000000L)))
     (6L to 9L).foreach(d => assert(got(d) === ((1L, 3L, 333333L)), s"day $d"))
   }
+
+  test("q290 co-occurrence: a burst votes once per (user, bucket) cell") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 0L), (1L, "a", 0L), (1L, "a", 0L), (1L, "b", 0L),
+      (1L, "a", 1L), (1L, "c", 1L),
+      (2L, "a", 0L), (2L, "b", 0L)
+    ).toDF("user_id", "event_type", "bucket")
+    val got = Temporal.cooccurrenceOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L))
+  }
+
+  test("q291 reciprocity: cycle scores 1e6, funnel 0, self-loops ignored") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b", 5L), ("b", "a", 3L), ("c", "c", 9L))
+      .toDF("from_type", "to_type", "n")
+    val r = Temporal.reciprocityOf(cyc).head()
+    assert(r.getAs[Long]("n_edges") === 2L)
+    assert(r.getAs[Long]("recip_ppm") === 1000000L)
+    // weighted: min(5,3) + min(3,5) = 6 of 8 units returnable
+    assert(r.getAs[Long]("w_recip_ppm") === 750000L)
+    val funnel = Seq(("a", "b", 2L), ("b", "c", 2L), ("a", "c", 1L))
+      .toDF("from_type", "to_type", "n")
+    val r2 = Temporal.reciprocityOf(funnel).head()
+    assert(r2.getAs[Long]("n_recip") === 0L)
+    assert(r2.getAs[Long]("w_recip_ppm") === 0L)
+  }
 }

@@ -312,4 +312,19 @@ class TextDedupSpec extends SparkSpec {
       li.select(countDistinct("l_orderkey")).head.getLong(0)
     assert(frac > 0.1 && frac < 0.3, s"fraction=$frac")
   }
+
+  test("q289 curve: integer banding puts 3/5 in band 6 (floor-on-double would say 5)") {
+    import spark.implicits._
+    // jaccard 3/5 = 0.6 is NOT representable: floor(0.59999... * 10)
+    // banded on the double would be 5 — the integer form 30 div 5 = 6.
+    val pairs = Seq(
+      (1L, 2L, 3L, 5L),   // band 6, the boundary case
+      (3L, 4L, 9L, 10L),  // band 9
+      (7L, 8L, 9L, 10L),  // band 9 — doc overlap with (3,4)? no: 4 docs
+      (5L, 6L, 1L, 10L)   // band 1
+    ).toDF("doc_a", "doc_b", "inter_n", "union_n")
+    val got = graft.operators.Llm.curveOf(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(6L -> ((1L, 2L)), 9L -> ((2L, 4L)), 1L -> ((1L, 2L))))
+  }
 }
