@@ -1612,6 +1612,45 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q295: embedding norm audit (vector-quality gate) --------------
+  // The sanity pass that runs BEFORE any ANN index build: per label,
+  // the squared-norm envelope and the count of degenerate (near-zero)
+  // vectors — collapsed embeddings from a broken encoder checkpoint
+  // poison cosine ranking silently, since normalization divides by a
+  // norm that is all noise. Only ORDER-FREE aggregates of the
+  // per-row rounded norm² (count / min / max / threshold-count): a
+  // MEAN would sum doubles in partition order and break cross-engine
+  // exactness; min and max of identically-rounded values cannot.
+  // norm² rides graft_dot (sequential index-order accumulation, the
+  // q25 discipline) rounded to 6 places.
+  //
+  // Shape at scale: ONE scan of the embeddings table, one map-side-
+  // combinable groupBy(label). No joins, no windows.
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(Similarity.dot(Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("embedding"))), 6).as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("norm2").as("min_norm2"), max("norm2").as("max_norm2"),
+        sum(when(col("norm2") < 0.5, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy("label")
+  }
+
+  val embeddingNormAuditSql: String =
+    """WITH n AS (SELECT label,
+      |        round(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                 CAST(embedding AS DOUBLE[])), 6)
+      |          AS norm2
+      |      FROM embeddings)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |       MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
+      |       CAST(SUM(CASE WHEN norm2 < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_degenerate
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q32: SimHash near-dup pairs (pigeonhole bit-band buckets) -----
   // The Spark plan buckets (no cartesian); the oracle uses the plain
   // all-pairs formulation, which is provably the SAME result set —
@@ -2074,6 +2113,7 @@ object Llm {
     "q79_vocab_build"       -> (buildVocab _),
     "q286_zipf_audit"       -> (zipfAudit _),
     "q289_threshold_curve"  -> (thresholdCurve _),
+    "q295_embedding_norms"  -> (embeddingNormAudit _),
     "q143_bpe_merges"       -> (bpeMerges _),
     "q153_bpe_fertility"    -> (bpeFertility _),
     "q154_prefix_groups"    -> (prefixCacheGroups _),
@@ -2140,6 +2180,7 @@ object Llm {
     "q79_vocab_build"       -> buildVocabSql,
     "q286_zipf_audit"       -> zipfAuditSql,
     "q289_threshold_curve"  -> thresholdCurveSql,
+    "q295_embedding_norms"  -> embeddingNormAuditSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),
     "q154_prefix_groups"    -> prefixCacheGroupsSql,

@@ -199,6 +199,55 @@ object Temporal {
       |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q292: sorted-neighborhood blocking (ER candidate strategy) ----
+  // Hernández & Stolfo's merge/purge blocking (SIGMOD'95, public
+  // literature): sort by a fuzzy key, compare only rows within a
+  // sliding window of w positions — the OTHER classic blocking family
+  // next to q86's deletion-neighborhood keys and q228's token blocks.
+  // Its selling point is similarity-function independence: the window
+  // bounds candidates at n·w regardless of what the verify step is.
+  // Window w = 3 over (c_name, c_custkey) order, exact
+  // levenshtein <= 1 verify; pairs normalized to (least, greatest).
+  //
+  // Shape at scale: the global sort is the DISTRIBUTED range-partition
+  // ranker (no single-partition window); the "within w positions" join
+  // is an explode of exactly w probe ranks + ONE hash equi-join — a
+  // rank-range condition written as an inequality join would be a
+  // broadcast-nested-loop bomb.
+  private val SnWindow = 3
+
+  def sortedNeighborPairs(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborsOf(Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name")))
+
+  /** Blocking core over a (key, name) frame — factored so the spec can
+    * plant twins just inside and just outside the window. */
+  private[graft] def sortedNeighborsOf(rows: DataFrame): DataFrame = {
+    val ranked = graft.functions.Ranking
+      .globalRowNumberSorted(rows, Seq(asc("name"), asc("key")), "rn")
+      .localCheckpoint(true) // probe fan-out + build side
+    val probes = ranked.select(col("key").as("key_a"),
+        col("name").as("name_a"),
+        explode(expr(s"sequence(rn + 1, rn + $SnWindow)")).as("rn"))
+    probes.join(ranked.select(col("rn"), col("key").as("key_b"),
+        col("name").as("name_b")), "rn")
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(least(col("key_a"), col("key_b")).as("custkey_a"),
+        greatest(col("key_a"), col("key_b")).as("custkey_b"))
+      .orderBy("custkey_a", "custkey_b")
+  }
+
+  val sortedNeighborPairsSql: String =
+    s"""WITH r AS (SELECT c_custkey AS key, c_name AS name,
+       |             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+       |           FROM customer)
+       |SELECT LEAST(a.key, b.key) AS custkey_a,
+       |       GREATEST(a.key, b.key) AS custkey_b
+       |FROM r a JOIN r b
+       |  ON b.rn BETWEEN a.rn + 1 AND a.rn + $SnWindow
+       | AND levenshtein(a.name, b.name) <= 1
+       |ORDER BY 1, 2""".stripMargin
+
   // ---- q89: k-anonymity audit over quasi-identifiers ------------------
   // Privacy-side complement to the PII redaction lane (q55): how many
   // quasi-identifier groups are small enough to re-identify. One grouped
@@ -993,6 +1042,142 @@ object Temporal {
       | AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q293: entry-path trie (first three steps per user) ------------
+  // "What do users do FIRST" — the prefix-anchored complement to q232's
+  // GSP (which mines frequent subsequences anywhere in the stream) and
+  // q204's adjacent transitions: the top user journeys restricted to
+  // steps 1-2-3 from each user's first event. Users with fewer than
+  // three events pad with '-' so two-step journeys rank too.
+  //
+  // Shape at scale: one user-partitioned window (the q29 shuffle) to
+  // rank events, a FILTER to rank <= 3 BEFORE any aggregation (the
+  // 3-row-per-user frame is what shuffles), a conditional-min pivot,
+  // one grouped count, TakeOrderedAndProject for the top 20.
+  def entryPaths(spark: SparkSession, dir: String): DataFrame =
+    entryPathsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us")))
+
+  /** Trie fold over (user_id, event_id, event_type, us) rows —
+    * factored so the spec can plant short and long journeys. */
+  private[graft] def entryPathsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("s1"),
+        min(when(col("rn") === 2, col("event_type"))).as("s2"),
+        min(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .groupBy(col("s1").as("step1"),
+        coalesce(col("s2"), lit("-")).as("step2"),
+        coalesce(col("s3"), lit("-")).as("step3"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(20)
+  }
+
+  val entryPathsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |r AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY us, event_id) AS rn
+      |      FROM ev),
+      |p AS (SELECT user_id,
+      |        MIN(CASE WHEN rn = 1 THEN event_type END) AS s1,
+      |        MIN(CASE WHEN rn = 2 THEN event_type END) AS s2,
+      |        MIN(CASE WHEN rn = 3 THEN event_type END) AS s3
+      |      FROM r WHERE rn <= 3 GROUP BY 1)
+      |SELECT s1 AS step1, COALESCE(s2, '-') AS step2,
+      |       COALESCE(s3, '-') AS step3,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1, 2, 3
+      |ORDER BY n_users DESC, step1, step2, step3 LIMIT 20""".stripMargin
+
+  // ---- q294: temporal train/test split audit --------------------------
+  // The time-based split every forecasting/recsys pipeline needs, with
+  // the two leakage-adjacent statistics that decide whether it is
+  // usable: the cold-start rate (test users never seen in train) and
+  // the unseen-type rate. The cut is the POSITIONAL p80 day (rank
+  // ceil(0.8·|days|) of the distinct-day frame — both engines pick the
+  // identical element; ceil via (8n+9) div 10, no floats). Complements
+  // q135, whose split is identity-hash cluster-atomic, not temporal.
+  //
+  // Shape at scale: one full-events pass to (user, type, day), a
+  // |days|-sized ranked frame (calendar-bounded, the q262 small-dim
+  // convention) broadcast back as a 1-row cut, two anti-join distinct
+  // counts on user/type frames — never on raw events.
+  def temporalSplitAudit(spark: SparkSession, dir: String): DataFrame =
+    splitAuditOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("(ts_ns div 1000) div 86400000000").as("day")))
+
+  /** Audit core over (user_id, event_type, day) rows — factored so the
+    * spec can plant a cold-start user and an unseen type. */
+  private[graft] def splitAuditOf(rows: DataFrame): DataFrame = {
+    val days = rows.select("day").distinct()
+    val wd = Window.orderBy("day") // |days| rows: calendar-bounded dim
+    val cut = days
+      .withColumn("rn", row_number().over(wd))
+      .crossJoin(broadcast(days.groupBy().agg(count(lit(1)).as("nd"))))
+      .filter(col("rn") === expr("(8 * nd + 9) div 10"))
+      .select(col("day").as("day_cut"))
+    val tagged = rows.crossJoin(broadcast(cut))
+      .withColumn("is_train", col("day") <= col("day_cut"))
+      .localCheckpoint(true) // counts + two distinct frames
+    val counts = tagged.groupBy().agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"),
+      max("day_cut").as("day_cut"))
+    def unseen(c: String) = {
+      val tr = tagged.filter(col("is_train")).select(c).distinct()
+      val te = tagged.filter(!col("is_train")).select(c).distinct()
+        .localCheckpoint(true)
+      te.groupBy().agg(count(lit(1)).as(s"n_test_$c"))
+        .crossJoin(broadcast(
+          te.join(tr, Seq(c), "left_anti").groupBy()
+            .agg(count(lit(1)).as(s"n_unseen_$c"))))
+    }
+    counts.crossJoin(broadcast(unseen("user_id")))
+      .crossJoin(broadcast(unseen("event_type")))
+      .select(col("day_cut"), col("n_train"), col("n_test"),
+        col("n_test_user_id").as("n_test_users"),
+        col("n_unseen_user_id").as("n_unseen_users"),
+        expr("n_unseen_user_id * 1000000 div n_test_user_id")
+          .as("cold_start_ppm"),
+        col("n_unseen_event_type").as("n_unseen_types"))
+  }
+
+  val temporalSplitAuditSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |              epoch_us(ts) // 86400000000 AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ev),
+      |cut AS (SELECT day AS day_cut FROM (
+      |          SELECT day, row_number() OVER (ORDER BY day) AS rn,
+      |                 COUNT(*) OVER () AS nd FROM days)
+      |        WHERE rn = (8 * nd + 9) // 10),
+      |t AS (SELECT ev.*, ev.day <= cut.day_cut AS is_train
+      |      FROM ev CROSS JOIN cut),
+      |tru AS (SELECT DISTINCT user_id FROM t WHERE is_train),
+      |teu AS (SELECT DISTINCT user_id FROM t WHERE NOT is_train),
+      |trt AS (SELECT DISTINCT event_type FROM t WHERE is_train),
+      |tet AS (SELECT DISTINCT event_type FROM t WHERE NOT is_train),
+      |uu AS (SELECT COUNT(*) AS n FROM teu
+      |       WHERE user_id NOT IN (SELECT user_id FROM tru)),
+      |ut AS (SELECT COUNT(*) AS n FROM tet
+      |       WHERE event_type NOT IN (SELECT event_type FROM trt))
+      |SELECT (SELECT day_cut FROM cut) AS day_cut,
+      |       CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_train,
+      |       CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS n_test,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM teu) AS n_test_users,
+      |       (SELECT CAST(n AS BIGINT) FROM uu) AS n_unseen_users,
+      |       (SELECT CAST(n * 1000000 // (SELECT COUNT(*) FROM teu)
+      |                    AS BIGINT) FROM uu) AS cold_start_ppm,
+      |       (SELECT CAST(n AS BIGINT) FROM ut) AS n_unseen_types
+      |FROM t""".stripMargin
+
   // ---- q291: transition reciprocity -----------------------------------
   // Garlaschelli & Loffredo's reciprocity (PRL 2004, public
   // literature) over the q204 transition digraph: how much of the
@@ -1614,6 +1799,9 @@ object Temporal {
     "q284_active_users"  -> (activeUsers _),
     "q290_type_cooccurrence" -> (typeCooccurrence _),
     "q291_reciprocity"   -> (transitionReciprocity _),
+    "q292_sorted_neighbors" -> (sortedNeighborPairs _),
+    "q293_entry_paths"   -> (entryPaths _),
+    "q294_temporal_split" -> (temporalSplitAudit _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1648,6 +1836,9 @@ object Temporal {
     "q284_active_users"  -> activeUsersSql,
     "q290_type_cooccurrence" -> typeCooccurrenceSql,
     "q291_reciprocity"   -> transitionReciprocitySql,
+    "q292_sorted_neighbors" -> sortedNeighborPairsSql,
+    "q293_entry_paths"   -> entryPathsSql,
+    "q294_temporal_split" -> temporalSplitAuditSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

@@ -263,4 +263,49 @@ class TemporalSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_recip") === 0L)
     assert(r2.getAs[Long]("w_recip_ppm") === 0L)
   }
+
+  test("q292 sorted neighbors: window w=3 pairs; the distance-4 twin is missed") {
+    import spark.implicits._
+    // five names, pairwise lev <= 1, in sort order ann < anna < annb <
+    // annc < anne. Every pair within 3 positions is found; (ann, anne)
+    // at distance 4 is the documented sorted-neighborhood recall loss.
+    val rows = Seq((1L, "ann"), (2L, "anna"), (3L, "annb"), (4L, "annc"),
+      (5L, "anne")).toDF("key", "name")
+    val got = Temporal.sortedNeighborsOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(got === all - ((1L, 5L)))
+  }
+
+  test("q293 entry paths: first three steps, short journeys padded") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1L), (1L, 3L, "c", 2L),
+      (1L, 4L, "d", 3L), // step 4 must not matter
+      (2L, 5L, "a", 0L), (2L, 6L, "b", 1L),
+      (3L, 7L, "a", 0L),
+      (4L, 8L, "a", 5L), (4L, 9L, "b", 6L), (4L, 10L, "c", 7L)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val got = Temporal.entryPathsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got === Array(("a", "b", "c", 2L), ("a", "-", "-", 1L),
+      ("a", "b", "-", 1L)))
+  }
+
+  test("q294 temporal split: p80 day cut, cold-start user and unseen type counted") {
+    import spark.implicits._
+    // 10 distinct days -> cut rank (8*10+9) div 10 = 8 -> day 7.
+    // u2 appears only on day 8 (cold start); type z only on day 9.
+    val rows = ((0L to 9L).map(d => (1L, "x", d)) ++
+      Seq((2L, "x", 8L), (3L, "x", 3L), (1L, "z", 9L)))
+      .toDF("user_id", "event_type", "day")
+    val r = Temporal.splitAuditOf(rows).head()
+    assert(r.getAs[Long]("day_cut") === 7L)
+    assert(r.getAs[Long]("n_train") === 9L)
+    assert(r.getAs[Long]("n_test") === 4L)
+    assert(r.getAs[Long]("n_test_users") === 2L)
+    assert(r.getAs[Long]("n_unseen_users") === 1L)
+    assert(r.getAs[Long]("cold_start_ppm") === 500000L)
+    assert(r.getAs[Long]("n_unseen_types") === 1L)
+  }
 }

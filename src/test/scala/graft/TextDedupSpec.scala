@@ -327,4 +327,27 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map(6L -> ((1L, 2L)), 9L -> ((2L, 4L)), 1L -> ((1L, 2L))))
   }
+
+  test("q295 norm audit equals a sequential-fold reference recomputation") {
+    // the law: engine min/max/count per label == a driver-side fold in
+    // the SAME index order with the SAME half-up 6dp rounding
+    val raw = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    def n2(v: Seq[Float]): Double = {
+      var acc = 0.0
+      v.foreach { x => val d = x.toDouble; acc += d * d }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = raw.groupBy(_._1).map { case (l, rows) =>
+      val ns = rows.map(r => n2(r._2))
+      l -> ((rows.length.toLong, ns.min, ns.max,
+        ns.count(_ < 0.5).toLong))
+    }
+    val got = graft.operators.Llm.embeddingNormAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
