@@ -672,6 +672,125 @@ object Advanced {
         GapUs, tsCol = "ts_us")
       .orderBy("user_id")
 
+  // ---- q296: session depth distribution + bounce rate -----------------
+  // The engagement histogram product teams read daily: sessions by
+  // event depth (1 / 2 / 3-5 / 6-10 / 11+), each bucket's share in
+  // ppm; bucket '1' IS the bounce rate. Depth per session is tie-
+  // robust: equal timestamps can permute inside a session without
+  // moving any gap over the threshold, so the (user, session_seq)
+  // size is deterministic even where the sort isn't.
+  //
+  // Shape at scale: q29's sessionize window (ONE user-partitioned
+  // shuffle), a per-session count (map-side combinable), a 5-row
+  // histogram, and a broadcast 1-row total for the shares.
+  def sessionDepth(spark: SparkSession, dir: String): DataFrame =
+    depthHistogramOf(Events.sessionize(
+        Tables.events(spark, dir).filter(col("user_id") < 100)
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        GapUs, tsCol = "ts_us")
+      .groupBy("user_id", "session_seq").agg(count(lit(1)).as("n")))
+
+  /** Histogram fold over per-session (n) rows — factored so the spec
+    * can plant sessions on every bucket boundary. */
+  private[graft] def depthHistogramOf(sessions: DataFrame): DataFrame = {
+    val b = when(col("n") === 1L, 1).when(col("n") === 2L, 2)
+      .when(col("n") <= 5L, 3).when(col("n") <= 10L, 4).otherwise(5)
+    val label = when(col("bucket_id") === 1, "1")
+      .when(col("bucket_id") === 2, "2")
+      .when(col("bucket_id") === 3, "3-5")
+      .when(col("bucket_id") === 4, "6-10").otherwise("11+")
+    val hist = sessions.withColumn("bucket_id", b)
+      .groupBy("bucket_id").agg(count(lit(1)).as("n_sessions"))
+    hist
+      .crossJoin(broadcast(
+        hist.groupBy().agg(sum("n_sessions").as("total"))))
+      .select(col("bucket_id"), label.as("bucket"), col("n_sessions"),
+        expr("n_sessions * 1000000 div total").as("share_ppm"))
+      .orderBy("bucket_id")
+  }
+
+  val sessionDepthSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |            WHERE user_id < 100),
+       |l AS (SELECT user_id, ts_us,
+       |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+       |          AS prev_ts
+       |      FROM ev),
+       |s AS (SELECT user_id,
+       |        SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $GapUs
+       |                 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY ts_us
+       |                ROWS UNBOUNDED PRECEDING) AS session_seq
+       |      FROM l),
+       |d AS (SELECT COUNT(*) AS n FROM s GROUP BY user_id, session_seq),
+       |h AS (SELECT CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+       |                  WHEN n <= 5 THEN 3 WHEN n <= 10 THEN 4
+       |                  ELSE 5 END AS bucket_id,
+       |             COUNT(*) AS n_sessions
+       |      FROM d GROUP BY 1)
+       |SELECT CAST(bucket_id AS INTEGER) AS bucket_id,
+       |       CASE bucket_id WHEN 1 THEN '1' WHEN 2 THEN '2'
+       |            WHEN 3 THEN '3-5' WHEN 4 THEN '6-10'
+       |            ELSE '11+' END AS bucket,
+       |       CAST(n_sessions AS BIGINT) AS n_sessions,
+       |       CAST(n_sessions * 1000000 //
+       |            (SELECT SUM(n_sessions) FROM h) AS BIGINT) AS share_ppm
+       |FROM h ORDER BY bucket_id""".stripMargin
+
+  // ---- q297: conversion-lag quartiles (view -> purchase dwell) --------
+  // How long users deliberate: positional p25/p50/p75 of the purchase-
+  // minus-last-prior-view gap from q45's as-of frame. Positional picks
+  // (rank ceil(n/4) / ceil(n/2) / ceil(3n/4), integer ceil via
+  // (k·n + k + ...) div arithmetic) — both engines select the
+  // IDENTICAL element, the repo's exact-quantile discipline.
+  //
+  // Shape at scale: the as-of join is the union-tag window (one hash
+  // shuffle); the quartile ranks come from the DISTRIBUTED ranker over
+  // the matched-purchase frame — no single-partition ORDER BY window.
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("view_ts_us"))
+    val matched = Events
+      .asOfJoin(purchases, views, "user_id", "ts_us", Seq("view_ts_us"))
+      .filter(col("asof_view_ts_us").isNotNull)
+      .select((col("ts_us") - col("asof_view_ts_us")).as("lag_us"),
+        col("event_id"))
+    val (ranked, n) = graft.functions.Ranking
+      .globalRowNumberWithCount(matched, Seq("lag_us", "event_id"), "rn")
+    val (r25, r50, r75) = ((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4)
+    ranked.filter(col("rn").isin(r25, r50, r75))
+      .groupBy()
+      .agg(lit(n).as("n_matched"),
+        min(when(col("rn") === r25, col("lag_us"))).as("p25_us"),
+        min(when(col("rn") === r50, col("lag_us"))).as("p50_us"),
+        min(when(col("rn") === r75, col("lag_us"))).as("p75_us"))
+  }
+
+  val conversionLagSql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'view'),
+      |m AS (SELECT p.ts_us - v.ts_us AS lag_us, p.event_id
+      |      FROM p ASOF JOIN v
+      |        ON p.user_id = v.user_id AND v.ts_us <= p.ts_us),
+      |r AS (SELECT lag_us,
+      |        row_number() OVER (ORDER BY lag_us, event_id) AS rn,
+      |        COUNT(*) OVER () AS n
+      |      FROM m)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_matched,
+      |       CAST(MIN(CASE WHEN rn = (n + 3) // 4 THEN lag_us END)
+      |            AS BIGINT) AS p25_us,
+      |       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN lag_us END)
+      |            AS BIGINT) AS p50_us,
+      |       CAST(MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN lag_us END)
+      |            AS BIGINT) AS p75_us
+      |FROM r""".stripMargin
+
   // ---- q129: native session_window sessionization --------------------
   // The third sessionization lane: Spark's BUILT-IN session_window
   // aggregation (one row per gap-delimited session, merged by the
@@ -1661,6 +1780,8 @@ object Advanced {
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
+    "q296_session_depth"    -> (sessionDepth _),
+    "q297_conversion_lag"   -> (conversionLag _),
     "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
     "q180_jdbc_roundtrip"   -> (jdbcRoundtrip _),
@@ -1713,6 +1834,8 @@ object Advanced {
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
+    "q296_session_depth"    -> sessionDepthSql,
+    "q297_conversion_lag"   -> conversionLagSql,
     "q129_session_window"   -> sessionStatsSql,
     // q101 must equal the BATCH sessionization — same oracle as q29
     "q101_stream_sessions"  -> sessionStatsSql,

@@ -1178,6 +1178,78 @@ object Temporal {
       |       (SELECT CAST(n AS BIGINT) FROM ut) AS n_unseen_types
       |FROM t""".stripMargin
 
+  // ---- q298: weekly growth accounting (new/retained/resurrected/churned)
+  // The standard growth-accounting identity (public analytics
+  // literature): each active (user, week) is exactly one of NEW (first
+  // week ever), RETAINED (also active the prior week) or RESURRECTED
+  // (returning after a gap); CHURNED(w) counts users active in w-1 and
+  // silent in w. The identity actives(w) = new + retained + resurrected
+  // and retained(w) = actives(w-1) - churned(w) both hold by
+  // construction — the spec asserts them.
+  //
+  // Shape at scale: ONE distinct to the user-week frame (map-side
+  // combinable; |user-weeks| << |events|), a per-user MIN for first
+  // weeks, and two self-equi-joins of the user-week frame on the
+  // shifted key. No windows, no per-user sequences materialized.
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthOf(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("((ts_ns div 1000) div 86400000000) div 7").as("week")))
+
+  /** Accounting core over (user_id, week) rows — factored so the spec
+    * can plant a resurrection and a churn-then-return arc. */
+  private[graft] def growthOf(rows: DataFrame): DataFrame = {
+    val uw = rows.select("user_id", "week").distinct()
+      .localCheckpoint(true) // firsts + both shifted joins
+    val firsts = uw.groupBy("user_id").agg(min("week").as("w0"))
+    val prevActive = uw.select(col("user_id"),
+      (col("week") + 1L).as("week"), lit(1L).as("was_prev"))
+    val classified = uw.join(firsts, "user_id")
+      .join(prevActive, Seq("user_id", "week"), "left")
+      .groupBy("week").agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("w0"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("was_prev").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("was_prev").isNull && col("week") =!= col("w0"), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churned = uw.select(col("user_id"), (col("week") + 1L).as("week"))
+      .join(uw, Seq("user_id", "week"), "left_anti")
+      .groupBy("week").agg(count(lit(1)).as("n_churned"))
+    classified.join(churned, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |        (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+      |f AS (SELECT user_id, MIN(week) AS w0 FROM uw GROUP BY 1),
+      |cl AS (SELECT uw.week,
+      |        COUNT(*) AS n_active,
+      |        SUM(CASE WHEN uw.week = f.w0 THEN 1 ELSE 0 END) AS n_new,
+      |        SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |          AS n_retained,
+      |        SUM(CASE WHEN p.user_id IS NULL AND uw.week <> f.w0
+      |                 THEN 1 ELSE 0 END) AS n_resurrected
+      |      FROM uw JOIN f USING (user_id)
+      |      LEFT JOIN uw p ON p.user_id = uw.user_id
+      |                    AND p.week + 1 = uw.week
+      |      GROUP BY 1),
+      |ch AS (SELECT a.week + 1 AS week, COUNT(*) AS n_churned
+      |       FROM uw a LEFT JOIN uw b
+      |         ON b.user_id = a.user_id AND b.week = a.week + 1
+      |       WHERE b.user_id IS NULL GROUP BY 1)
+      |SELECT cl.week, CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(n_new AS BIGINT) AS n_new,
+      |       CAST(n_retained AS BIGINT) AS n_retained,
+      |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |       CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM cl LEFT JOIN ch ON cl.week = ch.week
+      |ORDER BY cl.week""".stripMargin
+
   // ---- q291: transition reciprocity -----------------------------------
   // Garlaschelli & Loffredo's reciprocity (PRL 2004, public
   // literature) over the q204 transition digraph: how much of the
@@ -1802,6 +1874,7 @@ object Temporal {
     "q292_sorted_neighbors" -> (sortedNeighborPairs _),
     "q293_entry_paths"   -> (entryPaths _),
     "q294_temporal_split" -> (temporalSplitAudit _),
+    "q298_growth_accounting" -> (growthAccounting _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1839,6 +1912,7 @@ object Temporal {
     "q292_sorted_neighbors" -> sortedNeighborPairsSql,
     "q293_entry_paths"   -> entryPathsSql,
     "q294_temporal_split" -> temporalSplitAuditSql,
+    "q298_growth_accounting" -> growthAccountingSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

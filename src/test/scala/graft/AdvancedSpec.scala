@@ -203,4 +203,41 @@ class AdvancedSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("q296 depth histogram: boundary sessions land in the right buckets") {
+    import spark.implicits._
+    // depths 1,1 | 2 | 3,5 | 6,10 | 11,20 hit every bucket edge
+    val sess = Seq(1L, 1L, 2L, 3L, 5L, 6L, 10L, 11L, 20L)
+      .zipWithIndex.map { case (n, i) => (i.toLong, 0L, n) }
+      .toDF("user_id", "session_seq", "n")
+    val got = graft.operators.Advanced.depthHistogramOf(sess).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1, "1", 2L, 222222L), (2, "2", 1L, 111111L),
+      (3, "3-5", 2L, 222222L), (4, "6-10", 2L, 222222L),
+      (5, "11+", 2L, 222222L)))
+  }
+
+  test("q297 conversion lag equals a driver-side as-of + positional-quartile recomputation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = ev.filter(_._3 == "view")
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._4).sorted }
+    val lags = ev.filter(_._3 == "purchase").flatMap { case (u, eid, _, ts) =>
+      viewsByUser.get(u).flatMap { vs =>
+        val prior = vs.takeWhile(_ <= ts)
+        if (prior.isEmpty) None else Some((ts - prior.last, eid))
+      }
+    }.sorted
+    val n = lags.length
+    def pick(r: Long): Long = lags((r - 1).toInt)._1
+    val row = graft.operators.Advanced.conversionLag(spark, sf).head()
+    assert(row.getAs[Long]("n_matched") === n.toLong)
+    assert(row.getAs[Long]("p25_us") === pick((n + 3) / 4))
+    assert(row.getAs[Long]("p50_us") === pick((n + 1) / 2))
+    assert(row.getAs[Long]("p75_us") === pick((3L * n + 3) / 4))
+    assert(n > 0)
+  }
 }

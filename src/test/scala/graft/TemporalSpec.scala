@@ -308,4 +308,25 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Long]("cold_start_ppm") === 500000L)
     assert(r.getAs[Long]("n_unseen_types") === 1L)
   }
+
+  test("q298 growth accounting: resurrection arc and the retention identity") {
+    import spark.implicits._
+    // u1 active weeks 1,2,4: new@1, retained@2, churned@3,
+    // resurrected@4, churned@5. u2 active 1-5 keeps every week present.
+    val rows = (Seq(1L, 2L, 4L).map(w => (1L, w)) ++
+      (1L to 5L).map(w => (2L, w))).toDF("user_id", "week")
+    val g = Temporal.growthOf(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // (n_active, n_new, n_retained, n_resurrected, n_churned)
+    assert(g(1L) === ((2L, 2L, 0L, 0L, 0L)))
+    assert(g(2L) === ((2L, 0L, 2L, 0L, 0L)))
+    assert(g(3L) === ((1L, 0L, 1L, 0L, 1L)))
+    assert(g(4L) === ((2L, 0L, 1L, 1L, 0L)))
+    assert(g(5L) === ((1L, 0L, 1L, 0L, 1L)))
+    // identities: active = new + retained + resurrected, and
+    // retained(w) = active(w-1) - churned(w)
+    g.values.foreach { case (a, nw, rt, rs, _) => assert(a === nw + rt + rs) }
+    (2L to 5L).foreach(w => assert(g(w)._3 === g(w - 1)._1 - g(w)._5, s"w$w"))
+  }
 }
