@@ -1612,6 +1612,119 @@ object Llm {
       |SELECT query_id, "rank", vec_id, cos FROM r WHERE "rank" <= 5
       |ORDER BY query_id, "rank"""".stripMargin
 
+  // ---- q299: cross-source near-duplicate matrix ------------------------
+  // WHICH sources duplicate WHICH: the q22 verified near-dup pairs
+  // joined to each endpoint's source, folded to an unordered
+  // source-pair matrix. Off-diagonal mass is cross-corpus
+  // contamination (mirrors, scrapes of scrapes) — the statistic that
+  // decides which source gets dropped; the diagonal is each source's
+  // internal redundancy. Exactly the q191 KMV overlap question,
+  // answered exactly from the banded pipeline instead of a sketch.
+  //
+  // Shape at scale: pairs come from the LSH band join (never
+  // all-pairs); the source lookup is two hash joins of the PAIR frame
+  // against the (doc_id, source) projection; one grouped count.
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceMatrixSql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT LEAST(sa.source, sb.source) AS source_a,
+       |       GREATEST(sa.source, sb.source) AS source_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs JOIN s sa ON pairs.doc_a = sa.doc_id
+       |           JOIN s sb ON pairs.doc_b = sb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q300: corpus scorecard (one-row health report) -----------------
+  // The single row a data owner reads before signing off a snapshot:
+  // volume (docs, sources, tokens, vocab), exact redundancy (md5-text
+  // groups: unique texts, deletable excess, ppm), near-dup exposure
+  // (distinct docs in q22 verified pairs, ppm), and mixture skew (top
+  // source share). Pure composition of the engine's own cores — every
+  // number is independently gated elsewhere (q20, q22, q79, q116);
+  // this row is where they meet.
+  //
+  // Shape at scale: five independent 1-row aggregates (each one
+  // map-side-combinable pass; the vocab distinct and md5 groupBy are
+  // the only shuffles) broadcast-crossed at the end; the near-dup leg
+  // rides the banded LSH pipeline.
+  def corpusScorecard(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      sum(graft.functions.Text.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    val dup = docs.withColumn("__h", md5(col("text").cast("binary")))
+      .groupBy("__h").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_unique_texts"),
+        (sum("c") - count(lit(1))).cast("long").as("dup_excess"))
+    val voc = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .agg(countDistinct("token").as("vocab_size"))
+    val top = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("top_src"))
+    val nd = minhashPairs(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .agg(count(lit(1)).as("near_dup_docs"))
+    base.crossJoin(broadcast(dup)).crossJoin(broadcast(voc))
+      .crossJoin(broadcast(top)).crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_sources"), col("n_tokens"),
+        col("vocab_size"), col("n_unique_texts"), col("dup_excess"),
+        expr("dup_excess * 1000000 div n_docs").as("exact_dup_ppm"),
+        col("near_dup_docs"),
+        expr("near_dup_docs * 1000000 div n_docs").as("near_dup_ppm"),
+        expr("top_src * 1000000 div n_docs").as("top_source_share_ppm"))
+  }
+
+  val corpusScorecardSql: String =
+    s"""WITH pairs AS ($minhashLshSql),
+       |nd AS (SELECT COUNT(*) AS near_dup_docs FROM (
+       |         SELECT DISTINCT doc FROM (
+       |           SELECT doc_a AS doc FROM pairs
+       |           UNION ALL SELECT doc_b FROM pairs))),
+       |base AS (SELECT COUNT(*) AS n_docs,
+       |           COUNT(DISTINCT source) AS n_sources,
+       |           SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+       |             AS n_tokens
+       |         FROM documents),
+       |dup AS (SELECT COUNT(*) AS n_unique_texts,
+       |          SUM(c) - COUNT(*) AS dup_excess
+       |        FROM (SELECT md5(text) AS h, COUNT(*) AS c
+       |              FROM documents GROUP BY 1)),
+       |voc AS (SELECT COUNT(DISTINCT token) AS vocab_size FROM (
+       |          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |            AS token FROM documents)),
+       |ts AS (SELECT MAX(c) AS top_src FROM (
+       |         SELECT source, COUNT(*) AS c FROM documents GROUP BY 1))
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_sources AS BIGINT) AS n_sources,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(vocab_size AS BIGINT) AS vocab_size,
+       |       CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+       |       CAST(dup_excess AS BIGINT) AS dup_excess,
+       |       CAST(dup_excess * 1000000 // n_docs AS BIGINT)
+       |         AS exact_dup_ppm,
+       |       CAST(near_dup_docs AS BIGINT) AS near_dup_docs,
+       |       CAST(near_dup_docs * 1000000 // n_docs AS BIGINT)
+       |         AS near_dup_ppm,
+       |       CAST(top_src * 1000000 // n_docs AS BIGINT)
+       |         AS top_source_share_ppm
+       |FROM base, dup, voc, ts, nd""".stripMargin
+
   // ---- q295: embedding norm audit (vector-quality gate) --------------
   // The sanity pass that runs BEFORE any ANN index build: per label,
   // the squared-norm envelope and the count of degenerate (near-zero)
@@ -2114,6 +2227,8 @@ object Llm {
     "q286_zipf_audit"       -> (zipfAudit _),
     "q289_threshold_curve"  -> (thresholdCurve _),
     "q295_embedding_norms"  -> (embeddingNormAudit _),
+    "q299_cross_source_matrix" -> (crossSourceMatrix _),
+    "q300_corpus_scorecard" -> (corpusScorecard _),
     "q143_bpe_merges"       -> (bpeMerges _),
     "q153_bpe_fertility"    -> (bpeFertility _),
     "q154_prefix_groups"    -> (prefixCacheGroups _),
@@ -2181,6 +2296,8 @@ object Llm {
     "q286_zipf_audit"       -> zipfAuditSql,
     "q289_threshold_curve"  -> thresholdCurveSql,
     "q295_embedding_norms"  -> embeddingNormAuditSql,
+    "q299_cross_source_matrix" -> crossSourceMatrixSql,
+    "q300_corpus_scorecard" -> corpusScorecardSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),
     "q154_prefix_groups"    -> prefixCacheGroupsSql,

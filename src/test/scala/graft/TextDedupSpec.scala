@@ -350,4 +350,46 @@ class TextDedupSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("q299 matrix: totals equal the pair frame, keys are ordered") {
+    val pairs = graft.operators.Llm.minhashPairs(spark, sf)
+      .localCheckpoint(true)
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.operators.Llm.crossSourceMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.keys.forall { case (a, b) => a <= b })
+    assert(got.values.sum === pairs.count())
+  }
+
+  test("q300 scorecard re-derives from an independent driver recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokRe = "[a-z0-9]+".r
+    def toks(t: String): Seq[String] = tokRe.findAllIn(t.toLowerCase).toSeq
+    val byText = docs.groupBy(_._2)
+    val bySrc = docs.groupBy(_._3)
+    val ndDocs = graft.operators.Llm.minhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val r = graft.operators.Llm.corpusScorecard(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(r.getAs[Long]("n_sources") === bySrc.size.toLong)
+    assert(r.getAs[Long]("n_tokens") ===
+      docs.map(d => toks(d._2).length.toLong).sum)
+    assert(r.getAs[Long]("vocab_size") ===
+      docs.iterator.flatMap(d => toks(d._2)).toSet.size.toLong)
+    assert(r.getAs[Long]("n_unique_texts") === byText.size.toLong)
+    assert(r.getAs[Long]("dup_excess") === (docs.length - byText.size).toLong)
+    assert(r.getAs[Long]("near_dup_docs") === ndDocs.size.toLong)
+    assert(r.getAs[Long]("top_source_share_ppm") ===
+      bySrc.values.map(_.length).max.toLong * 1000000L / docs.length)
+  }
 }
