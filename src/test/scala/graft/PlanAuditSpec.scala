@@ -385,4 +385,52 @@ class PlanAuditSpec extends SparkSpec {
     noCartesian(graft.operators.Temporal.seasonalDecompose(spark, sf),
       "seasonalDecompose")
   }
+
+  test("round-11 batch-3 operators (q280-q300) stay cartesian-free where they must") {
+    def noCartesian(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+    }
+    def keyedOnly(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), s"$label cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label BNLJ:\n$plan")
+    }
+    // fact/corpus-scale paths: keyed joins only
+    keyedOnly(graft.operators.Graph.butterflyCount(spark, sf), "butterflies")
+    keyedOnly(graft.operators.Graph.degreeAssortativity(spark, sf),
+      "assortativity")
+    keyedOnly(graft.operators.Quality.odDiscovery(spark, sf), "odDiscovery")
+    keyedOnly(graft.operators.Quality.fdG3Error(spark, sf), "fdG3")
+    keyedOnly(graft.operators.Temporal.twapByType(spark, sf), "twap")
+    keyedOnly(graft.operators.Temporal.activeUsers(spark, sf), "activeUsers")
+    keyedOnly(graft.operators.Temporal.typeCooccurrence(spark, sf),
+      "cooccurrence")
+    keyedOnly(graft.operators.Temporal.transitionReciprocity(spark, sf),
+      "reciprocity")
+    keyedOnly(graft.operators.Temporal.sortedNeighborPairs(spark, sf),
+      "sortedNeighbors")
+    keyedOnly(graft.operators.Temporal.entryPaths(spark, sf), "entryPaths")
+    keyedOnly(graft.operators.Temporal.growthAccounting(spark, sf), "growth")
+    keyedOnly(graft.operators.Llm.zipfAudit(spark, sf), "zipf")
+    keyedOnly(graft.operators.Llm.thresholdCurve(spark, sf), "curve")
+    keyedOnly(graft.operators.Llm.embeddingNormAudit(spark, sf), "norms")
+    keyedOnly(graft.operators.Llm.crossSourceMatrix(spark, sf),
+      "crossSourceMatrix")
+    keyedOnly(graft.operators.Advanced.conversionLag(spark, sf),
+      "conversionLag")
+    // 1-row broadcast dims (markov init, split cut, histogram totals,
+    // scorecard legs) and the bounded-query-slice brute NN: broadcast
+    // NLJ against a 1-row/300-row build side is the documented design;
+    // a CartesianProduct is not
+    noCartesian(graft.operators.Temporal.markovStationary(spark, sf),
+      "markov")
+    noCartesian(graft.operators.Temporal.temporalSplitAudit(spark, sf),
+      "splitAudit")
+    noCartesian(graft.operators.Advanced.sessionDepth(spark, sf),
+      "sessionDepth")
+    noCartesian(graft.operators.Retrieval.knnLabelPurity(spark, sf),
+      "labelPurity")
+    noCartesian(graft.operators.Llm.corpusScorecard(spark, sf), "scorecard")
+  }
 }
