@@ -392,6 +392,11 @@ object Bench {
         // (same shuffle key, same row volume)
         lane("q236_interval_coverage", reps = 3)(
           noop(ScaleBench.intervalCoverage(ev))),
+        // q284: DAU/WAU — the user-day distinct is the only full-events
+        // pass; the 7x anchor fan-out runs on the user-day frame, so
+        // the curve should track q29's slope (same shuffle key)
+        lane("q284_active_users", reps = 3)(
+          noop(ScaleBench.activeUsers(ev))),
         lane("q40_dedup_clusters", reps = 3)(noop(ScaleBench.clusters(docs))),
         // the continuous-dedup flagship: fold a FIXED arrival batch
         // into the xN standing labeling — the curve should be

@@ -158,6 +158,15 @@ object ScaleBench {
   def sessionStats(ev: DataFrame): DataFrame =
     Events.sessionStats(ev, gap = 30L * 60 * 1000 * 1000 * 1000, tsCol = "ts_ns")
 
+  /** q284's operating point: user-day DISTINCT -> 7-anchor fan-out ->
+    * second distinct. Replicas re-key users and keep ts, so every
+    * day's DAU/WAU at xN is exactly N x the x1 value and the
+    * stickiness ppm is IDENTICAL (floor((N·a·10⁶)/(N·b)) =
+    * floor(a·10⁶/b)) — the ScaleVerify replica law. */
+  def activeUsers(ev: DataFrame): DataFrame =
+    operators.Temporal.activeUsersOf(ev.select(col("user_id"),
+      expr("(ts_ns div 1000) div 86400000000").as("day")))
+
   // Round-5-family corpus-wide entries (the verdict asked for measured
   // scale evidence, not just structure proofs, on the new operators):
 

@@ -100,6 +100,12 @@ object ScaleVerify {
     val ev1 = ScaleBench.events(spark, sfDir, 1).localCheckpoint(true)
     val s236x1 = stat4Set(ScaleBench.intervalCoverage(ev1))
 
+    // q284 active users: x1 per-day (epoch_day, dau, wau, stickiness)
+    def dauSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val s284x1 = dauSet(ScaleBench.activeUsers(ev1))
+
     for (times <- factors) {
       val docsN = ScaleBench.documents(spark, sfDir, times).localCheckpoint(true)
       val embN = ScaleBench.embeddings(spark, sfDir, times).localCheckpoint(true)
@@ -206,6 +212,18 @@ object ScaleVerify {
         yield (u * times + i, ns, nc, cov)
       val q236Pass = s236xN == expected236
 
+      // ---- q284 active users: exact N-scaling law --------------------
+      // Replicas re-key users (u*N + i) and keep ts, so each day's
+      // user-day population is N disjoint copies: DAU and WAU at xN
+      // must be EXACTLY N x the x1 values per day, and stickiness is
+      // IDENTICAL — floor((N·dau·10⁶)/(N·wau)) = floor(dau·10⁶/wau).
+      // Any deviation means the 7-anchor fan-out double- or under-
+      // counted a user-day at scale.
+      val s284xN = dauSet(ScaleBench.activeUsers(evN))
+      val expected284 = for { (day, dau, wau, ppm) <- s284x1 }
+        yield (day, dau * times, wau * times, ppm)
+      val q284Pass = s284xN == expected284
+
       // ---- q34 IVF auto lane: recall@5 vs brute force ----------------
       val queries = embN.orderBy("vec_id").limit(64).localCheckpoint(true)
       def topkSet(df: DataFrame): Set[(Long, Long)] =
@@ -229,6 +247,7 @@ object ScaleVerify {
         s""""q218_weighted_replica":{"pass":$q218Pass,"n_pairs":${s218xN.size},"expected":${expected218.size}},""" +
         s""""q233_novelty_replica":{"pass":$q233Pass,"n_docs":${s233xN.size},"expected":${expected233.size}},""" +
         s""""q236_coverage_replica":{"pass":$q236Pass,"n_users":${s236xN.size},"expected":${expected236.size}},""" +
+        s""""q284_dau_scaling":{"pass":$q284Pass,"n_days":${s284xN.size},"expected":${expected284.size}},""" +
         s""""q34_ivf_auto":{"pass":$q34Pass,"recall_at_5":${d("%.3f", recall)}}}}""")
     }
     spark.stop()
