@@ -1725,6 +1725,114 @@ object Llm {
        |         AS top_source_share_ppm
        |FROM base, dup, voc, ts, nd""".stripMargin
 
+  // ---- q301: int8 quantization audit (per-label affine) --------------
+  // The feasibility check before shipping an int8-quantized ANN index:
+  // per label, the component envelope (min/max) and the MAXIMUM
+  // absolute reconstruction error of affine uint8 quantization
+  // (zero = min, scale = range/255 — the standard symmetric-affine
+  // recipe). A label whose max error rivals its inter-vector distances
+  // cannot be quantized at 8 bits. Only ORDER-FREE aggregates (min /
+  // max / count) of deterministic per-element doubles: both engines
+  // evaluate the identical expression tree on identical float casts,
+  // and the error surfaces as an e9-scaled integer.
+  //
+  // Shape at scale: one explode pass for the envelope (map-side
+  // combinable), a |labels|-row broadcast back onto the element
+  // stream, one more grouped fold. No windows, no pair joins.
+  def quantAudit(spark: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        explode(Similarity.asDouble(col("embedding"))).as("x"))
+      .localCheckpoint(true) // envelope pass + error pass
+    val mm = el.groupBy("label").agg(min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("n_elems"))
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    val dq = col("mn") + round((col("x") - col("mn")) / col("scale"), 0) *
+      col("scale")
+    el.join(broadcast(mm), "label")
+      .withColumn("scale", scale)
+      .withColumn("err",
+        when(col("scale") === 0d, 0d).otherwise(abs(col("x") - dq)))
+      .groupBy("label")
+      .agg(max("n_elems").as("n_elems"),
+        round(max("mn"), 6).as("min_v"), round(max("mx"), 6).as("max_v"),
+        max(expr("CAST(round(err * 1000000000, 0) AS BIGINT)"))
+          .as("max_err_e9"))
+      .orderBy("label")
+  }
+
+  val quantAuditSql: String =
+    """WITH el AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x
+      |            FROM embeddings),
+      |mm AS (SELECT label, MIN(x) AS mn, MAX(x) AS mx,
+      |         COUNT(*) AS n_elems FROM el GROUP BY 1),
+      |e AS (SELECT el.label, mm.n_elems, mm.mn, mm.mx,
+      |        (mm.mx - mm.mn) / 255.0 AS scale, el.x
+      |      FROM el JOIN mm USING (label))
+      |SELECT label, CAST(MAX(n_elems) AS BIGINT) AS n_elems,
+      |       round(MAX(mn), 6) AS min_v, round(MAX(mx), 6) AS max_v,
+      |       MAX(CASE WHEN scale = 0 THEN 0
+      |           ELSE CAST(round(abs(x - (mn + round((x - mn) / scale, 0)
+      |                * scale)) * 1000000000, 0) AS BIGINT) END)
+      |         AS max_err_e9
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q302: near-dup curation savings (keep-longest rule) -----------
+  // What near-dup dedup actually SAVES, per source: cluster the q22
+  // verified pairs (the q40 components), keep the LONGEST member per
+  // cluster (tiebreak min doc_id — a quality-keeper rule, unlike q40's
+  // min-id canonical), and report removed docs + removed chars by
+  // source — the number that justifies the dedup pass in a curation
+  // budget review.
+  //
+  // Shape at scale: labels ride the adaptive CC (O(log D) rounds);
+  // the keeper pick is ONE grouped max of a (chars, -id) struct over
+  // the member frame — no window, no per-cluster sort; the savings
+  // fold is a grouped count over the same frame.
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    savingsOf(
+      Dedup.componentsAdaptive(minhashPairs(spark, dir)).labels,
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"))
+
+  /** Savings fold over (doc_id, rep) labels and (doc_id, source,
+    * n_chars) docs — factored so the spec can plant a cluster whose
+    * keeper is NOT the min id. */
+  private[graft] def savingsOf(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val m = labels.join(docs, "doc_id").localCheckpoint(true)
+    val keepers = m.groupBy("rep")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid")))
+        .as("k"))
+      .select(col("rep"), (-col("k.nid")).as("keeper"))
+    m.join(keepers, "rep")
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_removed"),
+        sum("n_chars").as("chars_removed"))
+      .orderBy("source")
+  }
+
+  val dedupSavingsSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach
+       |           GROUP BY 1),
+       |m AS (SELECT l.rep, d.doc_id, d.source, d.n_chars
+       |      FROM labels l JOIN documents d USING (doc_id)),
+       |k AS (SELECT rep, doc_id AS keeper FROM (
+       |        SELECT rep, doc_id, row_number() OVER (PARTITION BY rep
+       |          ORDER BY n_chars DESC, doc_id ASC) AS rn FROM m)
+       |      WHERE rn = 1)
+       |SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_removed,
+       |       CAST(SUM(m.n_chars) AS BIGINT) AS chars_removed
+       |FROM m JOIN k ON m.rep = k.rep AND m.doc_id <> k.keeper
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q295: embedding norm audit (vector-quality gate) --------------
   // The sanity pass that runs BEFORE any ANN index build: per label,
   // the squared-norm envelope and the count of degenerate (near-zero)
@@ -2228,6 +2336,8 @@ object Llm {
     "q289_threshold_curve"  -> (thresholdCurve _),
     "q295_embedding_norms"  -> (embeddingNormAudit _),
     "q299_cross_source_matrix" -> (crossSourceMatrix _),
+    "q301_quant_audit"      -> (quantAudit _),
+    "q302_dedup_savings"    -> (dedupSavings _),
     "q300_corpus_scorecard" -> (corpusScorecard _),
     "q143_bpe_merges"       -> (bpeMerges _),
     "q153_bpe_fertility"    -> (bpeFertility _),
@@ -2297,6 +2407,8 @@ object Llm {
     "q289_threshold_curve"  -> thresholdCurveSql,
     "q295_embedding_norms"  -> embeddingNormAuditSql,
     "q299_cross_source_matrix" -> crossSourceMatrixSql,
+    "q301_quant_audit"      -> quantAuditSql,
+    "q302_dedup_savings"    -> dedupSavingsSql,
     "q300_corpus_scorecard" -> corpusScorecardSql,
     "q143_bpe_merges"       -> bpeMergesSql(BpeMergeK, VocabMinCount),
     "q153_bpe_fertility"    -> bpeFertilitySql(BpeMergeK, VocabMinCount),

@@ -1250,6 +1250,52 @@ object Temporal {
       |FROM cl LEFT JOIN ch ON cl.week = ch.week
       |ORDER BY cl.week""".stripMargin
 
+  // ---- q303: dwell-weighted transition matrix --------------------------
+  // q204 counts WHERE users go; this adds HOW LONG the hop takes: per
+  // (from_type, to_type), the transition count, total dwell, and the
+  // integer mean dwell in microseconds — the edge weights a journey
+  // optimizer actually needs (a frequent-but-instant hop and a rare-
+  // but-10-minute hop are different products).
+  //
+  // Shape at scale: the SAME single user-partitioned window as q204
+  // (lag of type and of timestamp in one pass), one grouped fold.
+  def dwellMatrix(spark: SparkSession, dir: String): DataFrame =
+    dwellOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us")))
+
+  /** Matrix core over (user_id, event_id, event_type, us) rows —
+    * factored so the spec can plant hops with hand-computed dwell. */
+  private[graft] def dwellOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("us") - col("prev_us")).as("dwell_us"))
+      .select(col("from_type"), col("to_type"), col("n"), col("dwell_us"),
+        expr("dwell_us div n").as("mean_dwell_us"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val dwellMatrixSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |            FROM events),
+      |pr AS (SELECT user_id, event_type, us,
+      |        lag(event_type) OVER w AS prev_type,
+      |        lag(us) OVER w AS prev_us
+      |      FROM ev
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT prev_type AS from_type, event_type AS to_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(us - prev_us) AS BIGINT) AS dwell_us,
+      |       CAST(SUM(us - prev_us) // COUNT(*) AS BIGINT)
+      |         AS mean_dwell_us
+      |FROM pr WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- q291: transition reciprocity -----------------------------------
   // Garlaschelli & Loffredo's reciprocity (PRL 2004, public
   // literature) over the q204 transition digraph: how much of the
@@ -1875,6 +1921,7 @@ object Temporal {
     "q293_entry_paths"   -> (entryPaths _),
     "q294_temporal_split" -> (temporalSplitAudit _),
     "q298_growth_accounting" -> (growthAccounting _),
+    "q303_dwell_matrix"  -> (dwellMatrix _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1913,6 +1960,7 @@ object Temporal {
     "q293_entry_paths"   -> entryPathsSql,
     "q294_temporal_split" -> temporalSplitAuditSql,
     "q298_growth_accounting" -> growthAccountingSql,
+    "q303_dwell_matrix"  -> dwellMatrixSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

@@ -329,4 +329,18 @@ class TemporalSpec extends SparkSpec {
     g.values.foreach { case (a, nw, rt, rs, _) => assert(a === nw + rt + rs) }
     (2L to 5L).foreach(w => assert(g(w)._3 === g(w - 1)._1 - g(w)._5, s"w$w"))
   }
+
+  test("q303 dwell matrix: hand-computed integer mean dwell per hop") {
+    import spark.implicits._
+    // u1: a@0 -> b@100 -> c@250; u2: a@0 -> b@51.
+    // (a,b): n=2, dwell 151, mean 151 div 2 = 75. (b,c): n=1, 150.
+    val ev = Seq((1L, 1L, "a", 0L), (1L, 2L, "b", 100L),
+      (1L, 3L, "c", 250L), (2L, 4L, "a", 0L), (2L, 5L, "b", 51L))
+      .toDF("user_id", "event_id", "event_type", "us")
+    val got = Temporal.dwellOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(("a", "b") -> ((2L, 151L, 75L)),
+      ("b", "c") -> ((1L, 150L, 150L))))
+  }
 }

