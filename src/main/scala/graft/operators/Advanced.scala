@@ -672,6 +672,63 @@ object Advanced {
         GapUs, tsCol = "ts_us")
       .orderBy("user_id")
 
+  // ---- q304: regional revenue (six-table star join, TPC-H Q5 shape) --
+  // The classic multi-way join benchmark shape: revenue by nation for
+  // one region and one order year, customer and supplier in the SAME
+  // nation. The Spark-first design pushes selectivity DOWN the star
+  // before the fact tables ever shuffle: region filters nation (5-row
+  // broadcast), the surviving nation list semi-filters customer and
+  // supplier (broadcast hash joins — non-regional customers never
+  // reach the join), the order-year predicate prunes orders at the
+  // scan, and only then do the two fact frames hash-join. Revenue
+  // rides the round-2 decimal discipline (DECIMAL(18,4) before SUM).
+  //
+  // Shape at scale: ONE fact-fact hash shuffle (lineitem x filtered
+  // orders) is the only big exchange; everything else is broadcast.
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---- q296: session depth distribution + bounce rate -----------------
   // The engagement histogram product teams read daily: sessions by
   // event depth (1 / 2 / 3-5 / 6-10 / 11+), each bucket's share in
@@ -1781,6 +1838,7 @@ object Advanced {
     "q52_media_header_decode" -> (mediaDecode _),
     "q29_sessionization"    -> (sessionStats _),
     "q296_session_depth"    -> (sessionDepth _),
+    "q304_regional_revenue" -> (regionalRevenue _),
     "q297_conversion_lag"   -> (conversionLag _),
     "q101_stream_sessions"  -> (streamingSessionStats _),
     "q30_warehouse_roundtrip" -> (warehouseRoundtrip _),
@@ -1835,6 +1893,7 @@ object Advanced {
     "q52_media_header_decode" -> mediaDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
     "q296_session_depth"    -> sessionDepthSql,
+    "q304_regional_revenue" -> regionalRevenueSql,
     "q297_conversion_lag"   -> conversionLagSql,
     "q129_session_window"   -> sessionStatsSql,
     // q101 must equal the BATCH sessionization — same oracle as q29

@@ -155,11 +155,141 @@ object Integrity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q305: cascade-delete audit (right-to-be-forgotten) ------------
+  // The GDPR erasure simulation: delete a deterministic user set
+  // (c_custkey % 97 = 0 — stands in for the legal deletion list),
+  // cascade through orders and lineitem, and PROVE referential
+  // integrity of the remainder: the audit row carries before/removed/
+  // after per table plus the orphan counts, which must be zero. At
+  // 100 TB this is the dry-run report a deletion job emits before the
+  // actual rewrite.
+  //
+  // Shape at scale: the deletion list is a filtered-key frame;
+  // cascades are LEFT-SEMI joins fact->keys (the bloom-reducible q133
+  // shape), counts are map-side-combinable; the orphan checks are two
+  // LEFT-ANTI probes of the surviving facts against surviving dims.
+  def cascadeDeleteAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+      .localCheckpoint(true) // before-count + survivor side
+    val doomed = cust.filter(col("c_custkey") % 97 === 0)
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .localCheckpoint(true)
+    val doomedOrders = orders
+      .join(doomed, col("o_custkey") === col("c_custkey"), "left_semi")
+      .localCheckpoint(true) // count + lineitem cascade
+    val li = Tables.lineitem(spark, dir).select("l_orderkey")
+    val doomedLi = li.join(doomedOrders,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val survOrders = orders.join(doomed,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .localCheckpoint(true)
+    val survCust = cust.filter(col("c_custkey") % 97 =!= 0)
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy().agg(count(lit(1)).as(name))
+    val orphanOrders = survOrders.join(survCust,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val orphanLi = li.join(doomedOrders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .join(survOrders, col("l_orderkey") === survOrders("o_orderkey"),
+        "left_anti")
+    cnt(cust, "n_customers")
+      .crossJoin(broadcast(cnt(doomed, "n_deleted_customers")))
+      .crossJoin(broadcast(cnt(orders, "n_orders")))
+      .crossJoin(broadcast(cnt(doomedOrders, "n_deleted_orders")))
+      .crossJoin(broadcast(cnt(li, "n_lineitems")))
+      .crossJoin(broadcast(cnt(doomedLi, "n_deleted_lineitems")))
+      .crossJoin(broadcast(cnt(orphanOrders, "n_orphan_orders")))
+      .crossJoin(broadcast(cnt(orphanLi, "n_orphan_lineitems")))
+  }
+
+  val cascadeDeleteAuditSql: String =
+    """WITH doomed AS (SELECT c_custkey FROM customer
+      |               WHERE c_custkey % 97 = 0),
+      |do_ AS (SELECT o_orderkey FROM orders
+      |        WHERE o_custkey IN (SELECT c_custkey FROM doomed)),
+      |dl AS (SELECT l_orderkey FROM lineitem
+      |       WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+      |so AS (SELECT o_orderkey, o_custkey FROM orders
+      |       WHERE o_custkey NOT IN (SELECT c_custkey FROM doomed)),
+      |oo AS (SELECT COUNT(*) AS n FROM so
+      |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                               WHERE c_custkey % 97 <> 0)),
+      |ol AS (SELECT COUNT(*) AS n FROM lineitem
+      |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM do_)
+      |         AND l_orderkey NOT IN (SELECT o_orderkey FROM so))
+      |SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+      |       (SELECT COUNT(*) FROM doomed) AS n_deleted_customers,
+      |       (SELECT COUNT(*) FROM orders) AS n_orders,
+      |       (SELECT COUNT(*) FROM do_) AS n_deleted_orders,
+      |       (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+      |       (SELECT COUNT(*) FROM dl) AS n_deleted_lineitems,
+      |       (SELECT n FROM oo) AS n_orphan_orders,
+      |       (SELECT n FROM ol) AS n_orphan_lineitems""".stripMargin
+
+  // ---- q306: order-total reconciliation --------------------------------
+  // The books-balancing check: does o_totalprice equal the sum of its
+  // lines' extended prices? Per order, the signed difference in EXACT
+  // cents (both sides through DECIMAL(18,2)·100 — never a float
+  // subtraction), classified over/exact/under, plus the total absolute
+  // discrepancy — the reconciliation report a warehouse emits after
+  // every load, whatever the answer is.
+  //
+  // Shape at scale: one lineitem groupBy(orderkey) (map-side
+  // combinable), one hash join to orders, a 1-row fold.
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val lineTotals = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)").as("line_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("order_cents"))
+      .join(lineTotals, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("order_cents"),
+        coalesce(col("line_cents"), lit(0L).cast("decimal(38,0)"))
+          .as("line_cents"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("order_cents") > col("line_cents"), 1L).otherwise(0L))
+          .as("n_over"),
+        sum(when(col("order_cents") === col("line_cents"), 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("order_cents") < col("line_cents"), 1L).otherwise(0L))
+          .as("n_under"),
+        expr("CAST(SUM(ABS(order_cents - line_cents)) AS BIGINT)")
+          .as("abs_diff_cents"))
+  }
+
+  val orderReconciliationSql: String =
+    """WITH lt AS (SELECT l_orderkey,
+      |        SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |          AS line_cents
+      |      FROM lineitem GROUP BY 1),
+      |j AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |          AS order_cents,
+      |        COALESCE(lt.line_cents, 0) AS line_cents
+      |      FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CASE WHEN order_cents > line_cents THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_over,
+      |       CAST(SUM(CASE WHEN order_cents = line_cents THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_exact,
+      |       CAST(SUM(CASE WHEN order_cents < line_cents THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_under,
+      |       CAST(SUM(ABS(order_cents - line_cents)) AS BIGINT)
+      |         AS abs_diff_cents
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_table_fingerprint"  -> (tableFingerprint _),
-    "q133_bloom_decontaminate" -> (bloomDecontaminate _))
+    "q133_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q305_cascade_delete"     -> (cascadeDeleteAudit _),
+    "q306_order_reconciliation" -> (orderReconciliation _))
 
   val oracles: Map[String, String] = Map(
     "q132_table_fingerprint"  -> tableFingerprintSql,
-    "q133_bloom_decontaminate" -> bloomDecontaminateSql)
+    "q133_bloom_decontaminate" -> bloomDecontaminateSql,
+    "q305_cascade_delete"     -> cascadeDeleteAuditSql,
+    "q306_order_reconciliation" -> orderReconciliationSql)
 }

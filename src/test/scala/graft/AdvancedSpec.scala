@@ -240,4 +240,45 @@ class AdvancedSpec extends SparkSpec {
     assert(row.getAs[Long]("p75_us") === pick((3L * n + 3) / 4))
     assert(n > 0)
   }
+
+  test("q304 regional revenue equals a driver-side six-table recomputation") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custNation = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppNation = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00")
+    val hi = java.time.LocalDateTime.parse("1997-01-01T00:00")
+    val orderCust = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .filter { r =>
+        val t = r.getAs[java.time.LocalDateTime](2)
+        !t.isBefore(lo) && t.isBefore(hi)
+      }
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .flatMap { r =>
+        for {
+          ck <- orderCust.get(r.getLong(0))
+          cn = custNation(ck)
+          sn = suppNation(r.getLong(1))
+          name <- asiaNations.get(sn) if cn == sn
+        } yield name -> BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)))
+          .setScale(4, HALF_UP)
+      }
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).sum.toDouble }
+    val got = graft.operators.Advanced.regionalRevenue(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

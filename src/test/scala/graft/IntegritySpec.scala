@@ -93,4 +93,42 @@ class IntegritySpec extends SparkSpec {
     val (nFlag, nAll) = (flagged.count(), corpusSh.count())
     assert(nFlag < nAll / 2, s"flagged $nFlag of $nAll")
   }
+
+  test("q305 cascade delete: zero orphans and exact conservation per table") {
+    val r = Integrity.cascadeDeleteAudit(spark, sf).head()
+    // the audit's whole point: the remainder is referentially intact
+    assert(r.getAs[Long]("n_orphan_orders") === 0L)
+    assert(r.getAs[Long]("n_orphan_lineitems") === 0L)
+    // conservation + independent recomputation of the deletion list
+    val doomedCust = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0).count()
+    assert(r.getAs[Long]("n_deleted_customers") === doomedCust)
+    val doomedOrders = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 97 === 0).count() // FK = custkey domain
+    assert(r.getAs[Long]("n_deleted_orders") === doomedOrders)
+    assert(r.getAs[Long]("n_deleted_customers") <= r.getAs[Long]("n_customers"))
+    assert(r.getAs[Long]("n_deleted_lineitems") <= r.getAs[Long]("n_lineitems"))
+    assert(doomedCust > 0L, "fixture degenerate: empty deletion list")
+  }
+
+  test("q306 reconciliation equals a driver BigDecimal recomputation") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def cents(d: Double): BigDecimal =
+      BigDecimal(d).setScale(2, HALF_UP) * 100
+    val lineCents = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => r.getLong(0) -> cents(r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (cents(r.getDouble(1)),
+        lineCents.getOrElse(r.getLong(0), BigDecimal(0))))
+    val r = Integrity.orderReconciliation(spark, sf).head()
+    assert(r.getAs[Long]("n_orders") === orders.length.toLong)
+    assert(r.getAs[Long]("n_over") === orders.count(t => t._1 > t._2).toLong)
+    assert(r.getAs[Long]("n_exact") === orders.count(t => t._1 == t._2).toLong)
+    assert(r.getAs[Long]("n_under") === orders.count(t => t._1 < t._2).toLong)
+    assert(r.getAs[Long]("abs_diff_cents") ===
+      orders.map(t => (t._1 - t._2).abs).sum.toLong)
+  }
 }
