@@ -248,6 +248,63 @@ object Temporal {
        | AND levenshtein(a.name, b.name) <= 1
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- q307: prefix-compression estimate (sorted-key LCP audit) ------
+  // How many bytes would prefix compression save if this column were a
+  // sort key? — the SSTable/parquet-delta-encoding sizing question.
+  // For each key in global sort order, the longest common prefix with
+  // its PREDECESSOR is exactly what delta encoding elides; the audit
+  // reports total key bytes, elidable bytes and the ratio. LCP is
+  // computed cross-engine-exactly as Σ_k [prefix_k(a) = prefix_k(b)]
+  // over a broadcast position dim (prefix equality is monotone, so the
+  // count IS the LCP — no char-loop UDF).
+  //
+  // Shape at scale: the global sort is the range-partition ranker;
+  // adjacent pairs are ONE equality join on rank+1; the position
+  // fan-out is bounded by the max key length (a broadcast dim).
+  def prefixCompression(spark: SparkSession, dir: String): DataFrame =
+    prefixCompressionOf(Tables.customer(spark, dir)
+      .select(col("c_name").as("name")))
+
+  /** Audit core over a (name) frame — factored so the spec can plant
+    * keys with hand-counted common prefixes. */
+  private[graft] def prefixCompressionOf(rows: DataFrame): DataFrame = {
+    val ranked = graft.functions.Ranking
+      .globalRowNumberSorted(rows.select("name"), Seq(asc("name")), "rn")
+      .localCheckpoint(true) // both sides of the adjacency join
+    val pairs = ranked.select(col("name").as("a"), (col("rn") + 1L).as("rn"))
+      .join(ranked.select(col("rn"), col("name").as("b")), "rn")
+    val maxLen = 64 // position dim bound; c_name-style keys are short
+    val lcp = pairs
+      .select(col("a"), col("b"), explode(expr(s"sequence(1, $maxLen)")).as("k"))
+      .filter(col("k") <= least(length(col("a")), length(col("b"))) &&
+        expr("substring(a, 1, k) = substring(b, 1, k)"))
+      .groupBy().agg(count(lit(1)).as("saved_bytes"))
+    val tot = ranked.groupBy().agg(count(lit(1)).as("n_keys"),
+      sum(length(col("name")).cast("long")).as("total_bytes"))
+    tot.crossJoin(broadcast(lcp))
+      .select(col("n_keys"), col("total_bytes"), col("saved_bytes"),
+        expr("saved_bytes * 1000000 div total_bytes").as("saved_ppm"))
+  }
+
+  val prefixCompressionSql: String =
+    """WITH r AS (SELECT c_name AS name,
+      |             row_number() OVER (ORDER BY c_name) AS rn
+      |           FROM customer),
+      |p AS (SELECT a.name AS a, b.name AS b
+      |      FROM r a JOIN r b ON b.rn = a.rn + 1),
+      |l AS (SELECT COUNT(*) AS saved_bytes
+      |      FROM p, (SELECT unnest(generate_series(1, 64)) AS k) ks
+      |      WHERE k <= LEAST(len(a), len(b))
+      |        AND substr(a, 1, k) = substr(b, 1, k)),
+      |t AS (SELECT COUNT(*) AS n_keys, SUM(len(name)) AS total_bytes
+      |      FROM r)
+      |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+      |       CAST(total_bytes AS BIGINT) AS total_bytes,
+      |       CAST(saved_bytes AS BIGINT) AS saved_bytes,
+      |       CAST(saved_bytes * 1000000 // total_bytes AS BIGINT)
+      |         AS saved_ppm
+      |FROM t, l""".stripMargin
+
   // ---- q89: k-anonymity audit over quasi-identifiers ------------------
   // Privacy-side complement to the PII redaction lane (q55): how many
   // quasi-identifier groups are small enough to re-identify. One grouped
@@ -1922,6 +1979,7 @@ object Temporal {
     "q294_temporal_split" -> (temporalSplitAudit _),
     "q298_growth_accounting" -> (growthAccounting _),
     "q303_dwell_matrix"  -> (dwellMatrix _),
+    "q307_prefix_compression" -> (prefixCompression _),
     "q183_ohlc_bars"     -> (ohlcBars _),
     "q139_rate_cap"      -> (rateCap _),
     "q84_quartiles"      -> (quartiles _),
@@ -1961,6 +2019,7 @@ object Temporal {
     "q294_temporal_split" -> temporalSplitAuditSql,
     "q298_growth_accounting" -> growthAccountingSql,
     "q303_dwell_matrix"  -> dwellMatrixSql,
+    "q307_prefix_compression" -> prefixCompressionSql,
     "q183_ohlc_bars"     -> ohlcBarsSql,
     "q139_rate_cap"      -> rateCapSql,
     "q84_quartiles"      -> quartilesSql,

@@ -419,6 +419,13 @@ class PlanAuditSpec extends SparkSpec {
       "crossSourceMatrix")
     keyedOnly(graft.operators.Advanced.conversionLag(spark, sf),
       "conversionLag")
+    keyedOnly(graft.operators.Advanced.regionalRevenue(spark, sf),
+      "regionalRevenue")
+    keyedOnly(graft.operators.Integrity.orderReconciliation(spark, sf),
+      "orderReconciliation")
+    keyedOnly(graft.operators.Temporal.dwellMatrix(spark, sf), "dwellMatrix")
+    keyedOnly(graft.operators.Llm.dedupSavings(spark, sf), "dedupSavings")
+    keyedOnly(graft.operators.Llm.quantAudit(spark, sf), "quantAudit")
     // 1-row broadcast dims (markov init, split cut, histogram totals,
     // scorecard legs) and the bounded-query-slice brute NN: broadcast
     // NLJ against a 1-row/300-row build side is the documented design;
@@ -432,5 +439,9 @@ class PlanAuditSpec extends SparkSpec {
     noCartesian(graft.operators.Retrieval.knnLabelPurity(spark, sf),
       "labelPurity")
     noCartesian(graft.operators.Llm.corpusScorecard(spark, sf), "scorecard")
+    noCartesian(graft.operators.Integrity.cascadeDeleteAudit(spark, sf),
+      "cascadeDelete")
+    noCartesian(graft.operators.Temporal.prefixCompression(spark, sf),
+      "prefixCompression")
   }
 }

@@ -343,4 +343,16 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map(("a", "b") -> ((2L, 151L, 75L)),
       ("b", "c") -> ((1L, 150L, 150L))))
   }
+
+  test("q307 prefix compression: hand-counted adjacent LCPs") {
+    import spark.implicits._
+    // sorted: app, apple, apply, zebra -> LCPs 3 (app|apple),
+    // 4 (apple|apply), 0 (apply|zebra) = 7 of 18 bytes elidable
+    val rows = Seq("apple", "zebra", "app", "apply").toDF("name")
+    val r = Temporal.prefixCompressionOf(rows).head()
+    assert(r.getAs[Long]("n_keys") === 4L)
+    assert(r.getAs[Long]("total_bytes") === 18L)
+    assert(r.getAs[Long]("saved_bytes") === 7L)
+    assert(r.getAs[Long]("saved_ppm") === 388888L)
+  }
 }
