@@ -1012,13 +1012,18 @@ object Temporal {
   // correct unit is the user-day. DAU*1e6 div WAU is the integer
   // stickiness ratio (ppm).
   //
-  // Shape at scale: the only full-events pass is the DISTINCT to the
-  // user-day frame (one shuffle, map-side combine; |user-days| <<
-  // |events|). Each user-day then fans out to exactly the 7 window
-  // anchors it serves (`sequence` — codegen'd, no lambda), and the
-  // second DISTINCT + count is a shuffle of the 7x user-day frame, NOT
-  // a per-day rescan. No day-range self-join, no window over an
-  // unpartitioned global sort.
+  // Shape at scale — the interval-merge delta form, not a 7x anchor
+  // fan-out: each active day serves anchors [day, day+6], so a user's
+  // anchor coverage is the UNION of those intervals; merging them
+  // (one user-partitioned window: new interval when the day gap
+  // exceeds 7) turns WAU into a difference array — +1 where a merged
+  // interval starts, -1 after it ends — and ONE cumulative sum over
+  // the calendar-bounded day grid (the q294 |days|-frame convention)
+  // reads off every WAU. Shuffle volume: the user-day DISTINCT (the
+  // only full-events pass) + one |user-day| window exchange + a
+  // 2x|intervals| delta fold, instead of DISTINCTing 7x the user-day
+  // frame. A streak-heavy corpus (the common case) collapses to few
+  // intervals per user, so the delta frame is tiny.
   def activeUsers(spark: SparkSession, dir: String): DataFrame =
     activeUsersOf(Tables.events(spark, dir)
       .select(col("user_id"),
@@ -1028,13 +1033,33 @@ object Temporal {
     * plant a user active every day vs one-day visitors. */
   private[graft] def activeUsersOf(rows: DataFrame): DataFrame = {
     val ud = rows.select("user_id", "day").distinct()
-      .localCheckpoint(true) // feeds DAU and the 7-day fan-out
+      .localCheckpoint(true) // feeds DAU and the interval merge
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = ud
-      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
-      .distinct() // a user-day pair can serve the same anchor only once
-      .groupBy("day").agg(count(lit(1)).as("wau"))
-    dau.join(wau, "day") // anchors with no DAU row are future-only ghosts
+    // merge anchor intervals [day, day+6] per user: a new interval
+    // starts when this day's window no longer touches the previous
+    // one (gap > 7 ⇔ day > prev + 6 + 1)
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val intervals = ud
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("newint",
+        when(col("prev").isNull || col("day") - col("prev") > 7L, 1L)
+          .otherwise(0L))
+      .withColumn("intid", sum("newint")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "intid")
+      .agg(min("day").as("a"), (max("day") + 6L).as("b"))
+    val deltas = intervals.select(col("a").as("day"), lit(1L).as("d"))
+      .unionAll(intervals.select((col("b") + 1L).as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum("d").as("delta"))
+      .localCheckpoint(true) // grid + cumsum both read it
+    // cumulative coverage over the day grid (calendar-bounded frame:
+    // |distinct days| + interval boundaries — the unpartitioned
+    // window is the q294 small-dim convention)
+    val grid = dau.select("day").unionAll(deltas.select("day")).distinct()
+    val wg = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val wau = grid.join(deltas, Seq("day"), "left")
+      .withColumn("wau", sum(coalesce(col("delta"), lit(0L))).over(wg))
+    dau.join(wau.select("day", "wau"), "day")
       .select(date_add(to_date(lit("1970-01-01")), col("day").cast("int"))
           .as("day"),
         col("dau"), col("wau"),
