@@ -121,29 +121,35 @@ object Bench {
     try { force("q6_timeframe"); force("q1_total_margin_2m"); force("q19_fingerprint") }
     catch { case t: Throwable => recordErr("warmup", t) }
 
-    // Three timed repetitions per query, report the minimum: single-shot
-    // local[N] timings swing 2-3x with JIT/GC/host noise (measured), and
-    // the minimum is the standard steady-state estimator — it reflects
-    // the plan, not the weather. Tiered JIT keeps improving through the
-    // second re-run on the heavy dedup queries (Probe: q22 reps
-    // 12.0/3.0/1.9/1.6s), so two reps still under-sampled the steady
-    // state. Every repetition runs the FULL query (no cross-run
-    // caching: each call builds its own plan and the minhash index
-    // checkpoint is per-call).
-    val results = headline.filter(SparkEntry.queries.contains).flatMap { name =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { force(name); true }
-          catch { case t: Throwable => recordErr(name, t); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) successLog(name) = successLog.getOrElse(name, Vector.empty) :+ dt
-        dt
-      }
-      repLog(name) = times
-      // min over SUCCESSFUL reps only; a lane with zero successes is
-      // omitted (its failure story lives in `errors`)
-      successLog.get(name).map(s => name -> s.min)
+    // Five timed repetitions per query, ROUND-MAJOR interleaved
+    // (q1,q3,…,q29, q1,q3,… — the scale block's discipline), report the
+    // minimum: single-shot local[N] timings swing 2-3x with JIT/GC/host
+    // noise (measured), and the minimum is the standard steady-state
+    // estimator — it reflects the plan, not the weather. Tiered JIT
+    // keeps improving through the second re-run on the heavy dedup
+    // queries (Probe: q22 reps 12.0/3.0/1.9/1.6s), so two reps
+    // under-sampled the steady state; and the r9→r11 driver artifacts
+    // drifted +27% with uniform same-direction movement across
+    // unrelated queries — the signature of interference windows that
+    // lane-major 3-rep sampling cannot reject. Round-major means a bad
+    // window poisons one rep of each query, never every rep of one;
+    // five reps give min-of-N real power against multi-second windows.
+    // Every repetition runs the FULL query (no cross-run caching: each
+    // call builds its own plan and the minhash index checkpoint is
+    // per-call).
+    val headlinePresent = headline.filter(SparkEntry.queries.contains)
+    for (_ <- 1 to 5; name <- headlinePresent) {
+      val t0 = System.nanoTime()
+      val ok = try { force(name); true }
+        catch { case t: Throwable => recordErr(name, t); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      repLog(name) = repLog.getOrElse(name, Seq.empty) :+ dt
+      if (ok) successLog(name) = successLog.getOrElse(name, Vector.empty) :+ dt
     }
+    // min over SUCCESSFUL reps only; a lane with zero successes is
+    // omitted (its failure story lives in `errors`)
+    val results = headlinePresent.flatMap(name =>
+      successLog.get(name).map(s => name -> s.min))
     val total = results.map(_._2).sum
 
     // One measured (untimed) pass per headline query: shuffle-write MB,

@@ -15,7 +15,11 @@ object LaneProbe {
     val spark = Session.get("graft-lane-probe")
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    factors.foreach { times =>
+    // probe fixtures are multi-GB at x20 — always clean them up, even
+    // when a rep throws (Bench deleteQuietly's its lane fixtures; the
+    // probe must too or repeated runs accumulate under target/)
+    val probeDirs = scala.collection.mutable.ListBuffer.empty[String]
+    try factors.foreach { times =>
       val run: () => DataFrame = laneName match {
         case "q218_weighted_jaccard" =>
           // same 1/5 slice the bench lane runs (doc_id = base*times+i,
@@ -29,10 +33,12 @@ object LaneProbe {
           () => ScaleBench.kcore(e)
         case "q141_stream_incremental_cc" =>
           val p = s"${sys.props("user.dir")}/target/probe_incc_x$times"
+          probeDirs += p
           ScaleBench.streamIncCcPrep(spark, sfDir, times, p)
           () => ScaleBench.streamIncrementalCc(spark, sfDir, p, times)
         case "q61_stream_rocksdb" =>
           val p = s"${sys.props("user.dir")}/target/probe_stream_x$times"
+          probeDirs += p
           ScaleBench.streamNearDupPrep(spark, sfDir, times, p)
           () => graft.streaming.StreamOps.withStateStore(spark,
             graft.streaming.StreamOps.RocksDbProvider) { s2 =>
@@ -45,7 +51,10 @@ object LaneProbe {
         noop(run())
         println(f"LANEPROBE $laneName x$times rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+    } finally {
+      probeDirs.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      spark.stop()
     }
-    spark.stop()
   }
 }

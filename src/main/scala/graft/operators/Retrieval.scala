@@ -628,10 +628,11 @@ object Retrieval {
   // micro-cosine channel (cos6 = round(cos·10⁶)), neighborhood sums
   // stay integral, and margin_ppm = cos6·8·10⁶ div (Σk(x) + Σk(y)) —
   // ratio-of-integers, bit-identical cross-engine. Pairs whose summed
-  // neighborhood is non-positive are dropped (floor division on
-  // negative denominators is the one place Spark `div` and DuckDB `//`
-  // disagree; a non-positive 4-NN neighborhood sum also means the
-  // margin denominator has no mass to normalize by).
+  // neighborhood is non-positive are dropped (a non-positive 4-NN
+  // neighborhood sum means the margin denominator has no mass to
+  // normalize by), and the quotient runs as sign·(|cos6| div d) so a
+  // negative top-1 cosine cannot hit the Spark-truncates / DuckDB-floors
+  // divergence (both engines see a non-negative dividend).
   private[graft] def marginOf(sub: DataFrame): DataFrame = {
     val k4 = Similarity.bruteForceTopK(sub, sub, k = 4)
       .withColumn("cos6", expr("CAST(round(cos * 1000000) AS BIGINT)"))
@@ -644,7 +645,8 @@ object Retrieval {
         Seq("vec_id"))
       .filter(col("sum_x") + col("sum_y") > 0L)
       .select(col("query_id"), col("vec_id").as("nn_id"), col("cos"),
-        expr("cos6 * 8 * 1000000 div (sum_x + sum_y)").as("margin_ppm"))
+        (signum(col("cos6")).cast("long") *
+          expr("abs(cos6) * 8 * 1000000 div (sum_x + sum_y)")).as("margin_ppm"))
   }
 
   def marginFilter(spark: SparkSession, dir: String): DataFrame =
@@ -665,7 +667,8 @@ object Retrieval {
       |      FROM r WHERE rn <= 4),
       |s AS (SELECT qa, SUM(cos6) AS sumk FROM k4 GROUP BY 1)
       |SELECT t.qa AS query_id, t.qb AS nn_id, t.cos AS cos,
-      |       CAST((t.cos6 * 8 * 1000000) // (sx.sumk + sy.sumk) AS BIGINT)
+      |       CAST(sign(t.cos6) * ((abs(t.cos6) * 8 * 1000000)
+      |              // (sx.sumk + sy.sumk)) AS BIGINT)
       |         AS margin_ppm
       |FROM (SELECT * FROM k4 WHERE rn = 1) t
       |JOIN s sx ON t.qa = sx.qa

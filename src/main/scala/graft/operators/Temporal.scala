@@ -984,6 +984,10 @@ object Temporal {
       .agg(count(lit(1)).as("n_segments"),
         sum("dt_us").as("held_us"),
         sum(col("vdec") * col("dt_us")).cast(DecimalType(38, 4)).as("vdt"))
+      // a type whose segments are ALL zero-duration (equal timestamps)
+      // has no holding time to average over: drop it rather than emit
+      // the engine-specific 0/0 (NaN in Spark, DuckDB double semantics)
+      .filter(col("held_us") > 0L)
       .select(col("event_type"), col("n_segments"), col("held_us"),
         round(col("vdt").cast("double") / col("held_us").cast("double"), 6)
           .as("twap"))
@@ -1003,7 +1007,7 @@ object Temporal {
       |       round(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt_us) AS DOUBLE)
       |             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap
       |FROM d WHERE dt_us IS NOT NULL
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |GROUP BY event_type HAVING SUM(dt_us) > 0 ORDER BY event_type""".stripMargin
 
   // ---- q284: DAU / rolling-7-day WAU / stickiness ---------------------
   // The product-analytics headline triple. WAU(d) = DISTINCT users over

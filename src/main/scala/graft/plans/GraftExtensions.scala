@@ -84,8 +84,30 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())
 
-  /** Late registration on an already-built session (temp functions). */
-  def register(spark: SparkSession): Unit = {
+  /** Sessions already registered, weakly held (a dropped session must
+    * not leak through the guard set). Registration is idempotent —
+    * every entry point re-registers the same builders — so the guard
+    * exists purely to kill the per-call cost: before round 12,
+    * [[ensureRegistered]] ran the full 10-function
+    * `createOrReplaceTempFunction` pass on EVERY Column-helper call
+    * (a q22 build touches hex_window 100+ times → ~1300 registry
+    * writes and as many "function replaced" WARN log lines per query
+    * build — the WARN spam in the round-11 bench tail), and the
+    * driver-side churn grew with every operator added. */
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Late registration on an already-built session (temp functions).
+    * First call per session does the work; repeats are a set lookup.
+    * Use [[forceRegister]] if the temp functions were dropped. */
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) forceRegister(spark)
+
+  /** Unconditional registration (re-registers even on a session the
+    * guard has seen — for the rare case of dropped temp functions). */
+  def forceRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -115,8 +137,15 @@ object GraftFunctions {
     * Text.tokens can't be used before registration; explicit
     * [[register]] / [[GraftExtensions]] remain for SQL-text use and
     * sessions built on other threads. */
+  /** Probe hook: when true, every Column-helper call re-runs the FULL
+    * registration pass — the pre-round-12 behavior — so RegProbe can
+    * A/B the per-call churn against the guarded path in one JVM. */
+  @volatile private[graft] var perCallRegistration = false
+
   private def ensureRegistered(): Unit =
-    SparkSession.getActiveSession.foreach(register)
+    SparkSession.getActiveSession.foreach { s =>
+      if (perCallRegistration) forceRegister(s) else register(s)
+    }
 
   def rolling_hash(c: Column): Column = {
     ensureRegistered()
