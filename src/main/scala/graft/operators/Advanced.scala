@@ -104,6 +104,31 @@ object Advanced {
       |  CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS n_samples
       |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
 
+  // ---- q309: REAL PNG/JPEG header decode (round-11 verdict ask #3) ---
+  // The q52 technique extended to the two formats a training-data
+  // pipeline actually meets: REAL PNG and baseline JPEG bytes (JDK
+  // ImageIO encoders — genuine files, openable anywhere) decoded by
+  // pure Column expressions (PNG: fixed-offset big-endian IHDR; JPEG:
+  // bounded SOF marker walk). The planted classes include a TRUNCATED
+  // PNG (signature intact, cut before the IHDR payload — must yield
+  // kind='png' with null fields, never garbage numbers) and non-media
+  // bytes (kind='unknown'), so the truncation/garbage guards are
+  // oracle-gated, not just spec'd.
+  def imageHeaderDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    Multimodal.decodeMediaMeta(Multimodal.plantedImageAssets(docs, "doc_id"))
+      .select("asset_id", "kind", "width", "height", "bpp")
+      .orderBy("asset_id")
+  }
+
+  val imageHeaderDecodeSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 4 WHEN 1 THEN 'jpeg' WHEN 3 THEN 'unknown' ELSE 'png' END AS kind,
+      |  CASE doc_id % 4 WHEN 0 THEN doc_id % 50 + 1 WHEN 1 THEN doc_id % 60 + 16 END AS width,
+      |  CASE doc_id % 4 WHEN 0 THEN doc_id * 3 % 40 + 1 WHEN 1 THEN doc_id * 5 % 50 + 16 END AS height,
+      |  CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(24 AS BIGINT) END AS bpp
+      |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+
   // ---- q125: full PCM sample decode -> audio features ----------------
   // One level below q52: every 16-bit sample of each planted WAV is
   // decoded from the raw bytes (Multimodal.pcm16Sample) and reduced to
@@ -1836,6 +1861,7 @@ object Advanced {
     "q194_stream_cms"       -> ((s, d) => StreamOps.streamCmsHeavyHitters(s, d)),
     "q28_multimodal_decode" -> (multimodalDecode _),
     "q52_media_header_decode" -> (mediaDecode _),
+    "q309_image_header_decode" -> (imageHeaderDecode _),
     "q29_sessionization"    -> (sessionStats _),
     "q296_session_depth"    -> (sessionDepth _),
     "q304_regional_revenue" -> (regionalRevenue _),
@@ -1891,6 +1917,7 @@ object Advanced {
     "q194_stream_cms"       -> Quality.cmsAccuracySql,
     "q28_multimodal_decode" -> multimodalDecodeSql,
     "q52_media_header_decode" -> mediaDecodeSql,
+    "q309_image_header_decode" -> imageHeaderDecodeSql,
     "q29_sessionization"    -> sessionStatsSql,
     "q296_session_depth"    -> sessionDepthSql,
     "q304_regional_revenue" -> regionalRevenueSql,

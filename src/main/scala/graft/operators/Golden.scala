@@ -287,13 +287,35 @@ object Golden {
        |        WHERE CA_Net_TTC = '#NO VALUE') AS n_no_value_ca_net_ttc""".stripMargin
   }
 
+  // ---- q308: the S4 (.xlsx) oracle gate -------------------------------
+  // q35 proves the xlsx ingest only through one aggregated margin; this
+  // row hashes the ENTIRE typed product dimension decoded from
+  // product.xlsx (zip -> StAX -> header / drop-empty-row semantics ->
+  // alignTo typing: 0/1/empty -> boolean) against the DuckDB read of
+  // its value-identical CSV twin. DuckDB cannot read .xlsx, so the twin
+  // is exactly how far an oracle can reach — and a cell-for-cell hash
+  // match over both columns closes the one SURVEY 2 row that had no
+  // CORRECTNESS entry (reference: src/utils/dataset_profiling.py:190-223,
+  // the calamine -> xlsx2csv two-engine ladder this source mirrors).
+  def xlsxProducts(spark: SparkSession, dir: String): DataFrame =
+    loadProducts(spark, GoldenFixture.generate(FixtureDir))
+      .orderBy("code_modele_couleur_actuel")
+
+  val xlsxProductsSql: String =
+    s"""SELECT CODE_MODELE_COULEUR_ACTUEL AS code_modele_couleur_actuel,
+       |       NULLIF(SIGNATURE_PRODUCT, '') = '1' AS signature_product
+       |FROM ${csv("product.csv")}
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_xlsx_products"      -> (xlsxProducts _),
     "q35_golden_csv_contract" -> (summary _),
     "q36_placeholder_mining"  -> (placeholderMining _),
     "q37_whole_row_dups"      -> (wholeRowDupCheck _),
     "q51_golden_dup_counts"   -> (goldenCounts _))
 
   val oracles: Map[String, String] = Map(
+    "q308_xlsx_products"      -> xlsxProductsSql,
     "q35_golden_csv_contract" -> summarySql,
     "q36_placeholder_mining"  -> placeholderMiningSql,
     "q37_whole_row_dups"      -> wholeRowDupCheckSql,

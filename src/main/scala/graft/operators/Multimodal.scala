@@ -42,39 +42,129 @@ object Multimodal {
     when(u >= 2147483648L, u - 4294967296L).otherwise(u)
   }
 
-  /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav. */
+  /** Big-endian unsigned read at a FIXED 1-based byte position —
+    * hex(substring) is already most-significant-first, so no per-byte
+    * reversal (PNG's IHDR fields are big-endian by spec). */
+  def beUInt(content: Column, pos: Int, nBytes: Int): Column =
+    conv(hex(substring(content, pos, nBytes)), 16, 10).cast("long")
+
+  private def beU16At(c: Column, pos: Column): Column =
+    conv(hex(c.substr(pos, lit(2))), 16, 10).cast("long")
+
+  /** Bounded JPEG segment walk, pure Column expressions: a RUNTIME fold
+    * (`aggregate` over a maxSegments-long sequence) rather than a
+    * statically unrolled recursion — unrolling re-embeds the growing
+    * position expression at every level, which is exponential in depth
+    * at ANALYSIS time, while the fold's lambda is evaluated iteratively
+    * so the expression tree stays constant-size. The bound is the guard
+    * against adversarial marker chains, exactly like a streaming
+    * decoder's header-scan budget.
+    *
+    * Each step reads the marker at 1-based `pos` (segments are
+    * FF xx [len_be16 payload], len includes itself): an SOF marker
+    * (C0–CF minus the non-frame C4/C8/CC) captures
+    * struct(precision, height, width, ncomp) from the frame header and
+    * stops; standalone/terminal markers (SOI/EOI/SOS — after SOS comes
+    * entropy-coded data where the walk would misparse) and truncated or
+    * garbage input kill the walk (null result) at whatever step they're
+    * met. */
+  def jpegSofScan(content: Column, maxSegments: Int = 12): Column = {
+    val c = content
+    def longNull = lit(null).cast("long")
+    // acc: pos = next marker position (null = walk dead or finished);
+    //      p/h/w/n = captured SOF fields (p.isNotNull = found)
+    def dead = struct(longNull.as("pos"), longNull.as("p"),
+      longNull.as("h"), longNull.as("w"), longNull.as("n"))
+    val init = struct(lit(3L).as("pos"), longNull.as("p"),
+      longNull.as("h"), longNull.as("w"), longNull.as("n"))
+    val folded = aggregate(
+      sequence(lit(1), lit(maxSegments)), init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val m0 = byteAt(c, pos)
+        val m1 = byteAt(c, pos + 1)
+        val isSof = m0 === 255L && m1 >= 192L && m1 <= 207L &&
+          m1 =!= 196L && m1 =!= 200L && m1 =!= 204L
+        val segLen = beU16At(c, pos + 2)
+        when(pos.isNull, acc) // found earlier, or walk already dead
+          .when(isSof && length(c) >= pos + 9, struct(
+            longNull.as("pos"),
+            byteAt(c, pos + 4).as("p"),
+            beU16At(c, pos + 5).as("h"),
+            beU16At(c, pos + 7).as("w"),
+            byteAt(c, pos + 9).as("n")))
+          .when(length(c) >= pos + 3 && m0 === 255L && m1 =!= 216L &&
+            m1 =!= 217L && m1 =!= 218L && segLen >= 2L, struct(
+            (pos + 2L + segLen).as("pos"), longNull.as("p"),
+            longNull.as("h"), longNull.as("w"), longNull.as("n")))
+          .otherwise(dead)
+      })
+    when(folded.getField("p").isNotNull, struct(
+      folded.getField("p").as("precision"),
+      folded.getField("h").as("height"),
+      folded.getField("w").as("width"),
+      folded.getField("n").as("ncomp")))
+  }
+
+  /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav, the
+    * 8-byte PNG signature -> png, FFD8FF -> jpeg. */
   def sniffKind(content: Column): Column =
     when(hex(substring(content, 1, 2)) === "424D", lit("bmp"))
       .when(hex(substring(content, 1, 4)) === "52494646" &&
         hex(substring(content, 9, 4)) === "57415645", lit("wav"))
+      .when(hex(substring(content, 1, 8)) === "89504E470D0A1A0A", lit("png"))
+      .when(hex(substring(content, 1, 3)) === "FFD8FF", lit("jpeg"))
       .otherwise(lit("unknown"))
 
   /** REAL media-metadata decode over (asset_id, content) rows: BMP
-    * width/height/bpp (BITMAPINFOHEADER offsets 18/22/28) and WAV
-    * channels/sample_rate/bits_per_sample/n_samples (canonical fmt
-    * chunk offsets 22/24/34, data size at 40). Fields of the other
-    * format are null. Caveat: BMP height is read unsigned (top-down
-    * negative-height bitmaps are out of scope — documented). */
+    * width/height/bpp (BITMAPINFOHEADER offsets 18/22/28), PNG
+    * width/height/bpp (IHDR — mandated first chunk — big-endian dims at
+    * 16/20, bit-depth×channels from the depth/color-type bytes at
+    * 24/25), JPEG width/height/bpp (bounded SOF marker walk,
+    * [[jpegSofScan]]) and WAV channels/sample_rate/bits_per_sample/
+    * n_samples (canonical fmt chunk offsets 22/24/34, data size at 40).
+    * Fields of the other format are null. Caveat: BMP height is read
+    * unsigned (top-down negative-height bitmaps are out of scope —
+    * documented). */
   def decodeMediaMeta(assets: DataFrame): DataFrame = {
     val c = col("content")
     // A magic-number match on a TRUNCATED file must not yield garbage
     // field values (hex of a partial read converts to a wrong number):
     // require the full fixed header before trusting any offset — BMP
     // needs BITMAPINFOHEADER through bpp (30 bytes), canonical WAV needs
-    // the fmt chunk + data size (44 bytes). Underlength files keep their
-    // sniffed kind with all fields null — explicitly "underparsed".
+    // the fmt chunk + data size (44 bytes), PNG the IHDR through
+    // color-type (26 bytes, with the chunk type verified — a conformant
+    // signature does not guarantee an IHDR follows). JPEG's walk guards
+    // itself (every step length-checks before reading). Underlength
+    // files keep their sniffed kind with all fields null — explicitly
+    // "underparsed".
     val kind = sniffKind(c)
     val isBmp = kind === "bmp" && length(c) >= 30
     val isWav = kind === "wav" && length(c) >= 44
+    val isPng = kind === "png" && length(c) >= 26 &&
+      hex(substring(c, 13, 4)) === "49484452" // "IHDR"
+    val pngChannelsPerPx = { // color type -> sample count per pixel
+      val ct = leUInt(c, 26, 1)
+      when(ct === 2L, 3L).when(ct === 6L, 4L).when(ct === 4L, 2L)
+        .otherwise(1L) // greyscale (0) and palette-indexed (3)
+    }
+    val sof = when(kind === "jpeg", jpegSofScan(c))
     val channels = leUInt(c, 23, 2)
     val bits = leUInt(c, 35, 2)
     val dataSize = leUInt(c, 41, 4)
     assets.select(
       col("asset_id"),
       kind.as("kind"),
-      when(isBmp, leUInt(c, 19, 4)).as("width"),
-      when(isBmp, leUInt(c, 23, 4)).as("height"),
-      when(isBmp, leUInt(c, 29, 2)).as("bpp"),
+      when(isBmp, leUInt(c, 19, 4))
+        .when(isPng, beUInt(c, 17, 4))
+        .otherwise(sof.getField("width")).as("width"),
+      when(isBmp, leUInt(c, 23, 4))
+        .when(isPng, beUInt(c, 21, 4))
+        .otherwise(sof.getField("height")).as("height"),
+      when(isBmp, leUInt(c, 29, 2))
+        .when(isPng, leUInt(c, 25, 1) * pngChannelsPerPx)
+        .otherwise(sof.getField("precision") * sof.getField("ncomp"))
+        .as("bpp"),
       when(isWav, channels).as("channels"),
       when(isWav, leUInt(c, 25, 4)).as("sample_rate"),
       when(isWav, bits).as("bits_per_sample"),
@@ -370,6 +460,32 @@ object Multimodal {
             graft.sources.MediaFixture.wav(
               (id % 3 + 1).toInt, 8000 * (id % 4 + 1).toInt, 16,
               (id % 100 + 1).toInt)
+        (id, content)
+      }
+    }.toDF("asset_id", "content")
+  }
+
+  /** Planted image assets for the q309 oracle: each id becomes a REAL
+    * PNG (id%4==0, JDK ImageIO encoder), a REAL baseline JPEG
+    * (id%4==1), a TRUNCATED PNG (id%4==2 — full 8-byte signature, cut
+    * at 20 bytes: the decoder must keep kind='png' with every field
+    * null instead of converting a partial read into garbage numbers),
+    * or deterministic non-media bytes (id%4==3 — kind='unknown').
+    * Dimensions derive from the id by fixed formulas so the DuckDB
+    * oracle recomputes them without any image decoding. */
+  def plantedImageAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val content: Array[Byte] = (id % 4) match {
+          case 0 => graft.sources.MediaFixture.png(
+            (id % 50 + 1).toInt, (id * 3 % 40 + 1).toInt)
+          case 1 => graft.sources.MediaFixture.jpeg(
+            (id % 60 + 16).toInt, (id * 5 % 50 + 16).toInt)
+          case 2 => graft.sources.MediaFixture.png(8, 8).take(20)
+          case _ => Array.tabulate[Byte](64)(i => ((i * 11 + 3) % 256).toByte)
+        }
         (id, content)
       }
     }.toDF("asset_id", "content")

@@ -85,4 +85,44 @@ object MediaFixture {
     while (i < dataSize) { out.write((i * 37) & 0xff); i += 1 }
     out.toByteArray
   }
+
+  /** Deterministic RGB test image (same channel formulas as [[bmp]]). */
+  private def rgbImage(width: Int, height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (x * 5 + y * 3 + 2) & 0xff
+        val g = (x * 13 + y * 7 + 1) & 0xff
+        val b = (x * 31 + y * 17) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  /** Real PNG bytes via the JDK's ImageIO encoder (no dependency; PNG
+    * spec mandates IHDR as the first chunk, so width/height/bit-depth/
+    * color-type sit at fixed offsets 17/21/25/26 for ANY conformant
+    * encoder — the property Multimodal's pure-Column decode relies on).
+    * TYPE_INT_RGB encodes as 8-bit truecolor (color type 2). */
+  def png(width: Int, height: Int): Array[Byte] =
+    encode(rgbImage(width, height), "png")
+
+  /** Real baseline JPEG bytes via the JDK's ImageIO encoder: FFD8, APP0/
+    * DQT/... segments, then an SOF0 frame header carrying precision 8,
+    * the planted height/width, and 3 components — what Multimodal's
+    * bounded marker walk must find. */
+  def jpeg(width: Int, height: Int): Array[Byte] =
+    encode(rgbImage(width, height), "jpg")
 }

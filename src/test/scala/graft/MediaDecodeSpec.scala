@@ -47,6 +47,60 @@ class MediaDecodeSpec extends SparkSpec {
     assert(decoded.getLong(8) === 50L)
   }
 
+  test("generated PNG bytes are a real image per ImageIO, and the Column parser agrees") {
+    val bytes = MediaFixture.png(41, 23)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not decode the generated PNG")
+    assert(img.getWidth === 41 && img.getHeight === 23)
+
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, bytes)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "png")
+    assert(decoded.getLong(2) === 41L && decoded.getLong(3) === 23L)
+    assert(decoded.getLong(4) === 24L) // 8-bit truecolor = 3x8
+    assert(decoded.isNullAt(5) && decoded.isNullAt(6)) // wav fields null
+  }
+
+  test("generated JPEG bytes are a real image per ImageIO, and the SOF walk agrees") {
+    val bytes = MediaFixture.jpeg(52, 33)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not decode the generated JPEG")
+    assert(img.getWidth === 52 && img.getHeight === 33)
+
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, bytes)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "jpeg")
+    assert(decoded.getLong(2) === 52L && decoded.getLong(3) === 33L)
+    assert(decoded.getLong(4) === 24L) // precision 8 x 3 components
+  }
+
+  test("truncated PNG keeps its sniffed kind with every field null") {
+    // signature + chunk length survive the cut; the IHDR payload does
+    // not — a partial big-endian read must never become a dimension
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, MediaFixture.png(8, 8).take(20)))
+        .toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "png")
+    (2 to 8).foreach(i => assert(decoded.isNullAt(i), s"field $i not null"))
+  }
+
+  test("JPEG SOF walk dies cleanly on truncation mid-segment and on marker floods") {
+    // cut inside the first segment: FFD8 + APP0 marker only
+    val truncated = MediaFixture.jpeg(16, 16).take(6)
+    val d1 = Multimodal.decodeMediaMeta(
+      Seq((1L, truncated)).toDF("asset_id", "content")).head
+    assert(d1.getString(1) === "jpeg")
+    assert(d1.isNullAt(2) && d1.isNullAt(3) && d1.isNullAt(4))
+    // adversarial chain: 100 minimal COM segments (FF FE 00 02) and no
+    // SOF — the bounded walk must stop at its budget, null result
+    val flood = (Array(0xFF, 0xD8).map(_.toByte) ++
+      Array.fill(100)(Array(0xFF, 0xFE, 0x00, 0x02).map(_.toByte)).flatten)
+    val d2 = Multimodal.decodeMediaMeta(
+      Seq((1L, flood)).toDF("asset_id", "content")).head
+    assert(d2.getString(1) === "jpeg")
+    assert(d2.isNullAt(2) && d2.isNullAt(3) && d2.isNullAt(4))
+  }
+
   test("sniffKind rejects non-media bytes") {
     val rows = Seq((1L, "not media at all".getBytes("UTF-8")))
       .toDF("asset_id", "content")
