@@ -287,6 +287,119 @@ object Golden {
        |        WHERE CA_Net_TTC = '#NO VALUE') AS n_no_value_ca_net_ttc""".stripMargin
   }
 
+  // ---- q310: the VERBATIM reference SQL gate (SURVEY 7.4 risk 5) -----
+  // The six shipped .sql files execute UNMODIFIED through
+  // QueryRunner.runFile: Spark 4.1's parser accepts the whole Postgres
+  // surface they use (postfix ::date casts, IS TRUE, INTERVAL '1
+  // month'/'60 days', JOIN ... ON TRUE, trailing semicolons — verified
+  // by SqlDialectSpec, which pins each construct so a Spark upgrade
+  // that drops one fails loudly). No dialect shim exists because none
+  // is needed; capability parity (q35) is thereby upgraded to
+  // verbatim-TEXT parity. Each file's result reduces to one
+  // deterministic row (value-based aggregates only — the top-10 file
+  // has no tiebreaker, so the gate sums/mins the VALUE multiset, which
+  // is order-stable under ties, rather than hashing row identities);
+  // the DuckDB oracle recomputes every row from the CSV twins.
+  val ReferenceSqlDir: String = sys.env.getOrElse("GRAFT_REFERENCE_SQL_DIR",
+    "/root/reference/src/sql/queries")
+
+  def verbatimSql(spark: SparkSession, dir: String): DataFrame = {
+    val fx = GoldenFixture.generate(FixtureDir)
+    loadTransactions(spark, fx).createOrReplaceTempView("transactions")
+    loadProducts(spark, fx).createOrReplaceTempView("product")
+    def raw(stem: String): DataFrame =
+      graft.sql.QueryRunner.runFile(spark, s"$ReferenceSqlDir/$stem.sql")
+    def epochDay(c: org.apache.spark.sql.Column) =
+      datediff(c, lit("1970-01-01")).cast("double")
+    val tf = raw("transactions_timeframe").select(
+      lit("transactions_timeframe").as("query"), lit(1L).as("n_rows"),
+      epochDay(col("last_transaction_date")).as("v1"),
+      epochDay(col("first_transaction_date")).as("v2"))
+    val rev = raw("revenue_split_per_day").agg(
+      count(lit(1)).as("n_rows"),
+      sum("total_revenue").cast("double").as("v1"),
+      max(datediff(col("date"), lit("1970-01-01"))).cast("double").as("v2"))
+      .select(lit("revenue_split_per_day").as("query"),
+        col("n_rows"), col("v1"), col("v2"))
+    val top = raw("top_10_products_units_sold").agg(
+      count(lit(1)).as("n_rows"),
+      sum("total_units_sold").cast("double").as("v1"),
+      min("total_units_sold").cast("double").as("v2"))
+      .select(lit("top_10_products_units_sold").as("query"),
+        col("n_rows"), col("v1"), col("v2"))
+    val tps = raw("number_transactions_per_store").agg(
+      count(lit(1)).as("n_rows"),
+      sum("number_distinct_of_transactions").cast("double").as("v1"),
+      sum("number_of_transactions").cast("double").as("v2"))
+      .select(lit("number_transactions_per_store").as("query"),
+        col("n_rows"), col("v1"), col("v2"))
+    val m2 = raw("total_margin_signature_last_2_months").select(
+      lit("total_margin_signature_last_2_months").as("query"),
+      lit(1L).as("n_rows"),
+      col("total_margin_last_2_months").cast("double").as("v1"),
+      lit(0.0).as("v2"))
+    val m60 = raw("total_margin_signature_last_2_months_in_days").select(
+      lit("total_margin_signature_last_2_months_in_days").as("query"),
+      lit(1L).as("n_rows"),
+      col("total_margin_last_60_days").cast("double").as("v1"),
+      lit(0.0).as("v2"))
+    tf.unionByName(rev).unionByName(top).unionByName(tps)
+      .unionByName(m2).unionByName(m60)
+      .orderBy("query")
+  }
+
+  val verbatimSqlSql: String =
+    s"""WITH tx0 AS (
+       |  SELECT * FROM ${csv("data1.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data2.csv")}
+       |  UNION ALL BY NAME SELECT * FROM ${csv("data3.csv")}),
+       |tx AS (SELECT
+       |  Point_de_Vente AS pdv,
+       |  Numero_Transaction AS tid,
+       |  Date_Transaction::DATE AS d,
+       |  Modele_Couleur_Ref AS ref,
+       |  Quantite_Vendue::INTEGER AS qty,
+       |  replace(NULLIF(CA_Net_TTC, '#NO VALUE'), ',', '.')::DECIMAL(18,6) AS ttc,
+       |  replace(NULLIF(Marge_Nette_Magasin, '#NO VALUE'), ',', '.')::DECIMAL(18,6) AS marge
+       |  FROM tx0),
+       |prod AS (SELECT CODE_MODELE_COULEUR_ACTUEL AS code,
+       |                SIGNATURE_PRODUCT = '1' AS sig
+       |         FROM ${csv("product.csv")}),
+       |anchor AS (SELECT date_trunc('month', MAX(d))::DATE AS am, MAX(d) AS mx FROM tx),
+       |tf AS (SELECT 'transactions_timeframe' AS query, CAST(1 AS BIGINT) AS n_rows,
+       |              CAST(MAX(d) - DATE '1970-01-01' AS DOUBLE) AS v1,
+       |              CAST(MIN(d) - DATE '1970-01-01' AS DOUBLE) AS v2 FROM tx),
+       |rev AS (SELECT 'revenue_split_per_day' AS query,
+       |               CAST(COUNT(DISTINCT d) AS BIGINT) AS n_rows,
+       |               CAST(SUM(ttc) AS DOUBLE) AS v1,
+       |               CAST(MAX(d) - DATE '1970-01-01' AS DOUBLE) AS v2 FROM tx),
+       |t10 AS (SELECT 'top_10_products_units_sold' AS query,
+       |               CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |               CAST(SUM(u) AS DOUBLE) AS v1, CAST(MIN(u) AS DOUBLE) AS v2
+       |        FROM (SELECT SUM(qty) AS u FROM tx GROUP BY ref
+       |              ORDER BY u DESC LIMIT 10)),
+       |tps AS (SELECT 'number_transactions_per_store' AS query,
+       |               CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |               CAST(SUM(nd) AS DOUBLE) AS v1, CAST(SUM(n) AS DOUBLE) AS v2
+       |        FROM (SELECT COUNT(DISTINCT tid) AS nd, COUNT(tid) AS n
+       |              FROM tx GROUP BY pdv)),
+       |m2 AS (SELECT 'total_margin_signature_last_2_months' AS query,
+       |              CAST(1 AS BIGINT) AS n_rows,
+       |              CAST(SUM(t.marge) AS DOUBLE) AS v1, CAST(0 AS DOUBLE) AS v2
+       |       FROM tx t JOIN prod p ON p.code = t.ref, anchor a
+       |       WHERE p.sig AND t.d >= (a.am - INTERVAL 1 MONTH)::DATE
+       |         AND t.d < (a.am + INTERVAL 1 MONTH)::DATE),
+       |m60 AS (SELECT 'total_margin_signature_last_2_months_in_days' AS query,
+       |               CAST(1 AS BIGINT) AS n_rows,
+       |               CAST(COALESCE(SUM(t.marge), 0) AS DOUBLE) AS v1,
+       |               CAST(0 AS DOUBLE) AS v2
+       |        FROM tx t JOIN prod p ON p.code = t.ref, anchor a
+       |        WHERE p.sig AND t.d BETWEEN (a.mx - INTERVAL 60 DAY)::DATE AND a.mx)
+       |SELECT * FROM tf UNION ALL SELECT * FROM rev UNION ALL
+       |SELECT * FROM t10 UNION ALL SELECT * FROM tps UNION ALL
+       |SELECT * FROM m2 UNION ALL SELECT * FROM m60
+       |ORDER BY query""".stripMargin
+
   // ---- q308: the S4 (.xlsx) oracle gate -------------------------------
   // q35 proves the xlsx ingest only through one aggregated margin; this
   // row hashes the ENTIRE typed product dimension decoded from
@@ -309,6 +422,7 @@ object Golden {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q308_xlsx_products"      -> (xlsxProducts _),
+    "q310_verbatim_ref_sql"   -> (verbatimSql _),
     "q35_golden_csv_contract" -> (summary _),
     "q36_placeholder_mining"  -> (placeholderMining _),
     "q37_whole_row_dups"      -> (wholeRowDupCheck _),
@@ -316,6 +430,7 @@ object Golden {
 
   val oracles: Map[String, String] = Map(
     "q308_xlsx_products"      -> xlsxProductsSql,
+    "q310_verbatim_ref_sql"   -> verbatimSqlSql,
     "q35_golden_csv_contract" -> summarySql,
     "q36_placeholder_mining"  -> placeholderMiningSql,
     "q37_whole_row_dups"      -> wholeRowDupCheckSql,
