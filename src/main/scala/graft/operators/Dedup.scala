@@ -307,13 +307,33 @@ object Dedup {
     // verify joins on h64), so dropping it narrows the checkpoint rows
     // by ~40%. The xxhash lane needs no md5 column at all — its
     // checkpoint is just (doc_id, h64).
+    val sh = shingleIndexFrame(df, idCol, textCol, n, family)
+      .localCheckpoint(true)
+    lshPairsFromIndex(sh, numHashes, bands, threshold, family)
+  }
+
+  /** The (doc_id, h64[, __h]) shingle-index projection
+    * [[minhashLshPairs]] materializes — factored so the durable lane
+    * persists the IDENTICAL frame the checkpoint lane pins. */
+  private def shingleIndexFrame(df: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                family: HashFamily): DataFrame = {
     val base = shingleTable(df, idCol, textCol, n)
-    val sh = (family match {
+    family match {
       case Md5Minhash => base
         .withColumn("__h", md5(col("s").cast("binary")))
         .select("doc_id", "h64", "__h")
       case XxMinhash => base.select("doc_id", "h64")
-    }).localCheckpoint(true)
+    }
+  }
+
+  /** Downstream of a MATERIALIZED shingle index (localCheckpoint or a
+    * persisted table): signatures -> band candidates -> exact-Jaccard
+    * verify on candidates only. Every consumer reads `sh` at least
+    * twice, which is why callers must have materialized it. */
+  private[graft] def lshPairsFromIndex(sh: DataFrame, numHashes: Int,
+                                       bands: Int, threshold: Double,
+                                       family: HashFamily): DataFrame = {
     val sig = minhashSignatures(sh, numHashes, family).localCheckpoint(true)
     val sz = sig.select(col("doc_id"), col("szn"))
     val bandsDf = lshBands(sig, numHashes, bands)
@@ -327,6 +347,33 @@ object Dedup {
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h64") === col("sb.h64"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     withJaccard(inter, sz, threshold)
+  }
+
+  /** Durable-index form of [[minhashLshPairs]] (round-11 verdict #7):
+    * the shingle index is PERSISTED as a doc_id-bucketed catalog table
+    * (Warehouse.writeBucketed) instead of localCheckpoint'd, then the
+    * IDENTICAL downstream runs off the persisted table. Same pairs by
+    * construction (MinhashDurableIndexSpec + q311 pin the equality);
+    * different fault domain: localCheckpoint blocks are executor-pinned
+    * — losing one executor at 100 TB kills the index AND the truncated
+    * lineage needed to rebuild it mid-job — while the bucketed table
+    * survives executor loss and is REUSABLE across jobs (build once,
+    * serve every downstream dedup pass). Bucketing on doc_id means the
+    * verify join's two index probes read co-partitioned buckets.
+    * Returns the pairs; the caller owns the table lifecycle (the name
+    * is returned via `tableOut` when inspection/reuse is wanted). */
+  def minhashLshPairsDurable(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                             threshold: Double = 0.5,
+                             family: HashFamily = Md5Minhash,
+                             nBuckets: Int = 8,
+                             table: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val t = table.getOrElse("graft_lsh_index_" +
+      spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_"))
+    graft.sources.Warehouse.writeBucketed(
+      shingleIndexFrame(df, idCol, textCol, n, family), t, "doc_id", nBuckets)
+    lshPairsFromIndex(spark.table(t), numHashes, bands, threshold, family)
   }
 
   /** [[minhashLshPairs]]'s candidate set with the INTEGER sufficient

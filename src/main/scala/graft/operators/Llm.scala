@@ -206,6 +206,23 @@ object Llm {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** q311: the DURABLE-index lane — identical pipeline to q22 but the
+    * shingle index persists as a doc_id-bucketed catalog table
+    * (Warehouse.writeBucketed) instead of an executor-pinned
+    * localCheckpoint: the one 100 TB fault-tolerance gap the round-11
+    * verdict named in the dedup stack. Gated by the SAME md5-lane
+    * oracle as q22, so hash-equality with DuckDB doubles as the
+    * checkpoint-vs-durable pair-set equality law at Verify scale
+    * (MinhashDurableIndexSpec pins it at test scale and proves the
+    * persisted table is reusable). */
+  def minhashLshDurable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsDurable(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, numHashes = NumHashes, bands = Bands,
+        threshold = 0.5,
+        table = Some("graft_lsh_q311_" + spark.sparkContext
+          .applicationId.replaceAll("[^0-9a-zA-Z]", "_")))
+      .orderBy("doc_a", "doc_b")
+
   // Twin on the PRODUCTION hash lane (seeded xxhash64 family, no md5
   // anywhere). The signatures aren't cross-engine reproducible, but the
   // OUTPUT is oracle-checkable anyway: every emitted jaccard is the
@@ -2305,6 +2322,7 @@ object Llm {
     "q21_ngram_jaccard"     -> (ngramJaccard _),
     "q99_prefix_jaccard"    -> (ngramJaccardPrefix _),
     "q22_minhash_lsh"       -> (minhashLsh _),
+    "q311_minhash_durable"  -> (minhashLshDurable _),
     "q199_lsh_recall"       -> (lshRecallGate _),
     "q213_embedding_audit"  -> (embeddingAudit _),
     "q22x_minhash_xxhash"   -> (minhashLshXx _),
@@ -2365,6 +2383,7 @@ object Llm {
     // q99 must equal the exact all-pairs result — same oracle as q21
     "q99_prefix_jaccard"    -> ngramJaccardSql,
     "q22_minhash_lsh"       -> minhashLshSql,
+    "q311_minhash_durable"  -> minhashLshSql,
     "q199_lsh_recall"       -> lshRecallGateSql,
     "q213_embedding_audit"  -> embeddingAuditSql,
     // The xx lane emits the EXACT h64-set Jaccard for each verified
