@@ -345,10 +345,11 @@ object Bench {
       val streamOk =
         try { ScaleBench.streamNearDupPrep(spark, sfDir, times, streamPath); true }
         catch { case t: Throwable =>
-          // BOTH consumers of the fixture are skipped — record both, so
+          // ALL consumers of the fixture are skipped — record each, so
           // a missing lane in the artifact always has an errors entry
           recordErr(s"x$times.q61_stream_neardup", t)
-          recordErr(s"x$times.q61_stream_bulk", t); false }
+          recordErr(s"x$times.q61_stream_bulk", t)
+          recordErr(s"x$times.q61_stream_bounded", t); false }
       // q141 lane fixture: the xN corpus's fixed 1/5 slice as 2·times
       // files (the q218 budget discipline — full-corpus probing
       // measured 19 s per rep at x5)
@@ -500,6 +501,23 @@ object Bench {
           lane("q61_stream_bulk")(
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               filesPerTrigger = times)))
+        else None,
+        // the BOUNDED-state production default (round-11 verdict #6):
+        // identical schedule to q61_stream_neardup but each LSH bucket
+        // keeps only its 64 most recent doc ids (StreamOps
+        // maxBucketHistory — deterministic, recall trade spec'd in
+        // StreamNearDupSpec), so standing state is hard-capped at
+        // 64 x live buckets regardless of corpus age. The lane PAIR vs
+        // q61_stream_neardup is the measured cost/saving of the cap.
+        // Wall floor, documented: the q61_stream_bulk control proves
+        // ~0.9 s/microbatch FIXED cost (3.1 s at 2 batches vs 21.0 s
+        // at 20, same data, r11) — state bounding cannot beat the
+        // batches x fixed-cost term; at 100 TB the lever for THAT is
+        // bigger triggers (the bulk lane), this one bounds memory.
+        if (streamOk)
+          lane("q61_stream_bounded")(
+            noop(ScaleBench.streamNearDup(spark, streamPath, times,
+              maxBucketHistory = 64)))
         else None,
         // q61 under the ROCKSDB state store — identical pipeline and
         // batch schedule to q61_stream_neardup, so the lane PAIR is

@@ -36,6 +36,19 @@ object LaneProbe {
           probeDirs += p
           ScaleBench.streamIncCcPrep(spark, sfDir, times, p)
           () => ScaleBench.streamIncrementalCc(spark, sfDir, p, times)
+        case "q61_stream_bounded_pair" =>
+          // interleaved bounded/unbounded reps in one JVM: the rep pair
+          // is the measured cost/saving of the 64-doc bucket cap
+          val p = s"${sys.props("user.dir")}/target/probe_bnd_x$times"
+          probeDirs += p
+          ScaleBench.streamNearDupPrep(spark, sfDir, times, p)
+          var bounded = true
+          () => {
+            bounded = !bounded
+            val k = if (bounded) 64 else Int.MaxValue
+            println(s"LANEPROBE variant: maxBucketHistory=$k")
+            ScaleBench.streamNearDup(spark, p, times, maxBucketHistory = k)
+          }
         case "q61_stream_rocksdb" =>
           val p = s"${sys.props("user.dir")}/target/probe_stream_x$times"
           probeDirs += p

