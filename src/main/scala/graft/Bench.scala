@@ -116,10 +116,20 @@ object Bench {
     // Warm-up: compile/JIT the scan + join + agg machinery AND the text
     // path (tokenizer/md5/shingle codegen) off the clock — measured
     // run-to-run variance on the dedup queries traces to JIT state, not
-    // plan differences. A warm-up failure is recorded (it means the
-    // timed pass starts cold) but doesn't abort the bench.
-    try { force("q6_timeframe"); force("q1_total_margin_2m"); force("q19_fingerprint") }
-    catch { case t: Throwable => recordErr("warmup", t) }
+    // plan differences. Since round 12 the warmup runs the ENTIRE
+    // headline suite once untimed (plus the two non-headline shapes):
+    // the old 3-query warmup left each remaining query's first timed
+    // rep paying its own codegen+JIT compile (q22 rep logs: 4.2 s cold
+    // vs 1.6 s steady), which min-of-N absorbs but the rep spread
+    // showed every query still improving at rep 5 — the pinned full
+    // warmup is what makes min-of-5 a steady-state sample. A warm-up
+    // failure is recorded (it means the timed pass starts cold) but
+    // doesn't abort the bench; per-query failures inside the warmup
+    // are recorded under their own key by the timed loop anyway.
+    try {
+      force("q6_timeframe"); force("q19_fingerprint")
+      headline.filter(SparkEntry.queries.contains).foreach(force)
+    } catch { case t: Throwable => recordErr("warmup", t) }
 
     // Five timed repetitions per query, ROUND-MAJOR interleaved
     // (q1,q3,…,q29, q1,q3,… — the scale block's discipline), report the

@@ -50,9 +50,19 @@ class OverflowLintSpec extends AnyFunSuite {
   private def scan(): Seq[Site] = {
     val dir = new java.io.File(OperatorsDir)
     assert(dir.isDirectory, s"lint must run from the repo root; no $OperatorsDir")
-    dir.listFiles().filter(_.getName.endsWith(".scala")).sorted.flatMap { f =>
-      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
-      lines.zipWithIndex.flatMap { case (l, i) =>
+    dir.listFiles().filter(_.getName.endsWith(".scala")).sorted.toSeq
+      .flatMap { f =>
+        scanText(f.getName,
+          scala.io.Source.fromFile(f, "UTF-8").getLines().toVector)
+      }
+  }
+
+  /** Text-level scanner, factored from [[scan]] so the self-test below
+    * can feed synthetic source and prove the lint actually catches the
+    * q242 class (a lint that silently stopped matching would otherwise
+    * pass forever on an empty offender list). */
+  private def scanText(fileName: String, lines: Vector[String]): Seq[Site] = {
+    lines.zipWithIndex.flatMap { case (l, i) =>
         val t = l.trim
         val isComment = t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
         siteRe.findFirstMatchIn(l).filterNot(_ => isComment).map { m =>
@@ -69,28 +79,29 @@ class OverflowLintSpec extends AnyFunSuite {
           // the numerator onto the line above)
           val channel =
             if (m.start < 20 && i > 0) lines(i - 1) + " " + l else l
-          Site(f.getName, i + 1, t, guardRe.findFirstIn(block).isDefined,
+          Site(fileName, i + 1, t, guardRe.findFirstIn(block).isDefined,
             channel)
         }
-      }
-    }.toSeq
+    }
   }
+
+  /** The lint's verdict on one site — shared by the repo scan and the
+    * synthetic self-test. */
+  private def isOffender(s: Site): Boolean =
+    !s.guarded && {
+      val scrubbed = s.channel.replace("(*)", "()")
+      scrubbed.count(_ == '*') > 1 &&
+        !audited.exists { case ((f, sub), _) =>
+          f == s.file && s.channel.contains(sub) }
+    }
 
   test("every integer ppm channel is guarded, linear, or audited") {
     val sites = scan()
     assert(sites.size >= 100, s"scanner regressed: only ${sites.size} ppm " +
       "sites found (113 at round 12) - the lint is no longer seeing the code")
-    val offenders = sites.filterNot { s =>
-      if (s.guarded) true
-      else {
-        // LINEAR test: no second multiplication in the channel text.
-        // COUNT(*)/count(1) style asterisks are not multiplications.
-        val scrubbed = s.channel.replace("(*)", "()")
-        scrubbed.sliding(1).count(_ == "*") <= 1 ||
-          audited.exists { case ((f, sub), _) =>
-            f == s.file && s.channel.contains(sub) }
-      }
-    }
+    // LINEAR test inside isOffender: no second multiplication in the
+    // channel text (COUNT(*)-style asterisks are not multiplications).
+    val offenders = sites.filter(isOffender)
     assert(offenders.isEmpty, offenders.map(s =>
       s"\n  ${s.file}:${s.line}  ${s.text.take(90)}").mkString(
       "unguarded non-linear ppm channel(s) - the q242 overflow class:",
@@ -100,6 +111,21 @@ class OverflowLintSpec extends AnyFunSuite {
         "q230/q242), emit raise_error past int64 where the value is a " +
         "hard contract, or add an audited entry here WITH a boundedness " +
         "argument."))
+  }
+
+  test("self-test: an injected q242-class channel IS caught") {
+    val bad = Vector(
+      "  private def rhoPpm(df: DataFrame): DataFrame =",
+      "    df.select(expr(\"num * num * 1000000 div (d1 * d2)\").as(\"rho2_ppm\"))")
+    val sites = scanText("Synthetic.scala", bad)
+    assert(sites.size === 1 && isOffender(sites.head),
+      "the lint no longer catches the exact defect class it exists for")
+    // and the same channel with the repo's guard idiom passes
+    val good = Vector(
+      "  private def rhoPpm(df: DataFrame): DataFrame =",
+      "    df.select(expr(\"cast(num as decimal(38,0)) * num * 1000000 div (d1 * d2)\").as(\"rho2_ppm\"))")
+    val gs = scanText("Synthetic.scala", good)
+    assert(gs.size === 1 && !isOffender(gs.head))
   }
 
   test("the audited list carries no dead entries") {
