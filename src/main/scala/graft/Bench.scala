@@ -124,12 +124,15 @@ object Bench {
     // showed every query still improving at rep 5 — the pinned full
     // warmup is what makes min-of-5 a steady-state sample. A warm-up
     // failure is recorded (it means the timed pass starts cold) but
-    // doesn't abort the bench; per-query failures inside the warmup
-    // are recorded under their own key by the timed loop anyway.
-    try {
-      force("q6_timeframe"); force("q19_fingerprint")
-      headline.filter(SparkEntry.queries.contains).foreach(force)
-    } catch { case t: Throwable => recordErr("warmup", t) }
+    // doesn't abort the bench — and each query warms under its OWN
+    // try, so one failing query cannot silently leave every later
+    // query cold (a genuinely broken query fails again, loudly, in
+    // the timed loop under its own key).
+    def warm(name: String): Unit =
+      try force(name)
+      catch { case t: Throwable => recordErr(s"warmup.$name", t) }
+    warm("q6_timeframe"); warm("q19_fingerprint")
+    headline.filter(SparkEntry.queries.contains).foreach(warm)
 
     // Five timed repetitions per query, ROUND-MAJOR interleaved
     // (q1,q3,…,q29, q1,q3,… — the scale block's discipline), report the

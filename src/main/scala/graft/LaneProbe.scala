@@ -42,7 +42,11 @@ object LaneProbe {
           val p = s"${sys.props("user.dir")}/target/probe_bnd_x$times"
           probeDirs += p
           ScaleBench.streamNearDupPrep(spark, sfDir, times, p)
-          var bounded = true
+          // rep 1 (the coldest, JIT-penalized rep) must land on the
+          // BOUNDED arm the lane is named for; flipping from `true`
+          // put it on the unbounded arm and, with an odd rep count,
+          // sampled the arms 3-2 against the cap
+          var bounded = false
           () => {
             bounded = !bounded
             val k = if (bounded) 64 else Int.MaxValue

@@ -50,7 +50,12 @@ object RegProbe {
     graft.plans.GraftFunctions.perCallRegistration = false
     def stats(xs: Seq[Double]): String = {
       val s = xs.sorted
-      f"min=${s.head}%.3f med=${s(s.size / 2)}%.3f"
+      // true median: mean of the middle pair when the count is even
+      // (s(n/2) alone would bias the even-rep default upward)
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      f"min=${s.head}%.3f med=$med%.3f"
     }
     println(s"REGPROBE guarded : ${stats(a.toSeq)}")
     println(s"REGPROBE per-call: ${stats(b.toSeq)}")

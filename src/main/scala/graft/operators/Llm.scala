@@ -215,13 +215,28 @@ object Llm {
     * checkpoint-vs-durable pair-set equality law at Verify scale
     * (MinhashDurableIndexSpec pins it at test scale and proves the
     * persisted table is reusable). */
-  def minhashLshDurable(spark: SparkSession, dir: String): DataFrame =
+  def minhashLshDurable(spark: SparkSession, dir: String): DataFrame = {
+    // Sweep stale q311 index dirs left by EARLIER sessions: managed
+    // tables of a dead in-memory catalog are orphan DIRECTORIES under
+    // spark-warehouse (no catalog entry survives the JVM), so DROP
+    // TABLE cannot reach them — the Scratch-sweep discipline applies.
+    // This session's own table name is appId-keyed and written with
+    // mode=overwrite, so within a session repeated runs replace, never
+    // accumulate.
+    val tag = spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
+    try {
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_lsh_q311_") &&
+          !f.getName.endsWith(tag))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    } catch { case _: Throwable => () } // sweep is best-effort
     Dedup.minhashLshPairsDurable(Tables.documents(spark, dir), "doc_id",
         "text", n = 3, numHashes = NumHashes, bands = Bands,
-        threshold = 0.5,
-        table = Some("graft_lsh_q311_" + spark.sparkContext
-          .applicationId.replaceAll("[^0-9a-zA-Z]", "_")))
+        threshold = 0.5, table = Some(s"graft_lsh_q311_$tag"))
       .orderBy("doc_a", "doc_b")
+  }
 
   // Twin on the PRODUCTION hash lane (seeded xxhash64 family, no md5
   // anywhere). The signatures aren't cross-engine reproducible, but the

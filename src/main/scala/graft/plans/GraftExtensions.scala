@@ -101,9 +101,19 @@ object GraftFunctions {
 
   /** Late registration on an already-built session (temp functions).
     * First call per session does the work; repeats are a set lookup.
+    * The session enters the guard set only AFTER registration
+    * completes: marking it first would let a concurrent thread (Verify
+    * runs 311 queries on a shared-session pool) skip out of register()
+    * while the winner is mid-way through the 10 functions and analyze
+    * a plan against a still-empty registry (UNRESOLVED_ROUTINE). Two
+    * threads racing here may both run forceRegister — idempotent by
+    * construction, so correctness needs no lock.
     * Use [[forceRegister]] if the temp functions were dropped. */
   def register(spark: SparkSession): Unit =
-    if (registeredSessions.add(spark)) forceRegister(spark)
+    if (!registeredSessions.contains(spark)) {
+      forceRegister(spark)
+      registeredSessions.add(spark)
+    }
 
   /** Unconditional registration (re-registers even on a session the
     * guard has seen — for the rare case of dropped temp functions). */

@@ -52,8 +52,10 @@ class OverflowLintSpec extends AnyFunSuite {
     assert(dir.isDirectory, s"lint must run from the repo root; no $OperatorsDir")
     dir.listFiles().filter(_.getName.endsWith(".scala")).sorted.toSeq
       .flatMap { f =>
-        scanText(f.getName,
-          scala.io.Source.fromFile(f, "UTF-8").getLines().toVector)
+        import scala.jdk.CollectionConverters._
+        scanText(f.getName, java.nio.file.Files
+          .readAllLines(f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+          .asScala.toVector)
       }
   }
 

@@ -31,7 +31,10 @@ class RegistryDocSpec extends AnyFunSuite {
     val f = new java.io.File("OPERATORS.md")
     assert(f.isFile, "spec must run from the repo root")
     val rowRe = """^\|\s*(q\d+\w*)\s*\|""".r
-    val rows = scala.io.Source.fromFile(f, "UTF-8").getLines()
+    import scala.jdk.CollectionConverters._
+    val rows = java.nio.file.Files
+      .readAllLines(f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+      .asScala
       .flatMap(l => rowRe.findFirstMatchIn(l).map(_.group(1))).toSet
     val keys = SparkEntry.queries.keySet
     assert(rows -- keys === Set.empty[String],
