@@ -216,25 +216,39 @@ object Llm {
     * (MinhashDurableIndexSpec pins it at test scale and proves the
     * persisted table is reusable). */
   def minhashLshDurable(spark: SparkSession, dir: String): DataFrame = {
-    // Sweep stale q311 index dirs left by EARLIER sessions: managed
-    // tables of a dead in-memory catalog are orphan DIRECTORIES under
+    // Sweep stale q311 index dirs left by DEAD sessions: managed tables
+    // of a dead in-memory catalog are orphan DIRECTORIES under
     // spark-warehouse (no catalog entry survives the JVM), so DROP
-    // TABLE cannot reach them — the Scratch-sweep discipline applies.
-    // This session's own table name is appId-keyed and written with
-    // mode=overwrite, so within a session repeated runs replace, never
+    // TABLE cannot reach them — the Scratch-sweep discipline applies,
+    // INCLUDING its liveness rule. The table name is pid-keyed (not
+    // appId-keyed: an appId cannot be liveness-checked, and a first cut
+    // that deleted every other appId's dir deleted a LIVE concurrent
+    // Verify session's index mid-query — the exact collision
+    // tools/concurrent_verify.sh exists to catch). A dir is swept only
+    // when its owning pid is no longer alive AND it is over 30 min old;
+    // within a session, overwrite semantics replace rather than
     // accumulate.
-    val tag = spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_")
+    val pidRe = "graft_lsh_q311_pid(\\d+)".r
     try {
       val wh = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_lsh_q311_") &&
-          !f.getName.endsWith(tag))
+        .filter(_.getName.startsWith("graft_lsh_q311_"))
+        .filter { f =>
+          val dead = f.getName match {
+            case pidRe(pid) => ProcessHandle.of(pid.toLong)
+              .map[Boolean](h => !h.isAlive).orElse(true)
+            case _ => true // pre-pid legacy name: age alone decides
+          }
+          dead && f.lastModified() < cutoff
+        }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     } catch { case _: Throwable => () } // sweep is best-effort
     Dedup.minhashLshPairsDurable(Tables.documents(spark, dir), "doc_id",
         "text", n = 3, numHashes = NumHashes, bands = Bands,
-        threshold = 0.5, table = Some(s"graft_lsh_q311_$tag"))
+        threshold = 0.5,
+        table = Some(s"graft_lsh_q311_pid${ProcessHandle.current().pid()}"))
       .orderBy("doc_a", "doc_b")
   }
 

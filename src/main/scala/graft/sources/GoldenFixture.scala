@@ -202,7 +202,8 @@ object GoldenFixture {
     * absent cell. */
   private def writeProductsXlsx(path: String,
                                 products: Map[String, Option[Boolean]]): Unit = {
-    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    atomically(path) { f =>
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new java.util.zip.ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -223,12 +224,33 @@ object GoldenFixture {
       sb.append("</sheetData></worksheet>")
       entry("xl/worksheets/sheet1.xml", sb.toString)
     } finally zos.close()
+    }
+  }
+
+
+  /** Write via a pid-unique temp file + atomic rename into place.
+    * Concurrent sessions regenerate the SAME bytes (the generator is
+    * deterministic), but truncate-then-write in place let a concurrent
+    * READER observe a half-written file: two concurrent Verify JVMs
+    * hit this for real — session B's q35 read data3.csv mid-rewrite by
+    * session A and lost rows (concurrent_verify FAILED with a
+    * low-by-half total_revenue). With the rename, a reader sees either
+    * the complete old bytes or the complete new bytes — identical
+    * content either way. */
+  private def atomically(path: String)(write: java.io.File => Unit): Unit = {
+    val tmp = new java.io.File(
+      path + s".tmp${ProcessHandle.current().pid()}")
+    write(tmp)
+    java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def writeTx(path: String, rows: Seq[Tx], withTpv: Boolean): Unit = {
     val header = graft.model.ReferenceSchemas.transactionsCsvHeader
       .filter(h => withTpv || h != "Numero_TPV")
-    val pw = new PrintWriter(path, "UTF-8")
+    atomically(path) { f =>
+    val pw = new PrintWriter(f, "UTF-8")
     try {
       pw.println(header.mkString("|"))
       rows.foreach { t =>
@@ -254,15 +276,18 @@ object GoldenFixture {
         pw.println(cells.mkString("|"))
       }
     } finally pw.close()
+    }
   }
 
   private def writeProducts(path: String, products: Map[String, Option[Boolean]]): Unit = {
-    val pw = new PrintWriter(path, "UTF-8")
+    atomically(path) { f =>
+    val pw = new PrintWriter(f, "UTF-8")
     try {
       pw.println("CODE_MODELE_COULEUR_ACTUEL|SIGNATURE_PRODUCT")
       products.toSeq.sortBy(_._1).foreach { case (k, v) =>
         pw.println(s"$k|${v.map(b => if (b) "1" else "0").getOrElse("")}")
       }
     } finally pw.close()
+    }
   }
 }
