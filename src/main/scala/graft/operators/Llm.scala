@@ -233,6 +233,12 @@ object Llm {
       val wh = new java.io.File(new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath)
       val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      // pid reuse defeats the liveness check (a stale dir whose pid
+      // number now belongs to an unrelated live process is never seen
+      // as dead), so a hard age ceiling sweeps anything older than 24h
+      // regardless of liveness — no graft session runs that long, and
+      // reuse can no longer pin an orphan dir forever (round-12 advice)
+      val hardCutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000
       Option(wh.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("graft_lsh_q311_"))
         .filter { f =>
@@ -241,7 +247,8 @@ object Llm {
               .map[Boolean](h => !h.isAlive).orElse(true)
             case _ => true // pre-pid legacy name: age alone decides
           }
-          dead && f.lastModified() < cutoff
+          (dead && f.lastModified() < cutoff) ||
+            f.lastModified() < hardCutoff
         }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     } catch { case _: Throwable => () } // sweep is best-effort

@@ -67,8 +67,14 @@ object Multimodal {
     * stops; standalone/terminal markers (SOI/EOI/SOS — after SOS comes
     * entropy-coded data where the walk would misparse) and truncated or
     * garbage input kill the walk (null result) at whatever step they're
-    * met. */
-  def jpegSofScan(content: Column, maxSegments: Int = 12): Column = {
+    * met.
+    *
+    * The default budget is 64 segments: real-world JPEGs routinely carry
+    * EXIF/XMP/ICC APPn blocks plus several DQT/DHT tables before SOF
+    * (round-12 advice: the JDK-encoder fixtures stay under 12, but a
+    * crawl corpus does not), and since the walk is a runtime fold the
+    * larger bound costs iterations, not expression size. */
+  def jpegSofScan(content: Column, maxSegments: Int = 64): Column = {
     val c = content
     def longNull = lit(null).cast("long")
     // acc: pos = next marker position (null = walk dead or finished);

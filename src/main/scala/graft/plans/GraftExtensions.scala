@@ -108,11 +108,20 @@ object GraftFunctions {
     * a plan against a still-empty registry (UNRESOLVED_ROUTINE). Two
     * threads racing here may both run forceRegister — idempotent by
     * construction, so correctness needs no lock.
-    * Use [[forceRegister]] if the temp functions were dropped. */
+    *
+    * The guarded path verifies ONE sentinel function still resolves
+    * (a registry lookup, no write): if something dropped the session's
+    * temp functions after it entered the guard set, every Column
+    * helper would otherwise fail with UNRESOLVED_ROUTINE forever —
+    * the guard set has no way to observe the drop (round-12 advice).
+    * A missing sentinel falls back to [[forceRegister]]. */
   def register(spark: SparkSession): Unit =
     if (!registeredSessions.contains(spark)) {
       forceRegister(spark)
       registeredSessions.add(spark)
+    } else if (!spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("rolling_hash"))) {
+      forceRegister(spark)
     }
 
   /** Unconditional registration (re-registers even on a session the

@@ -240,10 +240,18 @@ object GoldenFixture {
   private def atomically(path: String)(write: java.io.File => Unit): Unit = {
     val tmp = new java.io.File(
       path + s".tmp${ProcessHandle.current().pid()}")
-    write(tmp)
-    java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(path),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // delete the partial temp when the write or move throws (disk
+    // full, interrupted JVM): a leaked .tmp<pid> would otherwise sit in
+    // the fixture directory for directory-level readers and globs to
+    // trip over (round-12 advice)
+    var moved = false
+    try {
+      write(tmp)
+      java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      moved = true
+    } finally if (!moved) tmp.delete()
   }
 
   private def writeTx(path: String, rows: Seq[Tx], withTpv: Boolean): Unit = {

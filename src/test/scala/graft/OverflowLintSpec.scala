@@ -70,11 +70,24 @@ class OverflowLintSpec extends AnyFunSuite {
         siteRe.findFirstMatchIn(l).filterNot(_ => isComment).map { m =>
           // enclosing definition: nearest preceding def/val, up to 60
           // lines back; guards may sit in an upstream CTE of the same
-          // SQL string, so the whole block counts
+          // SQL string, so the whole block counts. The block ENDS at
+          // the next def/val boundary (a guard belonging to an adjacent
+          // definition must not vouch for this site) and COMMENT lines
+          // are dropped before the guard regex runs (a comment merely
+          // mentioning DECIMAL(38 or raise_error is not a guard) —
+          // both false-negative paths named by round-12 advice.
           val defStart = (i to math.max(0, i - 60) by -1)
             .find(k => defRe.findFirstIn(lines(k)).isDefined)
             .getOrElse(math.max(0, i - 60))
-          val block = lines.slice(defStart, math.min(lines.size, i + 16))
+          val windowEnd = math.min(lines.size, i + 16)
+          val blockEnd = ((i + 1) until windowEnd)
+            .find(k => defRe.findFirstIn(lines(k)).isDefined)
+            .getOrElse(windowEnd)
+          val block = lines.slice(defStart, blockEnd)
+            .filterNot { ln =>
+              val lt = ln.trim
+              lt.startsWith("//") || lt.startsWith("*") || lt.startsWith("/*")
+            }
             .mkString("\n")
           // the channel under the lint: this line, plus the previous
           // one when the multiply leads the line (multi-line SQL wraps
@@ -128,6 +141,31 @@ class OverflowLintSpec extends AnyFunSuite {
       "    df.select(expr(\"cast(num as decimal(38,0)) * num * 1000000 div (d1 * d2)\").as(\"rho2_ppm\"))")
     val gs = scanText("Synthetic.scala", good)
     assert(gs.size === 1 && !isOffender(gs.head))
+  }
+
+  test("self-test: a COMMENT mentioning the guard idiom does not vouch for a site") {
+    // round-12 advice false-negative path 1: guardRe used to match
+    // comment text inside the block
+    val bad = Vector(
+      "  private def rhoPpm(df: DataFrame): DataFrame =",
+      "    // TODO route through DECIMAL(38,0) or raise_error someday",
+      "    df.select(expr(\"num * num * 1000000 div (d1 * d2)\").as(\"rho2_ppm\"))")
+    val sites = scanText("Synthetic.scala", bad)
+    assert(sites.size === 1 && isOffender(sites.head),
+      "a guard mentioned only in a comment must not mark the site guarded")
+  }
+
+  test("self-test: a guard in an ADJACENT definition does not vouch for a site") {
+    // round-12 advice false-negative path 2: the fixed +16-line window
+    // used to run past the next def boundary
+    val bad = Vector(
+      "  private def rhoPpm(df: DataFrame): DataFrame =",
+      "    df.select(expr(\"num * num * 1000000 div (d1 * d2)\").as(\"rho2_ppm\"))",
+      "  private def otherOp(df: DataFrame): DataFrame =",
+      "    df.select(expr(\"cast(x as decimal(38,0))\").as(\"guarded_elsewhere\"))")
+    val sites = scanText("Synthetic.scala", bad)
+    assert(sites.size === 1 && isOffender(sites.head),
+      "a guard belonging to the NEXT definition must not mark this site guarded")
   }
 
   test("the audited list carries no dead entries") {
