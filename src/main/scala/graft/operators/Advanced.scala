@@ -104,16 +104,20 @@ object Advanced {
       |  CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 + 1 END AS n_samples
       |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
 
-  // ---- q309: REAL PNG/JPEG header decode (round-11 verdict ask #3) ---
-  // The q52 technique extended to the two formats a training-data
-  // pipeline actually meets: REAL PNG and baseline JPEG bytes (JDK
-  // ImageIO encoders — genuine files, openable anywhere) decoded by
-  // pure Column expressions (PNG: fixed-offset big-endian IHDR; JPEG:
-  // bounded SOF marker walk). The planted classes include a TRUNCATED
-  // PNG (signature intact, cut before the IHDR payload — must yield
-  // kind='png' with null fields, never garbage numbers) and non-media
-  // bytes (kind='unknown'), so the truncation/garbage guards are
-  // oracle-gated, not just spec'd.
+  // ---- q309: REAL PNG/JPEG/GIF/WebP/TIFF header decode ----------------
+  // The q52 technique extended to the formats a training-data pipeline
+  // actually meets: REAL PNG, baseline JPEG, GIF89a and big-endian TIFF
+  // bytes (JDK ImageIO encoders — genuine files, openable anywhere)
+  // plus a WebP with spec-exact RIFF/VP8 headers, decoded by pure
+  // Column expressions (PNG: fixed-offset big-endian IHDR; JPEG:
+  // bounded SOF marker walk; GIF: little-endian logical-screen dims;
+  // WebP: VP8/VP8L chunk header; TIFF: endian-tagged IFD walk with
+  // offset-indirected BitsPerSample). The planted classes include a
+  // TRUNCATED PNG and a TRUNCATED WebP (signatures intact, cut before
+  // the dimensioned payload — must keep the sniffed kind with null
+  // fields, never garbage numbers) and non-media bytes
+  // (kind='unknown'), so the truncation/garbage guards are
+  // oracle-gated, not just spec'd (round-12 verdict ask #6).
   def imageHeaderDecode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
     Multimodal.decodeMediaMeta(Multimodal.plantedImageAssets(docs, "doc_id"))
@@ -123,10 +127,16 @@ object Advanced {
 
   val imageHeaderDecodeSql: String =
     """SELECT doc_id AS asset_id,
-      |  CASE doc_id % 4 WHEN 1 THEN 'jpeg' WHEN 3 THEN 'unknown' ELSE 'png' END AS kind,
-      |  CASE doc_id % 4 WHEN 0 THEN doc_id % 50 + 1 WHEN 1 THEN doc_id % 60 + 16 END AS width,
-      |  CASE doc_id % 4 WHEN 0 THEN doc_id * 3 % 40 + 1 WHEN 1 THEN doc_id * 5 % 50 + 16 END AS height,
-      |  CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(24 AS BIGINT) END AS bpp
+      |  CASE doc_id % 8 WHEN 1 THEN 'jpeg' WHEN 3 THEN 'unknown'
+      |    WHEN 4 THEN 'gif' WHEN 5 THEN 'webp' WHEN 6 THEN 'tiff'
+      |    WHEN 7 THEN 'webp' ELSE 'png' END AS kind,
+      |  CASE doc_id % 8 WHEN 0 THEN doc_id % 50 + 1 WHEN 1 THEN doc_id % 60 + 16
+      |    WHEN 4 THEN doc_id % 40 + 1 WHEN 5 THEN doc_id % 200 + 16
+      |    WHEN 6 THEN doc_id % 30 + 1 END AS width,
+      |  CASE doc_id % 8 WHEN 0 THEN doc_id * 3 % 40 + 1 WHEN 1 THEN doc_id * 5 % 50 + 16
+      |    WHEN 4 THEN doc_id * 7 % 30 + 1 WHEN 5 THEN doc_id * 3 % 150 + 16
+      |    WHEN 6 THEN doc_id * 11 % 25 + 1 END AS height,
+      |  CASE WHEN doc_id % 8 IN (0, 1, 6) THEN CAST(24 AS BIGINT) END AS bpp
       |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
 
   // ---- q125: full PCM sample decode -> audio features ----------------

@@ -112,26 +112,130 @@ object Multimodal {
       folded.getField("n").as("ncomp")))
   }
 
-  /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav, the
-    * 8-byte PNG signature -> png, FFD8FF -> jpeg. */
+  /** Magic-number sniffing: 'BM' -> bmp, 'RIFF....WAVE' -> wav,
+    * 'RIFF....WEBP' -> webp, the 8-byte PNG signature -> png,
+    * FFD8FF -> jpeg, 'GIF8' -> gif, 'II*\0'/'MM\0*' -> tiff. */
   def sniffKind(content: Column): Column =
     when(hex(substring(content, 1, 2)) === "424D", lit("bmp"))
       .when(hex(substring(content, 1, 4)) === "52494646" &&
         hex(substring(content, 9, 4)) === "57415645", lit("wav"))
+      .when(hex(substring(content, 1, 4)) === "52494646" &&
+        hex(substring(content, 9, 4)) === "57454250", lit("webp"))
       .when(hex(substring(content, 1, 8)) === "89504E470D0A1A0A", lit("png"))
       .when(hex(substring(content, 1, 3)) === "FFD8FF", lit("jpeg"))
+      .when(hex(substring(content, 1, 4)) === "47494638", lit("gif"))
+      .when(hex(substring(content, 1, 4)) === "49492A00" ||
+        hex(substring(content, 1, 4)) === "4D4D002A", lit("tiff"))
       .otherwise(lit("unknown"))
+
+  /** WebP dimensions from the first chunk after the RIFF/'WEBP'
+    * container header, pure Column expressions: a 'VP8 ' (lossy) chunk
+    * carries 14-bit little-endian dims right after the 3-byte frame tag
+    * and the 9D 01 2A keyframe start code (upper 2 bits of each 16-bit
+    * field are rescale hints); a 'VP8L' (lossless) chunk packs width-1 /
+    * height-1 as back-to-back 14-bit fields of one LE 32-bit word after
+    * its 0x2F signature byte. Anything else — a truncated chunk, a
+    * missing start code, a 'VP8X' extended file (out of scope, like
+    * BMP's top-down variant) — yields null, never a partial read. */
+  def webpDims(content: Column): Column = {
+    val c = content
+    val fourcc = hex(substring(c, 13, 4))
+    val lossy = when(length(c) >= 30 && hex(substring(c, 24, 3)) === "9D012A",
+      struct(pmod(leUInt(c, 27, 2), lit(16384L)).as("width"),
+        pmod(leUInt(c, 29, 2), lit(16384L)).as("height")))
+    val bits = leUInt(c, 22, 4)
+    val lossless = when(length(c) >= 25 && hex(substring(c, 21, 1)) === "2F",
+      struct((pmod(bits, lit(16384L)) + 1L).as("width"),
+        (pmod(shiftright(bits, 14), lit(16384L)) + 1L).as("height")))
+    when(fourcc === "56503820", lossy)        // "VP8 "
+      .when(fourcc === "5650384C", lossless)  // "VP8L"
+  }
+
+  /** TIFF metadata via an endian-tagged IFD walk, pure Column
+    * expressions: the header's byte-order mark selects LE/BE reads, the
+    * 32-bit IFD offset is followed, and the entry array (12-byte
+    * stride, capped at `maxEntries` against adversarial counts) is
+    * scanned for ImageWidth(256)/ImageLength(257) — inline SHORT or
+    * LONG values — and BitsPerSample(258), whose count-1/2 values sit
+    * inline (left-justified per spec, so the same read works in both
+    * byte orders) while count-3/4 values indirect through the
+    * value-offset to a SHORT array that is summed (RGB [8,8,8] -> 24).
+    * The walk is ONE runtime `aggregate` fold over the entry indices —
+    * constant expression-tree size, the q309 JPEG-fold lesson applied
+    * twice over (a first cut did per-tag `filter`+`get` lookups, which
+    * re-embeds the whole walk under every field read: still
+    * polynomial, not exponential, but ~50k analyzer nodes and minutes
+    * of analysis per plan) — and every out-of-range read nulls that
+    * entry's contribution (hex of a short substring fails the
+    * fixed-width reconstruction, propagating null) rather than
+    * decoding garbage. */
+  def tiffMeta(content: Column, maxEntries: Int = 64): Column = {
+    val c = content
+    val little = hex(substring(c, 1, 2)) === "4949"
+    def u8(pos: Column): Column = byteAt(c, pos)
+    def u16(pos: Column): Column = {
+      val b0 = u8(pos); val b1 = u8(pos + 1)
+      when(little, b0 + b1 * 256L).otherwise(b0 * 256L + b1)
+    }
+    def u32(pos: Column): Column = {
+      val b0 = u8(pos); val b1 = u8(pos + 1)
+      val b2 = u8(pos + 2); val b3 = u8(pos + 3)
+      when(little, b0 + b1 * 256L + b2 * 65536L + b3 * 16777216L)
+        .otherwise(b0 * 16777216L + b1 * 65536L + b2 * 256L + b3)
+    }
+    val base0 = u32(lit(5L)) + 1L // 1-based position of the entry count
+    val nRaw = u16(base0)
+    // zero entries must NOT build sequence(0, -1): Spark defaults the
+    // step to -1 for start > stop and the walk would read entry -1
+    val n = when(nRaw >= 1L, least(nRaw, lit(maxEntries.toLong)))
+    def longNull = lit(null).cast("long")
+    val init = struct(longNull.as("w"), longNull.as("h"), longNull.as("bpp"))
+    val folded = aggregate(sequence(lit(0L), n - 1L), init, (acc, i) => {
+      val eb = base0 + 2L + i * 12L
+      val tag = u16(eb)
+      val typ = u16(eb + 2L)
+      val cnt = u32(eb + 4L)
+      val scalar = when(cnt === 1L,
+        when(typ === 3L, u16(eb + 8L))       // SHORT, inline
+          .when(typ === 4L, u32(eb + 8L)))   // LONG, inline
+      // SHORT values are left-justified in the 4-byte value field per
+      // spec, so counts 1-2 read inline in either byte order; counts
+      // 3-4 indirect through the value offset to the SHORT array via a
+      // nested fold (measured cheaper at plan time than unrolling the
+      // ≤4 terms: expression-tree SIZE is what the analyzer pays for,
+      // and the unrolled form embeds the offset read seven times)
+      val bitsOff = u32(eb + 8L) + 1L
+      val bpp = when(cnt === 1L, u16(eb + 8L))
+        .when(cnt === 2L, u16(eb + 8L) + u16(eb + 10L))
+        .when(cnt >= 3L && cnt <= 4L,
+          aggregate(sequence(lit(0L), cnt - 1L), lit(0L),
+            (a, j) => a + u16(bitsOff + j * 2L)))
+      struct(
+        when(tag === 256L, scalar).otherwise(acc.getField("w")).as("w"),
+        when(tag === 257L, scalar).otherwise(acc.getField("h")).as("h"),
+        when(tag === 258L, bpp).otherwise(acc.getField("bpp")).as("bpp"))
+    })
+    struct(folded.getField("w").as("width"),
+      folded.getField("h").as("height"),
+      folded.getField("bpp").as("bpp"))
+  }
 
   /** REAL media-metadata decode over (asset_id, content) rows: BMP
     * width/height/bpp (BITMAPINFOHEADER offsets 18/22/28), PNG
     * width/height/bpp (IHDR — mandated first chunk — big-endian dims at
     * 16/20, bit-depth×channels from the depth/color-type bytes at
     * 24/25), JPEG width/height/bpp (bounded SOF marker walk,
-    * [[jpegSofScan]]) and WAV channels/sample_rate/bits_per_sample/
-    * n_samples (canonical fmt chunk offsets 22/24/34, data size at 40).
-    * Fields of the other format are null. Caveat: BMP height is read
-    * unsigned (top-down negative-height bitmaps are out of scope —
-    * documented). */
+    * [[jpegSofScan]]), GIF width/height (logical-screen-descriptor
+    * little-endian dims at 0-based 6/8; bpp is left null — a palette
+    * GIF's "depth" is ambiguous between color-resolution bits and
+    * palette size), WebP width/height ([[webpDims]]: VP8 lossy or VP8L
+    * lossless chunk; bpp null — VP8 is YUV420, no per-pixel bit count),
+    * TIFF width/height/bpp ([[tiffMeta]]: endian-tagged IFD walk,
+    * BitsPerSample summed across components) and WAV channels/
+    * sample_rate/bits_per_sample/n_samples (canonical fmt chunk offsets
+    * 22/24/34, data size at 40). Fields of the other format are null.
+    * Caveat: BMP height is read unsigned (top-down negative-height
+    * bitmaps are out of scope — documented). */
   def decodeMediaMeta(assets: DataFrame): DataFrame = {
     val c = col("content")
     // A magic-number match on a TRUNCATED file must not yield garbage
@@ -144,41 +248,69 @@ object Multimodal {
     // itself (every step length-checks before reading). Underlength
     // files keep their sniffed kind with all fields null — explicitly
     // "underparsed".
-    val kind = sniffKind(c)
-    val isBmp = kind === "bmp" && length(c) >= 30
-    val isWav = kind === "wav" && length(c) >= 44
-    val isPng = kind === "png" && length(c) >= 26 &&
+    //
+    // The marker-walk folds (JPEG SOF scan, TIFF IFD walk) are
+    // materialized ONCE each as intermediate columns in their own
+    // projection: referencing a fold through getField in three field
+    // expressions would embed the whole walk three times over, and the
+    // analyzer pays per copy (the per-tag-lookup first cut of tiffMeta
+    // cost ~15 s of analysis per plan this way). CollapseProject keeps
+    // the split — higher-order functions are not "cheap" expressions,
+    // so multi-referenced folds stay in their own project and run once
+    // per row.
+    val kindC = col("_kind")
+    val isBmp = kindC === "bmp" && length(c) >= 30
+    val isWav = kindC === "wav" && length(c) >= 44
+    val isPng = kindC === "png" && length(c) >= 26 &&
       hex(substring(c, 13, 4)) === "49484452" // "IHDR"
     val pngChannelsPerPx = { // color type -> sample count per pixel
       val ct = leUInt(c, 26, 1)
       when(ct === 2L, 3L).when(ct === 6L, 4L).when(ct === 4L, 2L)
         .otherwise(1L) // greyscale (0) and palette-indexed (3)
     }
-    val sof = when(kind === "jpeg", jpegSofScan(c))
+    val sof = col("_sof")
+    // gif: signature(6) + full logical screen descriptor(7); webp:
+    // container header(12) + chunk fourcc(4) before any payload read;
+    // tiff guards itself (every IFD read nulls past EOF)
+    val isGif = kindC === "gif" && length(c) >= 13
+    val webp = col("_webp")
+    val tif = col("_tif")
     val channels = leUInt(c, 23, 2)
     val bits = leUInt(c, 35, 2)
     val dataSize = leUInt(c, 41, 4)
-    assets.select(
-      col("asset_id"),
-      kind.as("kind"),
-      when(isBmp, leUInt(c, 19, 4))
-        .when(isPng, beUInt(c, 17, 4))
-        .otherwise(sof.getField("width")).as("width"),
-      when(isBmp, leUInt(c, 23, 4))
-        .when(isPng, beUInt(c, 21, 4))
-        .otherwise(sof.getField("height")).as("height"),
-      when(isBmp, leUInt(c, 29, 2))
-        .when(isPng, leUInt(c, 25, 1) * pngChannelsPerPx)
-        .otherwise(sof.getField("precision") * sof.getField("ncomp"))
-        .as("bpp"),
-      when(isWav, channels).as("channels"),
-      when(isWav, leUInt(c, 25, 4)).as("sample_rate"),
-      when(isWav, bits).as("bits_per_sample"),
-      // a zero-channel/zero-bit fmt chunk would divide by zero (null
-      // under ANSI off, error under ANSI on — neither is a sample count)
-      when(isWav && channels * bits > 0,
-        (dataSize / (channels * bits / lit(8))).cast("long"))
-        .as("n_samples"))
+    assets
+      .withColumn("_kind", sniffKind(c))
+      .withColumn("_sof", when(kindC === "jpeg", jpegSofScan(c)))
+      .withColumn("_webp", when(kindC === "webp" && length(c) >= 16, webpDims(c)))
+      .withColumn("_tif", when(kindC === "tiff" && length(c) >= 8, tiffMeta(c)))
+      .select(
+        col("asset_id"),
+        kindC.as("kind"),
+        when(isBmp, leUInt(c, 19, 4))
+          .when(isPng, beUInt(c, 17, 4))
+          .when(isGif, leUInt(c, 7, 2))
+          .when(kindC === "webp", webp.getField("width"))
+          .when(kindC === "tiff", tif.getField("width"))
+          .otherwise(sof.getField("width")).as("width"),
+        when(isBmp, leUInt(c, 23, 4))
+          .when(isPng, beUInt(c, 21, 4))
+          .when(isGif, leUInt(c, 9, 2))
+          .when(kindC === "webp", webp.getField("height"))
+          .when(kindC === "tiff", tif.getField("height"))
+          .otherwise(sof.getField("height")).as("height"),
+        when(isBmp, leUInt(c, 29, 2))
+          .when(isPng, leUInt(c, 25, 1) * pngChannelsPerPx)
+          .when(kindC === "tiff", tif.getField("bpp"))
+          .otherwise(sof.getField("precision") * sof.getField("ncomp"))
+          .as("bpp"),
+        when(isWav, channels).as("channels"),
+        when(isWav, leUInt(c, 25, 4)).as("sample_rate"),
+        when(isWav, bits).as("bits_per_sample"),
+        // a zero-channel/zero-bit fmt chunk would divide by zero (null
+        // under ANSI off, error under ANSI on — neither is a sample count)
+        when(isWav && channels * bits > 0,
+          (dataSize / (channels * bits / lit(8))).cast("long"))
+          .as("n_samples"))
   }
 
   /** 16-bit little-endian signed PCM sample at 0-based index `k` of a
@@ -471,26 +603,39 @@ object Multimodal {
     }.toDF("asset_id", "content")
   }
 
-  /** Planted image assets for the q309 oracle: each id becomes a REAL
-    * PNG (id%4==0, JDK ImageIO encoder), a REAL baseline JPEG
-    * (id%4==1), a TRUNCATED PNG (id%4==2 — full 8-byte signature, cut
-    * at 20 bytes: the decoder must keep kind='png' with every field
-    * null instead of converting a partial read into garbage numbers),
-    * or deterministic non-media bytes (id%4==3 — kind='unknown').
-    * Dimensions derive from the id by fixed formulas so the DuckDB
-    * oracle recomputes them without any image decoding. */
+  /** Planted image assets for the q309 oracle — eight classes by
+    * id%8, covering every image format the decoder reads plus the
+    * failure classes: a REAL PNG (0, JDK ImageIO encoder), a REAL
+    * baseline JPEG (1), a TRUNCATED PNG (2 — full 8-byte signature,
+    * cut at 20 bytes: the decoder must keep kind='png' with every
+    * field null instead of converting a partial read into garbage
+    * numbers), deterministic non-media bytes (3 — kind='unknown'), a
+    * REAL GIF89a (4, ImageIO), a WebP with spec-exact RIFF/VP8 headers
+    * (5), a REAL big-endian TIFF (6, ImageIO — exercises the IFD
+    * walk's offset-indirected BitsPerSample), and a TRUNCATED WebP
+    * (7 — container signature intact, cut before the VP8 chunk fourcc:
+    * kind='webp', all fields null). Dimensions derive from the id by
+    * fixed formulas so the DuckDB oracle recomputes them without any
+    * image decoding. */
   def plantedImageAssets(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val content: Array[Byte] = (id % 4) match {
+        val content: Array[Byte] = (id % 8) match {
           case 0 => graft.sources.MediaFixture.png(
             (id % 50 + 1).toInt, (id * 3 % 40 + 1).toInt)
           case 1 => graft.sources.MediaFixture.jpeg(
             (id % 60 + 16).toInt, (id * 5 % 50 + 16).toInt)
           case 2 => graft.sources.MediaFixture.png(8, 8).take(20)
-          case _ => Array.tabulate[Byte](64)(i => ((i * 11 + 3) % 256).toByte)
+          case 3 => Array.tabulate[Byte](64)(i => ((i * 11 + 3) % 256).toByte)
+          case 4 => graft.sources.MediaFixture.gif(
+            (id % 40 + 1).toInt, (id * 7 % 30 + 1).toInt)
+          case 5 => graft.sources.MediaFixture.webp(
+            (id % 200 + 16).toInt, (id * 3 % 150 + 16).toInt)
+          case 6 => graft.sources.MediaFixture.tiff(
+            (id % 30 + 1).toInt, (id * 11 % 25 + 1).toInt)
+          case _ => graft.sources.MediaFixture.webp(16, 16).take(14)
         }
         (id, content)
       }

@@ -125,4 +125,101 @@ object MediaFixture {
     * bounded marker walk must find. */
   def jpeg(width: Int, height: Int): Array[Byte] =
     encode(rgbImage(width, height), "jpg")
+
+  /** Real GIF89a bytes via the JDK's ImageIO encoder: the 6-byte
+    * signature/version then the logical screen descriptor's
+    * little-endian canvas dims at fixed 0-based offsets 6/8 — the
+    * fields Multimodal's fixed-offset decode reads. */
+  def gif(width: Int, height: Int): Array[Byte] =
+    encode(rgbImage(width, height), "gif")
+
+  /** Real TIFF bytes via the JDK's ImageIO encoder (big-endian "MM",
+    * probed): the 8-byte header points at an IFD whose entries carry
+    * ImageWidth(256)/ImageLength(257) as inline SHORTs and
+    * BitsPerSample(258) as a count-3 offset-indirected SHORT array
+    * [8,8,8] — exercising Multimodal's endian-tagged IFD walk
+    * INCLUDING the value-offset indirection path. */
+  def tiff(width: Int, height: Int): Array[Byte] =
+    encode(rgbImage(width, height), "tiff")
+
+  /** WebP (RIFF/VP8 lossy) bytes with a spec-exact container and frame
+    * header: RIFF + 'WEBP' + a 'VP8 ' chunk whose payload opens with
+    * the 3-byte frame tag (key frame, version 0, show_frame), the
+    * 9D 01 2A start code, and the 14-bit little-endian dims — exactly
+    * the bytes any WebP header sniffer reads. The entropy-coded
+    * coefficient data after the header is a deterministic STUB (the
+    * JDK ships no VP8 encoder), clearly scoped: header decode is the
+    * operator under test, pixel decode is the documented batchDecode
+    * codec seam. */
+  def webp(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width < 16384 && height >= 1 && height < 16384,
+      "VP8 dims are 14-bit")
+    val p = new ByteArrayOutputStream()
+    // frame tag: bit0 frame type (0 = key), bits 1-3 version, bit 4
+    // show_frame, bits 5-23 first-partition size (stub value)
+    val tag = (1 << 4) | (16 << 5)
+    p.write(tag & 0xff); p.write((tag >> 8) & 0xff); p.write((tag >> 16) & 0xff)
+    p.write(0x9d); p.write(0x01); p.write(0x2a) // keyframe start code
+    le16(p, width)  // upper 2 bits = horizontal scaling hint, left 0
+    le16(p, height)
+    var i = 0
+    while (i < 16) { p.write((i * 29 + 5) & 0xff); i += 1 } // stub partition
+    val payload = p.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    le32(out, 4 + 8 + payload.length + (payload.length & 1))
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write(' ')
+    le32(out, payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0) // RIFF chunk padding
+    out.toByteArray
+  }
+
+  /** WebP VP8L (lossless) header bytes: the 0x2F signature byte then a
+    * 32-bit little-endian bitfield packing width-1 (bits 0-13) and
+    * height-1 (bits 14-27) — the second chunk layout a crawl corpus
+    * carries. Payload is a stub like [[webp]]'s. */
+  def webpLossless(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
+      "VP8L dims are 14-bit + 1")
+    val p = new ByteArrayOutputStream()
+    p.write(0x2f)
+    val bits = (width - 1) | ((height - 1) << 14)
+    le32(p, bits) // top 4 bits: alpha hint 0, version 0
+    var i = 0
+    while (i < 11) { p.write((i * 41 + 9) & 0xff); i += 1 } // stub stream
+    val payload = p.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    le32(out, 4 + 8 + payload.length + (payload.length & 1))
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write('L')
+    le32(out, payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Minimal hand-built LITTLE-endian ("II") TIFF header + IFD with
+    * inline-SHORT width/height and a count-1 BitsPerSample — the byte
+    * order the JDK encoder does NOT produce, so the decoder's II path
+    * has a real fixture too (header-level: no pixel data follows,
+    * which a header walk never reads). */
+  def tiffLittleEndian(width: Int, height: Int, bits: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write('I'); out.write('I'); le16(out, 42)
+    le32(out, 8) // IFD at offset 8
+    le16(out, 3) // 3 entries
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      le16(out, tag); le16(out, typ); le32(out, count)
+      // SHORT values are left-justified in the 4-byte field
+      le16(out, value); le16(out, 0)
+    }
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, bits)
+    le32(out, 0) // next-IFD pointer: none
+    out.toByteArray
+  }
 }

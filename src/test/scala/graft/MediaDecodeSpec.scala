@@ -74,6 +74,83 @@ class MediaDecodeSpec extends SparkSpec {
     assert(decoded.getLong(4) === 24L) // precision 8 x 3 components
   }
 
+  test("generated GIF bytes are a real image per ImageIO, and the Column parser agrees") {
+    val bytes = MediaFixture.gif(37, 21)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not decode the generated GIF")
+    assert(img.getWidth === 37 && img.getHeight === 21)
+
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, bytes)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "gif")
+    assert(decoded.getLong(2) === 37L && decoded.getLong(3) === 21L)
+    assert(decoded.isNullAt(4)) // palette depth is ambiguous: bpp null
+    assert(decoded.isNullAt(5) && decoded.isNullAt(6)) // wav fields null
+  }
+
+  test("generated TIFF bytes are a real image per ImageIO, and the IFD walk agrees") {
+    // the JDK writer emits big-endian 'MM' with BitsPerSample as a
+    // count-3 offset-indirected SHORT array: the walk's hardest path
+    val bytes = MediaFixture.tiff(37, 21)
+    assert(bytes(0) === 'M'.toByte && bytes(1) === 'M'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK ImageIO could not decode the generated TIFF")
+    assert(img.getWidth === 37 && img.getHeight === 21)
+
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, bytes)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "tiff")
+    assert(decoded.getLong(2) === 37L && decoded.getLong(3) === 21L)
+    assert(decoded.getLong(4) === 24L) // sum of [8,8,8] via the offset
+  }
+
+  test("little-endian TIFF (II) decodes through the same walk") {
+    val bytes = MediaFixture.tiffLittleEndian(513, 300, 16)
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, bytes)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "tiff")
+    // 513 = 0x0201: a value whose LE and BE u16 reads differ, so this
+    // would fail loudly if the walk ignored the byte-order mark
+    assert(decoded.getLong(2) === 513L && decoded.getLong(3) === 300L)
+    assert(decoded.getLong(4) === 16L) // count-1 inline BitsPerSample
+  }
+
+  test("WebP VP8 and VP8L headers decode; truncation and a missing start code yield nulls") {
+    val lossy = MediaFixture.webp(320, 240)
+    val lossless = MediaFixture.webpLossless(1, 16384) // bitfield extremes
+    val rows = Multimodal.decodeMediaMeta(Seq(
+        (1L, lossy),
+        (2L, lossless),
+        (3L, lossy.take(14)),             // cut before the chunk fourcc
+        (4L, lossy.updated(25, 0.toByte)) // corrupt the 9D012A start code
+      ).toDF("asset_id", "content")).orderBy("asset_id").collect()
+    rows.foreach(r => assert(r.getString(1) === "webp"))
+    assert(rows(0).getLong(2) === 320L && rows(0).getLong(3) === 240L)
+    assert(rows(1).getLong(2) === 1L && rows(1).getLong(3) === 16384L)
+    assert((2 to 8).forall(rows(2).isNullAt), "truncated webp leaked fields")
+    assert((2 to 8).forall(rows(3).isNullAt), "garbled webp leaked fields")
+    assert(rows.forall(_.isNullAt(4)), "webp bpp must be null (YUV420)")
+  }
+
+  test("TIFF walk dies cleanly on adversarial IFDs") {
+    val base = MediaFixture.tiffLittleEndian(10, 10, 8)
+    // IFD offset pointing past EOF and a zero entry count must null
+    // every field (a zero count must NOT build a descending sequence)
+    val badOff = base.clone(); badOff(4) = 0xFF.toByte; badOff(5) = 0xFF.toByte
+    val zeroEntries = base.clone(); zeroEntries(8) = 0; zeroEntries(9) = 0
+    // an entry-count FLOOD (0xFFFF) is capped at maxEntries: the walk
+    // stays bounded and the real leading entries still decode exactly
+    val flood = base.clone(); flood(8) = 0xFF.toByte; flood(9) = 0xFF.toByte
+    val rows = Multimodal.decodeMediaMeta(Seq(
+        (1L, badOff), (2L, flood), (3L, zeroEntries))
+      .toDF("asset_id", "content")).orderBy("asset_id").collect()
+    rows.foreach(r => assert(r.getString(1) === "tiff"))
+    assert((2 to 8).forall(rows(0).isNullAt), "past-EOF IFD leaked fields")
+    assert(rows(1).getLong(2) === 10L && rows(1).getLong(3) === 10L &&
+      rows(1).getLong(4) === 8L, "capped flood walk lost the real entries")
+    assert((2 to 8).forall(rows(2).isNullAt), "zero-entry IFD leaked fields")
+  }
+
   test("truncated PNG keeps its sniffed kind with every field null") {
     // signature + chunk length survive the cut; the IHDR payload does
     // not — a partial big-endian read must never become a dimension
