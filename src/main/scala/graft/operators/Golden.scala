@@ -37,9 +37,12 @@ object Golden {
     * xlsx reader, so it reads the CSV twin of the same dimension —
     * q35 passing therefore proves the two encodings ingest to the
     * identical typed table, closing the S4 oracle gap as far as DuckDB
-    * allows. */
+    * allows. Since round 13 this rides the EXECUTOR-side parse path
+    * (XlsxSource.readDir over a binaryFile scan), so the q308/q35
+    * oracle hashes re-gate that path every round; XlsxSourceSpec pins
+    * it row-identical to the driver path. */
   def loadProducts(spark: SparkSession, fx: GoldenFixture.Fixture): DataFrame =
-    CsvSource.alignTo(XlsxSource.read(spark, fx.productXlsxPath),
+    CsvSource.alignTo(XlsxSource.readDir(spark, fx.productXlsxPath),
       ReferenceSchemas.product)
 
   // ---- the six reference queries (reference src/sql/queries/) --------

@@ -105,6 +105,77 @@ class XlsxSourceSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("CMC101", "1"), ("CMC102 & SONS", "0")))
   }
 
+  /** A third workbook with the SAME columns in swapped order plus an
+    * extra column — the per-file header-name alignment case a
+    * shard-per-file dimension export produces. */
+  private def writeSwappedXlsx(path: String): Unit = {
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>SIGNATURE_PRODUCT</t></si>
+        |<si><t>CODE_MODELE_COULEUR_ACTUEL</t></si><si><t>EXTRA</t></si>
+        |<si><t>CMC201</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("executor path (readDir) equals the driver path on 3 workbooks, " +
+      "including a malformed one and a column-swapped one") {
+    // the round-12 verdict's #1 ask: multi-workbook input must not
+    // serialize through the single-threaded driver parser. readDir
+    // parses per-file on executors; this law pins it row-identical to
+    // per-file driver reads aligned by header name.
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dir")
+    val pA = dir.resolve("a_product.xlsx").toString
+    val pB = dir.resolve("b_malformed.xlsx").toString
+    val pC = dir.resolve("c_swapped.xlsx").toString
+    writeXlsx(pA); writeMalformedXlsx(pB); writeSwappedXlsx(pC)
+
+    val exec = XlsxSource.readDir(spark, dir.toString)
+    // schema comes from the lexicographically first workbook
+    assert(exec.columns.toSeq ===
+      Seq("CODE_MODELE_COULEUR_ACTUEL", "SIGNATURE_PRODUCT"))
+    val got = exec.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+
+    // driver-path reference: per-file read() + align by header name
+    val want = Seq(pA, pB, pC).flatMap { p =>
+      val df = XlsxSource.read(spark, p)
+      val cols = df.columns
+      df.collect().map { r =>
+        def byName(n: String): String = {
+          val i = cols.indexOf(n); if (i < 0) null else r.getString(i)
+        }
+        (byName("CODE_MODELE_COULEUR_ACTUEL"), byName("SIGNATURE_PRODUCT"))
+      }
+    }.sorted
+    assert(got === want,
+      "executor-side parse must equal per-file driver parses")
+    // and the malformed workbook's fallback-decoded row really is there
+    assert(got.contains(("CMC102 & SONS", "0")),
+      "the tolerant fallback engine must run on the executor too")
+    assert(got.contains(("CMC201", "1")), "column-swapped workbook misaligned")
+  }
+
+  test("readDir on a single file matches read() (the q308 wiring)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_xlsx_one").resolve("product.xlsx").toString
+    writeXlsx(path)
+    val a = XlsxSource.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = XlsxSource.readDir(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("refuses an over-limit file instead of parsing it on the driver") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx3")
     val path = dir.resolve("huge.xlsx")
