@@ -216,42 +216,10 @@ object Llm {
     * (MinhashDurableIndexSpec pins it at test scale and proves the
     * persisted table is reusable). */
   def minhashLshDurable(spark: SparkSession, dir: String): DataFrame = {
-    // Sweep stale q311 index dirs left by DEAD sessions: managed tables
-    // of a dead in-memory catalog are orphan DIRECTORIES under
-    // spark-warehouse (no catalog entry survives the JVM), so DROP
-    // TABLE cannot reach them — the Scratch-sweep discipline applies,
-    // INCLUDING its liveness rule. The table name is pid-keyed (not
-    // appId-keyed: an appId cannot be liveness-checked, and a first cut
-    // that deleted every other appId's dir deleted a LIVE concurrent
-    // Verify session's index mid-query — the exact collision
-    // tools/concurrent_verify.sh exists to catch). A dir is swept only
-    // when its owning pid is no longer alive AND it is over 30 min old;
-    // within a session, overwrite semantics replace rather than
-    // accumulate.
-    val pidRe = "graft_lsh_q311_pid(\\d+)".r
-    try {
-      val wh = new java.io.File(new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-      // pid reuse defeats the liveness check (a stale dir whose pid
-      // number now belongs to an unrelated live process is never seen
-      // as dead), so a hard age ceiling sweeps anything older than 24h
-      // regardless of liveness — no graft session runs that long, and
-      // reuse can no longer pin an orphan dir forever (round-12 advice)
-      val hardCutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_lsh_q311_"))
-        .filter { f =>
-          val dead = f.getName match {
-            case pidRe(pid) => ProcessHandle.of(pid.toLong)
-              .map[Boolean](h => !h.isAlive).orElse(true)
-            case _ => true // pre-pid legacy name: age alone decides
-          }
-          (dead && f.lastModified() < cutoff) ||
-            f.lastModified() < hardCutoff
-        }
-        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-    } catch { case _: Throwable => () } // sweep is best-effort
+    // Stale-dir sweep + pid-keyed table name: the shared durable-index
+    // discipline, Warehouse.sweepStaleIndexDirs (pid liveness + age;
+    // the appId-keyed/non-atomic history is documented there)
+    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_lsh_q311_")
     Dedup.minhashLshPairsDurable(Tables.documents(spark, dir), "doc_id",
         "text", n = 3, numHashes = NumHashes, bands = Bands,
         threshold = 0.5,
@@ -1586,10 +1554,21 @@ object Llm {
   private val NdBands = 12
   private val NdBits = 6
 
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.srpNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-        bands = NdBands, bits = NdBits, dim = 64)
+  /** Since round 13 this registry key rides the DURABLE-index lane
+    * (round-12 verdict #3): the normalized vectors and the SRP band
+    * index persist as bucketed catalog tables (pid-keyed, swept by the
+    * shared Warehouse discipline) and the identical downstream runs off
+    * them — so the oracle hash re-gates the durable path every round.
+    * SrpIvfDurableIndexSpec pins durable ≡ checkpoint pair-for-pair;
+    * the checkpoint form stays the library default (one-shot callers
+    * should not pay a table write). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_srp_q24_")
+    Similarity.srpNearDupPairsDurable(Tables.embeddings(spark, dir),
+        threshold = 0.4, bands = NdBands, bits = NdBits, dim = 64,
+        tablePrefix = Some(s"graft_srp_q24_pid${ProcessHandle.current().pid()}"))
       .orderBy("vec_a", "vec_b")
+  }
 
   val embeddingNearDupSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1996,10 +1975,20 @@ object Llm {
        |ORDER BY query_id, "rank"""".stripMargin
 
   // ---- q34: IVF top-k with deterministic sampled centroids -----------
+  /** Since round 13 this registry key rides the DURABLE-index lane
+    * (round-12 verdict #3): sampled centroids + cell assignments
+    * persist as bucketed catalog tables (pid-keyed, shared sweep) and
+    * the probe runs off the standing tables — the oracle hash re-gates
+    * the durable build every round; SrpIvfDurableIndexSpec pins
+    * durable ≡ in-memory top-k-for-top-k and proves reuse-without-
+    * rebuild via ivfTopKFromTables. (q76 separately gates the
+    * cell-PARTITIONED serving layout.) */
   def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_ivf_q34_")
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfSampledTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        nCells = 16, nProbe = 4)
+    Similarity.ivfSampledTopKDurable(emb.filter(col("vec_id") < 10), emb,
+        k = 5, nCells = 16, nProbe = 4,
+        tablePrefix = Some(s"graft_ivf_q34_pid${ProcessHandle.current().pid()}"))
       .orderBy("query_id", "rank")
   }
 

@@ -182,13 +182,32 @@ object Similarity {
     // plan-matching leaks lazily-persisted frames into UNRELATED later
     // queries that contain the same subplan (observed: q25's plan
     // picking up this frame's InMemoryRelation) with erratic timing
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = srpVecFrame(emb).localCheckpoint(true)
+    srpPairsFrom(e, srpBandIndex(e, bands, bits, dim), threshold)
+  }
+
+  /** The (vec_id, v, n) normalized-vector projection both SRP lanes
+    * materialize. */
+  private def srpVecFrame(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-      .localCheckpoint(true)
+
+  /** The SRP band index (vec_id, band, sig) — the frame the durable
+    * lane persists. */
+  private[graft] def srpBandIndex(e: DataFrame, bands: Int, bits: Int,
+                                  dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(e.sparkSession)
     val bandSigs = (0 until bands).map(b =>
       struct(lit(b).as("band"), srpSignature(col("v"), b, bits, dim).as("sig")))
-    val bkt = e.select(col("vec_id"), explode(array(bandSigs: _*)).as("bs"))
+    e.select(col("vec_id"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Downstream of MATERIALIZED vector + band-index frames
+    * (localCheckpoint or persisted tables): banded candidates ->
+    * exact-cosine verify. Callers must have materialized both. */
+  private[graft] def srpPairsFrom(e: DataFrame, bkt: DataFrame,
+                                  threshold: Double): DataFrame = {
     val cand = bkt.as("a").join(bkt.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -199,6 +218,30 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Durable-index form of [[srpNearDupPairs]] (round-12 verdict #3,
+    * extending the q311 pattern): the normalized-vector frame and the
+    * SRP band index persist as bucketed catalog tables
+    * (`<prefix>_vecs` on vec_id — the verify join's probe key;
+    * `<prefix>_bands` on sig — the candidate self-join's bucket key)
+    * instead of executor-pinned localCheckpoints, then the IDENTICAL
+    * downstream runs off the tables. Same pairs by construction
+    * (SrpIvfDurableIndexSpec + the q24 oracle pin it); the index
+    * survives executor loss and is reusable across jobs. */
+  def srpNearDupPairsDurable(emb: DataFrame, threshold: Double,
+                             bands: Int = 12, bits: Int = 6, dim: Int = 64,
+                             nBuckets: Int = 8,
+                             tablePrefix: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val t = tablePrefix.getOrElse("graft_srp_index_" +
+      spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_"))
+    val e = srpVecFrame(emb).localCheckpoint(true) // feeds both writes
+    graft.sources.Warehouse.writeBucketed(e, s"${t}_vecs", "vec_id", nBuckets)
+    graft.sources.Warehouse.writeBucketed(
+      srpBandIndex(e, bands, bits, dim), s"${t}_bands", "sig", nBuckets)
+    srpPairsFrom(spark.table(s"${t}_vecs"), spark.table(s"${t}_bands"),
+      threshold)
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus
@@ -460,6 +503,46 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
     ivfTopKWith(queries, c, centroids, k, nProbe)
   }
+
+  /** Durable-index form of [[ivfSampledTopK]] (round-12 verdict #3):
+    * the centroid table AND the assigned corpus persist as bucketed
+    * catalog tables (`<prefix>_cents` / `<prefix>_cells`, both
+    * bucketed on cell — the probe join's key) instead of transient
+    * frames, then [[ivfTopKFromTables]] probes the standing tables.
+    * Same top-k by construction (assignment and probing are
+    * deterministic — SrpIvfDurableIndexSpec + the q34 oracle pin it);
+    * the index is the build-once/serve-every-batch artifact, same
+    * fault story as the q311 LSH table. The cell-PARTITIONED layout
+    * (q76, Warehouse.writeIvfLayout) remains the partition-pruned
+    * serving layout; this lane covers the k-means/sampled BUILD
+    * outputs that previously lived only in localCheckpoint. */
+  def ivfSampledTopKDurable(queries: DataFrame, corpus: DataFrame, k: Int,
+                            nCells: Int = 16, nProbe: Int = 4,
+                            nBuckets: Int = 8,
+                            tablePrefix: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val t = tablePrefix.getOrElse("graft_ivf_index_" +
+      spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .localCheckpoint(true) // feeds centroid sample AND assignment
+    val centroids = c.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+    graft.sources.Warehouse.writeBucketed(
+      centroids, s"${t}_cents", "cell", 1)
+    graft.sources.Warehouse.writeBucketed(
+      ivfAssign(c, spark.table(s"${t}_cents")), s"${t}_cells", "cell",
+      nBuckets)
+    ivfTopKFromTables(spark, t, queries, k, nProbe)
+  }
+
+  /** Probe a standing durable IVF index (built by
+    * [[ivfSampledTopKDurable]]) with NO rebuild: centroids route the
+    * queries, assigned cells rerank — the reuse-without-rebuild path
+    * the spec law exercises. */
+  def ivfTopKFromTables(spark: SparkSession, tablePrefix: String,
+                        queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfRerank(spark.table(s"${tablePrefix}_cells"),
+      ivfProbes(queries, spark.table(s"${tablePrefix}_cents"), nProbe), k)
 
   /** Cell count that holds IVF probe cost CONSTANT as the corpus grows
     * (the autoSrpBits of IVF): cells = n / targetCellSize pins the

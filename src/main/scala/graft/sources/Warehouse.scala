@@ -112,6 +112,47 @@ object Warehouse {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Sweep stale durable-index directories left by DEAD sessions.
+    * Managed tables of a dead in-memory catalog are orphan DIRECTORIES
+    * under spark-warehouse (no catalog entry survives the JVM), so
+    * DROP TABLE cannot reach them — the Scratch-sweep discipline
+    * applies, INCLUDING its liveness rule: table names are pid-keyed
+    * (`<prefix>_pid<NNN>`; an appId cannot be liveness-checked, and an
+    * appId-keyed first cut deleted a LIVE concurrent session's index
+    * mid-query — the exact collision tools/concurrent_verify.sh exists
+    * to catch). A dir is swept when its owning pid is dead AND it is
+    * over 30 min old, or unconditionally past a 24 h hard ceiling —
+    * pid REUSE can make a stale dir look alive forever, and no graft
+    * session runs a day (round-12 advice). Within a session, overwrite
+    * semantics replace rather than accumulate. Best-effort by design.
+    *
+    * Factored from the q311 LSH lane so the IVF/SRP durable lanes
+    * (q34/q24) share one audited sweep. */
+  def sweepStaleIndexDirs(spark: SparkSession, prefix: String): Unit = {
+    // the optional suffix covers multi-table indexes (`..._pid7_vecs`,
+    // `..._pid7_bands`): they must resolve to their owning pid, not
+    // fall through to the age-only legacy arm
+    val pidRe = (java.util.regex.Pattern.quote(prefix) + "pid(\\d+)(_.*)?").r
+    try {
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      val hardCutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .filter { f =>
+          val dead = f.getName match {
+            case pidRe(pid, _) => ProcessHandle.of(pid.toLong)
+              .map[Boolean](h => !h.isAlive).orElse(true)
+            case _ => true // pre-pid legacy name: age alone decides
+          }
+          (dead && f.lastModified() < cutoff) ||
+            f.lastModified() < hardCutoff
+        }
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    } catch { case _: Throwable => () }
+  }
+
   /** List a directory's parquet data files (driver-side metadata walk —
     * one name per file, never data; at 100 TB this is the object-store
     * LIST call every table format starts from). */
