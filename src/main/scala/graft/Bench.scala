@@ -109,6 +109,37 @@ object Bench {
         errors(name) = s"${t.getClass.getSimpleName}: $msg"
       }
 
+    // Host-environment signal per rep (round-12 verdict #8): the r12
+    // creep post-mortem cost a full round because artifacts carried no
+    // load evidence — every drift debate started from zero. Each timed
+    // rep records the host 1-min load average at rep START plus the
+    // CPU steal-jiffies delta ACROSS the rep, keyed like repLog, into
+    // the detail file; future drift gets attributed (or exonerated)
+    // in-artifact.
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def stealJiffies(): Long =
+      try java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).stream()
+        .filter(_.startsWith("cpu "))
+        .findFirst().map[Long](_.trim.split("\\s+")(8).toLong).orElse(-1L)
+      catch { case _: Throwable => -1L }
+    val loadLog = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val stealLog = scala.collection.mutable.LinkedHashMap[String, Vector[Long]]()
+    def timedWithHost[A](key: String)(body: => A): A = {
+      loadLog(key) = loadLog.getOrElse(key, Vector.empty) :+ load1()
+      val s0 = stealJiffies()
+      try body
+      finally {
+        val s1 = stealJiffies()
+        stealLog(key) = stealLog.getOrElse(key, Vector.empty) :+
+          (if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
+      }
+    }
+
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -151,7 +182,7 @@ object Bench {
     // call builds its own plan and the minhash index checkpoint is
     // per-call).
     val headlinePresent = headline.filter(SparkEntry.queries.contains)
-    for (_ <- 1 to 5; name <- headlinePresent) {
+    for (_ <- 1 to 5; name <- headlinePresent) timedWithHost(name) {
       val t0 = System.nanoTime()
       val ok = try { force(name); true }
         catch { case t: Throwable => recordErr(name, t); false }
@@ -331,8 +362,12 @@ object Bench {
         noop(ScaleBench.skewJoin(ev.limit(64)))
         noop(ScaleBench.budgetCumsum(docs.limit(64)))
         if (prEdges != null) noop(ScaleBench.pageRank(prEdges.limit(256)))
+        if (prEdges != null)
+          noop(ScaleBench.pageRankDefault(spark, prEdges.limit(256), times))
         noop(ScaleBench.bloomDecon(docs.limit(64), times))
         noop(ScaleBench.ivfTopK(emb.limit(64)))
+        noop(ScaleBench.srpDurable(emb.limit(64), srpBits, times))
+        noop(ScaleBench.ivfDurable(emb.limit(64), times, nQueries = 8))
         val (wc, wq) = ScaleBench.ivfBuildLayout(emb.limit(64), warmPath)
         noop(ScaleBench.ivfProbeLayout(spark, warmPath, wc, wq))
         if (prEdges != null) noop(ScaleBench.pageRankMerge(prEdges.limit(256)))
@@ -362,7 +397,8 @@ object Bench {
           // a missing lane in the artifact always has an errors entry
           recordErr(s"x$times.q61_stream_neardup", t)
           recordErr(s"x$times.q61_stream_bulk", t)
-          recordErr(s"x$times.q61_stream_bounded", t); false }
+          recordErr(s"x$times.q61_stream_bounded", t)
+          recordErr(s"x$times.q61_stream_tuned", t); false }
       // q141 lane fixture: the xN corpus's fixed 1/5 slice as 2·times
       // files (the q218 budget discipline — full-corpus probing
       // measured 19 s per rep at x5)
@@ -406,6 +442,16 @@ object Bench {
         lane("q22_minhash_xx")(noop(ScaleBench.minhashPairs(docs))),
         lane("q24_srp_neardup", reps = 3)(
           noop(ScaleBench.srpPairsWithBits(emb, srpBits))),
+        // the DURABLE lanes (round-12 verdict #3): the q24/q34 registry
+        // keys ride persisted bucketed index tables since round 13, so
+        // the build-and-serve cost of that path is a measured artifact
+        // beside its in-memory comparator (the lane above / the
+        // auto-cells trio below). Tables are factor-named, dropped in
+        // the block's cleanup.
+        lane("q24_srp_durable", reps = 2)(
+          noop(ScaleBench.srpDurable(emb, srpBits, times))),
+        lane("q34_ivf_durable", reps = 2)(
+          noop(ScaleBench.ivfDurable(emb, times))),
         lane("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
         // q236: interval union sweep — one user-partitioned window +
         // one user-keyed aggregate; should track the q29 lane's slope
@@ -479,14 +525,26 @@ object Bench {
         // copies (cost per round linear in edges), and the distributed
         // exclusive cumsum under token-budget selection (no
         // single-partition exchange)
+        // q146 IS the bucketed default since round 13 (round-12 verdict
+        // #7): this lane times the default path end-to-end — layout
+        // build + read-in-place rounds + drop — so the pr_shuffle trio's
+        // "default" entry shows the 385 MB-shaped bill, not the
+        // 1690 MB AQE shape the old default paid.
         if (prEdges != null)
-          lane("q146_pagerank")(noop(ScaleBench.pageRank(prEdges)))
+          lane("q146_pagerank")(
+            noop(ScaleBench.pageRankDefault(spark, prEdges, times)))
+        else None,
+        // the pre-round-13 default (AQE chooses the per-round join),
+        // kept as the measured comparator: the default-vs-this delta is
+        // the recorded justification for the flip
+        if (prEdges != null)
+          lane("q146_pagerank_aqe")(noop(ScaleBench.pageRank(prEdges)))
         else None,
         // the like-for-like unbucketed comparator for q179: same
         // recurrence, per-round join PINNED to sort-merge — the plan
         // the unbucketed lane runs at 100 TB where ranks outgrow any
-        // broadcast. (Plain q146 lets AQE broadcast the small rank
-        // side at bench scale, which hides the edge exchange the
+        // broadcast. (Plain AQE-form q146 lets AQE broadcast the small
+        // rank side at bench scale, which hides the edge exchange the
         // bucketed layout removes.)
         if (prEdges != null)
           lane("q146_pagerank_merge")(noop(ScaleBench.pageRankMerge(prEdges)))
@@ -531,6 +589,21 @@ object Bench {
           lane("q61_stream_bounded")(
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               maxBucketHistory = 64)))
+        else None,
+        // the TUNED production operating point (round-12 verdict #2):
+        // same batch schedule as q61_stream_neardup but state-store
+        // count sized to the state (8 shuffle partitions, not the
+        // session's 32) — the LaneProbe microbatch-floor sweep measured
+        // the per-batch fixed cost at 0.95 s/batch with 32 stores vs
+        // 0.68 s with 8 (0.65 at 4 — diminishing), because every
+        // microbatch commits one store per partition. The ~0.65 s/batch
+        // residual is Spark's microbatch machinery (planning, offset
+        // log, listener) — the engine-exonerated floor; the lane PAIR
+        // vs q61_stream_neardup is the measured saving.
+        if (streamOk)
+          lane("q61_stream_tuned", reps = 2)(
+            noop(ScaleBench.streamNearDup(spark, streamPath, times,
+              statePartitions = 8)))
         else None,
         // q61 under the ROCKSDB state store — identical pipeline and
         // batch schedule to q61_stream_neardup, so the lane PAIR is
@@ -627,7 +700,7 @@ object Bench {
         var i = 0
         while (i < runsNow) {
           i += 1
-          if (prep()) {
+          if (prep()) timedWithHost(s"x$times.$name") {
             val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
             val t0 = System.nanoTime()
             val okRep = try { run(); true } catch { case t: Throwable =>
@@ -663,6 +736,11 @@ object Bench {
       if (prLayout != null)
         try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
         catch { case _: Throwable => () }
+      // durable-lane index tables (overwritten per rep, dropped per block)
+      Seq(s"graft_srp_bench_x${times}_vecs", s"graft_srp_bench_x${times}_bands",
+          s"graft_ivf_bench_x${times}_cents", s"graft_ivf_bench_x${times}_cells")
+        .foreach(t => try spark.sql(s"DROP TABLE IF EXISTS $t")
+          catch { case _: Throwable => () })
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(streamPath))
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -704,9 +782,27 @@ object Bench {
     // the run was noisy instead of hiding it. The 0.2 s floor keeps
     // sub-noise lanes (where scheduler jitter alone flips small ratios)
     // out of the list; the judge's concern is multi-second interference.
-    val spreadWarnings: Seq[(String, Double)] = successLog.toSeq.collect {
-      case (k, ts) if ts.size >= 2 && ts.min > 0.2 && ts.max / ts.min > 5.0 =>
-        k -> ts.max / ts.min
+    //
+    // Outlier rule (round-12 verdict #5, threshold UNCHANGED at 5x):
+    // with >= 3 successful reps, the WARNING is computed with the
+    // single slowest rep excluded — one interfered rep cannot bias a
+    // min-of-N estimate, so it is noise around an unharmed measurement,
+    // and flagging it taught nothing two rounds running (r12's two
+    // warnings were both single-rep windows with tight remaining reps).
+    // Sustained interference (>= 2 slow reps — which CAN bias even a
+    // min-of-3) still warns at the same 5x bar. The untrimmed spread of
+    // every trimmed-away outlier is RECORDED in the detail file as
+    // rep_spread_raw, so nothing is hidden — the rule only reclassifies
+    // single-outlier lanes from "warning" to "recorded observation".
+    def spreadOf(ts: Vector[Double]): Option[Double] =
+      if (ts.size >= 2 && ts.min > 0.2) Some(ts.max / ts.min) else None
+    val rawSpreads: Seq[(String, Double)] = successLog.toSeq.flatMap {
+      case (k, ts) => spreadOf(ts.toVector).filter(_ > 5.0).map(k -> _) }
+    val spreadWarnings: Seq[(String, Double)] = successLog.toSeq.flatMap {
+      case (k, ts) =>
+        val v = ts.toVector
+        val basis = if (v.size >= 3) v.sorted.dropRight(1) else v
+        spreadOf(basis).filter(_ > 5.0).map(k -> _)
     }
 
     // ---- shuffle-byte scale law: the MACHINE gate (round-10 item 4) ----
@@ -727,7 +823,8 @@ object Bench {
       "q177_chain_cc" -> (1.6, "planted component diameter grows with the factor — more contraction rounds by construction"),
       "q34_ivf_build" -> (1.6, "autoNCells grows with the corpus, so assignment payload is rows x a growing cell table"),
       "q34_ivf_topk" -> (1.6, "same autoNCells growth as the build lane"),
-      "q146_pagerank" -> (Double.PositiveInfinity, "AQE plan flip: broadcast rank side at x1, SMJ at xN — x1 bytes are not comparable; q179/q146_merge carry the pagerank byte law"),
+      "q146_pagerank_aqe" -> (Double.PositiveInfinity, "AQE plan flip: broadcast rank side at x1, SMJ at xN — x1 bytes are not comparable; q179/q146_merge carry the pagerank byte law"),
+      "q146_pagerank" -> (1.6, "the bucketed default's build leg (outdeg groupBy + bucket clustering) is linear; headroom for replica-interleaving LZ4 drift on the rank exchanges"),
       "q146_pagerank_merge" -> (1.6, "deliberately pessimal sort-merge comparator arm"),
       "q284_active_users" -> (1.25, "user-day ROWS are exactly linear (ScaleVerify q284 law: 40083 -> 801660 at x20); the residual byte drift is the distinct leg's LZ4 ratio degrading as replicas interleave value runs (measured 22.0x total, 24.1x on the distinct alone)"))
     val byteLawViolations: Seq[String] = (for {
@@ -812,6 +909,16 @@ object Bench {
       }
 
     val spreadJson = obj(spreadWarnings.map { case (k, r) => kvNum(k, r, 2) })
+    val rawSpreadJson = obj(rawSpreads.map { case (k, r) => kvNum(k, r, 2) })
+    // per-rep host evidence, keyed like reps: 1-min load at rep start,
+    // steal-jiffies across the rep (-1 = /proc read unavailable)
+    val hostJson = {
+      val l = obj(loadLog.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(fmt(_, 2)).mkString("[", ",", "]") })
+      val st = obj(stealLog.map { case (k, v) =>
+        "\"" + k + "\":" + v.mkString("[", ",", "]") })
+      s"""{"cpus":$cpus,"load1_at_rep_start":$l,"steal_jiffies_per_rep":$st}"""
+    }
     val scaleIoJson = obj(scaleIo.map { case (k, v) => kvNum(k, v, 2) })
     val byteLawJson = byteLawViolations
       .map(v => "\"" + v.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(160) + "\"")
@@ -819,17 +926,19 @@ object Bench {
     val rocksStateJson = obj(rocksState.map { case (k, (b, rows, bytes)) =>
       s""""$k":{"batches":$b,"state_rows":$rows,"state_bytes":$bytes}"""
     })
-    // Compact pagerank byte trio at the LARGEST factor: the q179
-    // shuffle-byte evidence, small enough for the stdout line.
+    // Compact pagerank byte quartet at the LARGEST factor: the q179
+    // shuffle-byte evidence, small enough for the stdout line. The
+    // DEFAULT lane (q146_pagerank, bucketed since round 13) leads; the
+    // AQE comparator carries the old default's shape.
     val prIoCompact = {
       val f = scaleBlocks.map(_._1).maxOption.getOrElse(0)
-      val trio = Seq("q146_pagerank", "q146_pagerank_merge",
-        "q179_pagerank_bucketed").flatMap(n =>
+      val trio = Seq("q146_pagerank", "q146_pagerank_aqe",
+        "q146_pagerank_merge", "q179_pagerank_bucketed").flatMap(n =>
         scaleIo.get(s"x$f.$n").map(v => kvNum(n.stripPrefix("q"), v, 1)))
       if (trio.isEmpty) "" else s""","pr_shuffle_mb_x$f":${obj(trio)}"""
     }
     val detailPath = s"${sys.props("user.dir")}/BENCH_DETAIL.json"
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"rep_spread_raw":$rawSpreadJson,"host":$hostJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }

@@ -61,6 +61,28 @@ object LaneProbe {
             graft.streaming.StreamOps.RocksDbProvider) { s2 =>
             ScaleBench.streamNearDup(s2, p, times)
           }
+        case "q61_microbatch_floor" =>
+          // round-12 verdict #2: the q61 lane pays ~0.9 s/microbatch
+          // fixed cost. Sweep the two candidate levers in one JVM —
+          // batch COUNT (maxFilesPerTrigger) and STATE-STORE count
+          // (shuffle partitions: each microbatch commits one store per
+          // partition) — same data every combo, so the fit isolates the
+          // floor. Cycle combos across reps; pass reps = k*|combos|.
+          val p = s"${sys.props("user.dir")}/target/probe_floor_x$times"
+          probeDirs += p
+          ScaleBench.streamNearDupPrep(spark, sfDir, times, p)
+          val combos = Seq( // (filesPerTrigger, statePartitions)
+            (2, -1), (2, 8), (2, 4), (times, -1), (times, 8))
+          var i = -1
+          () => {
+            i += 1
+            val (f, sp) = combos(i % combos.length)
+            val batches = math.ceil(2.0 * times / f).toInt
+            println(s"LANEPROBE combo: filesPerTrigger=$f " +
+              s"statePartitions=$sp batches=$batches")
+            ScaleBench.streamNearDup(spark, p, times, filesPerTrigger = f,
+              statePartitions = sp)
+          }
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

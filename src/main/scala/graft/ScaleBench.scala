@@ -116,6 +116,30 @@ object ScaleBench {
     Similarity.srpNearDupPairs(emb, threshold = 0.4, bands = 12, bits = bits,
       dim = 64)
 
+  /** q24's DURABLE-index operating point — the registry key's form
+    * since round 13: identical pipeline to [[srpPairsWithBits]] but the
+    * vecs + band-index frames persist as bucketed catalog tables per
+    * rep, so this lane times the build-and-serve cost of the durable
+    * path while the checkpoint lane above stays the in-memory
+    * comparator. Tables are factor-named; the block drops them. */
+  def srpDurable(emb: DataFrame, bits: Int, times: Int): DataFrame =
+    Similarity.srpNearDupPairsDurable(emb, threshold = 0.4, bands = 12,
+      bits = bits, dim = 64,
+      tablePrefix = Some(s"graft_srp_bench_x$times"))
+
+  /** q34's DURABLE-index operating point — the registry key's form
+    * since round 13: sampled centroids + cell assignments persisted as
+    * bucketed catalog tables, top-k probed off the standing tables.
+    * Fixed 16 cells / 4 probes (the q34 oracle point: assignment is
+    * n x 16 dots — linear; the auto-cells scaling story lives in the
+    * q34_ivf_topk/build/probe lanes). */
+  def ivfDurable(emb: DataFrame, times: Int, nQueries: Int = 64): DataFrame = {
+    val e = emb.localCheckpoint(true)
+    Similarity.ivfSampledTopKDurable(
+      e.orderBy("vec_id").limit(nQueries), e, k = 5, nCells = 16,
+      nProbe = 4, tablePrefix = Some(s"graft_ivf_bench_x$times"))
+  }
+
   /** q99's operating point: prefix-filtered exact Jaccard. Used by
     * ScaleBenchSpec to prove replica-correctness (pair set = N re-keyed
     * copies of 1x); deliberately NOT a timed scale entry — exact
@@ -343,9 +367,27 @@ object ScaleBench {
       .localCheckpoint(true)
   }
 
-  /** q146's operating point: the fixed-round integer PageRank
-    * iteration itself (edges+outdegrees checkpointed once inside, ranks
-    * checkpointed per round). */
+  /** The DEFAULT PageRank path end-to-end (round-12 verdict #7):
+    * bucketed layout build + read-in-place iteration + drop — exactly
+    * what Graph.pageRank (the q146 registry key) runs since round 13.
+    * Timed WITH the build on the clock: the default lane's number is
+    * what a user pays calling the default once; the q179 lane
+    * separately times the serve-only cost against a standing layout. */
+  def pageRankDefault(spark: org.apache.spark.sql.SparkSession,
+                      edges: DataFrame, times: Int): DataFrame = {
+    val t = graft.operators.Graph.pageRankEdgeLayout(spark, edges,
+      buckets = 32, suffix = s"_default_x$times")
+    val ranks = graft.operators.Graph.pageRankOnBucketed(spark, t)
+      .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ranks
+  }
+
+  /** The AQE-chooses COMPARATOR (the pre-round-13 default): the
+    * fixed-round integer PageRank iteration over checkpointed frames
+    * (edges+outdegrees checkpointed once inside, ranks checkpointed
+    * per round). Kept as a measured lane so the default-vs-AQE delta
+    * stays a per-round artifact. */
   def pageRank(edges: DataFrame): DataFrame =
     graft.operators.Graph.pageRankOn(edges)
 
@@ -405,13 +447,28 @@ object ScaleBench {
     *    overhead — the number behind "use bigger triggers at 100 TB". */
   def streamNearDup(spark: SparkSession, path: String, times: Int,
                     filesPerTrigger: Int = 2,
-                    maxBucketHistory: Int = Int.MaxValue): DataFrame = {
+                    maxBucketHistory: Int = Int.MaxValue,
+                    statePartitions: Int = -1): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)
-    graft.streaming.StreamOps.nearDupCandidatesFrom(src,
+    def run(): DataFrame = graft.streaming.StreamOps.nearDupCandidatesFrom(src,
       s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}",
       maxBucketHistory = maxBucketHistory)
+    // statePartitions > 0 pins the stream's SHUFFLE partition count for
+    // the (blocking) replay — each microbatch commits one state store
+    // per shuffle partition, so the per-batch fixed cost scales with
+    // this number while data parallelism only needs cores (the
+    // microbatch-floor dial the q61 LaneProbe sweeps). Scoped set/
+    // restore, the q185 skew-conf pattern: the stream has drained when
+    // run() returns, so nothing else sees the setting.
+    if (statePartitions <= 0) run()
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, statePartitions.toString)
+      try run() finally spark.conf.set(key, old)
+    }
   }
 
   /** q141's FULL continuous-dedup state machine over the replicated
