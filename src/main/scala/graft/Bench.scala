@@ -116,17 +116,8 @@ object Bench {
     // CPU steal-jiffies delta ACROSS the rep, keyed like repLog, into
     // the detail file; future drift gets attributed (or exonerated)
     // in-artifact.
-    def load1(): Double =
-      try new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg")))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def stealJiffies(): Long =
-      try java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).stream()
-        .filter(_.startsWith("cpu "))
-        .findFirst().map[Long](_.trim.split("\\s+")(8).toLong).orElse(-1L)
-      catch { case _: Throwable => -1L }
+    def load1(): Double = Metrics.load1()
+    def stealJiffies(): Long = Metrics.stealJiffies()
     val loadLog = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val stealLog = scala.collection.mutable.LinkedHashMap[String, Vector[Long]]()
     def timedWithHost[A](key: String)(body: => A): A = {
@@ -736,9 +727,13 @@ object Bench {
       if (prLayout != null)
         try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
         catch { case _: Throwable => () }
-      // durable-lane index tables (overwritten per rep, dropped per block)
+      // durable-lane index tables (overwritten per rep, dropped per
+      // block) + the pagerank default lane's layout (dropped in its own
+      // finally, but a rep killed between write and drop leaves it —
+      // belt over braces)
       Seq(s"graft_srp_bench_x${times}_vecs", s"graft_srp_bench_x${times}_bands",
-          s"graft_ivf_bench_x${times}_cents", s"graft_ivf_bench_x${times}_cells")
+          s"graft_ivf_bench_x${times}_cents", s"graft_ivf_bench_x${times}_cells",
+          s"graft_pr_edges_pid${ProcessHandle.current().pid()}_default_x$times")
         .foreach(t => try spark.sql(s"DROP TABLE IF EXISTS $t")
           catch { case _: Throwable => () })
       org.apache.commons.io.FileUtils.deleteQuietly(

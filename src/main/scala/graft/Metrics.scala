@@ -20,6 +20,24 @@ import java.util.concurrent.atomic.AtomicLong
   * settle is immediate.
   */
 object Metrics {
+
+  /** Host 1-min load average (-1.0 when /proc is unavailable) — shared
+    * by Bench's per-rep host telemetry and QProbe, so the two artifacts
+    * can never diverge on how the number is read. */
+  def load1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative CPU steal jiffies from /proc/stat (-1 when
+    * unavailable); callers diff two reads to attribute a window. */
+  def stealJiffies(): Long =
+    try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).stream()
+      .filter(_.startsWith("cpu "))
+      .findFirst().map[Long](_.trim.split("\\s+")(8).toLong).orElse(-1L)
+    catch { case _: Throwable => -1L }
   final case class IoStats(inputBytes: Long, shuffleWriteBytes: Long,
                            shuffleReadBytes: Long)
 

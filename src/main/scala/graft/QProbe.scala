@@ -35,9 +35,7 @@ object QProbe {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-    def load1(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "?" }
+    def load1(): Double = Metrics.load1()
     Bench.headline.foreach(n => try force(n) catch { case _: Throwable => () })
     val log = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)

@@ -375,12 +375,15 @@ object ScaleBench {
     * separately times the serve-only cost against a standing layout. */
   def pageRankDefault(spark: org.apache.spark.sql.SparkSession,
                       edges: DataFrame, times: Int): DataFrame = {
+    // same bucket sizing as Graph.pageRank (defaultParallelism), so the
+    // lane measures EXACTLY the configuration the default runs; the
+    // drop is in finally so a failed rep cannot leak the table
     val t = graft.operators.Graph.pageRankEdgeLayout(spark, edges,
-      buckets = 32, suffix = s"_default_x$times")
-    val ranks = graft.operators.Graph.pageRankOnBucketed(spark, t)
+      buckets = spark.sparkContext.defaultParallelism,
+      suffix = s"_default_x$times")
+    try graft.operators.Graph.pageRankOnBucketed(spark, t)
       .localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    ranks
+    finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   /** The AQE-chooses COMPARATOR (the pre-round-13 default): the

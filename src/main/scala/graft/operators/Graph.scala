@@ -801,11 +801,16 @@ object Graph {
     * concurrently on one session pool — and dropped after the ranks
     * checkpoint. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // bucket count sized to the session's parallelism (the
+    // bucket-per-executor analog; ranks are bucket-count-invariant) —
+    // the measured bench lanes run the same sizing, so the default
+    // path and its artifact numbers are one configuration
     val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir),
-      suffix = "_q146")
-    val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+      buckets = spark.sparkContext.defaultParallelism, suffix = "_q146")
+    try {
+      val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
+      ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   // ---- q179: PageRank over a BUCKETED edge layout ---------------------
@@ -826,13 +831,18 @@ object Graph {
   // count; GraphSpec pins rank-identity with the unbucketed lane.
 
   /** Build the bucketed (src, dst, outdeg) edge layout as a managed
-    * table; returns the table name (caller drops). `suffix`
-    * disambiguates concurrent layouts within one application (bench
-    * scale factors). */
+    * table; returns the table name (caller drops — inside try/finally,
+    * since a failed iteration must not leak the table). `suffix`
+    * disambiguates concurrent layouts within one session (Verify runs
+    * q146/q179 on one pool; bench scale factors). The name is
+    * PID-keyed so [[graft.sources.Warehouse.sweepStaleIndexDirs]] can
+    * liveness-check orphan directories left by killed JVMs — an
+    * appId-keyed first cut produced exactly the unsweepable-orphan
+    * class the shared sweep exists to prevent. */
   def pageRankEdgeLayout(spark: SparkSession, edges: DataFrame,
                          buckets: Int = 8, suffix: String = ""): String = {
-    val t = "graft_pr_edges_" +
-      spark.sparkContext.applicationId.replaceAll("[^0-9a-zA-Z]", "_") + suffix
+    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_pr_edges_")
+    val t = s"graft_pr_edges_pid${ProcessHandle.current().pid()}$suffix"
     val e = edges.select(col("src"), col("dst"))
     val ed = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
@@ -878,10 +888,12 @@ object Graph {
     * checkpointed before the managed table is dropped, so nothing
     * leaks into the warehouse dir. */
   def pageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir))
-    val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+    val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir),
+      buckets = spark.sparkContext.defaultParallelism)
+    try {
+      val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
+      ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   val pageRankSql: String = {

@@ -203,13 +203,18 @@ object Multimodal {
       // 3-4 indirect through the value offset to the SHORT array via a
       // nested fold (measured cheaper at plan time than unrolling the
       // ≤4 terms: expression-tree SIZE is what the analyzer pays for,
-      // and the unrolled form embeds the offset read seven times)
+      // and the unrolled form embeds the offset read seven times).
+      // Gated on typ == SHORT like the scalar arm: BitsPerSample is
+      // SHORT by spec, and a LONG/RATIONAL-typed tag 258 read as
+      // left-justified 16 bits would fabricate a bpp number — the
+      // "null, never garbage" contract applies here too
       val bitsOff = u32(eb + 8L) + 1L
-      val bpp = when(cnt === 1L, u16(eb + 8L))
-        .when(cnt === 2L, u16(eb + 8L) + u16(eb + 10L))
-        .when(cnt >= 3L && cnt <= 4L,
-          aggregate(sequence(lit(0L), cnt - 1L), lit(0L),
-            (a, j) => a + u16(bitsOff + j * 2L)))
+      val bpp = when(typ === 3L,
+        when(cnt === 1L, u16(eb + 8L))
+          .when(cnt === 2L, u16(eb + 8L) + u16(eb + 10L))
+          .when(cnt >= 3L && cnt <= 4L,
+            aggregate(sequence(lit(0L), cnt - 1L), lit(0L),
+              (a, j) => a + u16(bitsOff + j * 2L))))
       struct(
         when(tag === 256L, scalar).otherwise(acc.getField("w")).as("w"),
         when(tag === 257L, scalar).otherwise(acc.getField("h")).as("h"),

@@ -80,13 +80,17 @@ object XlsxSource {
     * [[read]]: first row = header, empty rows and empty-header columns
     * dropped, all-string cells.
     *
-    * Schema comes from the lexicographically FIRST file (one bounded
-    * driver-side header parse); every other workbook aligns to it BY
-    * HEADER NAME on the executor (a partitioned dimension written file-
-    * per-shard may order columns differently; missing columns null-fill,
-    * extra columns drop — diagonal-union semantics, like U1). Per-file
-    * byte ceiling [[MaxFileBytes]] still applies — now protecting each
-    * executor task rather than the driver.
+    * Schema comes from the lexicographically FIRST file via
+    * [[headerNamesBytes]] — a genuinely BOUNDED driver-side sniff (the
+    * sheet walk stops after row 1; only the sharedStrings part streams
+    * fully), so even a directory whose first workbook is huge costs
+    * the driver one row, not a parse. Every workbook — the first
+    * included — parses in full only on an executor, aligned BY HEADER
+    * NAME (a partitioned dimension written file-per-shard may order
+    * columns differently; missing columns null-fill, extra columns
+    * drop — diagonal-union semantics, like U1). Per-file byte ceiling
+    * [[MaxFileBytes]] still applies — now protecting each executor
+    * task rather than the driver.
     *
     * XlsxSourceSpec pins driver path ≡ executor path row-identical on
     * 3 workbooks (incl. a malformed one, so the fallback ladder is
@@ -106,7 +110,7 @@ object XlsxSource {
       s"xlsx $firstPath is ${firstBytes.length} bytes (> $MaxFileBytes): " +
         "per-workbook cells must fit one executor task — split the " +
         "export or convert to CSV/parquet")
-    val names = grid(parseBytes(firstBytes, firstPath), firstPath)._1
+    val names = headerNamesBytes(firstBytes, firstPath)
     val schema = org.apache.spark.sql.types.StructType(
       names.map(n => org.apache.spark.sql.types.StructField(
         n, org.apache.spark.sql.types.StringType, nullable = true)))
@@ -189,9 +193,11 @@ object XlsxSource {
     out.toMap
   }
 
-  /** [[readRows]] over in-memory bytes (the executor-path engine). */
-  private[graft] def readRowsBytes(bytes: Array[Byte],
-                                   label: String): Seq[Array[String]] = {
+  /** [[readRows]] over in-memory bytes (the executor-path engine).
+    * `maxRows` bounds the StAX walk — the driver's header sniff stops
+    * after row 1 instead of parsing a whole workbook. */
+  private[graft] def readRowsBytes(bytes: Array[Byte], label: String,
+                                   maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
     val parts = zipEntryBytes(bytes,
       Set("xl/sharedStrings.xml", "xl/worksheets/sheet1.xml"))
     val shared = parts.get("xl/sharedStrings.xml")
@@ -199,7 +205,27 @@ object XlsxSource {
       .getOrElse(IndexedSeq.empty)
     val sheet = parts.getOrElse("xl/worksheets/sheet1.xml",
       throw new IllegalArgumentException(s"no worksheet in $label"))
-    parseSheet(new java.io.ByteArrayInputStream(sheet), shared)
+    parseSheet(new java.io.ByteArrayInputStream(sheet), shared, maxRows)
+  }
+
+  /** Header names only, from one workbook's bytes — the driver-side
+    * schema sniff for [[readDir]]. Bounded: the sharedStrings part
+    * streams once (header cells may reference any string index) and
+    * the sheet walk STOPS after the first row; no grid materializes.
+    * A malformed workbook falls back to the regex engine's first row. */
+  private[graft] def headerNamesBytes(bytes: Array[Byte],
+                                      label: String): IndexedSeq[String] = {
+    val first =
+      try readRowsBytes(bytes, label, maxRows = 1)
+      catch { case t: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"conformant xlsx header parse of $label failed " +
+            s"(${t.getMessage}); retrying with the tolerant fallback")
+        readRowsFallbackBytes(bytes, label).take(1)
+      }
+    require(first.nonEmpty, s"empty worksheet in $label")
+    val header = first.head.map(h => Option(h).map(_.trim).getOrElse(""))
+    header.indices.filter(header(_).nonEmpty).map(header(_)).toIndexedSeq
   }
 
   private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
@@ -311,8 +337,8 @@ object XlsxSource {
       .replace("&quot;", "\"").replace("&apos;", "'")
       .replace("&amp;", "&")
 
-  private def parseSheet(in: InputStream,
-                         shared: IndexedSeq[String]): Seq[Array[String]] = {
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String],
+                         maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
     val rows = mutable.ArrayBuffer.empty[Array[String]]
     val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
     var row: mutable.ArrayBuffer[String] = null
@@ -320,7 +346,7 @@ object XlsxSource {
     var cellType = ""
     var inValue = false
     val value = new StringBuilder
-    while (r.hasNext) {
+    while (r.hasNext && rows.size < maxRows) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {

@@ -132,6 +132,19 @@ class MediaDecodeSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(4)), "webp bpp must be null (YUV420)")
   }
 
+  test("TIFF BitsPerSample with a non-SHORT type yields null bpp, not a fabricated number") {
+    // patch entry 3 (tag 258) type SHORT(3) -> LONG(4): a left-justified
+    // 16-bit read of a LONG value field would fabricate bpp=0
+    val bytes = MediaFixture.tiffLittleEndian(10, 10, 8)
+    val badType = bytes.clone(); badType(36) = 4
+    val decoded = Multimodal.decodeMediaMeta(
+      Seq((1L, badType)).toDF("asset_id", "content")).head
+    assert(decoded.getString(1) === "tiff")
+    assert(decoded.getLong(2) === 10L && decoded.getLong(3) === 10L,
+      "width/height entries are untouched and must still decode")
+    assert(decoded.isNullAt(4), "non-SHORT BitsPerSample must null bpp")
+  }
+
   test("TIFF walk dies cleanly on adversarial IFDs") {
     val base = MediaFixture.tiffLittleEndian(10, 10, 8)
     // IFD offset pointing past EOF and a zero entry count must null

@@ -165,6 +165,25 @@ class XlsxSourceSpec extends SparkSpec {
     assert(got.contains(("CMC201", "1")), "column-swapped workbook misaligned")
   }
 
+  test("the driver header sniff is row-bounded and engine-laddered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_hdr")
+    val good = dir.resolve("good.xlsx").toString
+    val bad = dir.resolve("bad.xlsx").toString
+    writeXlsx(good); writeMalformedXlsx(bad)
+    def bytes(p: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p))
+    val expect = IndexedSeq("CODE_MODELE_COULEUR_ACTUEL", "SIGNATURE_PRODUCT")
+    // conformant path: stops after row 1 (same names as the full grid)
+    assert(XlsxSource.headerNamesBytes(bytes(good), good) === expect)
+    // malformed workbook: the header sniff must ladder to the regex
+    // engine like the full parse does
+    assert(XlsxSource.headerNamesBytes(bytes(bad), bad) === expect)
+    // and the bounded StAX walk really does stop: maxRows=1 returns
+    // exactly one row where the full parse returns five
+    assert(XlsxSource.readRowsBytes(bytes(good), good, maxRows = 1).size === 1)
+    assert(XlsxSource.readRowsBytes(bytes(good), good).size === 5)
+  }
+
   test("readDir on a single file matches read() (the q308 wiring)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_xlsx_one").resolve("product.xlsx").toString
