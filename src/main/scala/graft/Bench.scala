@@ -255,6 +255,12 @@ object Bench {
     // Each block returns per-lane (name, minSeconds); a lane that could
     // not run is ABSENT (its failure is in `errors`), never 0.0.
     def block(times: Int): Seq[(String, Double)] = {
+      // sweep dead-pid leftovers of prior bench JVMs killed mid-block:
+      // an orphan warehouse DIRECTORY at a name this block is about to
+      // saveAsTable fails CreateTable's location check on every
+      // subsequent run until cleaned (round-13 advice)
+      Seq("graft_srp_bench_", "graft_ivf_bench_").foreach(p =>
+        graft.sources.Warehouse.sweepStaleIndexDirs(spark, p))
       val docs = ScaleBench.documents(spark, sfDir, times)
       val emb = ScaleBench.embeddings(spark, sfDir, times)
       val ev = ScaleBench.events(spark, sfDir, times)
@@ -353,8 +359,18 @@ object Bench {
         noop(ScaleBench.skewJoin(ev.limit(64)))
         noop(ScaleBench.budgetCumsum(docs.limit(64)))
         if (prEdges != null) noop(ScaleBench.pageRank(prEdges.limit(256)))
+        // "warm" key: the limited-slice layout must never be served to
+        // the timed full-input reps
         if (prEdges != null)
-          noop(ScaleBench.pageRankDefault(spark, prEdges.limit(256), times))
+          noop(ScaleBench.pageRankDefault(spark, prEdges.limit(256), times,
+            keySuffix = "warm"))
+        if (prEdges != null)
+          ScaleBench.pageRankLayoutBuild(spark, prEdges.limit(256), times)
+        // build the FULL standing layout untimed: the default lane's
+        // timed reps then measure the steady serve the default API
+        // gives a warm application (the build cost is its own lane)
+        if (prEdges != null)
+          ScaleBench.pageRankDefaultPrep(spark, prEdges, times)
         noop(ScaleBench.bloomDecon(docs.limit(64), times))
         noop(ScaleBench.ivfTopK(emb.limit(64)))
         noop(ScaleBench.srpDurable(emb.limit(64), srpBits, times))
@@ -516,14 +532,22 @@ object Bench {
         // copies (cost per round linear in edges), and the distributed
         // exclusive cumsum under token-budget selection (no
         // single-partition exchange)
-        // q146 IS the bucketed default since round 13 (round-12 verdict
-        // #7): this lane times the default path end-to-end — layout
-        // build + read-in-place rounds + drop — so the pr_shuffle trio's
-        // "default" entry shows the 385 MB-shaped bill, not the
-        // 1690 MB AQE shape the old default paid.
+        // q146 IS the bucketed default since round 13, and since round
+        // 14 the layout is a STANDING index (get-or-build): the prep
+        // built it untimed above, so this lane measures the default
+        // API's steady serve — the round-13 verdict's ask that the
+        // default stop paying the on-clock rebuild. The build cost
+        // stays measured in q146_layout_build.
         if (prEdges != null)
           lane("q146_pagerank")(
             noop(ScaleBench.pageRankDefault(spark, prEdges, times)))
+        else None,
+        // the one-shot layout build, on its own clock (fresh nonce-named
+        // table per rep, dropped): default-lane serve + this = what a
+        // COLD application pays end-to-end
+        if (prEdges != null)
+          lane("q146_layout_build", reps = 2)(
+            ScaleBench.pageRankLayoutBuild(spark, prEdges, times))
         else None,
         // the pre-round-13 default (AQE chooses the per-round join),
         // kept as the measured comparator: the default-vs-this delta is
@@ -728,12 +752,14 @@ object Bench {
         try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
         catch { case _: Throwable => () }
       // durable-lane index tables (overwritten per rep, dropped per
-      // block) + the pagerank default lane's layout (dropped in its own
-      // finally, but a rep killed between write and drop leaves it —
-      // belt over braces)
-      Seq(s"graft_srp_bench_x${times}_vecs", s"graft_srp_bench_x${times}_bands",
-          s"graft_ivf_bench_x${times}_cents", s"graft_ivf_bench_x${times}_cells",
-          s"graft_pr_edges_pid${ProcessHandle.current().pid()}_default_x$times")
+      // block) + the pagerank default lane's standing layout (kept
+      // across reps by design — the default is reuse-without-rebuild —
+      // so the block drops it here)
+      val srpPfx = ScaleBench.benchTablePrefix("srp", times)
+      val ivfPfx = ScaleBench.benchTablePrefix("ivf", times)
+      (Seq(s"${srpPfx}_vecs", s"${srpPfx}_bands",
+           s"${ivfPfx}_cents", s"${ivfPfx}_cells") ++
+          graft.operators.Graph.dropStandingLayouts(spark))
         .foreach(t => try spark.sql(s"DROP TABLE IF EXISTS $t")
           catch { case _: Throwable => () })
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -819,7 +845,8 @@ object Bench {
       "q34_ivf_build" -> (1.6, "autoNCells grows with the corpus, so assignment payload is rows x a growing cell table"),
       "q34_ivf_topk" -> (1.6, "same autoNCells growth as the build lane"),
       "q146_pagerank_aqe" -> (Double.PositiveInfinity, "AQE plan flip: broadcast rank side at x1, SMJ at xN — x1 bytes are not comparable; q179/q146_merge carry the pagerank byte law"),
-      "q146_pagerank" -> (1.6, "the bucketed default's build leg (outdeg groupBy + bucket clustering) is linear; headroom for replica-interleaving LZ4 drift on the rank exchanges"),
+      "q146_pagerank" -> (1.6, "standing-layout serve: O(V) rank exchanges only; headroom for replica-interleaving LZ4 drift"),
+      "q146_layout_build" -> (1.6, "outdeg groupBy + bucket clustering is linear; headroom for replica-interleaving LZ4 drift"),
       "q146_pagerank_merge" -> (1.6, "deliberately pessimal sort-merge comparator arm"),
       "q284_active_users" -> (1.25, "user-day ROWS are exactly linear (ScaleVerify q284 law: 40083 -> 801660 at x20); the residual byte drift is the distinct leg's LZ4 ratio degrading as replicas interleave value runs (measured 22.0x total, 24.1x on the distinct alone)"))
     val byteLawViolations: Seq[String] = (for {

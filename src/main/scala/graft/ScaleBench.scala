@@ -121,11 +121,15 @@ object ScaleBench {
     * vecs + band-index frames persist as bucketed catalog tables per
     * rep, so this lane times the build-and-serve cost of the durable
     * path while the checkpoint lane above stays the in-memory
-    * comparator. Tables are factor-named; the block drops them. */
+    * comparator. Tables are pid-keyed + factor-named (round-13 advice:
+    * a factor-only name left by a killed bench JVM is an unsweepable
+    * orphan DIRECTORY that fails the next bench's saveAsTable location
+    * check — pid-keying puts them under the shared sweep's liveness
+    * rule); the block drops them. */
   def srpDurable(emb: DataFrame, bits: Int, times: Int): DataFrame =
     Similarity.srpNearDupPairsDurable(emb, threshold = 0.4, bands = 12,
       bits = bits, dim = 64,
-      tablePrefix = Some(s"graft_srp_bench_x$times"))
+      tablePrefix = Some(benchTablePrefix("srp", times)))
 
   /** q34's DURABLE-index operating point — the registry key's form
     * since round 13: sampled centroids + cell assignments persisted as
@@ -137,8 +141,17 @@ object ScaleBench {
     val e = emb.localCheckpoint(true)
     Similarity.ivfSampledTopKDurable(
       e.orderBy("vec_id").limit(nQueries), e, k = 5, nCells = 16,
-      nProbe = 4, tablePrefix = Some(s"graft_ivf_bench_x$times"))
+      nProbe = 4, tablePrefix = Some(benchTablePrefix("ivf", times)))
   }
+
+  /** Pid-keyed durable-lane table prefix
+    * (`graft_<fam>_bench_pid<NNN>_x<F>`): the pid key is what makes a
+    * killed bench JVM's leftovers sweepable by
+    * [[graft.sources.Warehouse.sweepStaleIndexDirs]] — the same
+    * discipline the q24/q34/pagerank registry lanes follow. Bench calls
+    * the sweep on both family prefixes before the scale blocks. */
+  def benchTablePrefix(family: String, times: Int): String =
+    s"graft_${family}_bench_pid${ProcessHandle.current().pid()}_x$times"
 
   /** q99's operating point: prefix-filtered exact Jaccard. Used by
     * ScaleBenchSpec to prove replica-correctness (pair set = N re-keyed
@@ -367,23 +380,49 @@ object ScaleBench {
       .localCheckpoint(true)
   }
 
-  /** The DEFAULT PageRank path end-to-end (round-12 verdict #7):
-    * bucketed layout build + read-in-place iteration + drop — exactly
-    * what Graph.pageRank (the q146 registry key) runs since round 13.
-    * Timed WITH the build on the clock: the default lane's number is
-    * what a user pays calling the default once; the q179 lane
-    * separately times the serve-only cost against a standing layout. */
+  /** The DEFAULT PageRank path (round-13 verdict #2): get-or-build the
+    * STANDING bucketed layout, then iterate read-in-place — exactly
+    * what Graph.pageRank (the q146 registry key) runs since round 14.
+    * The first call per (key, buckets) pays the build; every later one
+    * serves from the standing table, so after the untimed warm builds
+    * it, the timed reps measure the default's steady state — the
+    * serve-only wall the round-13 verdict asked the default to reach.
+    * The build cost stays a measured artifact via the
+    * q146_layout_build lane. `keySuffix` separates the warm pass's
+    * LIMITED edge slice from the full input (same key would serve the
+    * wrong layout). */
   def pageRankDefault(spark: org.apache.spark.sql.SparkSession,
-                      edges: DataFrame, times: Int): DataFrame = {
+                      edges: DataFrame, times: Int,
+                      keySuffix: String = "full"): DataFrame = {
     // same bucket sizing as Graph.pageRank (defaultParallelism), so the
-    // lane measures EXACTLY the configuration the default runs; the
-    // drop is in finally so a failed rep cannot leak the table
+    // lane measures EXACTLY the configuration the default runs
+    val t = graft.operators.Graph.pageRankStandingLayout(spark, edges,
+      key = s"bench_default_x${times}_$keySuffix")
+    graft.operators.Graph.pageRankOnBucketed(spark, t)
+      .localCheckpoint(true)
+  }
+
+  /** Untimed prep for the default lane: build the standing layout for
+    * the FULL edge set (same key [[pageRankDefault]] uses) before the
+    * rep loop, so every timed rep measures the steady serve the
+    * default API gives a warm application — the build's own cost is
+    * the q146_layout_build lane. */
+  def pageRankDefaultPrep(spark: SparkSession, edges: DataFrame,
+                          times: Int): Unit = {
+    graft.operators.Graph.pageRankStandingLayout(spark, edges,
+      key = s"bench_default_x${times}_full")
+    ()
+  }
+
+  /** The layout BUILD cost, kept on a clock of its own now that the
+    * default lane serves from a standing table: one fresh (nonce-named)
+    * bucketed build per rep, dropped in finally. */
+  def pageRankLayoutBuild(spark: SparkSession, edges: DataFrame,
+                          times: Int): Unit = {
     val t = graft.operators.Graph.pageRankEdgeLayout(spark, edges,
       buckets = spark.sparkContext.defaultParallelism,
-      suffix = s"_default_x$times")
-    try graft.operators.Graph.pageRankOnBucketed(spark, t)
-      .localCheckpoint(true)
-    finally spark.sql(s"DROP TABLE IF EXISTS $t")
+      suffix = s"_build_x$times")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   /** The AQE-chooses COMPARATOR (the pre-round-13 default): the

@@ -790,27 +790,105 @@ object Graph {
   }
 
   /** q146 — the DEFAULT PageRank lane. Since round 13 the default
-    * rides the bucketed edge layout (round-12 verdict #7): the
-    * measured x20 shuffle bill is 385 MB bucketed vs 1690–2020 MB for
-    * the AQE/sort-merge forms, and a recommendation the default path
-    * doesn't take isn't a recommendation — so the default IS the
-    * bucketed build-then-iterate, same integer-exact ranks, same
-    * oracle. [[pageRankOn]] (the AQE-chooses form) stays as the
-    * in-memory core and the bench's comparator lane. The layout table
-    * is suffix-scoped per query key — Verify runs q146 and q179
-    * concurrently on one session pool — and dropped after the ranks
-    * checkpoint. */
+    * rides the bucketed edge layout (round-12 verdict #7: x20 shuffle
+    * 385 MB bucketed vs 1690–2020 MB AQE/sort-merge), and since round
+    * 14 the layout is a STANDING, reusable index (round-13 verdict #2):
+    * [[pageRankStandingLayout]] builds the bucketed (src, dst, outdeg)
+    * table once per (input fingerprint, bucket count) and every later
+    * call — including a concurrent one — serves from it, so the
+    * default stops paying the on-clock rebuild that made it
+    * wall-slower than the AQE comparator at bench scale (x20 11.3 s
+    * with the build vs 9.1 s AQE; serve-only is the q179 wall). The
+    * input fingerprint is a driver-side METADATA walk of the lineitem
+    * source (names/sizes/mtimes — the manifest discipline, q122/q136):
+    * new data ⇒ new fingerprint ⇒ rebuild; same data ⇒ reuse, never a
+    * data scan to decide. Same integer-exact ranks, same oracle.
+    * [[pageRankOn]] (the AQE-chooses form) stays as the in-memory core
+    * and the bench's comparator lane. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // bucket count sized to the session's parallelism (the
     // bucket-per-executor analog; ranks are bucket-count-invariant) —
     // the measured bench lanes run the same sizing, so the default
     // path and its artifact numbers are one configuration
-    val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir),
-      buckets = spark.sparkContext.defaultParallelism, suffix = "_q146")
-    try {
-      val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
-      ranks.orderBy(col("r").desc, col("node").asc).limit(20)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    val t = pageRankStandingLayout(spark, pageRankEdges(spark, dir),
+      key = "q146_" + dirFingerprint(s"$dir/lineitem.parquet"))
+    val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
+    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+  }
+
+  /** Driver-side metadata fingerprint of an input path: file names,
+    * lengths and mtimes folded into one hex digest — the manifest-style
+    * "did the source change" signal (a LIST call at 100 TB, never a
+    * data scan). Stable across processes for unchanged data. */
+  def dirFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .toSeq.flatMap(walk)
+      else Seq(s"${f.getName}:${f.length()}:${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    walk(new java.io.File(path)).foreach(s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  // Standing-layout registry: (appId | key | buckets) -> managed table
+  // name, with a per-key build lock so two concurrent callers of the
+  // SAME key (the round-13 advice race: one invocation's drop deleting
+  // the table another is iterating) become one build + one reuse —
+  // there is no drop on the serve path at all. Tables are pid-keyed for
+  // the shared liveness sweep and dropped explicitly only by
+  // [[dropStandingLayouts]] (tests, bench block cleanup) or the sweep
+  // after the owning JVM dies.
+  private val standingLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Get-or-build the standing bucketed edge layout for `key`: the
+    * reuse-without-rebuild path (the q24/q34 durable-index pattern
+    * applied to the PageRank layout — round-13 verdict #2). `edges` is
+    * by-name: a reuse hit never constructs the edge frame. Serving
+    * touches the table dir so the stale-index sweep sees recent use. */
+  def pageRankStandingLayout(spark: SparkSession, edges: => DataFrame,
+                             key: String, buckets: Int = -1): String = {
+    val b = if (buckets > 0) buckets
+      else spark.sparkContext.defaultParallelism
+    val regKey = s"${spark.sparkContext.applicationId}|$key|$b"
+    val lock = layoutLocks.computeIfAbsent(regKey, _ => new Object)
+    lock.synchronized {
+      val cached = standingLayouts.get(regKey)
+      if (cached != null && spark.catalog.tableExists(cached)) {
+        graft.sources.Warehouse.touchIndexDir(spark, cached)
+        cached
+      } else {
+        val digest = {
+          val md = java.security.MessageDigest.getInstance("SHA-1")
+          md.update(regKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest().take(6).map("%02x".format(_)).mkString
+        }
+        val t = pageRankEdgeLayout(spark, edges, buckets = b,
+          suffix = s"_v$digest")
+        standingLayouts.put(regKey, t)
+        t
+      }
+    }
+  }
+
+  /** Drop every standing layout this application registered and clear
+    * the registry (bench block cleanup, spec teardown). Returns the
+    * dropped table names. */
+  def dropStandingLayouts(spark: SparkSession): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val appPrefix = spark.sparkContext.applicationId + "|"
+    val mine = standingLayouts.asScala.filter(_._1.startsWith(appPrefix))
+    mine.foreach { case (k, t) =>
+      try spark.sql(s"DROP TABLE IF EXISTS $t")
+      catch { case _: Throwable => () }
+      standingLayouts.remove(k)
+      layoutLocks.remove(k)
+    }
+    mine.values.toSeq
   }
 
   // ---- q179: PageRank over a BUCKETED edge layout ---------------------
@@ -842,13 +920,20 @@ object Graph {
   def pageRankEdgeLayout(spark: SparkSession, edges: DataFrame,
                          buckets: Int = 8, suffix: String = ""): String = {
     graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_pr_edges_")
-    val t = s"graft_pr_edges_pid${ProcessHandle.current().pid()}$suffix"
+    // per-invocation nonce on top of the pid key (round-13 advice: a
+    // constant within-JVM name let two concurrent builds of the same
+    // suffix race each other's drop); the sweep regex tolerates any
+    // suffix shape
+    val t = s"graft_pr_edges_pid${ProcessHandle.current().pid()}" +
+      s"${suffix}_n${layoutNonce.incrementAndGet()}"
     val e = edges.select(col("src"), col("dst"))
     val ed = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
     graft.sources.Warehouse.writeBucketed(ed, t, "src", buckets, Some("src"))
     t
   }
+
+  private val layoutNonce = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The identical integer-exact recurrence as [[pageRankOn]], reading
     * the bucketed layout per round instead of a checkpointed frame. */
@@ -884,16 +969,15 @@ object Graph {
   }
 
   /** q179: same ranks as q146 (byte-identical — same oracle SQL gates
-    * both), computed over the bucketed layout. The final ranks are
-    * checkpointed before the managed table is dropped, so nothing
-    * leaks into the warehouse dir. */
+    * both), computed over the SAME standing layout the default serves
+    * from: identical key ⇒ whichever of q146/q179 runs first builds,
+    * the other reuses — the reuse-without-rebuild law, exercised
+    * concurrently by Verify's query pool every round. */
   def pageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val t = pageRankEdgeLayout(spark, pageRankEdges(spark, dir),
-      buckets = spark.sparkContext.defaultParallelism)
-    try {
-      val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
-      ranks.orderBy(col("r").desc, col("node").asc).limit(20)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    val t = pageRankStandingLayout(spark, pageRankEdges(spark, dir),
+      key = "q146_" + dirFingerprint(s"$dir/lineitem.parquet"))
+    val ranks = pageRankOnBucketed(spark, t).localCheckpoint(true)
+    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
   }
 
   val pageRankSql: String = {

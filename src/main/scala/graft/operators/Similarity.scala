@@ -540,9 +540,26 @@ object Similarity {
     * queries, assigned cells rerank — the reuse-without-rebuild path
     * the spec law exercises. */
   def ivfTopKFromTables(spark: SparkSession, tablePrefix: String,
-                        queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+                        queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    // serving refreshes the dirs' mtimes: the stale-index sweep ages on
+    // idle-since-last-USE, and reads alone don't move a dir's mtime
+    Seq("_cells", "_cents").foreach(s =>
+      graft.sources.Warehouse.touchIndexDir(spark, tablePrefix + s))
     ivfRerank(spark.table(s"${tablePrefix}_cells"),
       ivfProbes(queries, spark.table(s"${tablePrefix}_cents"), nProbe), k)
+  }
+
+  /** Probe a standing durable SRP index (built by
+    * [[srpNearDupPairsDurable]]) with NO rebuild — the SRP twin of
+    * [[ivfTopKFromTables]], touching the table dirs so the stale-index
+    * sweep sees the serve as recent use. */
+  def srpPairsFromTables(spark: SparkSession, tablePrefix: String,
+                         threshold: Double): DataFrame = {
+    Seq("_vecs", "_bands").foreach(s =>
+      graft.sources.Warehouse.touchIndexDir(spark, tablePrefix + s))
+    srpPairsFrom(spark.table(s"${tablePrefix}_vecs"),
+      spark.table(s"${tablePrefix}_bands"), threshold)
+  }
 
   /** Cell count that holds IVF probe cost CONSTANT as the corpus grows
     * (the autoSrpBits of IVF): cells = n / targetCellSize pins the

@@ -152,10 +152,23 @@ object XlsxSource {
     val padded = rows.map(_.padTo(width, null: String))
     val header = padded.head.map(h => Option(h).map(_.trim).getOrElse(""))
     val keep = header.indices.filter(header(_).nonEmpty)
+    val names = keep.map(header(_)).toIndexedSeq
+    // duplicate non-empty header names must REFUSE (symmetrically with
+    // headerNamesBytes): readDir aligns executor rows to the sniffed
+    // schema BY NAME, and a name that denotes two source columns has
+    // no well-defined alignment — silently keeping one slot's value in
+    // both (the round-13 behavior) broke the documented driver ≡
+    // executor row identity on such workbooks
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate header name(s) ${dups.mkString(", ")} in $label: " +
+        "name-based column alignment needs unique headers — rename the " +
+        "duplicated columns in the workbook")
     val data = padded.tail
       .filter(_.exists(v => v != null && v.nonEmpty)) // drop_empty_rows
       .map(r => keep.map(r(_)).toIndexedSeq)
-    (keep.map(header(_)).toIndexedSeq, data)
+    (names, data)
   }
 
   /** Raw cell grid of the first worksheet (driver-side StAX scan). */
@@ -221,11 +234,25 @@ object XlsxSource {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"conformant xlsx header parse of $label failed " +
             s"(${t.getMessage}); retrying with the tolerant fallback")
-        readRowsFallbackBytes(bytes, label).take(1)
+        // the fallback is row-bounded too (round-13 advice: an
+        // UNbounded fallback meant one huge malformed first workbook
+        // cost the driver a full regex parse — exactly what this
+        // sniff's contract rules out)
+        readRowsFallbackBytes(bytes, label, maxRows = 1)
       }
     require(first.nonEmpty, s"empty worksheet in $label")
     val header = first.head.map(h => Option(h).map(_.trim).getOrElse(""))
-    header.indices.filter(header(_).nonEmpty).map(header(_)).toIndexedSeq
+    val names =
+      header.indices.filter(header(_).nonEmpty).map(header(_)).toIndexedSeq
+    // same duplicate-header refusal as grid(): both paths must accept
+    // and reject the same workbooks for driver ≡ executor to hold
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate header name(s) ${dups.mkString(", ")} in $label: " +
+        "name-based column alignment needs unique headers — rename the " +
+        "duplicated columns in the workbook")
+    names
   }
 
   private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
@@ -275,17 +302,22 @@ object XlsxSource {
     } finally zip.close()
   }
 
-  /** [[readRowsFallback]] over in-memory bytes (executor path). */
+  /** [[readRowsFallback]] over in-memory bytes (executor path).
+    * `maxRows` bounds the regex row scan the way readRowsBytes'
+    * maxRows bounds the StAX walk — the header sniff stops at row 1
+    * even on the fallback engine. */
   private[graft] def readRowsFallbackBytes(bytes: Array[Byte],
-                                           label: String): Seq[Array[String]] = {
+                                           label: String,
+                                           maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
     val parts = zipEntryBytes(bytes,
       Set("xl/sharedStrings.xml", "xl/worksheets/sheet1.xml"))
     fallbackCore(name => parts.get(name).map(b =>
-      new String(b, java.nio.charset.StandardCharsets.UTF_8)), label)
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)), label, maxRows)
   }
 
   private def fallbackCore(entryText: String => Option[String],
-                           label: String): Seq[Array[String]] = {
+                           label: String,
+                           maxRows: Int = Int.MaxValue): Seq[Array[String]] = {
     val siRe = "(?s)<si[ >].*?</si>|<si/>".r
     val tRe = "(?s)<t[^>]*>(.*?)</t>".r
     def innerText(span: String): String =
@@ -304,7 +336,9 @@ object XlsxSource {
     val refRe = "r=\"([A-Za-z]+)[0-9]+\"".r
     val typeRe = "t=\"(\\w+)\"".r
     val vRe = "(?s)<v[^>]*>(.*?)</v>".r
-    rowRe.findAllMatchIn(sheet).map { rm =>
+    // findAllMatchIn is lazy: take(maxRows) stops the regex scan after
+    // the bounded row count instead of walking the whole sheet text
+    rowRe.findAllMatchIn(sheet).take(maxRows).map { rm =>
       val cells = mutable.ArrayBuffer.empty[String]
       val rowBody = Option(rm.group(1)).getOrElse("")
       cellRe.findAllMatchIn(rowBody).foreach { cm =>

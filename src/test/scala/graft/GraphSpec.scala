@@ -271,6 +271,40 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("standing layout: serve ≡ build-then-serve, reuse without rebuild, " +
+      "concurrent same-key callers share one table") {
+    val edges = Graph.pageRankEdges(spark, sf)
+    val key = "spec_standing_" + System.nanoTime()
+    try {
+      // build-then-serve (the explicit path) as the reference ranks
+      val tRef = Graph.pageRankEdgeLayout(spark, edges, suffix = "_specref")
+      val ref =
+        try Graph.pageRankOnBucketed(spark, tRef).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.sql(s"DROP TABLE IF EXISTS $tRef")
+      // standing path: first call builds...
+      val t1 = Graph.pageRankStandingLayout(spark, edges, key)
+      val served = Graph.pageRankOnBucketed(spark, t1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served === ref, "standing-layout ranks diverge from build-then-serve")
+      // ...reuse-without-rebuild: same key returns the SAME table and a
+      // poisoned edge frame proves the frame is never reconstructed
+      val poisoned = spark.range(1).selectExpr(
+        "assert_true(false) as src", "id as dst")
+      val t2 = Graph.pageRankStandingLayout(spark, poisoned.toDF(), key)
+      assert(t2 === t1, "reuse hit must return the standing table")
+      // concurrent same-key callers (the round-13 advice race): all
+      // land on one table, nobody's serve is dropped out from under it
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val names = Await.result(
+        Future.sequence((1 to 4).map(_ => Future(
+          Graph.pageRankStandingLayout(spark, edges, key)))), 2.minutes)
+      assert(names.distinct === Seq(t1))
+    } finally Graph.dropStandingLayouts(spark)
+  }
+
   test("q275 double sweep is exact on trees and from the worst seed") {
     import spark.implicits._
     // a "broom": path 10-11-12-13-14 with extra twigs 13-20, 13-21.

@@ -184,6 +184,52 @@ class XlsxSourceSpec extends SparkSpec {
     assert(XlsxSource.readRowsBytes(bytes(good), good).size === 5)
   }
 
+  /** Workbook whose two non-empty headers carry the SAME name — the
+    * shape name-based alignment cannot represent (round-13 advice). */
+  private def writeDupHeaderXlsx(path: String): Unit = {
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>CODE</t></si><si><t>CMC101</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  test("duplicate header names refuse SYMMETRICALLY on both paths") {
+    // silently last-wins alignment broke the driver ≡ executor row
+    // identity on duplicated headers (round-13 advice); both the grid
+    // path and the schema sniff must refuse the same workbook
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_dup")
+    val p = dir.resolve("dup.xlsx").toString
+    writeDupHeaderXlsx(p)
+    val e1 = intercept[IllegalArgumentException] { XlsxSource.read(spark, p) }
+    assert(e1.getMessage.contains("duplicate header"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val e2 = intercept[IllegalArgumentException] {
+      XlsxSource.headerNamesBytes(bytes, p)
+    }
+    assert(e2.getMessage.contains("duplicate header"))
+  }
+
+  test("the FALLBACK header sniff is row-bounded too") {
+    // a huge malformed first workbook must not cost the driver a full
+    // regex parse (round-13 advice): maxRows bounds the lazy row scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_fb")
+    val bad = dir.resolve("bad.xlsx").toString
+    writeMalformedXlsx(bad)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(bad))
+    assert(XlsxSource.readRowsFallbackBytes(bytes, bad, maxRows = 1).size === 1)
+    assert(XlsxSource.readRowsFallbackBytes(bytes, bad).size === 3)
+  }
+
   test("readDir on a single file matches read() (the q308 wiring)") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_xlsx_one").resolve("product.xlsx").toString
