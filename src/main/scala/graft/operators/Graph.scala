@@ -938,8 +938,43 @@ object Graph {
   /** The identical integer-exact recurrence as [[pageRankOn]], reading
     * the bucketed layout per round instead of a checkpointed frame. */
   def pageRankOnBucketed(spark: SparkSession, table: String,
-                         rounds: Int = PageRankRounds): DataFrame = {
-    val ed = spark.table(table)
+                         rounds: Int = PageRankRounds): DataFrame =
+    pageRankOnLayout(spark.table(table), rounds)
+
+  /** Publish the bucketed (src, dst, outdeg) edge layout into the
+    * VERSIONED index catalog (round-13 verdict #3): part `edges`,
+    * bucketed+sorted by src — the standing-layout table, now named and
+    * snapshot-isolated across sessions. Returns the version. */
+  def pageRankLayoutPublish(spark: SparkSession, edges: DataFrame,
+                            family: String, buckets: Int = -1): Int = {
+    val b = if (buckets > 0) buckets
+      else spark.sparkContext.defaultParallelism
+    graft.sources.IndexCatalog.mint(spark, family) { (_, name) =>
+      val e = edges.select(col("src"), col("dst"))
+      val ed = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      graft.sources.Warehouse.writeBucketed(ed, name("edges"), "src", b,
+        Some("src"))
+      Seq("edges")
+    }
+  }
+
+  /** PageRank served from a pinned catalog version of the edge layout:
+    * a rebuild minting the next version mid-iteration is invisible to
+    * this run — every round reads family@v (the q136 snapshot law). */
+  def pageRankFromCatalog(spark: SparkSession, family: String,
+                          rounds: Int = PageRankRounds,
+                          version: Int = -1): DataFrame = {
+    import graft.sources.IndexCatalog
+    val v = IndexCatalog.pin(spark, family, version)
+    pageRankOnLayout(IndexCatalog.readPart(spark, family, v, "edges"), rounds)
+  }
+
+  /** The recurrence over ANY materialized (src, dst, outdeg) layout
+    * frame — table-backed ([[pageRankOnBucketed]]) or catalog-backed
+    * ([[pageRankFromCatalog]]). */
+  def pageRankOnLayout(ed: DataFrame,
+                       rounds: Int = PageRankRounds): DataFrame = {
     var r = ed.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
       .localCheckpoint(true)

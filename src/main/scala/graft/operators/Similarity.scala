@@ -561,6 +561,62 @@ object Similarity {
       spark.table(s"${tablePrefix}_bands"), threshold)
   }
 
+  /** Publish the SRP index into the VERSIONED catalog (round-13
+    * verdict #3): mints family@vN with parts `vecs` (bucketed by
+    * vec_id) + `bands` (by sig) — the same two frames the pid-keyed
+    * durable lane persists, now named and snapshot-isolated. Returns
+    * the minted version. */
+  def srpIndexPublish(emb: DataFrame, family: String,
+                      bands: Int = 12, bits: Int = 6, dim: Int = 64,
+                      nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.mint(emb.sparkSession, family) { (_, name) =>
+      val e = srpVecFrame(emb).localCheckpoint(true) // feeds both writes
+      graft.sources.Warehouse.writeBucketed(e, name("vecs"), "vec_id", nBuckets)
+      graft.sources.Warehouse.writeBucketed(
+        srpBandIndex(e, bands, bits, dim), name("bands"), "sig", nBuckets)
+      Seq("vecs", "bands")
+    }
+
+  /** SRP near-dup pairs served from a pinned catalog version: the
+    * probe reads family@v (default: current at call time) and a build
+    * minting v+1 mid-probe is invisible to it — the q136 snapshot law,
+    * asserted in IndexCatalogSpec. */
+  def srpPairsFromCatalog(spark: SparkSession, family: String,
+                          threshold: Double, version: Int = -1): DataFrame = {
+    import graft.sources.IndexCatalog
+    val v = IndexCatalog.pin(spark, family, version)
+    srpPairsFrom(IndexCatalog.readPart(spark, family, v, "vecs"),
+      IndexCatalog.readPart(spark, family, v, "bands"), threshold)
+  }
+
+  /** Publish the sampled-centroid IVF index into the versioned catalog:
+    * parts `cents` + `cells`, both bucketed on cell (the probe join's
+    * key) — [[ivfSampledTopKDurable]]'s tables, named and versioned. */
+  def ivfIndexPublish(corpus: DataFrame, family: String, nCells: Int = 16,
+                      nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.mint(corpus.sparkSession, family) { (_, name) =>
+      val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+        .localCheckpoint(true) // feeds centroid sample AND assignment
+      val centroids = c.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").cast("int").as("cell"), col("cv").as("centroid"))
+      graft.sources.Warehouse.writeBucketed(centroids, name("cents"), "cell", 1)
+      graft.sources.Warehouse.writeBucketed(
+        ivfAssign(c, centroids), name("cells"), "cell", nBuckets)
+      Seq("cents", "cells")
+    }
+
+  /** IVF top-k served from a pinned catalog version — the versioned
+    * form of [[ivfTopKFromTables]]. */
+  def ivfTopKFromCatalog(spark: SparkSession, family: String,
+                         queries: DataFrame, k: Int, nProbe: Int,
+                         version: Int = -1): DataFrame = {
+    import graft.sources.IndexCatalog
+    val v = IndexCatalog.pin(spark, family, version)
+    ivfRerank(IndexCatalog.readPart(spark, family, v, "cells"),
+      ivfProbes(queries, IndexCatalog.readPart(spark, family, v, "cents"),
+        nProbe), k)
+  }
+
   /** Cell count that holds IVF probe cost CONSTANT as the corpus grows
     * (the autoSrpBits of IVF): cells = n / targetCellSize pins the
     * expected cell size, so each query exactly-scores ~nProbe *
