@@ -491,26 +491,32 @@ object ScaleBench {
                     filesPerTrigger: Int = 2,
                     maxBucketHistory: Int = Int.MaxValue,
                     statePartitions: Int = -1): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)
-    def run(): DataFrame = graft.streaming.StreamOps.nearDupCandidatesFrom(src,
-      s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}",
-      maxBucketHistory = maxBucketHistory)
-    // statePartitions > 0 pins the stream's SHUFFLE partition count for
-    // the (blocking) replay — each microbatch commits one state store
-    // per shuffle partition, so the per-batch fixed cost scales with
-    // this number while data parallelism only needs cores (the
-    // microbatch-floor dial the q61 LaneProbe sweeps). Scoped set/
-    // restore, the q185 skew-conf pattern: the stream has drained when
-    // run() returns, so nothing else sees the setting.
-    if (statePartitions <= 0) run()
-    else {
-      val key = "spark.sql.shuffle.partitions"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, statePartitions.toString)
-      try run() finally spark.conf.set(key, old)
+    val fixture = spark.read.parquet(path)
+    val schema = fixture.schema
+    // statePartitions: > 0 pins the stream's state-store count (one
+    // store commit per shuffle partition per microbatch — the
+    // microbatch-floor dial the q61 LaneProbe swept); 0 keeps the
+    // session default (the pre-round-14 behavior, for comparators);
+    // < 0 (the DEFAULT) auto-sizes from the pipeline's state law —
+    // docs × 4 bands bucket entries — exactly what the q61 registry
+    // path does since round 14 (round-13 verdict #4). The sizing count
+    // is on the lane's clock: it is part of what the default API costs.
+    val sp =
+      if (statePartitions > 0) statePartitions
+      else if (statePartitions == 0) -1
+      else graft.streaming.StreamOps.autoStatePartitions(spark,
+        fixture.count() * 4)
+    def run(s: SparkSession): DataFrame = {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)
+      graft.streaming.StreamOps.nearDupCandidatesFrom(src,
+        s"graft_scale_stream_x${times}_${streamLaneCounter.incrementAndGet()}",
+        maxBucketHistory = maxBucketHistory)
     }
+    // scoped via a session CLONE (the withStateStore discipline), never
+    // set/restore on the shared session's conf
+    if (sp <= 0) run(spark)
+    else graft.streaming.StreamOps.withShufflePartitions(spark, sp)(run)
   }
 
   /** q141's FULL continuous-dedup state machine over the replicated

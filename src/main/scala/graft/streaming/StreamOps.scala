@@ -50,6 +50,46 @@ object StreamOps {
     f(s2)
   }
 
+  /** State-store count from estimated STATE SIZE, not session
+    * parallelism (round-13 verdict #4). Every microbatch commits one
+    * state store per shuffle partition, so the per-batch fixed cost
+    * scales with the store count while the state itself needs far
+    * fewer: the committed LaneProbe sweep over the x20 q61 replay
+    * (381,928 state rows) measured 0.95 s/batch at the session's 32
+    * stores, 0.68 at 8, 0.65 at 4 (diminishing — Spark's microbatch
+    * machinery is the ~0.65 residual). One store per ~50k state rows
+    * reproduces the sweep's knee (382k → 8); the floor of 4 keeps
+    * stateful-stage parallelism where the curve went flat, and the
+    * session's shuffle-partition count caps it (auto never ADDS
+    * stores). Callers estimate rows with the operator's own state law
+    * — for the LSH candidate pipeline, ≤ docs × bands bucket entries. */
+  def autoStatePartitions(spark: SparkSession, estimatedStateRows: Long,
+                          rowsPerStore: Long = 50000L): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(session, math.max(4,
+      math.ceil(estimatedStateRows.toDouble / math.max(1L, rowsPerStore)).toInt))
+  }
+
+  /** Run `f` against a CLONED session whose shuffle-partition count is
+    * `n` — the scoped form of the state-store dial. A clone, not
+    * set/restore on the caller's conf, for the same reason as
+    * [[withStateStore]]: a restore racing another session thread's
+    * query start (Verify's concurrent pool) would flip that query's
+    * plan mid-flight. Everything downstream of the drained stream that
+    * the caller builds on the returned frame also plans at `n`
+    * partitions — fine for sink-side reductions, which are bounded by
+    * the stream's OUTPUT, not its input. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(
+      f: SparkSession => T): T = {
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(s2)
+  }
+
   /** One stateful operator's progress in one microbatch — the
     * state-size evidence row behind the RocksDB parity lanes. */
   final case class StateBatchProgress(batchId: Long, operator: String,
@@ -563,12 +603,20 @@ object StreamOps {
   def streamingNearDupCandidates(spark: SparkSession, dir: String,
                                  n: Int = 3, numHashes: Int = 12,
                                  bands: Int = 4): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val src = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-    nearDupCandidatesFrom(src, freshName("graft_neardup_", dir),
-      n, numHashes, bands)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fileSchema = docs.schema
+    // state-store count sized to the pipeline's state law (≤ docs ×
+    // bands live bucket entries), not session parallelism — the
+    // round-13 verdict-#4 default; the sizing count is a metadata-cheap
+    // scan and is part of what the default API honestly costs
+    val stores = autoStatePartitions(spark, docs.count() * bands)
+    withShufflePartitions(spark, stores) { s2 =>
+      val src = s2.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      nearDupCandidatesFrom(src, freshName("graft_neardup_", dir),
+        n, numHashes, bands)
+    }
   }
 
   /** The near-dup candidate pipeline over ANY streaming docs frame

@@ -34,6 +34,41 @@ class StreamNearDupSpec extends SparkSpec {
     assert(oneBatch.nonEmpty, "corpus must produce candidate pairs")
   }
 
+  test("auto state-store sizing: same pairs as the session default, " +
+      "heuristic pins the sweep's knee and clamps both ends") {
+    // the heuristic itself (round-13 verdict #4): one store per ~50k
+    // state rows, floor 4, ceiling = session shuffle partitions
+    assert(StreamOps.autoStatePartitions(spark, 381928L) === 4,
+      "test session runs 4 shuffle partitions — the ceiling must bind")
+    StreamOps.withShufflePartitions(spark, 32) { s32 =>
+      assert(StreamOps.autoStatePartitions(s32, 381928L) === 8,
+        "the x20 sweep's measured state (382k rows) must land on its knee")
+      assert(StreamOps.autoStatePartitions(s32, 2000L) === 4, "floor")
+      assert(StreamOps.autoStatePartitions(s32, 10000000L) === 32, "ceiling")
+    }
+    // output-invariance: the store count moves WHERE state lives, never
+    // what the pipeline emits — the auto-sized registry path (q61) must
+    // equal an explicit clone at any store count
+    val dir = "/tmp/graft_stream_neardup_auto"
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    def run(s: org.apache.spark.sql.SparkSession, name: String) = {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/docs")
+      StreamOps.nearDupCandidatesFrom(src, name)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val sessionSized = run(spark, "nd_session_sized")
+    val autoSized = StreamOps.withShufflePartitions(spark,
+      StreamOps.autoStatePartitions(spark, 500L * 4))(run(_, "nd_auto_sized"))
+    assert(autoSized === sessionSized,
+      "state-store count changed the emitted pair set")
+    assert(autoSized.nonEmpty)
+  }
+
   test("maxBucketHistory bounds state: capped output is a strict subset") {
     val dir = "/tmp/graft_stream_neardup_cap"
     Tables.documents(spark, sf).select("doc_id", "text")
