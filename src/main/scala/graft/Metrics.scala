@@ -38,6 +38,44 @@ object Metrics {
       .filter(_.startsWith("cpu "))
       .findFirst().map[Long](_.trim.split("\\s+")(8).toLong).orElse(-1L)
     catch { case _: Throwable => -1L }
+
+  /** Cumulative HOST busy jiffies (all cpus): user+nice+system+irq+
+    * softirq+steal from /proc/stat's aggregate line — idle and iowait
+    * excluded, guest fields excluded (guest time is already inside
+    * user on Linux). -1 when unavailable. Diffed against
+    * [[selfJiffies]] this measures CPU work done by processes OTHER
+    * than this JVM across a window — the interference signal load1
+    * only proxies (load1 counts OUR runnable threads too, so a busy
+    * bench raises it with zero external interference). */
+  def hostBusyJiffies(): Long =
+    try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).stream()
+      .filter(_.startsWith("cpu "))
+      .findFirst().map[Long] { line =>
+        val f = line.trim.split("\\s+")
+        // f(0)="cpu"; 1 user, 2 nice, 3 system, 4 idle, 5 iowait,
+        // 6 irq, 7 softirq, 8 steal
+        Seq(1, 2, 3, 6, 7, 8).map(i =>
+          if (i < f.length) f(i).toLong else 0L).sum
+      }.orElse(-1L)
+    catch { case _: Throwable => -1L }
+
+  /** This process's cumulative CPU jiffies (utime+stime from
+    * /proc/self/stat; -1 when unavailable). Fields parsed after the
+    * closing paren of comm — the one field that can embed spaces. */
+  def selfJiffies(): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      // after comm: 0 state, 1 ppid ... 11 utime, 12 stime
+      rest(11).toLong + rest(12).toLong
+    } catch { case _: Throwable => -1L }
+
+  /** Jiffies per second (USER_HZ). Linux has reported 100 to userspace
+    * for decades regardless of the kernel tick; /proc jiffy fields are
+    * all in these units. */
+  val Hz: Double = 100.0
   final case class IoStats(inputBytes: Long, shuffleWriteBytes: Long,
                            shuffleReadBytes: Long)
 
