@@ -108,11 +108,16 @@ object Advanced {
   // The q52 technique extended to the formats a training-data pipeline
   // actually meets: REAL PNG, baseline JPEG, GIF89a and big-endian TIFF
   // bytes (JDK ImageIO encoders — genuine files, openable anywhere)
-  // plus a WebP with spec-exact RIFF/VP8 headers, decoded by pure
-  // Column expressions (PNG: fixed-offset big-endian IHDR; JPEG:
-  // bounded SOF marker walk; GIF: little-endian logical-screen dims;
-  // WebP: VP8/VP8L chunk header; TIFF: endian-tagged IFD walk with
-  // offset-indirected BitsPerSample). The planted classes include a
+  // plus WebPs with spec-exact RIFF headers (plain 'VP8 ' lossy AND
+  // the VP8X extended container a crawl's animated/alpha/EXIF files
+  // open with), decoded by pure Column expressions (PNG: fixed-offset
+  // big-endian IHDR; JPEG: bounded SOF marker walk; GIF: little-endian
+  // logical-screen dims; WebP: VP8/VP8L frame header or VP8X canvas
+  // fields; TIFF: endian-tagged IFD walk with offset-indirected
+  // BitsPerSample AND the EXIF Orientation(274) display-transpose —
+  // half the TIFF ids store their dims rotated 90° behind
+  // orientation 6, so the oracle only matches through an
+  // orientation-aware decode). The planted classes include a
   // TRUNCATED PNG and a TRUNCATED WebP (signatures intact, cut before
   // the dimensioned payload — must keep the sniffed kind with null
   // fields, never garbage numbers) and non-media bytes

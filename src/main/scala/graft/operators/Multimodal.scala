@@ -134,9 +134,11 @@ object Multimodal {
     * and the 9D 01 2A keyframe start code (upper 2 bits of each 16-bit
     * field are rescale hints); a 'VP8L' (lossless) chunk packs width-1 /
     * height-1 as back-to-back 14-bit fields of one LE 32-bit word after
-    * its 0x2F signature byte. Anything else — a truncated chunk, a
-    * missing start code, a 'VP8X' extended file (out of scope, like
-    * BMP's top-down variant) — yields null, never a partial read. */
+    * its 0x2F signature byte; a 'VP8X' (extended — animation / alpha /
+    * EXIF features) chunk carries the CANVAS dims directly: width-1 /
+    * height-1 as back-to-back 24-bit little-endian fields after the
+    * flags+reserved word. Anything else — a truncated chunk, a missing
+    * start code — yields null, never a partial read. */
   def webpDims(content: Column): Column = {
     val c = content
     val fourcc = hex(substring(c, 13, 4))
@@ -147,8 +149,14 @@ object Multimodal {
     val lossless = when(length(c) >= 25 && hex(substring(c, 21, 1)) === "2F",
       struct((pmod(bits, lit(16384L)) + 1L).as("width"),
         (pmod(shiftright(bits, 14), lit(16384L)) + 1L).as("height")))
+    // VP8X payload: flags(1) + reserved(3) at 1-based 21-24, then
+    // canvas width-1 at 25-27 and height-1 at 28-30 (24-bit LE each)
+    val extended = when(length(c) >= 30,
+      struct((leUInt(c, 25, 3) + 1L).as("width"),
+        (leUInt(c, 28, 3) + 1L).as("height")))
     when(fourcc === "56503820", lossy)        // "VP8 "
       .when(fourcc === "5650384C", lossless)  // "VP8L"
+      .when(fourcc === "56503858", extended)  // "VP8X"
   }
 
   /** TIFF metadata via an endian-tagged IFD walk, pure Column
@@ -156,7 +164,11 @@ object Multimodal {
     * 32-bit IFD offset is followed, and the entry array (12-byte
     * stride, capped at `maxEntries` against adversarial counts) is
     * scanned for ImageWidth(256)/ImageLength(257) — inline SHORT or
-    * LONG values — and BitsPerSample(258), whose count-1/2 values sit
+    * LONG values — plus EXIF Orientation(274): stored dims are the
+    * SENSOR layout, and orientations 5-8 transpose the display, so the
+    * returned width/height are swapped into DISPLAY orientation (what
+    * a resize/crop pipeline must operate on; the raw orientation rides
+    * along as its own field) — and BitsPerSample(258), whose count-1/2 values sit
     * inline (left-justified per spec, so the same read works in both
     * byte orders) while count-3/4 values indirect through the
     * value-offset to a SHORT array that is summed (RGB [8,8,8] -> 24).
@@ -189,7 +201,8 @@ object Multimodal {
     // step to -1 for start > stop and the walk would read entry -1
     val n = when(nRaw >= 1L, least(nRaw, lit(maxEntries.toLong)))
     def longNull = lit(null).cast("long")
-    val init = struct(longNull.as("w"), longNull.as("h"), longNull.as("bpp"))
+    val init = struct(longNull.as("w"), longNull.as("h"),
+      longNull.as("bpp"), longNull.as("o"))
     val folded = aggregate(sequence(lit(0L), n - 1L), init, (acc, i) => {
       val eb = base0 + 2L + i * 12L
       val tag = u16(eb)
@@ -218,11 +231,22 @@ object Multimodal {
       struct(
         when(tag === 256L, scalar).otherwise(acc.getField("w")).as("w"),
         when(tag === 257L, scalar).otherwise(acc.getField("h")).as("h"),
-        when(tag === 258L, bpp).otherwise(acc.getField("bpp")).as("bpp"))
+        when(tag === 258L, bpp).otherwise(acc.getField("bpp")).as("bpp"),
+        when(tag === 274L, scalar).otherwise(acc.getField("o")).as("o"))
     })
-    struct(folded.getField("w").as("width"),
-      folded.getField("h").as("height"),
-      folded.getField("bpp").as("bpp"))
+    // EXIF orientations 5-8 transpose the display (rotate 90/270 ±
+    // flip): report width/height post-transpose — the dims a resize
+    // actually sees after auto-orient — with the raw tag beside them.
+    // A null/absent orientation falls through to the stored dims.
+    val o = folded.getField("o")
+    val transposed = o >= 5L && o <= 8L
+    struct(
+      when(transposed, folded.getField("h"))
+        .otherwise(folded.getField("w")).as("width"),
+      when(transposed, folded.getField("w"))
+        .otherwise(folded.getField("h")).as("height"),
+      folded.getField("bpp").as("bpp"),
+      o.as("orientation"))
   }
 
   /** REAL media-metadata decode over (asset_id, content) rows: BMP
@@ -616,12 +640,17 @@ object Multimodal {
     * field null instead of converting a partial read into garbage
     * numbers), deterministic non-media bytes (3 — kind='unknown'), a
     * REAL GIF89a (4, ImageIO), a WebP with spec-exact RIFF/VP8 headers
-    * (5), a REAL big-endian TIFF (6, ImageIO — exercises the IFD
-    * walk's offset-indirected BitsPerSample), and a TRUNCATED WebP
-    * (7 — container signature intact, cut before the VP8 chunk fourcc:
-    * kind='webp', all fields null). Dimensions derive from the id by
-    * fixed formulas so the DuckDB oracle recomputes them without any
-    * image decoding. */
+    * (5 — alternating by id/8 between a plain lossy 'VP8 ' file and a
+    * VP8X EXTENDED container whose canvas dims live in the 24-bit
+    * fields of the VP8X chunk itself), a REAL TIFF (6 — alternating
+    * between the ImageIO big-endian encoder, which exercises the IFD
+    * walk's offset-indirected BitsPerSample, and a little-endian file
+    * carrying EXIF Orientation 6: stored dims TRANSPOSED, so only an
+    * orientation-aware decode recovers the planted display dims), and
+    * a TRUNCATED WebP (7 — container signature intact, cut before the
+    * VP8 chunk fourcc: kind='webp', all fields null). Dimensions
+    * derive from the id by fixed formulas so the DuckDB oracle
+    * recomputes them without any image decoding. */
   def plantedImageAssets(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -636,10 +665,16 @@ object Multimodal {
           case 3 => Array.tabulate[Byte](64)(i => ((i * 11 + 3) % 256).toByte)
           case 4 => graft.sources.MediaFixture.gif(
             (id % 40 + 1).toInt, (id * 7 % 30 + 1).toInt)
-          case 5 => graft.sources.MediaFixture.webp(
-            (id % 200 + 16).toInt, (id * 3 % 150 + 16).toInt)
-          case 6 => graft.sources.MediaFixture.tiff(
-            (id % 30 + 1).toInt, (id * 11 % 25 + 1).toInt)
+          case 5 =>
+            val (w, h) = ((id % 200 + 16).toInt, (id * 3 % 150 + 16).toInt)
+            if ((id / 8) % 2 == 0) graft.sources.MediaFixture.webp(w, h)
+            else graft.sources.MediaFixture.webpVp8x(w, h)
+          case 6 =>
+            val (w, h) = ((id % 30 + 1).toInt, (id * 11 % 25 + 1).toInt)
+            if ((id / 8) % 2 == 0) graft.sources.MediaFixture.tiff(w, h)
+            // stored transposed + orientation 6 (rotate 90 CW): the
+            // display dims the oracle expects are (w, h)
+            else graft.sources.MediaFixture.tiffOriented(h, w, 24, 6)
           case _ => graft.sources.MediaFixture.webp(16, 16).take(14)
         }
         (id, content)

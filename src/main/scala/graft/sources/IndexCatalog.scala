@@ -116,7 +116,10 @@ object IndexCatalog {
     val lock = mintLocks.computeIfAbsent(family, _ => new Object)
     lock.synchronized {
       val prev = readManifest(spark, family)
-      val v = prev.map(_.versions.map(_.v).max).getOrElse(0) + 1
+      // maxOption: a manifest whose version lines were all hand-pruned
+      // (or failed the line grammar) still has a current= header — mint
+      // must restart numbering, not throw on an empty max
+      val v = prev.flatMap(_.versions.map(_.v).maxOption).getOrElse(0) + 1
       val parts = build(v, part => tableName(family, v, part))
       require(parts.nonEmpty, s"index build for $family wrote no parts")
       val entry = Version(v, parts, System.currentTimeMillis())
@@ -206,8 +209,15 @@ object IndexCatalog {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
             warehouseDir(spark), t.toLowerCase(java.util.Locale.ROOT)))
         }))
+      // version dirs + manifest temps of THIS family only: a bare
+      // `graft_idx_<family>_` prefix would also match a family whose
+      // name extends this one (dropping `srp` must not touch
+      // `srp_docs`' `graft_idx_srp_docs_v1_*` dirs), so require the
+      // version marker or the manifest filename after the family name
+      val exact = (s"graft_idx_${family}_v\\d+_.*|" +
+        s"graft_idx_${family}_manifest\\.txt(\\.tmp_pid\\d+)?").r
       Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(s"graft_idx_${family}_"))
+        .filter(f => exact.pattern.matcher(f.getName).matches())
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       manifestFile(spark, family).delete()
       ()

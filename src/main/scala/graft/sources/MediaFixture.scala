@@ -201,6 +201,37 @@ object MediaFixture {
     out.toByteArray
   }
 
+  /** WebP VP8X (extended) container: RIFF + 'WEBP' opening with a
+    * 'VP8X' chunk (payload size 10) — a feature-flags byte, 3 reserved
+    * bytes, then canvas width-1 and height-1 as 24-bit little-endian
+    * fields — the layout every extended (animated / alpha / EXIF-
+    * bearing) crawl WebP starts with, and the case the plain VP8/VP8L
+    * reads cannot see (their dims live in a later chunk; the canvas
+    * dims live HERE). A stub VP8 image chunk follows so the container
+    * is structurally complete. */
+  def webpVp8x(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) &&
+      height >= 1 && height <= (1 << 24), "VP8X canvas dims are 24-bit + 1")
+    def le24(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff)
+    }
+    // reuse a plain lossy file's VP8 chunk (bytes after RIFF+'WEBP')
+    val vp8Chunk = webp(math.min(width, 16383), math.min(height, 16383)).drop(12)
+    val out = new ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    le32(out, 4 + 8 + 10 + vp8Chunk.length)
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    out.write('V'); out.write('P'); out.write('8'); out.write('X')
+    le32(out, 10)
+    out.write(0)                            // feature flags: none set
+    out.write(0); out.write(0); out.write(0) // reserved
+    le24(out, width - 1)
+    le24(out, height - 1)
+    out.write(vp8Chunk, 0, vp8Chunk.length)
+    out.toByteArray
+  }
+
   /** Minimal hand-built LITTLE-endian ("II") TIFF header + IFD with
     * inline-SHORT width/height and a count-1 BitsPerSample — the byte
     * order the JDK encoder does NOT produce, so the decoder's II path
@@ -219,6 +250,31 @@ object MediaFixture {
     entry(256, 3, 1, width)
     entry(257, 3, 1, height)
     entry(258, 3, 1, bits)
+    le32(out, 0) // next-IFD pointer: none
+    out.toByteArray
+  }
+
+  /** Little-endian TIFF whose IFD carries an EXIF Orientation(274)
+    * entry beside the dimension tags (entries tag-sorted per spec).
+    * Camera files store SENSOR-layout dims; orientations 5-8 mean the
+    * display is TRANSPOSED (rotate 90/270 ± flip), so a pipeline that
+    * resizes on stored dims gets portrait/landscape backwards — the
+    * fixture for the decoder's display-orientation swap. */
+  def tiffOriented(storedWidth: Int, storedHeight: Int, bits: Int,
+                   orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "EXIF orientation is 1-8")
+    val out = new ByteArrayOutputStream()
+    out.write('I'); out.write('I'); le16(out, 42)
+    le32(out, 8) // IFD at offset 8
+    le16(out, 4) // 4 entries
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      le16(out, tag); le16(out, typ); le32(out, count)
+      le16(out, value); le16(out, 0) // SHORT left-justified
+    }
+    entry(256, 3, 1, storedWidth)
+    entry(257, 3, 1, storedHeight)
+    entry(258, 3, 1, bits)
+    entry(274, 3, 1, orientation)
     le32(out, 0) // next-IFD pointer: none
     out.toByteArray
   }

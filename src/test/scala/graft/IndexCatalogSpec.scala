@@ -160,6 +160,46 @@ class IndexCatalogSpec extends SparkSpec {
     } finally IndexCatalog.dropFamily(spark, fam)
   }
 
+  test("dropFamily is exact: dropping `f` leaves sibling family `f_docs` intact") {
+    val base = "spec_pfx_" + math.abs(this.hashCode())
+    val sibling = base + "_docs"
+    IndexCatalog.dropFamily(spark, base)
+    IndexCatalog.dropFamily(spark, sibling)
+    try {
+      val df = spark.range(5).selectExpr("id", "id * 3 as y")
+      def publish(fam: String): Unit =
+        IndexCatalog.mint(spark, fam) { (_, name) =>
+          df.write.mode("overwrite").saveAsTable(name("part")); Seq("part")
+        }
+      publish(base); publish(sibling)
+      IndexCatalog.dropFamily(spark, base)
+      assert(IndexCatalog.currentVersion(spark, base).isEmpty)
+      assert(IndexCatalog.currentVersion(spark, sibling) === Some(1),
+        "dropping the prefix family must not delete the sibling's manifest")
+      assert(IndexCatalog.readPart(spark, sibling, 1, "part").count() === 5L,
+        "sibling family's version tables must survive the prefix drop")
+    } finally IndexCatalog.dropFamily(spark, sibling)
+  }
+
+  test("mint survives a manifest with a current= header but no version lines") {
+    val fam = "spec_hdr_" + math.abs(this.hashCode())
+    IndexCatalog.dropFamily(spark, fam)
+    try {
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      wh.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(wh, s"graft_idx_${fam}_manifest.txt").toPath,
+        "current=3\n".getBytes)
+      val v = IndexCatalog.mint(spark, fam) { (_, name) =>
+        spark.range(3).write.mode("overwrite").saveAsTable(name("part"))
+        Seq("part")
+      }
+      assert(v === 1, "numbering restarts when no version lines survive")
+      assert(IndexCatalog.readPart(spark, fam, v, "part").count() === 3L)
+    } finally IndexCatalog.dropFamily(spark, fam)
+  }
+
   test("manifest publish is atomic and tolerant: a torn temp file never " +
       "shadows the published state") {
     val fam = "spec_atom_" + math.abs(this.hashCode())

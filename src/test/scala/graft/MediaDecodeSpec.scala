@@ -132,6 +132,42 @@ class MediaDecodeSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(4)), "webp bpp must be null (YUV420)")
   }
 
+  test("WebP VP8X extended container decodes canvas dims; truncation yields nulls") {
+    // canvas dims above the 14-bit VP8 frame limit: only the VP8X
+    // 24-bit canvas fields can carry them, so a decoder that fell
+    // through to the embedded VP8 chunk would read the wrong numbers
+    val ext = MediaFixture.webpVp8x(20000, 17000)
+    val rows = Multimodal.decodeMediaMeta(Seq(
+        (1L, ext),
+        (2L, MediaFixture.webpVp8x(320, 240)),
+        (3L, ext.take(24))    // cut inside the VP8X payload
+      ).toDF("asset_id", "content")).orderBy("asset_id").collect()
+    rows.foreach(r => assert(r.getString(1) === "webp"))
+    assert(rows(0).getLong(2) === 20000L && rows(0).getLong(3) === 17000L)
+    assert(rows(1).getLong(2) === 320L && rows(1).getLong(3) === 240L)
+    assert((2 to 8).forall(rows(2).isNullAt), "truncated VP8X leaked fields")
+  }
+
+  test("EXIF-oriented TIFF reports display dims (5-8 transpose; 1-4 keep stored)") {
+    // stored 30x20: orientations 5-8 display as 20x30, 1-4 as 30x20
+    val rows = Multimodal.decodeMediaMeta(
+      (1 to 8).map(o => (o.toLong, MediaFixture.tiffOriented(30, 20, 24, o)))
+        .toDF("asset_id", "content")).orderBy("asset_id").collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === "tiff")
+      val o = r.getLong(0)
+      val (w, h) = if (o >= 5) (20L, 30L) else (30L, 20L)
+      assert(r.getLong(2) === w && r.getLong(3) === h,
+        s"orientation $o: got ${r.getLong(2)}x${r.getLong(3)}")
+      assert(r.getLong(4) === 24L)
+    }
+    // a TIFF with NO orientation entry keeps stored dims (null-safe swap)
+    val plain = Multimodal.decodeMediaMeta(
+      Seq((1L, MediaFixture.tiffLittleEndian(30, 20, 24)))
+        .toDF("asset_id", "content")).head
+    assert(plain.getLong(2) === 30L && plain.getLong(3) === 20L)
+  }
+
   test("TIFF BitsPerSample with a non-SHORT type yields null bpp, not a fabricated number") {
     // patch entry 3 (tag 258) type SHORT(3) -> LONG(4): a left-justified
     // 16-bit read of a LONG value field would fabricate bpp=0
