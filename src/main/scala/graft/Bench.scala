@@ -926,7 +926,7 @@ object Bench {
       "q34_ivf_topk" -> (1.6, "same autoNCells growth as the build lane"),
       "q146_pagerank_aqe" -> (Double.PositiveInfinity, "AQE plan flip: broadcast rank side at x1, SMJ at xN — x1 bytes are not comparable; q179/q146_merge carry the pagerank byte law"),
       "q146_pagerank" -> (1.6, "standing-layout serve: O(V) rank exchanges only; headroom for replica-interleaving LZ4 drift"),
-      "q146_layout_build" -> (1.6, "outdeg groupBy + bucket clustering is linear; headroom for replica-interleaving LZ4 drift"),
+      "q146_layout_build" -> (1.6, "one deterministic O(E) repartition exchange (outdeg is a window over the co-partitioned data — the join form AQE-flipped broadcast->SMJ at x20, a 139x plan-flip curve); headroom for replica-interleaving LZ4 drift"),
       "q146_pagerank_merge" -> (1.6, "deliberately pessimal sort-merge comparator arm"),
       "q284_active_users" -> (1.25, "user-day ROWS are exactly linear (ScaleVerify q284 law: 40083 -> 801660 at x20); the residual byte drift is the distinct leg's LZ4 ratio degrading as replicas interleave value runs (measured 22.0x total, 24.1x on the distinct alone)"))
     val byteLawViolations: Seq[String] = (for {

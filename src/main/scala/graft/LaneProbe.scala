@@ -83,6 +83,17 @@ object LaneProbe {
             ScaleBench.streamNearDup(spark, p, times, filesPerTrigger = f,
               statePartitions = sp)
           }
+        case "q146_layout_build" =>
+          // byte-law probe for the build's shuffle shape: each rep
+          // prints its measured shuffle-write MB (the wall is
+          // secondary — the law is bytes-linear-in-E at every factor)
+          val e = ScaleBench.pageRankEdges(spark, sfDir, times)
+          () => {
+            val io = Metrics.measure(spark)(
+              ScaleBench.pageRankLayoutBuild(spark, e, times))
+            println(f"LANEPROBE shuffleMB x$times: ${io.shuffleWriteBytes / 1e6}%.2f")
+            spark.range(0).toDF() // noop target
+          }
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

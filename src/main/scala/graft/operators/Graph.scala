@@ -926,11 +926,31 @@ object Graph {
     // suffix shape
     val t = s"graft_pr_edges_pid${ProcessHandle.current().pid()}" +
       s"${suffix}_n${layoutNonce.incrementAndGet()}"
-    val e = edges.select(col("src"), col("dst"))
-    val ed = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-    graft.sources.Warehouse.writeBucketed(ed, t, "src", buckets, Some("src"))
+    graft.sources.Warehouse.writeBucketed(
+      layoutFrame(edges, buckets), t, "src", buckets, Some("src"))
     t
+  }
+
+  /** The (src, dst, outdeg) frame a layout build writes: ONE
+    * deterministic O(E) exchange at every scale. The first cut joined
+    * edges against a groupBy-outdeg aggregate, which let AQE broadcast
+    * the outdeg side at small factors (eliding the edge exchange) and
+    * flip to sort-merge when the node table outgrew the threshold —
+    * shuffling O(E) for the join and handing the byte-law a 139×
+    * x20/x1 curve that was a PLAN FLIP, not a regression. Here the
+    * edges are repartitioned once by the bucket key and outdeg is a
+    * window count over the co-partitioned data (ClusteredDistribution
+    * already satisfied — no second exchange), so the build's shuffle
+    * is linear in E by construction, the plan is the same one a
+    * 100 TB build runs (a billion-node outdeg table never broadcasts),
+    * and the pre-shuffle ALSO fixes a real layout defect: bucketBy
+    * without repartition writes up to nTasks × nBuckets fragment
+    * files; aligned input writes one file per bucket. */
+  private def layoutFrame(edges: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edges.select(col("src"), col("dst"))
+      .repartition(buckets, col("src"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
   }
 
   private val layoutNonce = new java.util.concurrent.atomic.AtomicLong(0)
@@ -950,11 +970,8 @@ object Graph {
     val b = if (buckets > 0) buckets
       else spark.sparkContext.defaultParallelism
     graft.sources.IndexCatalog.mint(spark, family) { (_, name) =>
-      val e = edges.select(col("src"), col("dst"))
-      val ed = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      graft.sources.Warehouse.writeBucketed(ed, name("edges"), "src", b,
-        Some("src"))
+      graft.sources.Warehouse.writeBucketed(layoutFrame(edges, b),
+        name("edges"), "src", b, Some("src"))
       Seq("edges")
     }
   }

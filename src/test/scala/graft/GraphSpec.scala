@@ -271,6 +271,51 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("layout build: one deterministic O(E) exchange, one file per bucket") {
+    // the join form of the build AQE-flipped (broadcast outdeg at small
+    // inputs, SMJ at scale) — a 139x x20/x1 byte-law curve that was a
+    // plan flip, not data. The window-over-repartition form must plan
+    // exactly ONE hashpartitioning exchange with NO join at any
+    // broadcast threshold, and the bucket-aligned input must write one
+    // file per bucket (bucketBy over unaligned input fragments into up
+    // to nTasks x nBuckets files — a real scan-planning cost at scale).
+    val edges = Graph.pageRankEdges(spark, sf)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // the regime the flip hid in
+    val t =
+      try Graph.pageRankEdgeLayout(spark, edges, buckets = 8, suffix = "_shape")
+      finally spark.conf.set(key, prev)
+    try {
+      // checkpointed input, exactly like the bench lanes: the law is
+      // about the BUILD's shuffle, not the edge derivation's
+      val frame = Graph.pageRankEdges(spark, sf).localCheckpoint(true)
+        .select(col("src"), col("dst"))
+        .repartition(8, col("src"))
+        .withColumn("outdeg", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      frame.write.mode("overwrite").format("noop").save()
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"layout frame must not join:\n$plan")
+      val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(nEx == 1, s"expected exactly 1 exchange, got $nEx:\n$plan")
+      // one data file per bucket in the written layout
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        t.toLowerCase(java.util.Locale.ROOT))
+      val dataFiles = Option(loc.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(dataFiles == 8, s"expected 8 bucket files, got $dataFiles")
+      // outdeg semantics unchanged: window count == groupBy count
+      val winDeg = spark.table(t).select("src", "outdeg").distinct()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val aggDeg = edges.groupBy("src").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(winDeg === aggDeg, "window outdeg diverges from groupBy outdeg")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("standing layout: serve ≡ build-then-serve, reuse without rebuild, " +
       "concurrent same-key callers share one table") {
     val edges = Graph.pageRankEdges(spark, sf)
