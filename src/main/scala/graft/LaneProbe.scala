@@ -94,6 +94,14 @@ object LaneProbe {
             println(f"LANEPROBE shuffleMB x$times: ${io.shuffleWriteBytes / 1e6}%.2f")
             spark.range(0).toDF() // noop target
           }
+        case "ingest_load_largest" =>
+          // the bench's Polars-comparable typed parse of the largest
+          // fixture file, in a fresh JVM — attribution probe for
+          // round-over-round drift in the ingest block (factor ignored)
+          val (largest, _) = graft.sources.IngestFixture.ensure(spark)
+          () => graft.sources.CsvSource.alignTo(
+            graft.sources.CsvSource.readRaw(spark, largest),
+            graft.model.ReferenceSchemas.transactions)
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

@@ -60,17 +60,47 @@ object Metrics {
       }.orElse(-1L)
     catch { case _: Throwable => -1L }
 
-  /** This process's cumulative CPU jiffies (utime+stime from
-    * /proc/self/stat; -1 when unavailable). Fields parsed after the
-    * closing paren of comm — the one field that can embed spaces. */
-  def selfJiffies(): Long =
+  /** Cumulative HOST user-mode + steal jiffies (user+nice+steal from
+    * /proc/stat's aggregate line; -1 when unavailable). The LOAD-GATE
+    * numerator: kernel/system time is deliberately EXCLUDED because it
+    * is dominated by I/O processing (kworker/flush daemons) that
+    * belongs to whoever caused the I/O — during a bench, mostly the
+    * bench itself, whose write-heavy lanes otherwise read as 1-6
+    * "external" cores on a quiet host (measured: the 32-state-store
+    * stream lane's checkpoint traffic alone read 6.0 ext cores while
+    * compute-only lanes in the same block read 0.0). Real interference
+    * burns user time (another process) or steal (another VM) — both
+    * counted; a system-call-saturated external interferer
+    * under-registers, the accepted trade. */
+  def hostUserStealJiffies(): Long =
+    try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).stream()
+      .filter(_.startsWith("cpu "))
+      .findFirst().map[Long] { line =>
+        val f = line.trim.split("\\s+")
+        Seq(1, 2, 8).map(i => // user, nice, steal
+          if (i < f.length) f(i).toLong else 0L).sum
+      }.orElse(-1L)
+    catch { case _: Throwable => -1L }
+
+  // /proc/self/stat fields after the closing paren of comm — the one
+  // field that can embed spaces: 0 state, 1 ppid ... 11 utime, 12 stime
+  private def selfStat(): Option[Array[String]] =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")))
-      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-      // after comm: 0 state, 1 ppid ... 11 utime, 12 stime
-      rest(11).toLong + rest(12).toLong
-    } catch { case _: Throwable => -1L }
+      Some(s.substring(s.lastIndexOf(')') + 2).split(" "))
+    } catch { case _: Throwable => None }
+
+  /** This process's cumulative CPU jiffies (utime+stime; -1 when
+    * unavailable). */
+  def selfJiffies(): Long =
+    selfStat().map(r => r(11).toLong + r(12).toLong).getOrElse(-1L)
+
+  /** This process's cumulative USER-mode jiffies only (utime) — the
+    * self term matching [[hostUserStealJiffies]]'s numerator. */
+  def selfUserJiffies(): Long =
+    selfStat().map(_(11).toLong).getOrElse(-1L)
 
   /** Jiffies per second (USER_HZ). Linux has reported 100 to userspace
     * for decades regardless of the kernel tick; /proc jiffy fields are

@@ -40,10 +40,20 @@ object QProbe {
     val log = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (r <- 1 to reps; q <- names) {
+      val h0 = Metrics.hostUserStealJiffies()
+      val s0 = Metrics.selfUserJiffies()
       val t0 = System.nanoTime(); force(q)
       val dt = (System.nanoTime() - t0) / 1e9
+      // same external-cores signal as Bench's load gate (user+steal,
+      // self-user subtracted), so probe lines and BENCH_DETAIL's
+      // ext_cores attribute interference in one currency
+      val ext =
+        if (h0 >= 0 && s0 >= 0 && dt > 0.01)
+          math.max(0.0, ((Metrics.hostUserStealJiffies() - h0) -
+            (Metrics.selfUserJiffies() - s0)).toDouble / Metrics.Hz / dt)
+        else -1.0
       log(q) = log(q) :+ dt
-      println(f"QPROBE $q rep$r: $dt%.3f s load1=${load1()}")
+      println(f"QPROBE $q rep$r: $dt%.3f s load1=${load1()} ext=$ext%.2f")
     }
     names.foreach { q =>
       val ts = log(q)

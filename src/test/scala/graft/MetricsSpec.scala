@@ -11,6 +11,33 @@ class MetricsSpec extends SparkSpec {
   private def noop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  test("load-gate signal: our own user-mode CPU cancels out of external cores") {
+    // the gate's whole point: work THIS process does must never read
+    // as interference. Burn ~4 core-seconds of user CPU in-process and
+    // check the (hostUserSteal − selfUser) diff stays far below the
+    // 4 cores burned (a broken self-subtraction would read ~4.0).
+    // Kernel-side self work (the kworker misattribution this signal
+    // exists to avoid) is not spun here — a disk-write law would be
+    // host-dependent; the write-heavy-lane evidence lives in
+    // BENCH_DETAIL's per-rep ext_cores.
+    val h0 = Metrics.hostUserStealJiffies()
+    val s0 = Metrics.selfUserJiffies()
+    assume(h0 >= 0 && s0 >= 0, "/proc unavailable")
+    val t0 = System.nanoTime()
+    val threads = (1 to 4).map(_ => new Thread(() => {
+      var x = 0L
+      val stop = System.nanoTime() + 1000L * 1000 * 1000
+      while (System.nanoTime() < stop) { x += 1 }
+      if (x == -1) println(x) // keep the loop un-eliminable
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val ext = ((Metrics.hostUserStealJiffies() - h0) -
+      (Metrics.selfUserJiffies() - s0)) / Metrics.Hz / wall
+    info(f"external cores during a 4-core self burn: $ext%.2f")
+    assert(ext < 2.0, f"self user CPU leaked into the external signal: $ext%.2f")
+  }
+
   test("broadcast dim join shuffles far less than forced shuffle-merge") {
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_quantity")
     val part = Tables.part(spark, sf).select("p_partkey", "p_retailprice")
