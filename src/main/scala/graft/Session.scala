@@ -60,6 +60,11 @@ object Session {
     // another thread's in-flight write or microbatch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // spark.sql.files.maxPartitionBytes stays at the 128 MB default:
+    // a 32 MB local-sizing experiment (round 14) measured the ingest
+    // parse SLOWER (~20 s vs ~17 s steady-state fresh-JVM) — per-task
+    // parser setup outweighs the extra waves at this file size — and
+    // the conf perturbs every file scan, so the cluster norm stands.
     spark
   }
 }
