@@ -102,6 +102,13 @@ object LaneProbe {
           () => graft.sources.CsvSource.alignTo(
             graft.sources.CsvSource.readRaw(spark, largest),
             graft.model.ReferenceSchemas.transactions)
+        case "ingest_raw_read" =>
+          // the parse-only control for the lane above: same file, same
+          // univocity read, NO typed repair — the wall delta between
+          // the two lanes is the alignTo expression cost, the part the
+          // engine owns (the parse is Spark's CSV datasource)
+          val (largest, _) = graft.sources.IngestFixture.ensure(spark)
+          () => graft.sources.CsvSource.readRaw(spark, largest)
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

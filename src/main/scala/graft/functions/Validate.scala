@@ -88,10 +88,22 @@ object Validate {
   /** Normalize placeholder tokens to real nulls (routing.py:43-45 +
     * pipeline read options): trimmed, case-insensitive token match. */
   def normalizePlaceholders(c: Column,
-                            tokens: Seq[String] = defaultNullTokens): Column = {
-    val t = trim(c.cast("string"))
-    when(lower(t).isin(tokens.map(_.toLowerCase): _*), lit(null)).otherwise(c)
-  }
+                            tokens: Seq[String] = defaultNullTokens): Column =
+    if (tokens.isEmpty) c
+    else {
+      val t = trim(c.cast("string"))
+      // Exact-semantics fast path: a value can only match a token if
+      // its TRIMMED length is at most the longest token's, so the
+      // lower() allocation + N comparisons are gated behind one cheap
+      // length check (And short-circuits in codegen). On the ingest
+      // bench this runs 22 columns x 7.79 M rows where most values are
+      // longer than any token — measured as part of the typed-repair
+      // term that dominates the lane (raw univocity parse: ~1.3 s;
+      // full typed repair: ~17 s before this gate).
+      val maxLen = tokens.map(_.length).max
+      when(length(t) <= maxLen &&
+        lower(t).isin(tokens.map(_.toLowerCase): _*), lit(null)).otherwise(c)
+    }
 
   /** European decimal-comma text -> exact decimal (F11; the reference
     * reads money columns with `decimal_comma=True`, pipeline.py:233).
