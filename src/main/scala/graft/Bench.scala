@@ -255,6 +255,40 @@ object Bench {
       gatedMin(name).map(name -> _))
     val total = results.map(_._2).sum
 
+    // ---- steady-state pass (round-14 verdict #6) -----------------------
+    // Sub-second headline queries swing ±10-20% between quiet-host runs
+    // on min-of-5 — a JIT-ramp sample, re-litigated every round after
+    // the load gate already exonerated the host. Five MORE reps per
+    // fast query (min < 2 s), recorded in a SEPARATE log: the reported
+    // `value`/`queries` stay the comparable min-of-5 series, and
+    // `steady_sec` (detail + compact) carries the 10-rep steady minimum
+    // BESIDE it. Kept out of repLog so the spread metrics' series
+    // semantics don't shift (extra warm reps can only widen max/min —
+    // q22's ~12 s cold rep over a ~1.2 s steady would fabricate a 10x
+    // raw spread and trip the trend guard).
+    val steadyLog =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val steadyTargets = headlinePresent.filter(n =>
+      cleanLog.get(n).filter(_.nonEmpty)
+        .orElse(successLog.get(n).filter(_.nonEmpty)).exists(_.min < 2.0))
+    for (_ <- 1 to 5; name <- steadyTargets) {
+      var dt = 0.0
+      var ok = false
+      timedWithHost(s"steady.$name") {
+        val t0 = System.nanoTime()
+        ok = try { force(name); true }
+          catch { case t: Throwable => recordErr(s"steady.$name", t); false }
+        dt = (System.nanoTime() - t0) / 1e9
+      }
+      if (ok && !lastRepGated)
+        steadyLog(name) = steadyLog.getOrElse(name, Vector.empty) :+ dt
+    }
+    val steady: Seq[(String, Double)] = steadyTargets.flatMap { n =>
+      val all = cleanLog.getOrElse(n, Vector.empty) ++
+        steadyLog.getOrElse(n, Vector.empty)
+      if (all.nonEmpty) Some(n -> all.min) else None
+    }
+
     // One measured (untimed) pass per headline query: shuffle-write MB,
     // recorded so "minimize shuffles" is a per-round artifact — a plan
     // regression that starts shuffling the fact table shows up as a
@@ -304,12 +338,34 @@ object Bench {
           dt
         }
         (1 to 2).foreach(_ => ingestRep("ingest_load_largest")(loadOnce()))
+        // Per-stage decomposition of the FULL-warehouse lane (round-14
+        // verdict #1 — the one clean-host number that moved r13→r14
+        // with no in-artifact attribution): the same stage controls the
+        // largest-file lane got. raw_read = the 3-file univocity parse
+        // alone; aligned = parse + placeholder-normalize + typed repair
+        // + schema align + diagonal union (everything but the write);
+        // full − aligned is then the partitioned-write term, in the
+        // artifact, per round. Each stage rides the host telemetry +
+        // load gate like every other rep.
+        def rawOnce(): Unit = files.foreach(f =>
+          graft.sources.CsvSource.readRaw(spark, f)
+            .write.mode("overwrite").format("noop").save())
+        def alignedOnce(): Unit =
+          graft.sources.CsvSource.readAligned(spark, files,
+              graft.model.ReferenceSchemas.transactions)
+            .write.mode("overwrite").format("noop").save()
+        (1 to 2).foreach(_ => ingestRep("ingest_stage_raw_read")(rawOnce()))
+        (1 to 2).foreach(_ => ingestRep("ingest_stage_aligned")(alignedOnce()))
         val whPath = Scratch.dir("ingest_wh")
-        val tFull = ingestRep("ingest_full_warehouse")(
-          graft.sources.IngestFixture.fullIngest(spark, files, whPath))
+        // >= 2 gated reps for the full lane too (round-14 verdict #1 +
+        // advice: a single gated rep was reported as the headline
+        // ingest number with no load_gate.fallback record)
+        (1 to 2).foreach(_ => ingestRep("ingest_full_warehouse")(
+          graft.sources.IngestFixture.fullIngest(spark, files, whPath)))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(whPath))
-        gatedMin("ingest_load_largest").map("ingest_load_largest" -> _).toSeq ++
-          Seq("ingest_full_warehouse" -> tFull)
+        Seq("ingest_load_largest", "ingest_stage_raw_read",
+            "ingest_stage_aligned", "ingest_full_warehouse")
+          .flatMap(k => gatedMin(k).map(k -> _))
       } catch { case t: Throwable => recordErr("ingest", t); Seq.empty }
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
@@ -375,6 +431,10 @@ object Bench {
         try ScaleBench.pageRankEdges(spark, sfDir, times)
         catch { case t: Throwable =>
           recordErr(s"x$times.q146_pagerank", t); null }
+      // source fingerprint for the default lane's standing-layout
+      // families (the same metadata digest the q146 registry default
+      // keys its catalog version on)
+      val prFp = graft.operators.Graph.dirFingerprint(s"$sfDir/lineitem.parquet")
       // q179: the bucketed edge layout, built untimed (it is the
       // standing table a graph pipeline maintains); the lane times only
       // the read-in-place rounds. Dropped after the rep loop.
@@ -438,18 +498,18 @@ object Bench {
         noop(ScaleBench.skewJoin(ev.limit(64)))
         noop(ScaleBench.budgetCumsum(docs.limit(64)))
         if (prEdges != null) noop(ScaleBench.pageRank(prEdges.limit(256)))
-        // "warm" key: the limited-slice layout must never be served to
-        // the timed full-input reps
+        // "warm" family: the limited-slice layout must never be served
+        // to the timed full-input reps
         if (prEdges != null)
           noop(ScaleBench.pageRankDefault(spark, prEdges.limit(256), times,
-            keySuffix = "warm"))
+            prFp, keySuffix = "warm"))
         if (prEdges != null)
           ScaleBench.pageRankLayoutBuild(spark, prEdges.limit(256), times)
         // build the FULL standing layout untimed: the default lane's
         // timed reps then measure the steady serve the default API
         // gives a warm application (the build cost is its own lane)
         if (prEdges != null)
-          ScaleBench.pageRankDefaultPrep(spark, prEdges, times)
+          ScaleBench.pageRankDefaultPrep(spark, prEdges, times, prFp)
         noop(ScaleBench.bloomDecon(docs.limit(64), times))
         noop(ScaleBench.ivfTopK(emb.limit(64)))
         noop(ScaleBench.srpDurable(emb.limit(64), srpBits, times))
@@ -534,9 +594,9 @@ object Bench {
         // beside its in-memory comparator (the lane above / the
         // auto-cells trio below). Tables are factor-named, dropped in
         // the block's cleanup.
-        lane("q24_srp_durable", reps = 2)(
+        lane("q24_srp_durable", reps = 3)(
           noop(ScaleBench.srpDurable(emb, srpBits, times))),
-        lane("q34_ivf_durable", reps = 2)(
+        lane("q34_ivf_durable", reps = 3)(
           noop(ScaleBench.ivfDurable(emb, times))),
         lane("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
         // q236: interval union sweep — one user-partitioned window +
@@ -619,13 +679,13 @@ object Bench {
         // stays measured in q146_layout_build.
         if (prEdges != null)
           lane("q146_pagerank")(
-            noop(ScaleBench.pageRankDefault(spark, prEdges, times)))
+            noop(ScaleBench.pageRankDefault(spark, prEdges, times, prFp)))
         else None,
         // the one-shot layout build, on its own clock (fresh nonce-named
         // table per rep, dropped): default-lane serve + this = what a
         // COLD application pays end-to-end
         if (prEdges != null)
-          lane("q146_layout_build", reps = 2)(
+          lane("q146_layout_build", reps = 3)(
             ScaleBench.pageRankLayoutBuild(spark, prEdges, times))
         else None,
         // the pre-round-13 default (AQE chooses the per-round join),
@@ -665,7 +725,7 @@ object Bench {
         // partitions): the default-vs-this delta is the recorded
         // justification for the auto heuristic
         if (streamOk)
-          lane("q61_stream_session", reps = 2)(
+          lane("q61_stream_session", reps = 3)(
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               statePartitions = 0)))
         else None,
@@ -701,7 +761,7 @@ object Bench {
         // heuristic's measured proof; kept while the auto default is
         // new, so the artifact carries both.
         if (streamOk)
-          lane("q61_stream_tuned", reps = 2)(
+          lane("q61_stream_tuned", reps = 3)(
             noop(ScaleBench.streamNearDup(spark, streamPath, times,
               statePartitions = 8)))
         else None,
@@ -786,6 +846,15 @@ object Bench {
         })(noop(ScaleBench.ivfProbeLayout(
           spark, layoutPath, probeArgs._1, probeArgs._2, nProbe)))
       ).flatten
+      // Settle before the timed reps (round-14 verdict #4): the block's
+      // frame construction + warm pass just allocated and dropped
+      // multi-GB of checkpoint blocks, and the x10 block's FIRST timed
+      // reps absorbed a ~50 s one-off transient across four adjacent
+      // lanes on a quiet host (ext 0.0 — self-inflicted deferred
+      // GC/page-cache work, not interference). One explicit full GC +
+      // a short drain moves that debt off the first rep's clock.
+      System.gc()
+      Thread.sleep(1000)
       // round-major execution: rep r of EVERY lane runs before rep r+1
       // of any lane
       val repTimes =
@@ -848,16 +917,16 @@ object Bench {
         try spark.sql(s"DROP TABLE IF EXISTS $prLayout")
         catch { case _: Throwable => () }
       // durable-lane index tables (overwritten per rep, dropped per
-      // block) + the pagerank default lane's standing layout (kept
-      // across reps by design — the default is reuse-without-rebuild —
-      // so the block drops it here)
+      // block) + the pagerank default lane's standing-layout FAMILIES
+      // (kept across reps by design — the default is reuse-without-
+      // rebuild — dropped whole through the catalog here)
       val srpPfx = ScaleBench.benchTablePrefix("srp", times)
       val ivfPfx = ScaleBench.benchTablePrefix("ivf", times)
-      (Seq(s"${srpPfx}_vecs", s"${srpPfx}_bands",
-           s"${ivfPfx}_cents", s"${ivfPfx}_cells") ++
-          graft.operators.Graph.dropStandingLayouts(spark))
+      Seq(s"${srpPfx}_vecs", s"${srpPfx}_bands",
+          s"${ivfPfx}_cents", s"${ivfPfx}_cells")
         .foreach(t => try spark.sql(s"DROP TABLE IF EXISTS $t")
           catch { case _: Throwable => () })
+      graft.operators.Graph.dropStandingLayouts(spark)
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(streamPath))
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -1015,6 +1084,10 @@ object Bench {
 
     val qsFull = obj(results.map { case (k, v) => "\"" + k + "\":" + v })
     val qsCompact = obj(results.map { case (k, v) => kvNum(k, v, 3) })
+    // 10-rep steady-state minimums beside the min-of-5 series (round-14
+    // verdict #6): round-over-round comparisons cite these for the
+    // sub-second queries instead of re-litigating sampling noise
+    val steadyJson = obj(steady.map { case (k, v) => kvNum(k, v, 3) })
     val ioJson = obj(shuffleMb.map { case (k, v) => kvNum(k, v, 2) })
     val errJson = obj(errors.map { case (k, v) => kvStr(k, v) })
     val repsJson = obj(repLog.map { case (k, v) =>
@@ -1104,7 +1177,7 @@ object Bench {
         scaleIo.get(s"x$f.$n").map(v => kvNum(n.stripPrefix("q"), v, 1)))
       if (trio.isEmpty) "" else s""","pr_shuffle_mb_x$f":${obj(trio)}"""
     }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"rep_spread_raw":$rawSpreadJson,"rep_spread_raw_trend":$spreadTrendJson,"load_gate":$loadGateJson,"host":$hostJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"steady_sec":$steadyJson,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"rep_spread_raw":$rawSpreadJson,"rep_spread_raw_trend":$spreadTrendJson,"load_gate":$loadGateJson,"host":$hostJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -1121,8 +1194,12 @@ object Bench {
     val spreadCompact =
       s""""rep_spread_warnings":${if (spreadKeys.length <= 300) spreadKeys else "[]"}"""
     // headline load-gate summary for the compact line: fallback_n = 0
-    // means every reported number came from reps under the threshold
-    val fbHeadline = loadGateFallback.distinct.filter(headlinePresent.contains)
+    // means every reported number came from reps under the threshold.
+    // Ingest lanes count as headline here (round-14 advice): they are
+    // reported in the compact line's ingest block, so a never-quiet
+    // fallback on them must surface in the same line
+    val fbHeadline = loadGateFallback.distinct.filter(k =>
+      headlinePresent.contains(k) || k.startsWith("ingest_"))
     val gateCompact =
       s""""load_gate":{"thr":${fmt(extCoresGate, 2)},"gated_reps":$gatedRepsN,""" +
         s""""fallback_n":${loadGateFallback.distinct.size},""" +
@@ -1136,10 +1213,10 @@ object Bench {
     // The scale block is the only elastic part (24 lanes and growing):
     // if the full line risks the window, drop it from stdout — the
     // detail file always carries everything.
-    val withScale = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
+    val withScale = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"steady":$steadyJson,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
     val compactLine =
       if (withScale.length <= 1800) withScale
-      else s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$prIoCompact}"""
+      else s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"steady":$steadyJson,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$prIoCompact}"""
 
     // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
     // The compact line must be the LAST thing on stdout: the driver

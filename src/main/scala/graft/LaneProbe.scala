@@ -109,6 +109,25 @@ object LaneProbe {
           // engine owns (the parse is Spark's CSV datasource)
           val (largest, _) = graft.sources.IngestFixture.ensure(spark)
           () => graft.sources.CsvSource.readRaw(spark, largest)
+        case "ingest_aligned" =>
+          // full-warehouse stage control (round-14 verdict #1): parse +
+          // normalize + typed repair + align + diagonal union over all
+          // THREE files, no write — the bench's ingest_stage_aligned
+          // lane in a fresh JVM
+          val (_, files) = graft.sources.IngestFixture.ensure(spark)
+          () => graft.sources.CsvSource.readAligned(spark, files,
+            graft.model.ReferenceSchemas.transactions)
+        case "ingest_full_warehouse" =>
+          // the whole lane (read -> repair -> union -> month-partitioned
+          // write) on its own clock in a fresh JVM — the attribution
+          // probe for round-over-round drift in the full-warehouse wall
+          val (_, files) = graft.sources.IngestFixture.ensure(spark)
+          val whP = s"${sys.props("user.dir")}/target/probe_ingest_wh"
+          probeDirs += whP
+          () => {
+            graft.sources.IngestFixture.fullIngest(spark, files, whP)
+            spark.range(0).toDF() // noop target
+          }
         case other => sys.error(s"unknown lane $other")
       }
       (1 to reps).foreach { r =>

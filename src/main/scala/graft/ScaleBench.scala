@@ -392,25 +392,28 @@ object ScaleBench {
     * LIMITED edge slice from the full input (same key would serve the
     * wrong layout). */
   def pageRankDefault(spark: org.apache.spark.sql.SparkSession,
-                      edges: DataFrame, times: Int,
+                      edges: DataFrame, times: Int, fp: String,
                       keySuffix: String = "full"): DataFrame = {
     // same bucket sizing as Graph.pageRank (defaultParallelism), so the
-    // lane measures EXACTLY the configuration the default runs
+    // lane measures EXACTLY the configuration the default runs; since
+    // round 15 the standing registry is the versioned IndexCatalog
+    // (family per factor+suffix, fingerprint = the sf dir's lineitem
+    // metadata digest the caller threads through)
     val t = graft.operators.Graph.pageRankStandingLayout(spark, edges,
-      key = s"bench_default_x${times}_$keySuffix")
+      family = s"pr_bench_x${times}_$keySuffix", fp = fp)
     graft.operators.Graph.pageRankOnBucketed(spark, t)
       .localCheckpoint(true)
   }
 
   /** Untimed prep for the default lane: build the standing layout for
-    * the FULL edge set (same key [[pageRankDefault]] uses) before the
-    * rep loop, so every timed rep measures the steady serve the
+    * the FULL edge set (same family [[pageRankDefault]] uses) before
+    * the rep loop, so every timed rep measures the steady serve the
     * default API gives a warm application — the build's own cost is
     * the q146_layout_build lane. */
   def pageRankDefaultPrep(spark: SparkSession, edges: DataFrame,
-                          times: Int): Unit = {
+                          times: Int, fp: String): Unit = {
     graft.operators.Graph.pageRankStandingLayout(spark, edges,
-      key = s"bench_default_x${times}_full")
+      family = s"pr_bench_x${times}_full", fp = fp)
     ()
   }
 
@@ -499,13 +502,15 @@ object ScaleBench {
     // session default (the pre-round-14 behavior, for comparators);
     // < 0 (the DEFAULT) auto-sizes from the pipeline's state law —
     // docs × 4 bands bucket entries — exactly what the q61 registry
-    // path does since round 14 (round-13 verdict #4). The sizing count
-    // is on the lane's clock: it is part of what the default API costs.
+    // path does since round 14 (round-13 verdict #4). Since round 15
+    // the row term is the file-stats ESTIMATE (one footer + a listing,
+    // round-14 verdict #7) — the fixture's uniform files make it
+    // near-exact, and it is the estimator the registry default runs.
     val sp =
       if (statePartitions > 0) statePartitions
       else if (statePartitions == 0) -1
       else graft.streaming.StreamOps.autoStatePartitions(spark,
-        fixture.count() * 4)
+        graft.streaming.StreamOps.estimateRows(spark, path) * 4)
     def run(s: SparkSession): DataFrame = {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(path)

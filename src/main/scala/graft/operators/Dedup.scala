@@ -384,12 +384,31 @@ object Dedup {
                       family: String, n: Int = 3,
                       hashFamily: HashFamily = Md5Minhash,
                       nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.mint(df.sparkSession, family) { (_, name) =>
+    graft.sources.IndexCatalog.mintParts(df.sparkSession, family)(
+      lshCatalogBuild(df, idCol, textCol, n, hashFamily, nBuckets))
+
+  /** The catalog build closure both LSH publish paths share (`df`
+    * by-name: a get-or-publish reuse hit never constructs it). */
+  private def lshCatalogBuild(df: => DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              hashFamily: HashFamily, nBuckets: Int)
+      : (Int, String => String) => Seq[graft.sources.IndexCatalog.Part] =
+    (_, name) => {
       graft.sources.Warehouse.writeBucketed(
         shingleIndexFrame(df, idCol, textCol, n, hashFamily),
         name("shingles"), "doc_id", nBuckets)
-      Seq("shingles")
+      Seq(graft.sources.IndexCatalog.Part("shingles", "doc_id", nBuckets))
     }
+
+  /** Get-or-publish (round-14 verdict #2): reuse the current version
+    * when built from the same source fingerprint, else publish. */
+  def lshIndexGetOrPublish(spark: SparkSession, df: => DataFrame,
+                           idCol: String, textCol: String, family: String,
+                           fp: String, n: Int = 3,
+                           hashFamily: HashFamily = Md5Minhash,
+                           nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+      lshCatalogBuild(df, idCol, textCol, n, hashFamily, nBuckets))
 
   /** MinHash-LSH pairs served from a pinned catalog version: a build
     * minting the next version mid-probe is invisible (the q136

@@ -216,14 +216,22 @@ object Llm {
     * (MinhashDurableIndexSpec pins it at test scale and proves the
     * persisted table is reusable). */
   def minhashLshDurable(spark: SparkSession, dir: String): DataFrame = {
-    // Stale-dir sweep + pid-keyed table name: the shared durable-index
-    // discipline, Warehouse.sweepStaleIndexDirs (pid liveness + age;
-    // the appId-keyed/non-atomic history is documented there)
-    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_lsh_q311_")
-    Dedup.minhashLshPairsDurable(Tables.documents(spark, dir), "doc_id",
-        "text", n = 3, numHashes = NumHashes, bands = Bands,
-        threshold = 0.5,
-        table = Some(s"graft_lsh_q311_pid${ProcessHandle.current().pid()}"))
+    // Since round 15 the DEFAULT durable path is the VERSIONED
+    // IndexCatalog (round-14 verdict #2): get-or-publish keyed by the
+    // source's metadata fingerprint (same data ⇒ reuse the published
+    // shingle index, across processes; new data ⇒ mint the next
+    // version), probe PINNED at the returned version (the q136
+    // snapshot law — a concurrent rebuild is invisible), vacuum in
+    // place of the pid-liveness sweep. The pid-keyed table lane
+    // (minhashLshPairsDurable + sweepStaleIndexDirs) remains the
+    // crash-sweep fallback and the bench's per-rep build comparator.
+    val fam = "lsh_q311"
+    val v = Dedup.lshIndexGetOrPublish(spark,
+      Tables.documents(spark, dir), "doc_id", "text", fam,
+      fp = Graph.dirFingerprint(s"$dir/documents.parquet"), n = 3)
+    graft.sources.IndexCatalog.vacuum(spark, fam)
+    Dedup.minhashLshPairsFromCatalog(spark, fam, numHashes = NumHashes,
+        bands = Bands, threshold = 0.5, version = v)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1563,10 +1571,18 @@ object Llm {
     * the checkpoint form stays the library default (one-shot callers
     * should not pay a table write). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_srp_q24_")
-    Similarity.srpNearDupPairsDurable(Tables.embeddings(spark, dir),
-        threshold = 0.4, bands = NdBands, bits = NdBits, dim = 64,
-        tablePrefix = Some(s"graft_srp_q24_pid${ProcessHandle.current().pid()}"))
+    // catalog-default durable path since round 15 (round-14 verdict
+    // #2): get-or-publish by source fingerprint, pinned-version probe,
+    // vacuum in place of the pid sweep — see minhashLshDurable (q311)
+    // for the full rationale; srpNearDupPairsDurable stays as the
+    // pid-keyed fallback lane
+    val fam = "srp_q24"
+    val v = Similarity.srpIndexGetOrPublish(spark,
+      Tables.embeddings(spark, dir), fam,
+      fp = Graph.dirFingerprint(s"$dir/embeddings.parquet"),
+      bands = NdBands, bits = NdBits, dim = 64)
+    graft.sources.IndexCatalog.vacuum(spark, fam)
+    Similarity.srpPairsFromCatalog(spark, fam, threshold = 0.4, version = v)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -1984,11 +2000,16 @@ object Llm {
     * rebuild via ivfTopKFromTables. (q76 separately gates the
     * cell-PARTITIONED serving layout.) */
   def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame = {
-    graft.sources.Warehouse.sweepStaleIndexDirs(spark, "graft_ivf_q34_")
+    // catalog-default durable path since round 15 (round-14 verdict
+    // #2) — see minhashLshDurable (q311) for the rationale;
+    // ivfSampledTopKDurable stays as the pid-keyed fallback lane
+    val fam = "ivf_q34"
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfSampledTopKDurable(emb.filter(col("vec_id") < 10), emb,
-        k = 5, nCells = 16, nProbe = 4,
-        tablePrefix = Some(s"graft_ivf_q34_pid${ProcessHandle.current().pid()}"))
+    val v = Similarity.ivfIndexGetOrPublish(spark, emb, fam,
+      fp = Graph.dirFingerprint(s"$dir/embeddings.parquet"), nCells = 16)
+    graft.sources.IndexCatalog.vacuum(spark, fam)
+    Similarity.ivfTopKFromCatalog(spark, fam,
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, version = v)
       .orderBy("query_id", "rank")
   }
 

@@ -150,8 +150,12 @@ object Multimodal {
       struct((pmod(bits, lit(16384L)) + 1L).as("width"),
         (pmod(shiftright(bits, 14), lit(16384L)) + 1L).as("height")))
     // VP8X payload: flags(1) + reserved(3) at 1-based 21-24, then
-    // canvas width-1 at 25-27 and height-1 at 28-30 (24-bit LE each)
-    val extended = when(length(c) >= 30,
+    // canvas width-1 at 25-27 and height-1 at 28-30 (24-bit LE each).
+    // The chunk-size field (bytes 17-20, LE) is always 10 for VP8X —
+    // gate on it so a corrupt size yields null, never garbage dims
+    // (the same payload-check symmetry the VP8/VP8L arms have via
+    // their start-code/signature bytes).
+    val extended = when(length(c) >= 30 && leUInt(c, 17, 4) === 10L,
       struct((leUInt(c, 25, 3) + 1L).as("width"),
         (leUInt(c, 28, 3) + 1L).as("height")))
     when(fourcc === "56503820", lossy)        // "VP8 "

@@ -561,6 +561,22 @@ object Similarity {
       spark.table(s"${tablePrefix}_bands"), threshold)
   }
 
+  /** The catalog build closure both SRP publish paths share: parts
+    * `vecs` (bucketed by vec_id — the verify join's probe key) +
+    * `bands` (by sig — the candidate self-join's bucket key). `emb` is
+    * by-name so a get-or-publish reuse hit never constructs it. */
+  private def srpCatalogBuild(emb: => DataFrame, bands: Int, bits: Int,
+                              dim: Int, nBuckets: Int)
+      : (Int, String => String) => Seq[graft.sources.IndexCatalog.Part] =
+    (_, name) => {
+      val e = srpVecFrame(emb).localCheckpoint(true) // feeds both writes
+      graft.sources.Warehouse.writeBucketed(e, name("vecs"), "vec_id", nBuckets)
+      graft.sources.Warehouse.writeBucketed(
+        srpBandIndex(e, bands, bits, dim), name("bands"), "sig", nBuckets)
+      Seq(graft.sources.IndexCatalog.Part("vecs", "vec_id", nBuckets),
+        graft.sources.IndexCatalog.Part("bands", "sig", nBuckets))
+    }
+
   /** Publish the SRP index into the VERSIONED catalog (round-13
     * verdict #3): mints family@vN with parts `vecs` (bucketed by
     * vec_id) + `bands` (by sig) — the same two frames the pid-keyed
@@ -569,13 +585,19 @@ object Similarity {
   def srpIndexPublish(emb: DataFrame, family: String,
                       bands: Int = 12, bits: Int = 6, dim: Int = 64,
                       nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.mint(emb.sparkSession, family) { (_, name) =>
-      val e = srpVecFrame(emb).localCheckpoint(true) // feeds both writes
-      graft.sources.Warehouse.writeBucketed(e, name("vecs"), "vec_id", nBuckets)
-      graft.sources.Warehouse.writeBucketed(
-        srpBandIndex(e, bands, bits, dim), name("bands"), "sig", nBuckets)
-      Seq("vecs", "bands")
-    }
+    graft.sources.IndexCatalog.mintParts(emb.sparkSession, family)(
+      srpCatalogBuild(emb, bands, bits, dim, nBuckets))
+
+  /** Get-or-publish (round-14 verdict #2 — the catalog as the DEFAULT
+    * durable path): reuse the current version when it was built from
+    * the same source fingerprint, else publish the next one. Returns
+    * the version to pin. */
+  def srpIndexGetOrPublish(spark: SparkSession, emb: => DataFrame,
+                           family: String, fp: String,
+                           bands: Int = 12, bits: Int = 6, dim: Int = 64,
+                           nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+      srpCatalogBuild(emb, bands, bits, dim, nBuckets))
 
   /** SRP near-dup pairs served from a pinned catalog version: the
     * probe reads family@v (default: current at call time) and a build
@@ -589,12 +611,12 @@ object Similarity {
       IndexCatalog.readPart(spark, family, v, "bands"), threshold)
   }
 
-  /** Publish the sampled-centroid IVF index into the versioned catalog:
-    * parts `cents` + `cells`, both bucketed on cell (the probe join's
-    * key) — [[ivfSampledTopKDurable]]'s tables, named and versioned. */
-  def ivfIndexPublish(corpus: DataFrame, family: String, nCells: Int = 16,
-                      nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.mint(corpus.sparkSession, family) { (_, name) =>
+  /** The catalog build closure both IVF publish paths share (see
+    * [[srpCatalogBuild]] for the by-name discipline). */
+  private def ivfCatalogBuild(corpus: => DataFrame, nCells: Int,
+                              nBuckets: Int)
+      : (Int, String => String) => Seq[graft.sources.IndexCatalog.Part] =
+    (_, name) => {
       val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
         .localCheckpoint(true) // feeds centroid sample AND assignment
       val centroids = c.orderBy("vec_id").limit(nCells)
@@ -602,8 +624,24 @@ object Similarity {
       graft.sources.Warehouse.writeBucketed(centroids, name("cents"), "cell", 1)
       graft.sources.Warehouse.writeBucketed(
         ivfAssign(c, centroids), name("cells"), "cell", nBuckets)
-      Seq("cents", "cells")
+      Seq(graft.sources.IndexCatalog.Part("cents", "cell", 1),
+        graft.sources.IndexCatalog.Part("cells", "cell", nBuckets))
     }
+
+  /** Publish the sampled-centroid IVF index into the versioned catalog:
+    * parts `cents` + `cells`, both bucketed on cell (the probe join's
+    * key) — [[ivfSampledTopKDurable]]'s tables, named and versioned. */
+  def ivfIndexPublish(corpus: DataFrame, family: String, nCells: Int = 16,
+                      nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.mintParts(corpus.sparkSession, family)(
+      ivfCatalogBuild(corpus, nCells, nBuckets))
+
+  /** Get-or-publish — the IVF twin of [[srpIndexGetOrPublish]]. */
+  def ivfIndexGetOrPublish(spark: SparkSession, corpus: => DataFrame,
+                           family: String, fp: String, nCells: Int = 16,
+                           nBuckets: Int = 8): Int =
+    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+      ivfCatalogBuild(corpus, nCells, nBuckets))
 
   /** IVF top-k served from a pinned catalog version — the versioned
     * form of [[ivfTopKFromTables]]. */

@@ -40,18 +40,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deployment) the same code keeps it. Concurrent builders in separate
   * processes can race a version number; the loser's tables are
   * unreferenced (vacuum food) and the manifest move is atomic either
-  * way — a real deployment swaps the file move for the metastore's
-  * conditional put.
+  * way — REALLY unreferenced, because physical version dirs carry the
+  * builder's pid+nonce mint suffix (round 15: two processes racing the
+  * same version number write DIFFERENT directories; deterministic
+  * suffix-free names had both committers interleaving into one dir
+  * while the winner probed it). A real deployment swaps the file move
+  * for the metastore's conditional put.
   */
 object IndexCatalog {
 
-  /** Physical table name of one part of one version. */
-  def tableName(family: String, v: Int, part: String): String = {
+  /** Physical table name of one part of one version. `sfx` is the
+    * version's MINT SUFFIX (builder pid + nonce, recorded in the
+    * manifest): two processes racing the same version number then
+    * write DIFFERENT directories — the loser's tables really are
+    * unreferenced vacuum food, instead of both committers interleaving
+    * into (or the orphan-location guard deleting) ONE directory while
+    * the winner probes it. Empty sfx keeps pre-round-15 names valid. */
+  def tableName(family: String, v: Int, part: String,
+                sfx: String = ""): String = {
     require(family.matches("[a-z0-9_]+"), s"family must be [a-z0-9_]+: $family")
-    s"graft_idx_${family}_v${v}_$part"
+    s"graft_idx_${family}_v$v${sfx}_$part"
   }
 
-  final case class Version(v: Int, parts: Seq[String], publishedMs: Long)
+  /** Physical table name of a MANIFESTED part — resolves the version's
+    * mint suffix through the manifest (what probes and maintenance use;
+    * bare [[tableName]] is only correct for suffix-free versions). */
+  def partTableName(spark: SparkSession, family: String, v: Int,
+                    part: String): String = {
+    val sfx = readManifest(spark, family)
+      .flatMap(_.versions.find(_.v == v)).map(_.sfx).getOrElse("")
+    tableName(family, v, part, sfx)
+  }
+
+  /** One physical part of a version, with its OPTIONAL bucket spec.
+    * Recording the spec in the manifest is what lets a LATER process
+    * re-register the part as an external bucketed table at the same
+    * location (see [[readPart]]) instead of downgrading to a plain
+    * parquet read and silently re-paying the shuffle the bucketed
+    * layout exists to remove. `nBuckets <= 0` means unbucketed. */
+  final case class Part(name: String, bucketCol: String = "",
+                        nBuckets: Int = 0, sortCol: String = "")
+
+  final case class Version(v: Int, parts: Seq[Part], publishedMs: Long,
+                           fp: String = "", sfx: String = "")
   final case class Manifest(current: Int, versions: Seq[Version])
 
   private def warehouseDir(spark: SparkSession): java.io.File =
@@ -61,13 +92,30 @@ object IndexCatalog {
   private def manifestFile(spark: SparkSession, family: String): java.io.File =
     new java.io.File(warehouseDir(spark), s"graft_idx_${family}_manifest.txt")
 
-  /** One line per version (`v=<N> ms=<epoch> parts=<a,b>`), preceded by
-    * `current=<N>` — a deliberately trivial grammar so no JSON parser
-    * enters the dependency surface. */
+  // `vecs` (unbucketed) or `vecs:vec_id:8:` / `edges:src:32:src`
+  // (name:bucketCol:nBuckets:sortCol) — colon-free tokens keep the
+  // pre-round-15 manifests parseable
+  private def renderPart(p: Part): String =
+    if (p.nBuckets <= 0) p.name
+    else s"${p.name}:${p.bucketCol}:${p.nBuckets}:${p.sortCol}"
+
+  private def parsePart(s: String): Part = s.split(":", -1) match {
+    case Array(n, c, b, srt) => Part(n, c, b.toInt, srt)
+    case arr                 => Part(arr.head)
+  }
+
+  /** One line per version (`v=<N> ms=<epoch> parts=<a,b>[ fp=<hex>]`),
+    * preceded by `current=<N>` — a deliberately trivial grammar so no
+    * JSON parser enters the dependency surface. `fp` is the source
+    * fingerprint the version was built from (see [[getOrMint]]); parts
+    * carry their bucket spec when bucketed (see [[Part]]). */
   private def render(m: Manifest): String =
-    (s"current=${m.current}" +: m.versions.sortBy(_.v).map(v =>
-      s"v=${v.v} ms=${v.publishedMs} parts=${v.parts.mkString(",")}"))
-      .mkString("\n") + "\n"
+    (s"current=${m.current}" +: m.versions.sortBy(_.v).map { v =>
+      val fp = if (v.fp.nonEmpty) s" fp=${v.fp}" else ""
+      val sfx = if (v.sfx.nonEmpty) s" sfx=${v.sfx}" else ""
+      s"v=${v.v} ms=${v.publishedMs} " +
+        s"parts=${v.parts.map(renderPart).mkString(",")}$fp$sfx"
+    }).mkString("\n") + "\n"
 
   def readManifest(spark: SparkSession, family: String): Option[Manifest] = {
     val f = manifestFile(spark, family)
@@ -78,9 +126,11 @@ object IndexCatalog {
       val all = lines.asScala.map(_.trim).filter(_.nonEmpty)
       val cur = all.collectFirst { case s if s.startsWith("current=") =>
         s.stripPrefix("current=").toInt }
-      val vRe = "v=(\\d+) ms=(\\d+) parts=([a-z0-9_,]+)".r
-      val vs = all.collect { case vRe(v, ms, parts) =>
-        Version(v.toInt, parts.split(",").toSeq, ms.toLong) }.toSeq
+      val vRe = ("v=(\\d+) ms=(\\d+) parts=([a-z0-9_,:]+)" +
+        "( fp=([0-9a-f]+))?( sfx=([a-z0-9]+))?").r
+      val vs = all.collect { case vRe(v, ms, parts, _, fp, _, sfx) =>
+        Version(v.toInt, parts.split(",").toSeq.map(parsePart), ms.toLong,
+          Option(fp).getOrElse(""), Option(sfx).getOrElse("")) }.toSeq
       cur.map(Manifest(_, vs))
     } catch { case _: Throwable => None }
   }
@@ -112,7 +162,18 @@ object IndexCatalog {
     * parts land — a probe pinned before or during the build never sees
     * it. Returns the new version. */
   def mint(spark: SparkSession, family: String)(
-      build: (Int, String => String) => Seq[String]): Int = {
+      build: (Int, String => String) => Seq[String]): Int =
+    mintParts(spark, family)((v, name) => build(v, name).map(Part(_)))
+
+  /** [[mint]] with full part specs (bucket metadata lands in the
+    * manifest for cross-process restoration) and the source
+    * fingerprint `fp` the version is built from (empty = unrecorded,
+    * [[getOrMint]] then never reuses it). */
+  private val mintNonce = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def mintParts(spark: SparkSession, family: String, fp: String = "")(
+      build: (Int, String => String) => Seq[Part]): Int = {
+    require(fp.matches("[0-9a-f]*"), s"fingerprint must be lowercase hex: $fp")
     val lock = mintLocks.computeIfAbsent(family, _ => new Object)
     lock.synchronized {
       val prev = readManifest(spark, family)
@@ -120,31 +181,108 @@ object IndexCatalog {
       // (or failed the line grammar) still has a current= header — mint
       // must restart numbering, not throw on an empty max
       val v = prev.flatMap(_.versions.map(_.v).maxOption).getOrElse(0) + 1
-      val parts = build(v, part => tableName(family, v, part))
+      // pid+nonce suffix: the in-JVM lock serializes same-process mints,
+      // but a SECOND process computes the same v from the same manifest
+      // — distinct physical dirs keep that race at "loser's tables are
+      // vacuum food" (the manifest move is last-writer-wins; a real
+      // metastore deployment swaps it for a conditional put)
+      val sfx = s"p${ProcessHandle.current().pid()}n${mintNonce.incrementAndGet()}"
+      val parts = build(v, part => tableName(family, v, part, sfx))
       require(parts.nonEmpty, s"index build for $family wrote no parts")
-      val entry = Version(v, parts, System.currentTimeMillis())
+      val entry = Version(v, parts, System.currentTimeMillis(), fp, sfx)
       writeManifest(spark, family,
         Manifest(v, prev.map(_.versions).getOrElse(Seq.empty) :+ entry))
       v
     }
   }
 
+  /** Get-or-build — the STANDING-index default path (round-14 verdict
+    * #1): when the family's CURRENT version was built from the same
+    * source fingerprint `fp` and its parts are still present, serve it
+    * WITHOUT invoking `build` (the by-name/closure discipline: a reuse
+    * hit never constructs the input frame), touching the part dirs so
+    * the liveness sweep ages on use; otherwise mint the next version
+    * recording `fp`. New data ⇒ new fingerprint ⇒ rebuild; same data ⇒
+    * reuse — across processes, because the decision reads only the
+    * manifest and the warehouse listing (a LIST call at 100 TB, never
+    * a data scan). Returns the version to pin. */
+  def getOrMint(spark: SparkSession, family: String, fp: String)(
+      build: (Int, String => String) => Seq[Part]): Int = {
+    require(fp.matches("[0-9a-f]+"), s"fingerprint must be lowercase hex: $fp")
+    val lock = mintLocks.computeIfAbsent(family, _ => new Object)
+    lock.synchronized {
+      val reusable = readManifest(spark, family).flatMap(m =>
+        m.versions.find(_.v == m.current).filter(e =>
+          e.fp == fp && e.parts.nonEmpty &&
+            e.parts.forall(p => partPresent(spark, family, e, p.name))))
+      reusable match {
+        case Some(e) =>
+          e.parts.foreach(p => Warehouse.touchIndexDir(spark,
+            tableName(family, e.v, p.name, e.sfx)))
+          e.v
+        case None => mintParts(spark, family, fp)(build)
+      }
+    }
+  }
+
+  private def partPresent(spark: SparkSession, family: String, e: Version,
+                          part: String): Boolean = {
+    val t = tableName(family, e.v, part, e.sfx)
+    spark.catalog.tableExists(t) ||
+      new java.io.File(warehouseDir(spark),
+        t.toLowerCase(java.util.Locale.ROOT)).exists()
+  }
+
   /** Read one part of one version: `spark.table` when the catalog still
-    * holds the entry (same-process — keeps bucket metadata), else the
-    * table's warehouse directory as plain parquet (cross-process with
-    * the in-memory catalog — values identical, bucketing metadata
-    * lost; a persistent metastore keeps the first path). */
+    * holds the entry (same-process — keeps bucket metadata). When the
+    * entry is gone (a LATER process: the in-memory catalog died with
+    * its writer), a part whose manifest line carries a bucket spec is
+    * RE-REGISTERED as an external bucketed table at the same location
+    * — restoring the shuffle-free bucketed join instead of silently
+    * downgrading to a plain parquet read (the bucket ids live in the
+    * file names Spark's bucketed writer produced, so an external table
+    * with the same CLUSTERED BY spec reads them natively; with a
+    * persistent metastore this branch never runs). Plain parquet read
+    * remains the fallback for unbucketed parts or a failed
+    * registration. */
   def readPart(spark: SparkSession, family: String, v: Int,
                part: String): DataFrame = {
-    val t = tableName(family, v, part)
+    val entry = readManifest(spark, family).flatMap(_.versions.find(_.v == v))
+    val t = tableName(family, v, part, entry.map(_.sfx).getOrElse(""))
     if (spark.catalog.tableExists(t)) spark.table(t)
     else {
       val d = new java.io.File(warehouseDir(spark),
         t.toLowerCase(java.util.Locale.ROOT))
       require(d.exists(), s"index part $t of $family@$v not found " +
         "(vacuumed, or never published?)")
-      spark.read.parquet(d.getPath)
+      val spec = entry.flatMap(_.parts.find(_.name == part))
+        .filter(_.nBuckets > 0)
+      spec.flatMap { p =>
+        try {
+          val lock = mintLocks.computeIfAbsent(family, _ => new Object)
+          lock.synchronized {
+            if (!spark.catalog.tableExists(t)) {
+              val ddl = spark.read.parquet(d.getPath).schema.toDDL
+              val sorted =
+                if (p.sortCol.nonEmpty) s"SORTED BY (${p.sortCol}) " else ""
+              spark.sql(s"CREATE TABLE $t ($ddl) USING PARQUET " +
+                s"CLUSTERED BY (${p.bucketCol}) ${sorted}" +
+                s"INTO ${p.nBuckets} BUCKETS LOCATION '${d.getPath}'")
+            }
+          }
+          Some(spark.table(t))
+        } catch { case _: Throwable => None }
+      }.getOrElse(spark.read.parquet(d.getPath))
     }
+  }
+
+  /** Resolve a part to a REGISTERED table name (restoring the external
+    * bucketed registration cross-process via [[readPart]]'s path) — for
+    * callers that hand the name to `spark.table`-based iterators. */
+  def resolvePart(spark: SparkSession, family: String, v: Int,
+                  part: String): String = {
+    readPart(spark, family, v, part) // registers if possible
+    partTableName(spark, family, v, part)
   }
 
   /** Pin the version a probe will read: an explicit `version` if >0,
@@ -173,15 +311,27 @@ object IndexCatalog {
       val (dead, live) = m.versions.partition(e =>
         !keepVs.contains(e.v) && e.publishedMs < cutoff)
       val droppedTables = dead.flatMap(e => e.parts.map(p =>
-        tableName(family, e.v, p)))
+        tableName(family, e.v, p.name, e.sfx)))
       // unreferenced directories (crashed builds): same grace age, by
       // dir mtime, never a version the manifest still lists
       val refd = m.versions.flatMap(e => e.parts.map(p =>
-        tableName(family, e.v, p).toLowerCase(java.util.Locale.ROOT))).toSet
-      val prefix = s"graft_idx_${family}_v"
+        tableName(family, e.v, p.name, e.sfx)
+          .toLowerCase(java.util.Locale.ROOT))).toSet
+      // version-dir grammar + ownership check: the grammar ALONE cannot
+      // disambiguate siblings, because family names may themselves
+      // contain `_v<digit>_` — family `srp_v2`'s live
+      // `graft_idx_srp_v2_v1_cells` matches family `srp`'s version-dir
+      // pattern (`graft_idx_srp_v` + `2_v1_cells`). So a candidate is
+      // an orphan only if NO other family's manifest claims it (and
+      // manifest files themselves — `..._v2_manifest.txt` parses as a
+      // `v2` dir of the prefix family — are never orphan candidates).
+      val exactOrphan = s"graft_idx_${family}_v\\d+[a-z0-9]*_.*".r
+      val others = claimedByOtherFamilies(spark, family)
       val orphans = Option(warehouseDir(spark).listFiles())
         .getOrElse(Array.empty).toSeq
-        .filter(f => f.getName.startsWith(prefix) && !refd(f.getName) &&
+        .filter(f => exactOrphan.pattern.matcher(f.getName).matches() &&
+          !f.getName.contains("_manifest.txt") &&
+          !refd(f.getName) && !others(f.getName) &&
           f.lastModified() < cutoff)
         .map(_.getName)
       (droppedTables ++ orphans).foreach { t =>
@@ -196,14 +346,37 @@ object IndexCatalog {
     }
   }
 
+  /** Every table dir (and manifest filename, with temps) claimed by
+    * any OTHER family's manifest in this warehouse — the ownership
+    * authority for the naming-grammar ambiguity above. A LIST of
+    * manifest files + one small read each: metadata-cheap. */
+  private def claimedByOtherFamilies(spark: SparkSession,
+                                     family: String): Set[String] = {
+    val mre = "graft_idx_([a-z0-9_]+)_manifest\\.txt".r
+    Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case mre(fam) if fam != family =>
+          Seq(f.getName) ++ readManifest(spark, fam).toSeq.flatMap(
+            _.versions.flatMap(e => e.parts.flatMap(p => {
+              val t = tableName(fam, e.v, p.name, e.sfx)
+              Seq(t, t.toLowerCase(java.util.Locale.ROOT))
+            })))
+        case _ => Seq.empty
+      }).toSet
+  }
+
   /** Drop a whole family — manifest, every referenced table, every
     * orphan dir (spec teardown / decommission). */
   def dropFamily(spark: SparkSession, family: String): Unit = {
+    // same grammar tableName/mint enforce — an unvalidated family here
+    // would be interpolated into the regex below, where a metachar
+    // (e.g. `.`) silently matches nothing or too much
+    require(family.matches("[a-z0-9_]+"), s"family must be [a-z0-9_]+: $family")
     val lock = mintLocks.computeIfAbsent(family, _ => new Object)
     lock.synchronized {
       readManifest(spark, family).foreach(_.versions.foreach(e =>
         e.parts.foreach { p =>
-          val t = tableName(family, e.v, p)
+          val t = tableName(family, e.v, p.name, e.sfx)
           try spark.sql(s"DROP TABLE IF EXISTS $t")
           catch { case _: Throwable => () }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
@@ -213,11 +386,19 @@ object IndexCatalog {
       // `graft_idx_<family>_` prefix would also match a family whose
       // name extends this one (dropping `srp` must not touch
       // `srp_docs`' `graft_idx_srp_docs_v1_*` dirs), so require the
-      // version marker or the manifest filename after the family name
-      val exact = (s"graft_idx_${family}_v\\d+_.*|" +
+      // version marker or the manifest filename after the family name —
+      // and, since the grammar is still ambiguous against a sibling
+      // whose name extends this one with `_v<digit>` (see vacuum),
+      // never delete what another family's manifest claims
+      val exact = (s"graft_idx_${family}_v\\d+[a-z0-9]*_.*|" +
         s"graft_idx_${family}_manifest\\.txt(\\.tmp_pid\\d+)?").r
+      val myManifest = s"graft_idx_${family}_manifest\\.txt(\\.tmp_pid\\d+)?".r
+      val others = claimedByOtherFamilies(spark, family)
       Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty)
-        .filter(f => exact.pattern.matcher(f.getName).matches())
+        .filter(f => exact.pattern.matcher(f.getName).matches() &&
+          !others(f.getName) &&
+          (myManifest.pattern.matcher(f.getName).matches() ||
+            !f.getName.contains("_manifest.txt")))
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       manifestFile(spark, family).delete()
       ()

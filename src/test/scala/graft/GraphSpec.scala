@@ -319,7 +319,9 @@ class GraphSpec extends SparkSpec {
   test("standing layout: serve ≡ build-then-serve, reuse without rebuild, " +
       "concurrent same-key callers share one table") {
     val edges = Graph.pageRankEdges(spark, sf)
-    val key = "spec_standing_" + System.nanoTime()
+    val fam = "spec_standing_" + math.abs(this.hashCode())
+    val fp = "ab12cd34"
+    graft.sources.IndexCatalog.dropFamily(spark, fam)
     try {
       // build-then-serve (the explicit path) as the reference ranks
       val tRef = Graph.pageRankEdgeLayout(spark, edges, suffix = "_specref")
@@ -327,17 +329,21 @@ class GraphSpec extends SparkSpec {
         try Graph.pageRankOnBucketed(spark, tRef).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         finally spark.sql(s"DROP TABLE IF EXISTS $tRef")
-      // standing path: first call builds...
-      val t1 = Graph.pageRankStandingLayout(spark, edges, key)
+      // standing path: first call builds (and publishes family@v1)...
+      val t1 = Graph.pageRankStandingLayout(spark, edges, fam, fp)
       val served = Graph.pageRankOnBucketed(spark, t1).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(served === ref, "standing-layout ranks diverge from build-then-serve")
-      // ...reuse-without-rebuild: same key returns the SAME table and a
-      // poisoned edge frame proves the frame is never reconstructed
+      // ...reuse-without-rebuild: same family+fingerprint returns the
+      // SAME table and a poisoned edge frame proves the frame is never
+      // reconstructed (the by-name law, now held by the catalog)
       val poisoned = spark.range(1).selectExpr(
         "assert_true(false) as src", "id as dst")
-      val t2 = Graph.pageRankStandingLayout(spark, poisoned.toDF(), key)
+      val t2 = Graph.pageRankStandingLayout(spark, poisoned.toDF(), fam, fp)
       assert(t2 === t1, "reuse hit must return the standing table")
+      // a CHANGED fingerprint rebuilds into the next version
+      val t3 = Graph.pageRankStandingLayout(spark, edges, fam, "ffff0000")
+      assert(t3 !== t1, "new fingerprint must mint a new version")
       // concurrent same-key callers (the round-13 advice race): all
       // land on one table, nobody's serve is dropped out from under it
       import scala.concurrent.{Await, Future}
@@ -345,9 +351,9 @@ class GraphSpec extends SparkSpec {
       import scala.concurrent.ExecutionContext.Implicits.global
       val names = Await.result(
         Future.sequence((1 to 4).map(_ => Future(
-          Graph.pageRankStandingLayout(spark, edges, key)))), 2.minutes)
-      assert(names.distinct === Seq(t1))
-    } finally Graph.dropStandingLayouts(spark)
+          Graph.pageRankStandingLayout(spark, edges, fam, fp)))), 2.minutes)
+      assert(names.distinct.size === 1)
+    } finally graft.sources.IndexCatalog.dropFamily(spark, fam)
   }
 
   test("q275 double sweep is exact on trees and from the worst seed") {

@@ -119,11 +119,13 @@ class IndexCatalogSpec extends SparkSpec {
       // grace not yet passed: nothing may go (a reader could hold v1)
       assert(IndexCatalog.vacuum(spark, fam, keep = 1).isEmpty)
       // grace passed: v1+v2 and the orphan go, v3 (current) stays
+      // (version dirs carry a mint suffix — `_v1p<pid>n<k>_` — since
+      // round 15, so match on the version marker, not `_v1_`)
       val dropped = IndexCatalog.vacuum(spark, fam, keep = 1, graceMs = 0)
-      assert(dropped.exists(_.contains("_v1_")) &&
-        dropped.exists(_.contains("_v2_")))
-      assert(dropped.exists(_.contains("_v99_")), "orphan must be vacuumed")
-      assert(!dropped.exists(_.contains("_v3_")))
+      def hasV(n: Int) = dropped.exists(_.matches(s".*_v$n[a-z0-9]*_.*"))
+      assert(hasV(1) && hasV(2))
+      assert(hasV(99), "orphan must be vacuumed")
+      assert(!hasV(3))
       // current still serves; the vacuumed version now refuses clearly
       assert(pairs(Similarity.srpPairsFromCatalog(spark, fam, 0.4)).nonEmpty
         || true) // probe must not throw
@@ -181,6 +183,38 @@ class IndexCatalogSpec extends SparkSpec {
     } finally IndexCatalog.dropFamily(spark, sibling)
   }
 
+  test("vacuum is exact: vacuuming `f` never deletes live dirs of sibling " +
+      "family `f_v2` (family names may contain _v<digit>)") {
+    val base = "spec_vsib_" + math.abs(this.hashCode())
+    val sibling = base + "_v2" // graft_idx_<sibling>_v1_part starts with
+                               // graft_idx_<base>_v — the startsWith trap
+    IndexCatalog.dropFamily(spark, base)
+    IndexCatalog.dropFamily(spark, sibling)
+    try {
+      val df = spark.range(7).selectExpr("id", "id * 5 as y")
+      def publish(fam: String): Unit =
+        IndexCatalog.mint(spark, fam) { (_, name) =>
+          df.write.mode("overwrite").saveAsTable(name("part")); Seq("part")
+        }
+      publish(base); publish(sibling)
+      // zero grace: everything vacuum CAN claim, it claims now
+      val dropped = IndexCatalog.vacuum(spark, base, keep = 1, graceMs = 0)
+      assert(!dropped.exists(_.contains(sibling)),
+        s"vacuum of $base claimed sibling tables: $dropped")
+      assert(IndexCatalog.readPart(spark, sibling, 1, "part").count() === 7L,
+        "sibling family's live version dir must survive the vacuum")
+      // same ambiguity class for dropFamily: dropping `f` must leave
+      // `f_v2`'s manifest and live dirs intact
+      IndexCatalog.dropFamily(spark, base)
+      assert(IndexCatalog.currentVersion(spark, base).isEmpty)
+      assert(IndexCatalog.currentVersion(spark, sibling) === Some(1),
+        "dropFamily of the prefix family deleted the sibling's manifest")
+      assert(IndexCatalog.readPart(spark, sibling, 1, "part").count() === 7L,
+        "sibling family's live version dir must survive the drop")
+    } finally { IndexCatalog.dropFamily(spark, base)
+                IndexCatalog.dropFamily(spark, sibling) }
+  }
+
   test("mint survives a manifest with a current= header but no version lines") {
     val fam = "spec_hdr_" + math.abs(this.hashCode())
     IndexCatalog.dropFamily(spark, fam)
@@ -198,6 +232,97 @@ class IndexCatalogSpec extends SparkSpec {
       assert(v === 1, "numbering restarts when no version lines survive")
       assert(IndexCatalog.readPart(spark, fam, v, "part").count() === 3L)
     } finally IndexCatalog.dropFamily(spark, fam)
+  }
+
+  test("getOrMint: same fingerprint reuses the current version without " +
+      "invoking the build; a changed fingerprint mints the next one") {
+    val fam = "spec_gom_" + math.abs(this.hashCode())
+    IndexCatalog.dropFamily(spark, fam)
+    try {
+      var builds = 0
+      def build(v: Int, name: String => String): Seq[IndexCatalog.Part] = {
+        builds += 1
+        spark.range(4).write.mode("overwrite").saveAsTable(name("part"))
+        Seq(IndexCatalog.Part("part"))
+      }
+      val v1 = IndexCatalog.getOrMint(spark, fam, "aaaa11")(build)
+      val v2 = IndexCatalog.getOrMint(spark, fam, "aaaa11")(build)
+      assert(v1 === 1 && v2 === 1 && builds === 1,
+        "same fingerprint must reuse without building")
+      val v3 = IndexCatalog.getOrMint(spark, fam, "bbbb22")(build)
+      assert(v3 === 2 && builds === 2, "new fingerprint must mint")
+      // flipping BACK rebuilds: reuse is only ever against CURRENT
+      // (the probe law pins versions; getOrMint never resurrects one)
+      val v4 = IndexCatalog.getOrMint(spark, fam, "aaaa11")(build)
+      assert(v4 === 3 && builds === 3)
+      // fp round-trips through the manifest grammar
+      val m = IndexCatalog.readManifest(spark, fam).get
+      assert(m.versions.find(_.v === 3).get.fp === "aaaa11")
+    } finally IndexCatalog.dropFamily(spark, fam)
+  }
+
+  test("cross-process bucket restoration: a bucketed part re-registers as " +
+      "an external bucketed table when the catalog entry is gone") {
+    val fam = "spec_bkt_" + math.abs(this.hashCode())
+    IndexCatalog.dropFamily(spark, fam)
+    try {
+      val df = spark.range(64).selectExpr("id", "id * 7 as y")
+      IndexCatalog.mintParts(spark, fam, "cafe01") { (_, name) =>
+        graft.sources.Warehouse.writeBucketed(df, name("part"), "id", 4,
+          Some("id"))
+        Seq(IndexCatalog.Part("part", "id", 4, "id"))
+      }
+      val t = IndexCatalog.partTableName(spark, fam, 1, "part")
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val dir = new java.io.File(wh, t.toLowerCase(java.util.Locale.ROOT))
+      val aside = new java.io.File(wh, dir.getName + "__aside")
+      // simulate the writer JVM dying: the in-memory catalog entry goes,
+      // the warehouse DIRECTORY stays (move it out of DROP's reach,
+      // drop the managed entry, move it back)
+      java.nio.file.Files.move(dir.toPath, aside.toPath)
+      try spark.sql(s"DROP TABLE IF EXISTS $t")
+      catch { case _: Throwable => () }
+      java.nio.file.Files.move(aside.toPath, dir.toPath)
+      assert(!spark.catalog.tableExists(t))
+      val restored = IndexCatalog.readPart(spark, fam, 1, "part")
+      assert(spark.catalog.tableExists(t),
+        "bucketed part must re-register, not downgrade to a plain read")
+      assert(restored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // the restored registration carries the bucket METADATA: a
+      // self-join on the bucket key plans with ZERO exchanges
+      val j = restored.as("a").join(spark.table(t).as("b"),
+        org.apache.spark.sql.functions.col("a.id") ===
+          org.apache.spark.sql.functions.col("b.id")).hint("merge")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"restored bucketed join must not exchange:\n$plan")
+    } finally IndexCatalog.dropFamily(spark, fam)
+  }
+
+  test("registry defaults ride the catalog: q24/q34/q311 reuse the " +
+      "published index on a second call (get-or-publish, no new version)") {
+    import graft.operators.Llm
+    def pairSet(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // q24 — the actual registry code path (round-14 verdict #2's ask)
+    val r1 = pairSet(Llm.embeddingNearDup(spark, sf))
+    val v1 = IndexCatalog.currentVersion(spark, "srp_q24")
+    val r2 = pairSet(Llm.embeddingNearDup(spark, sf))
+    val v2 = IndexCatalog.currentVersion(spark, "srp_q24")
+    assert(r1 === r2 && v1.isDefined && v1 === v2,
+      "q24 second call must SERVE the published version, not re-mint")
+    val i1 = pairSet(Llm.ivfTopKQuery(spark, sf))
+    val iv1 = IndexCatalog.currentVersion(spark, "ivf_q34")
+    val i2 = pairSet(Llm.ivfTopKQuery(spark, sf))
+    assert(i1 === i2 &&
+      iv1 === IndexCatalog.currentVersion(spark, "ivf_q34"))
+    val l1 = pairSet(Llm.minhashLshDurable(spark, sf))
+    val lv1 = IndexCatalog.currentVersion(spark, "lsh_q311")
+    val l2 = pairSet(Llm.minhashLshDurable(spark, sf))
+    assert(l1 === l2 &&
+      lv1 === IndexCatalog.currentVersion(spark, "lsh_q311"))
   }
 
   test("manifest publish is atomic and tolerant: a torn temp file never " +

@@ -140,12 +140,15 @@ class MediaDecodeSpec extends SparkSpec {
     val rows = Multimodal.decodeMediaMeta(Seq(
         (1L, ext),
         (2L, MediaFixture.webpVp8x(320, 240)),
-        (3L, ext.take(24))    // cut inside the VP8X payload
+        (3L, ext.take(24)),   // cut inside the VP8X payload
+        (4L, ext.updated(16, 11.toByte)) // corrupt chunk size (must be 10)
       ).toDF("asset_id", "content")).orderBy("asset_id").collect()
     rows.foreach(r => assert(r.getString(1) === "webp"))
     assert(rows(0).getLong(2) === 20000L && rows(0).getLong(3) === 17000L)
     assert(rows(1).getLong(2) === 320L && rows(1).getLong(3) === 240L)
     assert((2 to 8).forall(rows(2).isNullAt), "truncated VP8X leaked fields")
+    assert((2 to 8).forall(rows(3).isNullAt),
+      "VP8X with a corrupt chunk-size field must yield null, never garbage")
   }
 
   test("EXIF-oriented TIFF reports display dims (5-8 transpose; 1-4 keep stored)") {

@@ -20,9 +20,21 @@ class MetricsSpec extends SparkSpec {
     // exists to avoid) is not spun here — a disk-write law would be
     // host-dependent; the write-heavy-lane evidence lives in
     // BENCH_DETAIL's per-rep ext_cores.
+    // idle baseline first (round-14 advice): the assert below measures
+    // SELF-subtraction quality, and a genuinely loud host would fail it
+    // for reasons the law doesn't govern — cancel on a loud host
+    // instead of hard-failing a host-dependent number
+    val (bh0, bs0) = (Metrics.hostUserStealJiffies(), Metrics.selfUserJiffies())
+    assume(bh0 >= 0 && bs0 >= 0, "/proc unavailable")
+    Thread.sleep(500)
+    val baseline = ((Metrics.hostUserStealJiffies() - bh0) -
+      (Metrics.selfUserJiffies() - bs0)) / Metrics.Hz / 0.5
+    assume(baseline < 2.0,
+      f"host already loud ($baseline%.2f ext cores idle) - law not testable now")
+    // burn-window counters captured AFTER the baseline probe, so the
+    // sleep's host activity never leaks into the burn's ext reading
     val h0 = Metrics.hostUserStealJiffies()
     val s0 = Metrics.selfUserJiffies()
-    assume(h0 >= 0 && s0 >= 0, "/proc unavailable")
     val t0 = System.nanoTime()
     val threads = (1 to 4).map(_ => new Thread(() => {
       var x = 0L
