@@ -189,6 +189,15 @@ object IndexCatalog {
       val sfx = s"p${ProcessHandle.current().pid()}n${mintNonce.incrementAndGet()}"
       val parts = build(v, part => tableName(family, v, part, sfx))
       require(parts.nonEmpty, s"index build for $family wrote no parts")
+      // the manifest grammar would silently DROP a line whose tokens
+      // fall outside it (readManifest collects matches only) — numbering
+      // would then restart under live dirs; refuse the write instead
+      parts.foreach { p =>
+        require(p.name.matches("[a-z0-9_]+"), s"bad part name: ${p.name}")
+        require(p.bucketCol.matches("[a-z0-9_]*") &&
+          p.sortCol.matches("[a-z0-9_]*"),
+          s"bucket/sort cols must be [a-z0-9_]*: $p")
+      }
       val entry = Version(v, parts, System.currentTimeMillis(), fp, sfx)
       writeManifest(spark, family,
         Manifest(v, prev.map(_.versions).getOrElse(Seq.empty) :+ entry))
