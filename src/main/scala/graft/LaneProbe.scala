@@ -109,6 +109,92 @@ object LaneProbe {
           // engine owns (the parse is Spark's CSV datasource)
           val (largest, _) = graft.sources.IngestFixture.ensure(spark)
           () => graft.sources.CsvSource.readRaw(spark, largest)
+        case "ingest_attrib" =>
+          // attribution sweep INSIDE the typed-repair term: the same
+          // largest-file frame through expression subsets, so the wall
+          // deltas name the cost of each repair stage (cycle variants
+          // across reps; pass reps = k*|variants|)
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.{BooleanType, DecimalType}
+          val (largest, _) = graft.sources.IngestFixture.ensure(spark)
+          val target = graft.model.ReferenceSchemas.transactions
+          def raw() = graft.sources.CsvSource.readRaw(spark, largest)
+            .toDF(graft.sources.CsvSource.readRaw(spark, largest)
+              .columns.map(_.toLowerCase): _*)
+          val variants: Seq[(String, () => DataFrame)] = Seq(
+            "full" -> (() => graft.sources.CsvSource.alignTo(
+              graft.sources.CsvSource.readRaw(spark, largest), target)),
+            // no placeholder normalization: typed casts on raw strings
+            "no_placeholder" -> (() => {
+              val r = raw()
+              r.select(target.fields.map { f =>
+                if (!r.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+                else (f.dataType match {
+                  case d: DecimalType =>
+                    graft.functions.Validate.decimalComma(col(f.name), d.precision, d.scale)
+                  case BooleanType => graft.functions.Validate.bool01(col(f.name))
+                  case t => col(f.name).cast(t)
+                }).as(f.name)
+              }.toSeq: _*)
+            }),
+            // placeholders only, every column stays string
+            "no_casts" -> (() => {
+              val r = raw()
+              r.select(target.fields.map { f =>
+                if (!r.columns.contains(f.name)) lit(null).cast("string").as(f.name)
+                else graft.functions.Validate.normalizePlaceholders(col(f.name)).as(f.name)
+              }.toSeq: _*)
+            }),
+            // neither: the projection-only control (≈ raw parse)
+            "neither" -> (() => {
+              val r = raw()
+              r.select(target.fields.map(f =>
+                (if (r.columns.contains(f.name)) col(f.name)
+                 else lit(null).cast("string")).as(f.name)).toSeq: _*)
+            }))
+          var vi = -1
+          () => { vi += 1; val (n, f) = variants(vi % variants.length)
+                  println(s"LANEPROBE variant: $n"); f() }
+        case "ingest_ph_variants" =>
+          // expression-level attribution INSIDE normalizePlaceholders:
+          // which term costs — trim, the length gate, lower+isin?
+          import org.apache.spark.sql.functions._
+          val (largest, _) = graft.sources.IngestFixture.ensure(spark)
+          val target = graft.model.ReferenceSchemas.transactions
+          val tokens = graft.functions.Validate.defaultNullTokens
+          val maxLen = tokens.map(_.length).max
+          val byLen = tokens.groupBy(_.length).toSeq.sortBy(_._1)
+          def sweep(norm: org.apache.spark.sql.Column =>
+              org.apache.spark.sql.Column): DataFrame = {
+            val r0 = graft.sources.CsvSource.readRaw(spark, largest)
+            val r = r0.toDF(r0.columns.map(_.toLowerCase): _*)
+            r.select(target.fields.map(f =>
+              (if (r.columns.contains(f.name)) norm(col(f.name))
+               else lit(null).cast("string")).as(f.name)).toSeq: _*)
+          }
+          val variants: Seq[(String, () => DataFrame)] = Seq(
+            "current" -> (() => sweep(c =>
+              graft.functions.Validate.normalizePlaceholders(c, tokens))),
+            "trim_only" -> (() => sweep(c =>
+              when(length(trim(c.cast("string"))) === -1, lit(null))
+                .otherwise(c))),
+            "len_gate_only" -> (() => sweep { c =>
+              val t = trim(c.cast("string"))
+              when(length(t) <= maxLen && t === "~never~", lit(null))
+                .otherwise(c)
+            }),
+            "exact_len_groups" -> (() => sweep { c =>
+              val t = trim(c.cast("string"))
+              val n = length(t)
+              val cond = byLen.map { case (len, toks) =>
+                if (len == 0) n === 0
+                else n === len && lower(t).isin(toks.map(_.toLowerCase): _*)
+              }.reduce(_ || _)
+              when(cond, lit(null)).otherwise(c)
+            }))
+          var vj = -1
+          () => { vj += 1; val (n, f) = variants(vj % variants.length)
+                  println(s"LANEPROBE variant: $n"); f() }
         case "ingest_aligned" =>
           // full-warehouse stage control (round-14 verdict #1): parse +
           // normalize + typed repair + align + diagonal union over all

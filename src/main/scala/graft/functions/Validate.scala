@@ -90,20 +90,20 @@ object Validate {
   def normalizePlaceholders(c: Column,
                             tokens: Seq[String] = defaultNullTokens): Column =
     if (tokens.isEmpty) c
-    else {
-      val t = trim(c.cast("string"))
-      // Exact-semantics fast path: a value can only match a token if
-      // its TRIMMED length is at most the longest token's, so the
-      // lower() allocation + N comparisons are gated behind one cheap
-      // length check (And short-circuits in codegen). On the ingest
-      // bench this runs 22 columns x 7.79 M rows where most values are
-      // longer than any token — measured as part of the typed-repair
-      // term that dominates the lane (raw univocity parse: ~1.3 s;
-      // full typed repair: ~17 s before this gate).
-      val maxLen = tokens.map(_.length).max
-      when(length(t) <= maxLen &&
-        lower(t).isin(tokens.map(_.toLowerCase): _*), lit(null)).otherwise(c)
-    }
+    else
+      // Codegen'd native form (graft.plans.PlaceholderNull) of
+      //   when(length(trim(c)) <= maxLen &&
+      //        lower(trim(c)).isin(tokens...), null).otherwise(c)
+      // — byte-equal semantics (the non-ASCII path runs the old
+      // expression verbatim; PlaceholderParitySpec fuzzes the
+      // equivalence), no per-value lower() allocation. Measured on the
+      // 18.8 M-row ingest repair (LaneProbe ingest_ph_variants): the
+      // when-form's lower+isin term was ~12.5 s across 22 columns —
+      // the single largest term of the typed-repair stage — because
+      // most code-like values are short enough to clear the length
+      // gate; the native matcher replaces it with one bounded
+      // allocation-free byte compare.
+      graft.plans.GraftFunctions.placeholder_null(c.cast("string"), tokens)
 
   /** European decimal-comma text -> exact decimal (F11; the reference
     * reads money columns with `decimal_comma=True`, pipeline.py:233).

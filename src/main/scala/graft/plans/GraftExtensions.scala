@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
       (exprs: Seq[Expression]) => GraftFunctions.mkSrpSig(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_placeholder_null"),
+      new ExpressionInfo(classOf[PlaceholderNull].getName, "graft_placeholder_null"),
+      (exprs: Seq[Expression]) => GraftFunctions.mkPlaceholderNull(exprs)))
     // Spark's own (non-public-registry) bloom expressions, surfaced
     // under graft names: the build side of a semi-join reduction as a
     // TypedImperativeAggregate, and the codegen'd membership probe.
@@ -83,6 +87,12 @@ object GraftFunctions {
     HexWindowLong(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())
+
+  private[plans] def mkPlaceholderNull(exprs: Seq[Expression]): PlaceholderNull =
+    PlaceholderNull(exprs.head, exprs.tail.map { e =>
+      require(e.foldable, s"graft_placeholder_null tokens must be literals: $e")
+      String.valueOf(e.eval())
+    })
 
   /** Sessions already registered, weakly held (a dropped session must
     * not leak through the guard set). Registration is idempotent —
@@ -143,6 +153,8 @@ object GraftFunctions {
       "morton_key", exprs => MortonKey(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_sig", mkSrpSig, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_placeholder_null", mkPlaceholderNull, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
@@ -207,6 +219,15 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     ensureRegistered()
     call_function("graft_srp_sig", vec, lit(band), lit(bits), lit(dim))
+  }
+
+  /** Null out placeholder tokens (trimmed, case-insensitive) — the
+    * codegen'd form of the ingest path's per-column normalization; see
+    * [[PlaceholderNull]] for the measured rationale. */
+  def placeholder_null(c: Column, tokens: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.lit
+    ensureRegistered()
+    call_function("graft_placeholder_null", (c +: tokens.map(lit)): _*)
   }
 
   /** Bloom build aggregate over a LONG key column (use xxhash64 for
