@@ -116,8 +116,11 @@ object ScaleBench {
     Similarity.srpNearDupPairs(emb, threshold = 0.4, bands = 12, bits = bits,
       dim = 64)
 
-  /** q24's DURABLE-index operating point — the registry key's form
-    * since round 13: identical pipeline to [[srpPairsWithBits]] but the
+  /** q24's pid-keyed DURABLE-index operating point — the registry
+    * key's form in rounds 13-14; since round 15 the registry default
+    * is the versioned-catalog get-or-publish path and THIS lane stays
+    * as the measured per-rep build-and-serve comparator (the crash-
+    * sweep fallback form): identical pipeline to [[srpPairsWithBits]] but the
     * vecs + band-index frames persist as bucketed catalog tables per
     * rep, so this lane times the build-and-serve cost of the durable
     * path while the checkpoint lane above stays the in-memory
@@ -131,8 +134,10 @@ object ScaleBench {
       bits = bits, dim = 64,
       tablePrefix = Some(benchTablePrefix("srp", times)))
 
-  /** q34's DURABLE-index operating point — the registry key's form
-    * since round 13: sampled centroids + cell assignments persisted as
+  /** q34's pid-keyed DURABLE-index operating point — the registry
+    * key's form in rounds 13-14; since round 15 the registry default
+    * is the versioned-catalog path and this lane is its measured
+    * per-rep build comparator: sampled centroids + cell assignments persisted as
     * bucketed catalog tables, top-k probed off the standing tables.
     * Fixed 16 cells / 4 probes (the q34 oracle point: assignment is
     * n x 16 dots — linear; the auto-cells scaling story lives in the
@@ -382,7 +387,9 @@ object ScaleBench {
 
   /** The DEFAULT PageRank path (round-13 verdict #2): get-or-build the
     * STANDING bucketed layout, then iterate read-in-place — exactly
-    * what Graph.pageRank (the q146 registry key) runs since round 14.
+    * what Graph.pageRank (the q146 registry key) runs since round 14
+    * (and, since round 15, through the versioned catalog — family per
+    * factor+suffix below, same get-or-publish law).
     * The first call per (key, buckets) pays the build; every later one
     * serves from the standing table, so after the untimed warm builds
     * it, the timed reps measure the default's steady state — the

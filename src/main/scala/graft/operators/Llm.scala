@@ -1563,10 +1563,12 @@ object Llm {
   private val NdBits = 6
 
   /** Since round 13 this registry key rides the DURABLE-index lane
-    * (round-12 verdict #3): the normalized vectors and the SRP band
-    * index persist as bucketed catalog tables (pid-keyed, swept by the
-    * shared Warehouse discipline) and the identical downstream runs off
-    * them — so the oracle hash re-gates the durable path every round.
+    * (round-12 verdict #3), and since round 15 the durable lane IS the
+    * versioned IndexCatalog: the normalized vectors and the SRP band
+    * index publish as a named family's bucketed version tables
+    * (get-or-publish by source fingerprint, pinned-version probe,
+    * vacuum) and the identical downstream runs off them — so the
+    * oracle hash re-gates the catalog path every round.
     * SrpIvfDurableIndexSpec pins durable ≡ checkpoint pair-for-pair;
     * the checkpoint form stays the library default (one-shot callers
     * should not pay a table write). */
@@ -1992,10 +1994,12 @@ object Llm {
 
   // ---- q34: IVF top-k with deterministic sampled centroids -----------
   /** Since round 13 this registry key rides the DURABLE-index lane
-    * (round-12 verdict #3): sampled centroids + cell assignments
-    * persist as bucketed catalog tables (pid-keyed, shared sweep) and
-    * the probe runs off the standing tables — the oracle hash re-gates
-    * the durable build every round; SrpIvfDurableIndexSpec pins
+    * (round-12 verdict #3), and since round 15 that lane IS the
+    * versioned IndexCatalog: sampled centroids + cell assignments
+    * publish as a named family's bucketed version tables
+    * (get-or-publish by source fingerprint, pinned-version probe,
+    * vacuum) and the probe runs off the standing tables — the oracle
+    * hash re-gates the catalog build every round; SrpIvfDurableIndexSpec pins
     * durable ≡ in-memory top-k-for-top-k and proves reuse-without-
     * rebuild via ivfTopKFromTables. (q76 separately gates the
     * cell-PARTITIONED serving layout.) */

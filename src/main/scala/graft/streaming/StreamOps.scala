@@ -101,6 +101,23 @@ object StreamOps {
     }
   }
 
+  /** Store sizing for a CONTINUOUS deployment, where the input can
+    * never be listed or counted: estimate the next batch's state from
+    * the PREVIOUS batch's reported state-store rows (every drained
+    * query publishes them into [[lastStateProgress]]) with a growth
+    * margin, and feed the same [[autoStatePartitions]] law. None until
+    * a first batch has reported — callers start from the session
+    * default (or a file-stats estimate when the source IS listable)
+    * and re-size between restarts, the standard continuous-pipeline
+    * cadence (store count is fixed for a run; it moves at the next
+    * checkpoint-compatible restart). */
+  def autoStatePartitionsFromProgress(spark: SparkSession,
+                                      growthMargin: Double = 1.5,
+                                      rowsPerStore: Long = 50000L): Option[Int] =
+    lastStateProgress.maxByOption(_.batchId).map(p =>
+      autoStatePartitions(spark,
+        math.ceil(p.numRowsTotal * growthMargin).toLong, rowsPerStore))
+
   /** Run `f` against a CLONED session whose shuffle-partition count is
     * `n` — the scoped form of the state-store dial. A clone, not
     * set/restore on the caller's conf, for the same reason as

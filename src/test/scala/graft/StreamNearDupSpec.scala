@@ -92,6 +92,28 @@ class StreamNearDupSpec extends SparkSpec {
       StreamOps.autoStatePartitions(spark, exact * 4))
   }
 
+  test("progress-based store sizing: the continuous-deployment estimator " +
+      "derives from the last batch's reported state rows") {
+    val dir = "/tmp/graft_stream_progress_sizing"
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val schema = spark.read.parquet(s"$dir/docs").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/docs")
+    StreamOps.nearDupCandidatesFrom(src, "nd_progress_sizing")
+      .select("doc_a", "doc_b").collect() // drain -> progress published
+    assert(StreamOps.lastStateProgress.nonEmpty,
+      "a drained stateful query must publish state progress")
+    val n = StreamOps.autoStatePartitionsFromProgress(spark)
+    val ceiling = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(n.exists(v => v >= 4 && v <= ceiling),
+      s"sized $n outside [4, $ceiling]")
+    // a larger growth margin never shrinks the count
+    assert(StreamOps.autoStatePartitionsFromProgress(spark,
+      growthMargin = 10.0).get >= n.get)
+  }
+
   test("maxBucketHistory bounds state: capped output is a strict subset") {
     val dir = "/tmp/graft_stream_neardup_cap"
     Tables.documents(spark, sf).select("doc_id", "text")
