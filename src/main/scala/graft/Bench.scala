@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   *   and a lane that could not run at all is OMITTED from the timings
   *   (round 7 recorded 0.0 for a failed lane — which reads as an
   *   ultra-fast pass unless the reader cross-references the errors).
+  * - WALL-CLOCK BUDGET (round-15 verdict #1, after the r15 driver run
+  *   hit its timeout mid-x20 and lost the whole record): the work
+  *   program sheds against SPARK_GRAFT_BENCH_BUDGET_S (default
+  *   BenchPolicy.DefaultBudgetS) in priority order — headline ->
+  *   ingest -> x1 -> x10 -> x20 — recording what didn't fit under
+  *   skipped_deadline, and prints a CHECKPOINT artifact line after the
+  *   headline+ingest blocks and every scale factor so a kill at any
+  *   point still leaves a parseable compact line in the stdout tail.
   */
 object Bench {
   // Headline set: one per operator family (join+window agg, per-key agg,
@@ -69,6 +77,34 @@ object Bench {
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+    // The documented-bounded global windows (Robust/Temporal/Mining/
+    // Sampling — all over pre-aggregated or truncated frames) each log
+    // a "No Partition Defined" WARN at every replan; the r15 driver
+    // tail was thousands of them, drowning real signal (round-15
+    // verdict #6). The PlanGuard byte-law gate is the watchdog for
+    // plan shape, not log grep — bench sessions raise the package to
+    // ERROR.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+    // ---- wall-clock budget (round-15 verdict #1) -----------------------
+    // The work program is fixed-size; the driver's timeout is not. The
+    // r15 driver run hit it mid-x20 and the round lost its ENTIRE bench
+    // record (rc 124, parsed null) even though the headline block had
+    // finished half an hour earlier. Every unit after the first full
+    // headline round now checks the deadline (priority = program order:
+    // headline -> ingest -> x1 -> x10 -> x20); what doesn't fit is
+    // recorded under skipped_deadline, never silently absent, and the
+    // run exits 0 with a degraded-but-parsed artifact.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).getOrElse(BenchPolicy.DefaultBudgetS)
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    def remainingS: Double = budgetS - elapsedS
+    def pastDeadline: Boolean = BenchPolicy.shed(remainingS)
+    val skippedDeadline = scala.collection.mutable.LinkedHashSet[String]()
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
     // "x10.q34_ivf_probe"). First failure wins per key; the message is
@@ -152,6 +188,16 @@ object Bench {
     // set by timedWithHost's finally; read by the (single-threaded)
     // rep loops right after each call
     var lastRepGated = false
+    // consecutive gated reps (round-15 verdict #4): once the host has
+    // been loud this long without a quiet window, remediation reps
+    // (gated-extra, steady) stop being admitted — more reps buy
+    // nothing on a loud host and burn the wall-clock budget (r15:
+    // gated_reps 32, every one of them remediation that never landed
+    // clean). Env-tunable; the cap firing is a recorded artifact.
+    val loudCap = sys.env.get("SPARK_GRAFT_LOADGATE_LOUDCAP")
+      .flatMap(_.toIntOption).getOrElse(6)
+    var consecutiveGated = 0
+    var remediationCapped = false
     def timedWithHost[A](key: String)(body: => A): A = {
       loadLog(key) = loadLog.getOrElse(key, Vector.empty) :+ load1()
       val s0 = stealJiffies()
@@ -173,6 +219,8 @@ object Bench {
           else -1.0 // /proc unavailable: no evidence, never gate on it
         extLog(key) = extLog.getOrElse(key, Vector.empty) :+ ext
         lastRepGated = ext > extCoresGate
+        consecutiveGated =
+          BenchPolicy.nextConsecutiveGated(consecutiveGated, ext, extCoresGate)
       }
     }
 
@@ -237,23 +285,45 @@ object Bench {
           cleanLog(name) = cleanLog.getOrElse(name, Vector.empty) :+ dt
       }
     }
-    for (_ <- 1 to 5; name <- headlinePresent) headlineRep(name)
+    // Round 1 is GUARANTEED (the parsed-headline floor: even an
+    // absurdly small budget yields a min-of-1 headline); rounds 2-5
+    // shed against the deadline as whole rounds — round-major order
+    // means a shed round costs every lane one rep, never one lane
+    // every rep.
+    for (name <- headlinePresent) headlineRep(name)
+    var headlineRoundsShed = false
+    for (r <- 2 to 5) {
+      if (pastDeadline) headlineRoundsShed = true
+      if (!headlineRoundsShed) headlinePresent.foreach(headlineRep)
+    }
+    if (headlineRoundsShed) skippedDeadline += "headline.extra_rounds"
     // load-gate extra reps: a query the gate left under-sampled gets up
-    // to 2 more chances at a quiet window (never for hard failures)
+    // to 2 more chances at a quiet window (never for hard failures) —
+    // unless the deadline passed or the host has been loud for loudCap
+    // consecutive reps (round-15 verdict #4: remediation on a loud
+    // host buys nothing and burns the budget)
     for (name <- headlinePresent; _ <- 1 to 2;
          if successLog.contains(name) &&
-           cleanLog.getOrElse(name, Vector.empty).size < 2)
-      headlineRep(name)
+           cleanLog.getOrElse(name, Vector.empty).size < 2) {
+      if (!BenchPolicy.remediationAllowed(consecutiveGated, loudCap))
+        remediationCapped = true
+      else if (pastDeadline) skippedDeadline += s"remediation.$name"
+      else headlineRep(name)
+    }
     // min over CLEAN reps when any exist; else min over successful with
     // the fallback recorded (the artifact then proves the host never
     // got quiet for this key). A lane with zero successes is omitted
-    // (its failure story lives in `errors`).
+    // (its failure story lives in `errors`). Called only AFTER the
+    // end-of-run retry pass — the retry converts fallbacks into clean
+    // minimums before anything is recorded.
     def gatedMin(key: String): Option[Double] =
       cleanLog.get(key).filter(_.nonEmpty).map(_.min).orElse(
         successLog.get(key).map { s => loadGateFallback += key; s.min })
-    val results = headlinePresent.flatMap(name =>
-      gatedMin(name).map(name -> _))
-    val total = results.map(_._2).sum
+    // non-mutating preview for the mid-run checkpoint lines: never
+    // records a fallback (the retry pass may still clean it)
+    def peekMin(key: String): Option[Double] =
+      cleanLog.get(key).filter(_.nonEmpty).map(_.min)
+        .orElse(successLog.get(key).filter(_.nonEmpty).map(_.min))
 
     // ---- steady-state pass (round-14 verdict #6) -----------------------
     // Sub-second headline queries swing ±10-20% between quiet-host runs
@@ -271,18 +341,28 @@ object Bench {
     val steadyTargets = headlinePresent.filter(n =>
       cleanLog.get(n).filter(_.nonEmpty)
         .orElse(successLog.get(n).filter(_.nonEmpty)).exists(_.min < 2.0))
+    // steady reps are remediation too: shed against the deadline and
+    // stop once the loud-cap fires (a loud host's steady reps all gate
+    // anyway — r15 spent 25 reps learning that)
+    var steadyShed = false
     for (_ <- 1 to 5; name <- steadyTargets) {
-      var dt = 0.0
-      var ok = false
-      timedWithHost(s"steady.$name") {
-        val t0 = System.nanoTime()
-        ok = try { force(name); true }
-          catch { case t: Throwable => recordErr(s"steady.$name", t); false }
-        dt = (System.nanoTime() - t0) / 1e9
+      if (pastDeadline) steadyShed = true
+      if (!BenchPolicy.remediationAllowed(consecutiveGated, loudCap))
+        remediationCapped = true
+      else if (!steadyShed) {
+        var dt = 0.0
+        var ok = false
+        timedWithHost(s"steady.$name") {
+          val t0 = System.nanoTime()
+          ok = try { force(name); true }
+            catch { case t: Throwable => recordErr(s"steady.$name", t); false }
+          dt = (System.nanoTime() - t0) / 1e9
+        }
+        if (ok && !lastRepGated)
+          steadyLog(name) = steadyLog.getOrElse(name, Vector.empty) :+ dt
       }
-      if (ok && !lastRepGated)
-        steadyLog(name) = steadyLog.getOrElse(name, Vector.empty) :+ dt
     }
+    if (steadyShed) skippedDeadline += "steady.pass"
     val steady: Seq[(String, Double)] = steadyTargets.flatMap { n =>
       val all = cleanLog.getOrElse(n, Vector.empty) ++
         steadyLog.getOrElse(n, Vector.empty)
@@ -293,10 +373,13 @@ object Bench {
     // recorded so "minimize shuffles" is a per-round artifact — a plan
     // regression that starts shuffling the fact table shows up as a
     // number, not a prose claim. Detail file only.
-    val shuffleMb = headline.filter(SparkEntry.queries.contains).map { name =>
-      val io = try Metrics.measure(spark)(force(name))
-        catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
-      name -> io.shuffleWriteBytes / 1e6
+    val shuffleMb = headline.filter(SparkEntry.queries.contains).flatMap { name =>
+      if (pastDeadline) { skippedDeadline += s"io.$name"; None }
+      else {
+        val io = try Metrics.measure(spark)(force(name))
+          catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
+        Some(name -> io.shuffleWriteBytes / 1e6)
+      }
     }
 
     // Baseline-shaped end-to-end ingest: the reference's only published
@@ -309,64 +392,110 @@ object Bench {
     // warehouse write over all three. The fixture (reference row
     // counts, pipe/decimal-comma/null-token shape) is Spark-generated
     // once and cached on disk; its build is never on the clock.
-    val ingest: Seq[(String, Double)] =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) Seq.empty
-      else try {
-        val (largest, files) = graft.sources.IngestFixture.ensure(spark)
-        def timed(f: => Unit): Double = {
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }
-        // Polars-comparable largest-file load: every one of the 22
-        // columns parsed and typed (decimal-comma money included),
-        // materialized through noop so nothing is pruned off the clock
-        def loadOnce(): Unit =
-          graft.sources.CsvSource.alignTo(
-              graft.sources.CsvSource.readRaw(spark, largest),
-              graft.model.ReferenceSchemas.transactions)
-            .write.mode("overwrite").format("noop").save()
-        // ingest reps ride the same host telemetry + load gate as every
-        // other timed rep (the first cut left ingest with no ext_cores
-        // evidence — the one block where a round-over-round drift then
-        // cannot be attributed in-artifact)
-        def ingestRep(key: String)(f: => Unit): Double = {
-          var dt = 0.0
-          timedWithHost(key) { dt = timed(f) }
-          repLog(key) = repLog.getOrElse(key, Seq.empty) :+ dt
-          successLog(key) = successLog.getOrElse(key, Vector.empty) :+ dt
-          if (!lastRepGated)
-            cleanLog(key) = cleanLog.getOrElse(key, Vector.empty) :+ dt
-          dt
-        }
-        (1 to 2).foreach(_ => ingestRep("ingest_load_largest")(loadOnce()))
-        // Per-stage decomposition of the FULL-warehouse lane (round-14
-        // verdict #1 — the one clean-host number that moved r13→r14
-        // with no in-artifact attribution): the same stage controls the
-        // largest-file lane got. raw_read = the 3-file univocity parse
-        // alone; aligned = parse + placeholder-normalize + typed repair
-        // + schema align + diagonal union (everything but the write);
-        // full − aligned is then the partitioned-write term, in the
-        // artifact, per round. Each stage rides the host telemetry +
-        // load gate like every other rep.
-        def rawOnce(): Unit = files.foreach(f =>
-          graft.sources.CsvSource.readRaw(spark, f)
-            .write.mode("overwrite").format("noop").save())
-        def alignedOnce(): Unit =
-          graft.sources.CsvSource.readAligned(spark, files,
-              graft.model.ReferenceSchemas.transactions)
-            .write.mode("overwrite").format("noop").save()
-        (1 to 2).foreach(_ => ingestRep("ingest_stage_raw_read")(rawOnce()))
-        (1 to 2).foreach(_ => ingestRep("ingest_stage_aligned")(alignedOnce()))
-        val whPath = Scratch.dir("ingest_wh")
-        // >= 2 gated reps for the full lane too (round-14 verdict #1 +
-        // advice: a single gated rep was reported as the headline
-        // ingest number with no load_gate.fallback record)
-        (1 to 2).foreach(_ => ingestRep("ingest_full_warehouse")(
-          graft.sources.IngestFixture.fullIngest(spark, files, whPath)))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(whPath))
-        Seq("ingest_load_largest", "ingest_stage_raw_read",
-            "ingest_stage_aligned", "ingest_full_warehouse")
-          .flatMap(k => gatedMin(k).map(k -> _))
-      } catch { case t: Throwable => recordErr("ingest", t); Seq.empty }
+    // ingest reps ride the same host telemetry + load gate as every
+    // other timed rep (the first cut left ingest with no ext_cores
+    // evidence — the one block where a round-over-round drift then
+    // cannot be attributed in-artifact). Hoisted to method scope so the
+    // END-OF-RUN retry pass (round-15 verdict #3) can re-run a
+    // fallback lane through the identical machinery.
+    def ingestRep(key: String)(f: => Unit): Double = {
+      var dt = 0.0
+      timedWithHost(key) {
+        val t0 = System.nanoTime(); f; dt = (System.nanoTime() - t0) / 1e9
+      }
+      repLog(key) = repLog.getOrElse(key, Seq.empty) :+ dt
+      successLog(key) = successLog.getOrElse(key, Vector.empty) :+ dt
+      if (!lastRepGated)
+        cleanLog(key) = cleanLog.getOrElse(key, Vector.empty) :+ dt
+      dt
+    }
+    // one re-runnable rep body per ingest lane, populated by the block
+    // below — the retry pass's work list
+    val ingestRetryable =
+      scala.collection.mutable.LinkedHashMap[String, () => Unit]()
+    // warehouse scratch dir outlives the block: the full-warehouse
+    // retry rep needs it; deleted after the retry pass
+    var ingestWhPath: String = null
+    val ingestKeys = Seq("ingest_load_largest", "ingest_stage_raw_read",
+      "ingest_stage_aligned", "ingest_full_warehouse")
+    if (sys.env.contains("SPARK_GRAFT_SKIP_INGEST")) ()
+    else if (pastDeadline) skippedDeadline += "ingest"
+    else try {
+      val (largest, files) = graft.sources.IngestFixture.ensure(spark)
+      // Polars-comparable largest-file load: every one of the 22
+      // columns parsed and typed (decimal-comma money included),
+      // materialized through noop so nothing is pruned off the clock
+      def loadOnce(): Unit =
+        graft.sources.CsvSource.alignTo(
+            graft.sources.CsvSource.readRaw(spark, largest),
+            graft.model.ReferenceSchemas.transactions)
+          .write.mode("overwrite").format("noop").save()
+      // Per-stage decomposition of the FULL-warehouse lane (round-14
+      // verdict #1 — the one clean-host number that moved r13→r14
+      // with no in-artifact attribution): the same stage controls the
+      // largest-file lane got. raw_read = the 3-file univocity parse
+      // alone; aligned = parse + placeholder-normalize + typed repair
+      // + schema align + diagonal union (everything but the write);
+      // full − aligned is then the partitioned-write term, in the
+      // artifact, per round. Each stage rides the host telemetry +
+      // load gate like every other rep.
+      def rawOnce(): Unit = files.foreach(f =>
+        graft.sources.CsvSource.readRaw(spark, f)
+          .write.mode("overwrite").format("noop").save())
+      def alignedOnce(): Unit =
+        graft.sources.CsvSource.readAligned(spark, files,
+            graft.model.ReferenceSchemas.transactions)
+          .write.mode("overwrite").format("noop").save()
+      ingestWhPath = Scratch.dir("ingest_wh")
+      def fullOnce(): Unit =
+        graft.sources.IngestFixture.fullIngest(spark, files, ingestWhPath)
+      ingestRetryable("ingest_load_largest") = () => loadOnce()
+      ingestRetryable("ingest_stage_raw_read") = () => rawOnce()
+      ingestRetryable("ingest_stage_aligned") = () => alignedOnce()
+      // >= 2 gated reps for the full lane too (round-14 verdict #1 +
+      // advice: a single gated rep was reported as the headline
+      // ingest number with no load_gate.fallback record)
+      ingestRetryable("ingest_full_warehouse") = () => fullOnce()
+      // lanes shed individually once the deadline passes mid-block —
+      // an ingest lane that never ran is recorded, never silently
+      // absent
+      for (k <- ingestKeys; _ <- 1 to 2) {
+        if (pastDeadline) skippedDeadline += k
+        else ingestRep(k)(ingestRetryable(k).apply())
+      }
+    } catch { case t: Throwable => recordErr("ingest", t) }
+
+    // ---- checkpoint artifact lines (round-15 verdict #2) ---------------
+    // The headline block finished ~30 min before the r15 SIGTERM and
+    // was still lost, because the one compact line only printed at the
+    // very end. A clearly-marked checkpoint line — same schema as the
+    // final line, plus "checkpoint":"<stage>" — prints after the
+    // headline+ingest blocks and after every scale factor: the
+    // driver's parser takes the LAST parseable JSON line in its tail,
+    // so a kill at any later point degrades to a partial-but-parsed
+    // artifact instead of parsed:null. Minimums here are PREVIEWS
+    // (peekMin — no fallback recording; the retry pass may still clean
+    // them); the final line remains authoritative and last.
+    def printCheckpoint(stage: String): Unit = {
+      def f3(v: Double): String = fmt(v, 3)
+      val res = headlinePresent.flatMap(n => peekMin(n).map(n -> _))
+      val qs = res.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val ing = ingestKeys.flatMap(k => peekMin(k).map(k -> _))
+      val ingJ =
+        if (ing.isEmpty) ""
+        else s""","ingest":${ing.map { case (k, v) =>
+          "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")}"""
+      val skipJ = skippedDeadline.take(6).map(k => "\"" + k + "\"")
+        .mkString("[", ",", "]")
+      val line = s"""{"metric":"total","value":${f3(res.map(_._2).sum)},""" +
+        s""""unit":"sec","checkpoint":"$stage","queries":$qs,""" +
+        s""""errors_n":${errors.size},"skipped_deadline":$skipJ,""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingJ}"""
+      println(line)
+      System.out.flush()
+    }
+    printCheckpoint("ingest")
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
     // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
@@ -690,9 +819,15 @@ object Bench {
         else None,
         // the pre-round-13 default (AQE chooses the per-round join),
         // kept as the measured comparator: the default-vs-this delta is
-        // the recorded justification for the flip
+        // the recorded justification for the flip. Comparator lanes
+        // exist only to prove the default wins — at the replicated
+        // factors they run ONCE, not per-rep (round-15 verdict #7: 3
+        // reps x 2 GB shuffle each was the most expendable block in
+        // the program); the x1 point keeps min-of-3 for a stable
+        // denominator.
         if (prEdges != null)
-          lane("q146_pagerank_aqe")(noop(ScaleBench.pageRank(prEdges)))
+          lane("q146_pagerank_aqe", reps = if (times > 1) 1 else 3)(
+            noop(ScaleBench.pageRank(prEdges)))
         else None,
         // the like-for-like unbucketed comparator for q179: same
         // recurrence, per-round join PINNED to sort-merge — the plan
@@ -701,7 +836,8 @@ object Bench {
         // rank side at bench scale, which hides the edge exchange the
         // bucketed layout removes.)
         if (prEdges != null)
-          lane("q146_pagerank_merge")(noop(ScaleBench.pageRankMerge(prEdges)))
+          lane("q146_pagerank_merge", reps = if (times > 1) 1 else 3)(
+            noop(ScaleBench.pageRankMerge(prEdges)))
         else None,
         if (prLayout != null)
           lane("q179_pagerank_bucketed")(
@@ -864,10 +1000,17 @@ object Bench {
       val cleanTimes =
         scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
       val maxReps = lanes.map(_._2).max
+      // deadline shedding inside the block: once the budget is gone,
+      // remaining lane-reps stop; lanes that got SOME reps still
+      // report, lanes with zero reps are recorded below
+      var blockShed = false
       for (r <- 0 until maxReps;
            (name, reps, prep, keep, consec, run) <- lanes if r < reps) {
+        if (pastDeadline) blockShed = true
         // consecutive lanes burn all reps in their round-0 slot
-        val runsNow = if (consec) (if (r == 0) reps else 0) else 1
+        val runsNow =
+          if (blockShed) 0
+          else if (consec) (if (r == 0) reps else 0) else 1
         var i = 0
         while (i < runsNow) {
           i += 1
@@ -903,9 +1046,13 @@ object Bench {
       // bytes are deterministic). The pagerank trio is the headline
       // user: bucketed-vs-merge bytes is the measured form of "the
       // layout removes the per-round edge exchange".
+      if (blockShed)
+        for ((name, _, _, _, _, _) <- lanes if !repTimes.contains(name))
+          skippedDeadline += s"x$times.$name"
       if (!sys.env.contains("SPARK_GRAFT_SKIP_SCALE_IO"))
         for ((name, _, prep, keep, _, run) <- lanes if succTimes.contains(name))
-          if (prep()) {
+          if (pastDeadline) skippedDeadline += s"io.x$times.$name"
+          else if (prep()) {
             val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
             try {
               val io = Metrics.measure(spark)(run())
@@ -949,20 +1096,66 @@ object Bench {
     // timed() guard exists) must not abort the bench and lose the
     // measured headline suite — record it and emit a partial block.
     def guardedBlock(times: Int): Seq[(String, Double)] =
-      try block(times)
-      catch { case t: Throwable => recordErr(s"x$times.block", t); Seq.empty }
-      finally {
-        // Drop every cached/localCheckpoint'd block the finished scale
-        // point pinned: the x20 block otherwise runs with the x1+x10
-        // blocks' checkpoint RDDs still resident, and the resulting
-        // GC/eviction pressure showed up as 3x rep spread on the two
-        // heaviest lanes (q150 x20 reps 47.5s -> 163.8s before this).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+      if (pastDeadline) {
+        // a factor that never started is one recorded key, not a
+        // silent absence (the per-lane keys exist only once the block
+        // constructs its lane list — which costs fixture builds this
+        // branch exists to avoid)
+        skippedDeadline += s"x$times.block"; Seq.empty
+      } else {
+        val r = try block(times)
+          catch { case t: Throwable => recordErr(s"x$times.block", t); Seq.empty }
+          finally {
+            // Drop every cached/localCheckpoint'd block the finished
+            // scale point pinned: the x20 block otherwise runs with the
+            // x1+x10 blocks' checkpoint RDDs still resident, and the
+            // resulting GC/eviction pressure showed up as 3x rep spread
+            // on the two heaviest lanes (q150 x20 reps 47.5s -> 163.8s
+            // before this).
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+        printCheckpoint(s"x$times")
+        r
       }
     val scaleBlocks: Seq[(Int, Seq[(String, Double)])] =
       if (factors.isEmpty) Seq.empty
       else (1 +: factors).map(f => f -> guardedBlock(f))
+
+    // ---- end-of-run fallback retry (round-15 verdict #3) ---------------
+    // The r15 artifact proved the pattern this pass exploits: the early
+    // ingest lanes never saw a quiet window (raw_read stuck at a
+    // 118.68 s interfered minimum) while LATER lanes gated clean on the
+    // same host. A headline/ingest key that still has zero clean reps
+    // gets up to 2 more, budget permitting, at the END of the run —
+    // converting fallback minimums into clean ones whenever the host
+    // quieted. Every retried key is recorded (load_gate.retried).
+    val retriedKeys = scala.collection.mutable.LinkedHashSet[String]()
+    val retryCandidates = (headlinePresent ++ ingestRetryable.keys).filter(k =>
+      successLog.get(k).exists(_.nonEmpty) &&
+        cleanLog.getOrElse(k, Vector.empty).isEmpty)
+    for (k <- retryCandidates; _ <- 1 to 2;
+         if remainingS > -BenchPolicy.RetryReserveS &&
+           cleanLog.getOrElse(k, Vector.empty).isEmpty) {
+      retriedKeys += k
+      if (ingestRetryable.contains(k)) {
+        try ingestRep(k)(ingestRetryable(k).apply())
+        catch { case t: Throwable => recordErr(s"retry.$k", t) }
+      } else headlineRep(k)
+    }
+    if (ingestWhPath != null)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(ingestWhPath))
+
+    // lane minimums — computed only now, after the retry pass, so a
+    // retried lane's clean rep replaces its fallback before anything
+    // is recorded
+    val results = headlinePresent.flatMap(name =>
+      gatedMin(name).map(name -> _))
+    val total = results.map(_._2).sum
+    val ingest: Seq[(String, Double)] =
+      ingestKeys.filter(successLog.contains)
+        .flatMap(k => gatedMin(k).map(k -> _))
 
     // Host-interference detector (round 8: a 47 s third rep on a 1 s
     // lane slid past min-of-reps silently, and q150's x20 ratio drifted
@@ -1050,13 +1243,26 @@ object Bench {
           if (body.isEmpty) 0 else body.split(",").length
         }
       } catch { case _: Throwable => None }
+    // Load-aware trend (round-15 verdict #5): the r15 driver run fired
+    // this as an ERROR on a host with load1 2.7-4.0 — host weather is
+    // not systematic degradation. Fallback lanes (host never quiet for
+    // them) are excluded from the spread count, and growth on a LOUD
+    // host (any fallback, or remediation capped) downgrades to a
+    // warning; quiet-host growth keeps the r13 guard's exit-3 teeth.
+    val fallbackSet = loadGateFallback.toSet
+    val rawSpreadsQuiet =
+      rawSpreads.filterNot { case (k, _) => fallbackSet(k) }
+    val hostLoud = loadGateFallback.nonEmpty || remediationCapped
     val spreadTrendCap = prevRawSpreadN.map(_ + 3)
     val spreadTrendViolated =
-      spreadTrendCap.exists(cap => rawSpreads.size > cap)
-    if (spreadTrendViolated)
+      spreadTrendCap.exists(cap => rawSpreadsQuiet.size > cap)
+    val spreadTrendSev =
+      BenchPolicy.spreadTrendSeverity(spreadTrendViolated, hostLoud)
+    if (spreadTrendSev == "error")
       errors("rep_spread_trend") =
-        s"raw >5x spreads grew ${prevRawSpreadN.get} -> ${rawSpreads.size} " +
-          s"(cap ${spreadTrendCap.get}): systematic rep degradation"
+        s"raw >5x spreads grew ${prevRawSpreadN.get} -> " +
+          s"${rawSpreadsQuiet.size} (cap ${spreadTrendCap.get}): " +
+          "systematic rep degradation"
 
     // ---- JSON assembly -------------------------------------------------
     def obj(kvs: Iterable[String]): String = kvs.mkString("{", ",", "}")
@@ -1132,9 +1338,10 @@ object Bench {
     val rawSpreadJson = obj(rawSpreads.map { case (k, r) => kvNum(k, r, 2) })
     val spreadTrendJson =
       s"""{"prev":${prevRawSpreadN.map(_.toString).getOrElse("null")},""" +
-        s""""now":${rawSpreads.size},""" +
+        s""""now":${rawSpreads.size},"now_quiet":${rawSpreadsQuiet.size},""" +
         s""""cap":${spreadTrendCap.map(_.toString).getOrElse("null")},""" +
-        s""""violated":$spreadTrendViolated}"""
+        s""""violated":$spreadTrendViolated,""" +
+        s""""severity":"$spreadTrendSev"}"""
 
     // load-gate artifact block: the policy, the per-rep external-cores
     // evidence, and every key whose minimum had to fall back to
@@ -1147,8 +1354,11 @@ object Bench {
         "\"" + k + "\":" + v.map(fmt(_, 2)).mkString("[", ",", "]") })
       val fb = loadGateFallback.distinct.map(k => "\"" + k + "\"")
         .mkString("[", ",", "]")
+      val rt = retriedKeys.map(k => "\"" + k + "\"").mkString("[", ",", "]")
       s"""{"ext_cores_threshold":${fmt(extCoresGate, 2)},"hz":100,""" +
-        s""""gated_reps":$gatedRepsN,"fallback":$fb,"ext_cores":$ext}"""
+        s""""gated_reps":$gatedRepsN,"fallback":$fb,"retried":$rt,""" +
+        s""""loud_cap":$loudCap,"remediation_capped":$remediationCapped,""" +
+        s""""ext_cores":$ext}"""
     }
     // per-rep host evidence, keyed like reps: 1-min load at rep start,
     // steal-jiffies across the rep (-1 = /proc read unavailable)
@@ -1177,7 +1387,12 @@ object Bench {
         scaleIo.get(s"x$f.$n").map(v => kvNum(n.stripPrefix("q"), v, 1)))
       if (trio.isEmpty) "" else s""","pr_shuffle_mb_x$f":${obj(trio)}"""
     }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"steady_sec":$steadyJson,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"rep_spread_raw":$rawSpreadJson,"rep_spread_raw_trend":$spreadTrendJson,"load_gate":$loadGateJson,"host":$hostJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
+    val skippedJson = skippedDeadline.map(k => "\"" + k + "\"")
+      .mkString("[", ",", "]")
+    val budgetJson =
+      s"""{"budget_s":${fmt(budgetS, 0)},"elapsed_s":${fmt(elapsedS, 1)},""" +
+        s""""skipped_deadline":$skippedJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"steady_sec":$steadyJson,"shuffle_write_mb":$ioJson,"scale_shuffle_mb":$scaleIoJson,"byte_law_violations":$byteLawJson,"rocksdb_state":$rocksStateJson,"errors":$errJson,"reps":$repsJson,"rep_spread_warnings":$spreadJson,"rep_spread_raw":$rawSpreadJson,"rep_spread_raw_trend":$spreadTrendJson,"load_gate":$loadGateJson,"budget":$budgetJson,"host":$hostJson,"plan_warnings":$pwJson,"sf":"$sfDir"$ingestJson$scaleFull}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable => recordErr("detail_write", t) }
@@ -1203,8 +1418,14 @@ object Bench {
     val gateCompact =
       s""""load_gate":{"thr":${fmt(extCoresGate, 2)},"gated_reps":$gatedRepsN,""" +
         s""""fallback_n":${loadGateFallback.distinct.size},""" +
+        s""""retried_n":${retriedKeys.size},""" +
+        s""""capped":$remediationCapped,""" +
         s""""headline_fallback":${fbHeadline.take(9).map(k => "\"" + k + "\"")
           .mkString("[", ",", "]")}},""" +
+        s""""budget_s":${fmt(budgetS, 0)},"elapsed_s":${fmt(elapsedS, 1)},""" +
+        s""""skipped_n":${skippedDeadline.size},""" +
+        s""""skipped_keys":${skippedDeadline.take(6).map(k => "\"" + k + "\"")
+          .mkString("[", ",", "]")},""" +
         s""""spread_trend":$spreadTrendJson"""
 
     // The driver parses the LAST JSON line in a ~2000-char stdout tail;
@@ -1213,10 +1434,24 @@ object Bench {
     // The scale block is the only elastic part (24 lanes and growing):
     // if the full line risks the window, drop it from stdout — the
     // detail file always carries everything.
-    val withScale = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"steady":$steadyJson,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scaleCompact$prIoCompact}"""
-    val compactLine =
-      if (withScale.length <= 1800) withScale
-      else s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"steady":$steadyJson,$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$prIoCompact}"""
+    // Tiered length fallback (round-15 advice): EVERY tier is length-
+    // checked, not just the scale-ful first one — with many sub-2s
+    // headline queries the steady block alone can push the no-scale
+    // line past the driver's ~2000-char parse window (the documented
+    // round-7 parsed:null failure mode). Drop order: scale block, then
+    // steady (both live in BENCH_DETAIL.json regardless); the last
+    // tier is the bare headline line, which is bounded by the fixed
+    // 9-query set.
+    def compactTier(scale: String, withSteady: Boolean): String = {
+      val steadyPart = if (withSteady) s""""steady":$steadyJson,""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,$steadyPart$errCompact,$spreadCompact,$gateCompact,"detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingestJson$scale$prIoCompact}"""
+    }
+    val compactLine = Seq(
+      compactTier(scaleCompact, withSteady = true),
+      compactTier("", withSteady = true),
+      compactTier("", withSteady = false))
+      .find(_.length <= 1800)
+      .getOrElse(compactTier("", withSteady = false))
 
     // ---- Shutdown ordering (round 8's parsed:null root cause) ----------
     // The compact line must be the LAST thing on stdout: the driver
@@ -1244,10 +1479,14 @@ object Bench {
       System.out.flush()
       println(compactLine)
       System.out.flush()
-      // the byte-law and spread-trend gates FAIL the run (after the
-      // artifact is out): a superlinear byte curve — or a growing pile
-      // of reclassified rep spreads — is a regression, not a note
-      if (byteLawViolations.nonEmpty || spreadTrendViolated) sys.exit(3)
+      // the byte-law and (quiet-host) spread-trend gates FAIL the run
+      // (after the artifact is out): a superlinear byte curve — or a
+      // growing pile of reclassified rep spreads on a host the load
+      // gate calls quiet — is a regression, not a note. Loud-host
+      // spread growth is a recorded warning (severity field), never
+      // exit 3 (round-15 verdict #5).
+      if (byteLawViolations.nonEmpty || spreadTrendSev == "error")
+        sys.exit(3)
     }
   }
 }

@@ -90,7 +90,7 @@ object Validate {
   def normalizePlaceholders(c: Column,
                             tokens: Seq[String] = defaultNullTokens): Column =
     if (tokens.isEmpty) c
-    else
+    else {
       // Codegen'd native form (graft.plans.PlaceholderNull) of
       //   when(length(trim(c)) <= maxLen &&
       //        lower(trim(c)).isin(tokens...), null).otherwise(c)
@@ -103,7 +103,17 @@ object Validate {
       // most code-like values are short enough to clear the length
       // gate; the native matcher replaces it with one bounded
       // allocation-free byte compare.
-      graft.plans.GraftFunctions.placeholder_null(c.cast("string"), tokens)
+      val matched = graft.plans.GraftFunctions.placeholder_null(
+        c.cast("string"), tokens)
+      // Type-preserving result (round-15 advice): the matcher itself is
+      // string-typed, so returning it directly silently re-typed any
+      // non-string caller's column. Matched token (or already-null
+      // input) -> typed null; otherwise the ORIGINAL column, original
+      // type. For string inputs this is byte-identical to the matcher's
+      // own output; under codegen the extra branch reads the matcher's
+      // null flag, no second evaluation.
+      when(matched.isNull, lit(null)).otherwise(c)
+    }
 
   /** European decimal-comma text -> exact decimal (F11; the reference
     * reads money columns with `decimal_comma=True`, pipeline.py:233).

@@ -407,7 +407,12 @@ object Dedup {
                            fp: String, n: Int = 3,
                            hashFamily: HashFamily = Md5Minhash,
                            nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+    // shingle width, hash family, bucket count and the source columns
+    // fold into the reuse key (round-15 advice): same data + different
+    // build parameters is a DIFFERENT index, never a silent reuse hit
+    graft.sources.IndexCatalog.getOrMint(spark, family,
+      graft.sources.IndexCatalog.hexDigest(
+        s"$fp|$idCol|$textCol|n$n|$hashFamily|nb$nBuckets"))(
       lshCatalogBuild(df, idCol, textCol, n, hashFamily, nBuckets))
 
   /** MinHash-LSH pairs served from a pinned catalog version: a build

@@ -875,11 +875,8 @@ object Graph {
     IndexCatalog.resolvePart(spark, family, v, "edges")
   }
 
-  private def hexDigest(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+  private def hexDigest(s: String): String =
+    graft.sources.IndexCatalog.hexDigest(s)
 
   /** Drop every standing-layout FAMILY this JVM registered (bench block
     * cleanup, spec teardown). Returns the dropped family names. */

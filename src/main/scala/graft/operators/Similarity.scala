@@ -596,7 +596,12 @@ object Similarity {
                            family: String, fp: String,
                            bands: Int = 12, bits: Int = 6, dim: Int = 64,
                            nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+    // hyperparameters fold into the reuse key (round-15 advice): same
+    // data + different bands/bits/dim/buckets is a DIFFERENT index —
+    // the pageRankStandingLayout bucket-count discipline, applied here
+    graft.sources.IndexCatalog.getOrMint(spark, family,
+      graft.sources.IndexCatalog.hexDigest(
+        s"$fp|b$bands|w$bits|d$dim|nb$nBuckets"))(
       srpCatalogBuild(emb, bands, bits, dim, nBuckets))
 
   /** SRP near-dup pairs served from a pinned catalog version: the
@@ -640,7 +645,9 @@ object Similarity {
   def ivfIndexGetOrPublish(spark: SparkSession, corpus: => DataFrame,
                            family: String, fp: String, nCells: Int = 16,
                            nBuckets: Int = 8): Int =
-    graft.sources.IndexCatalog.getOrMint(spark, family, fp)(
+    // cell/bucket counts fold into the reuse key — see srpIndexGetOrPublish
+    graft.sources.IndexCatalog.getOrMint(spark, family,
+      graft.sources.IndexCatalog.hexDigest(s"$fp|c$nCells|nb$nBuckets"))(
       ivfCatalogBuild(corpus, nCells, nBuckets))
 
   /** IVF top-k served from a pinned catalog version — the versioned

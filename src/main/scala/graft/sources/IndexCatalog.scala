@@ -62,6 +62,19 @@ object IndexCatalog {
     s"graft_idx_${family}_v$v${sfx}_$part"
   }
 
+  /** 8-byte SHA-1 hex of `s` — for folding build HYPERPARAMETERS into
+    * the source fingerprint handed to [[getOrMint]]. Reuse keyed on
+    * the source fingerprint ALONE silently serves an index built with
+    * different bands/bits/cells to a caller who changed them (same
+    * data, different index); every get-or-publish caller folds its
+    * parameters in through this digest so a parameter change is a
+    * fingerprint change is a rebuild. */
+  def hexDigest(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** Physical table name of a MANIFESTED part — resolves the version's
     * mint suffix through the manifest (what probes and maintenance use;
     * bare [[tableName]] is only correct for suffix-free versions). */
@@ -335,14 +348,22 @@ object IndexCatalog {
       // manifest files themselves — `..._v2_manifest.txt` parses as a
       // `v2` dir of the prefix family — are never orphan candidates).
       val exactOrphan = s"graft_idx_${family}_v\\d+[a-z0-9]*_.*".r
-      val others = claimedByOtherFamilies(spark, family)
-      val orphans = Option(warehouseDir(spark).listFiles())
-        .getOrElse(Array.empty).toSeq
-        .filter(f => exactOrphan.pattern.matcher(f.getName).matches() &&
-          !f.getName.contains("_manifest.txt") &&
-          !refd(f.getName) && !others(f.getName) &&
-          f.lastModified() < cutoff)
-        .map(_.getName)
+      // FAIL CLOSED on sibling-manifest uncertainty (round-15 advice):
+      // an unparseable/transiently-unreadable sibling manifest means
+      // the ownership authority for the grammar ambiguity is missing —
+      // a sibling's live dirs would classify as this family's orphans.
+      // Skip the orphan pass for the round; manifest-referenced dead
+      // versions (definitively ours) are still reclaimed below.
+      val Claims(others, unreadable) = claimedByOtherFamilies(spark, family)
+      val orphans =
+        if (unreadable.nonEmpty) Seq.empty
+        else Option(warehouseDir(spark).listFiles())
+          .getOrElse(Array.empty).toSeq
+          .filter(f => exactOrphan.pattern.matcher(f.getName).matches() &&
+            !f.getName.contains("_manifest.txt") &&
+            !refd(f.getName) && !others(f.getName) &&
+            f.lastModified() < cutoff)
+          .map(_.getName)
       (droppedTables ++ orphans).foreach { t =>
         try spark.sql(s"DROP TABLE IF EXISTS $t")
         catch { case _: Throwable => () }
@@ -355,23 +376,43 @@ object IndexCatalog {
     }
   }
 
+  /** Claims by OTHER families: the table dirs (and manifest filenames,
+    * with temps) their manifests reference, plus the families whose
+    * manifest file EXISTS but could not be parsed — the fail-closed
+    * signal (an unreadable sibling manifest means its claims are
+    * unknown, so no orphan deletion may proceed this round). */
+  private final case class Claims(claimed: Set[String],
+                                  unreadable: Seq[String])
+
   /** Every table dir (and manifest filename, with temps) claimed by
     * any OTHER family's manifest in this warehouse — the ownership
     * authority for the naming-grammar ambiguity above. A LIST of
-    * manifest files + one small read each: metadata-cheap. */
+    * manifest files + one small read each: metadata-cheap at any sane
+    * family count, but O(families x their version dirs) — a
+    * 1000-family warehouse should centralize ownership in a metastore
+    * instead; the guard in [[vacuum]]/[[dropFamily]] callers keeps the
+    * cost visible rather than discovered in production. */
   private def claimedByOtherFamilies(spark: SparkSession,
-                                     family: String): Set[String] = {
+                                     family: String): Claims = {
     val mre = "graft_idx_([a-z0-9_]+)_manifest\\.txt".r
-    Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty).toSeq
+    val sibs = Option(warehouseDir(spark).listFiles())
+      .getOrElse(Array.empty).toSeq
       .flatMap(f => f.getName match {
-        case mre(fam) if fam != family =>
-          Seq(f.getName) ++ readManifest(spark, fam).toSeq.flatMap(
-            _.versions.flatMap(e => e.parts.flatMap(p => {
-              val t = tableName(fam, e.v, p.name, e.sfx)
-              Seq(t, t.toLowerCase(java.util.Locale.ROOT))
-            })))
-        case _ => Seq.empty
-      }).toSet
+        case mre(fam) if fam != family => Some((f.getName, fam))
+        case _                         => None
+      })
+    val (claimed, unreadable) = sibs.foldLeft(
+      (Set.empty[String], Seq.empty[String])) { case ((c, u), (mf, fam)) =>
+      readManifest(spark, fam) match {
+        case Some(m) =>
+          (c + mf ++ m.versions.flatMap(e => e.parts.flatMap { p =>
+            val t = tableName(fam, e.v, p.name, e.sfx)
+            Seq(t, t.toLowerCase(java.util.Locale.ROOT))
+          }), u)
+        case None => (c + mf, u :+ fam) // exists but unparseable
+      }
+    }
+    Claims(claimed, unreadable)
   }
 
   /** Drop a whole family — manifest, every referenced table, every
@@ -402,12 +443,18 @@ object IndexCatalog {
       val exact = (s"graft_idx_${family}_v\\d+[a-z0-9]*_.*|" +
         s"graft_idx_${family}_manifest\\.txt(\\.tmp_pid\\d+)?").r
       val myManifest = s"graft_idx_${family}_manifest\\.txt(\\.tmp_pid\\d+)?".r
-      val others = claimedByOtherFamilies(spark, family)
+      // fail closed like vacuum: with any sibling manifest unreadable,
+      // sweep only THIS family's manifest files (unambiguous), never
+      // version dirs the grammar can't disambiguate from a sibling's
+      val Claims(others, unreadable) = claimedByOtherFamilies(spark, family)
       Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty)
-        .filter(f => exact.pattern.matcher(f.getName).matches() &&
-          !others(f.getName) &&
-          (myManifest.pattern.matcher(f.getName).matches() ||
-            !f.getName.contains("_manifest.txt")))
+        .filter { f =>
+          val isMyManifest = myManifest.pattern.matcher(f.getName).matches()
+          exact.pattern.matcher(f.getName).matches() &&
+            !others(f.getName) &&
+            (isMyManifest ||
+              (unreadable.isEmpty && !f.getName.contains("_manifest.txt")))
+        }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       manifestFile(spark, family).delete()
       ()

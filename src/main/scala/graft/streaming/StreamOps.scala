@@ -78,10 +78,14 @@ object StreamOps {
     * the corpus is bounded. A true unbounded deployment replaces the
     * anchor with the previous batch's state-store progress
     * ([[lastStateProgress]]'s numRowsTotal — already exposed by this
-    * module); the bounded replay lanes here anchor on the
-    * lexicographically first file so the estimate is deterministic.
-    * Falls back to a full count when nothing listable exists (never on
-    * the registry/bench paths, whose sources are parquet dirs). */
+    * module); the bounded replay lanes here anchor on the LARGEST file
+    * (deterministic, and the anchor least distorted by footer overhead
+    * — a tiny/footer-only file as anchor inflates the scaled estimate
+    * by orders of magnitude, round-15 advice); an anchor that turns
+    * out EMPTY is skipped for the next-largest before scaling. Falls
+    * back to a full count when nothing listable exists — including
+    * non-local URIs, which the java.io walk cannot list (never on the
+    * registry/bench paths, whose sources are local parquet dirs). */
   def estimateRows(spark: SparkSession, path: String): Long = {
     def walk(d: java.io.File): Seq[java.io.File] =
       if (d.isFile) {
@@ -91,13 +95,23 @@ object StreamOps {
     val files = walk(new java.io.File(path))
     if (files.isEmpty) spark.read.parquet(path).count()
     else {
-      val anchor = files.minBy(_.getPath)
-      val anchorRows = math.max(1L,
-        spark.read.parquet(anchor.getPath).count())
-      val anchorBytes = math.max(1L, anchor.length())
-      val totalBytes = files.map(_.length()).sum
-      math.max(1L,
-        math.round(anchorRows.toDouble * totalBytes / anchorBytes))
+      // largest first (ties broken by path for determinism); try up to
+      // 3 candidates so an empty row-group anchor never scales
+      val candidates = files.sortBy(f => (-f.length(), f.getPath)).take(3)
+      val anchorOpt = candidates.iterator.map { f =>
+        val rows = try spark.read.parquet(f.getPath).count()
+          catch { case _: Throwable => 0L }
+        (f, rows)
+      }.find(_._2 > 0L)
+      anchorOpt match {
+        case Some((anchor, anchorRows)) =>
+          val anchorBytes = math.max(1L, anchor.length())
+          val totalBytes = files.map(_.length()).sum
+          math.max(1L,
+            math.round(anchorRows.toDouble * totalBytes / anchorBytes))
+        case None => // every sampled anchor empty: count the corpus
+          spark.read.parquet(path).count()
+      }
     }
   }
 
