@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The box is 128 GiB / local[32]; 8g was sized for sf0.01 tests and
+  // OOM'd the bench's x20 scale block at the block boundary (the next
+  // factor's eager localCheckpoints racing the previous block's async
+  // unpersist — since made blocking). 16g keeps 2x headroom over the
+  // measured need while staying near the 8g GC profile every prior
+  // round's numbers were taken at (a 40g trial ran the sub-second
+  // headline queries ~10% slower — bigger G1 regions, longer pauses).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -496,6 +496,17 @@ object Bench {
       System.out.flush()
     }
     printCheckpoint("ingest")
+    // Last-resort artifact: a FATAL exit (Spark's uncaught-handler
+    // System.exit(52) on an executor OOM, a driver SIGTERM) bypasses
+    // the normal finally-printed compact line, but shutdown hooks
+    // still run — print one final checkpoint from the in-memory logs
+    // so even a dying JVM leaves the best-available parseable line on
+    // stdout. No Spark calls here: the context may already be stopped.
+    @volatile var finalLinePrinted = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalLinePrinted)
+        try printCheckpoint("shutdown") catch { case _: Throwable => () }
+    }))
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
     // corpus (x10 and x20 by default — up to ~100k docs / 40k vectors /
@@ -1111,9 +1122,15 @@ object Bench {
             // x1+x10 blocks' checkpoint RDDs still resident, and the
             // resulting GC/eviction pressure showed up as 3x rep spread
             // on the two heaviest lanes (q150 x20 reps 47.5s -> 163.8s
-            // before this).
+            // before this). BLOCKING here, unlike the per-rep cleanup:
+            // the next factor's frame construction eagerly
+            // localCheckpoints its 10x/20x replicas immediately, and an
+            // async drop racing that allocation OOM'd the x20 block
+            // (heap held both factors' checkpoint blocks at once). One
+            // blocking barrier per factor is seconds, off every clock.
             spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+              .foreach(_.unpersist(blocking = true))
+            System.gc()
           }
         printCheckpoint(s"x$times")
         r
@@ -1134,9 +1151,13 @@ object Bench {
     val retryCandidates = (headlinePresent ++ ingestRetryable.keys).filter(k =>
       successLog.get(k).exists(_.nonEmpty) &&
         cleanLog.getOrElse(k, Vector.empty).isEmpty)
+    // BOTH retry reps always run (not first-clean-wins): a lane retried
+    // at the end of the run is page-cache cold — the first measured
+    // retry pass reported full_warehouse at 50.8 s clean where the
+    // warm-but-gated rep was 17.7 s. Rep 1 re-warms, rep 2 is the
+    // steady sample; min-over-clean then reports the warm number.
     for (k <- retryCandidates; _ <- 1 to 2;
-         if remainingS > -BenchPolicy.RetryReserveS &&
-           cleanLog.getOrElse(k, Vector.empty).isEmpty) {
+         if remainingS > -BenchPolicy.RetryReserveS) {
       retriedKeys += k
       if (ingestRetryable.contains(k)) {
         try ingestRep(k)(ingestRetryable(k).apply())
@@ -1477,6 +1498,7 @@ object Bench {
       Thread.sleep(500)
       System.err.flush()
       System.out.flush()
+      finalLinePrinted = true // the real line is out; hook stands down
       println(compactLine)
       System.out.flush()
       // the byte-law and (quiet-host) spread-trend gates FAIL the run

@@ -18,10 +18,13 @@ object BenchPolicy {
   /** Default wall-clock budget (seconds), env-overridable via
     * SPARK_GRAFT_BENCH_BUDGET_S. Sized comfortably under the driver's
     * observed kill window (the r15 SIGTERM landed past ~3600 s; a
-    * quiet-host full program measures ~2400-3000 s): the budget sheds
-    * the expendable tail (x20 comparators first by program order)
-    * instead of letting the driver's timeout lose the whole artifact. */
-  val DefaultBudgetS: Double = 3000.0
+    * quiet-host full program measured 3050 s wall in round 16, with
+    * the last ~80 s the x20 io passes): the budget sheds the
+    * expendable tail instead of letting the driver's timeout lose the
+    * whole artifact. Worst-case overrun past the budget is one lane
+    * rep + the retry pass + shutdown (~250 s), still ~200 s under the
+    * kill window. */
+  val DefaultBudgetS: Double = 3150.0
 
   /** Seconds held back from the work budget for end-of-run accounting:
     * the fallback retry pass, the untimed io passes' cleanup, JSON

@@ -354,9 +354,10 @@ object IndexCatalog {
       // a sibling's live dirs would classify as this family's orphans.
       // Skip the orphan pass for the round; manifest-referenced dead
       // versions (definitively ours) are still reclaimed below.
-      val Claims(others, unreadable) = claimedByOtherFamilies(spark, family)
+      val claims = claimedByOtherFamilies(spark, family)
+      val others = claims.claimed
       val orphans =
-        if (unreadable.nonEmpty) Seq.empty
+        if (claims.uncertain) Seq.empty
         else Option(warehouseDir(spark).listFiles())
           .getOrElse(Array.empty).toSeq
           .filter(f => exactOrphan.pattern.matcher(f.getName).matches() &&
@@ -376,13 +377,28 @@ object IndexCatalog {
     }
   }
 
+  /** Families-count guard for the ownership scan (round-15 verdict
+    * #8): [[claimedByOtherFamilies]] is O(families x their version
+    * dirs) small manifest reads — metadata-cheap at any sane family
+    * count, but a warehouse that has grown past this many families
+    * should hold ownership in a metastore, not a per-file scan. Past
+    * the cap the scan is NOT attempted and the caller fails closed
+    * (orphan sweeps skip), so the cost ceiling is discovered here, in
+    * the artifact, instead of in production. */
+  val MaxOwnershipScanFamilies: Int = 256
+
   /** Claims by OTHER families: the table dirs (and manifest filenames,
     * with temps) their manifests reference, plus the families whose
     * manifest file EXISTS but could not be parsed — the fail-closed
     * signal (an unreadable sibling manifest means its claims are
-    * unknown, so no orphan deletion may proceed this round). */
+    * unknown, so no orphan deletion may proceed this round). `overCap`
+    * fails closed the same way when the family count exceeds
+    * [[MaxOwnershipScanFamilies]]. */
   private final case class Claims(claimed: Set[String],
-                                  unreadable: Seq[String])
+                                  unreadable: Seq[String],
+                                  overCap: Boolean = false) {
+    def uncertain: Boolean = unreadable.nonEmpty || overCap
+  }
 
   /** Every table dir (and manifest filename, with temps) claimed by
     * any OTHER family's manifest in this warehouse — the ownership
@@ -401,6 +417,8 @@ object IndexCatalog {
         case mre(fam) if fam != family => Some((f.getName, fam))
         case _                         => None
       })
+    if (sibs.size > MaxOwnershipScanFamilies)
+      return Claims(Set.empty, Seq.empty, overCap = true)
     val (claimed, unreadable) = sibs.foldLeft(
       (Set.empty[String], Seq.empty[String])) { case ((c, u), (mf, fam)) =>
       readManifest(spark, fam) match {
@@ -446,14 +464,15 @@ object IndexCatalog {
       // fail closed like vacuum: with any sibling manifest unreadable,
       // sweep only THIS family's manifest files (unambiguous), never
       // version dirs the grammar can't disambiguate from a sibling's
-      val Claims(others, unreadable) = claimedByOtherFamilies(spark, family)
+      val claims = claimedByOtherFamilies(spark, family)
+      val others = claims.claimed
       Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val isMyManifest = myManifest.pattern.matcher(f.getName).matches()
           exact.pattern.matcher(f.getName).matches() &&
             !others(f.getName) &&
             (isMyManifest ||
-              (unreadable.isEmpty && !f.getName.contains("_manifest.txt")))
+              (!claims.uncertain && !f.getName.contains("_manifest.txt")))
         }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       manifestFile(spark, family).delete()

@@ -325,6 +325,61 @@ class IndexCatalogSpec extends SparkSpec {
       lv1 === IndexCatalog.currentVersion(spark, "lsh_q311"))
   }
 
+  test("get-or-publish reuse keys on build hyperparameters, not source " +
+      "fingerprint alone: a parameter change is a rebuild") {
+    val fam = "spec_hp_" + math.abs(this.hashCode())
+    IndexCatalog.dropFamily(spark, fam)
+    try {
+      val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      val fp = "feed5678"
+      val v1 = Similarity.srpIndexGetOrPublish(spark, emb, fam, fp, bands = 12)
+      val v2 = Similarity.srpIndexGetOrPublish(spark, emb, fam, fp, bands = 12)
+      assert(v1 === 1 && v2 === 1,
+        "same data + same parameters must reuse the published version")
+      // same data, different bands: a silent reuse hit would serve an
+      // index whose signatures don't match the caller's probe
+      val v3 = Similarity.srpIndexGetOrPublish(spark, emb, fam, fp, bands = 8)
+      assert(v3 === 2, "a hyperparameter change must mint a new version")
+    } finally IndexCatalog.dropFamily(spark, fam)
+  }
+
+  test("vacuum fails closed: an unreadable sibling manifest suspends the " +
+      "orphan sweep for the round") {
+    val fam = "spec_fc_" + math.abs(this.hashCode())
+    val sib = fam + "_sibling"
+    IndexCatalog.dropFamily(spark, fam)
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val corrupt = new java.io.File(wh, s"graft_idx_${sib}_manifest.txt")
+    try {
+      val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      Similarity.srpIndexPublish(emb, fam)
+      // a crashed build's orphan dir, past any grace age
+      val orphan = IndexCatalog.tableName(fam, 99, "vecs")
+      emb.limit(1).write.mode("overwrite").saveAsTable(orphan)
+      // a sibling manifest that EXISTS but cannot be parsed: its claims
+      // are unknown, so the orphan's ownership cannot be resolved —
+      // a transiently-corrupt sibling must never cost it its dirs
+      java.nio.file.Files.write(corrupt.toPath,
+        "not a manifest   garbage".getBytes)
+      val dropped = IndexCatalog.vacuum(spark, fam, keep = 1, graceMs = 0)
+      assert(!dropped.exists(_.matches(".*_v99[a-z0-9]*_.*")),
+        "fail closed: no orphan deletion while a sibling manifest is unreadable")
+      val orphanDir = new java.io.File(wh,
+        orphan.toLowerCase(java.util.Locale.ROOT))
+      assert(orphanDir.exists(), "orphan dir must survive the round")
+      // sibling healthy again: the next vacuum reclaims normally
+      corrupt.delete()
+      val dropped2 = IndexCatalog.vacuum(spark, fam, keep = 1, graceMs = 0)
+      assert(dropped2.exists(_.matches(".*_v99[a-z0-9]*_.*")),
+        "orphan reclaim resumes once ownership is resolvable")
+      assert(!orphanDir.exists())
+    } finally {
+      corrupt.delete()
+      IndexCatalog.dropFamily(spark, fam)
+    }
+  }
+
   test("manifest publish is atomic and tolerant: a torn temp file never " +
       "shadows the published state") {
     val fam = "spec_atom_" + math.abs(this.hashCode())
