@@ -89,4 +89,58 @@ class BenchBudgetSpec extends AnyFunSuite {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(cwd)
   }
+
+  test("SIGTERM after the headline block still yields a parseable compact " +
+      "line (the r15 driver-timeout scenario)") {
+    val cwd = java.nio.file.Files.createTempDirectory("bench_kill_").toFile
+    val outF = new java.io.File(cwd, "stdout.txt")
+    val errF = new java.io.File(cwd, "stderr.txt")
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd)
+    pb.redirectOutput(outF)
+    pb.redirectError(errF)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // ingest skipped (its fixture build is minutes); budget large so
+    // nothing sheds — the run is mid-scale-block when the kill lands,
+    // exactly where the r15 driver's SIGTERM landed
+    env.put("SPARK_GRAFT_BENCH_BUDGET_S", "3600")
+    env.put("SPARK_GRAFT_SKIP_INGEST", "1")
+    env.put("SPARK_GRAFT_CPUS", "8")
+    val p = pb.start()
+    // wait for the post-headline checkpoint to land on stdout
+    val deadline = System.nanoTime() + 8L * 60 * 1000 * 1000 * 1000
+    var sawCheckpoint = false
+    while (!sawCheckpoint && p.isAlive && System.nanoTime() < deadline) {
+      Thread.sleep(2000)
+      sawCheckpoint = try new String(java.nio.file.Files.readAllBytes(
+          outF.toPath)).contains("\"checkpoint\":\"ingest\"")
+        catch { case _: Throwable => false }
+    }
+    assert(sawCheckpoint, "checkpoint line never appeared; cannot run the kill")
+    p.destroy() // SIGTERM — the driver's timeout signal
+    if (!p.waitFor(3, java.util.concurrent.TimeUnit.MINUTES)) {
+      p.destroyForcibly(); p.waitFor()
+    }
+    val out = new String(java.nio.file.Files.readAllBytes(outF.toPath))
+    val jsonLines = out.linesIterator.toVector
+      .filter(l => l.startsWith("{\"metric\":\"total\"") && l.endsWith("}"))
+    withClue(s"stdout tail:\n${out.takeRight(2000)}") {
+      assert(jsonLines.nonEmpty, "a killed bench must leave a parseable line")
+      // the LAST parseable line (what the driver's parser takes) is a
+      // checkpoint — either the post-headline one or the shutdown
+      // hook's last-resort print — and carries the headline minimums
+      val last = jsonLines.last
+      assert(last.contains("\"checkpoint\":"),
+        "the surviving line is a marked checkpoint artifact")
+      assert(last.contains("\"queries\":{\"q"),
+        "the surviving line carries the headline minimums")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(cwd)
+  }
 }
