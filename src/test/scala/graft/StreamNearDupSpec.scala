@@ -90,6 +90,21 @@ class StreamNearDupSpec extends SparkSpec {
     // exact-count sizing at this corpus (both inside the same clamp)
     assert(StreamOps.autoStatePartitions(spark, est * 4) ===
       StreamOps.autoStatePartitions(spark, exact * 4))
+    // round-15 advice: an empty (footer-only) file must never anchor —
+    // it would inflate the byte-scaled estimate by orders of magnitude.
+    // Plant one that sorts lexicographically FIRST (the old anchor
+    // rule's pick): the largest-file anchor skips it and the estimate
+    // stays in band instead of scaling rows=1 over a few hundred bytes.
+    Tables.documents(spark, sf).select("doc_id", "text").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/empty")
+    val emptyFile = new java.io.File(s"$dir/empty").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(emptyFile.toPath,
+      new java.io.File(s"$dir/docs/aaa_empty.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val estWithEmpty = StreamOps.estimateRows(spark, s"$dir/docs")
+    assert(estWithEmpty > exact / 2 && estWithEmpty < exact * 2,
+      s"empty-file anchor skipped: estimate $estWithEmpty vs exact $exact")
   }
 
   test("progress-based store sizing: the continuous-deployment estimator " +

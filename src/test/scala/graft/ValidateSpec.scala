@@ -61,6 +61,23 @@ class ValidateSpec extends SparkSpec {
     assert(out.toSeq === Seq(None, None, None, Some("keep"), None, None))
   }
 
+  test("normalizePlaceholders preserves the input column's type") {
+    // round-15 advice: the codegen'd matcher itself is string-typed;
+    // the public API must hand a typed caller back its own type, not
+    // silently re-type the column to string
+    val df = Seq(Some(7), Some(42), None).toDF("v")
+    val out = df.select(Validate.normalizePlaceholders(col("v")).as("n"))
+    assert(out.schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .toSeq === Seq(Some(7), Some(42), None))
+    // a numeric value whose STRING form is a token ("0" is not in the
+    // vocabulary, but exercise a near-miss to pin non-matching pass-through)
+    val d2 = Seq(0, 1).toDF("v")
+      .select(Validate.normalizePlaceholders(col("v")).as("n"))
+    assert(d2.collect().map(_.getInt(0)).toSeq === Seq(0, 1))
+  }
+
   test("duplicateGroups finds planted dup keys") {
     val df = Seq(("a", 1), ("a", 2), ("b", 1), ("c", 1), ("a", 9), ("b", 7))
       .toDF("k", "x")
