@@ -458,8 +458,12 @@ object Bench {
       ingestRetryable("ingest_full_warehouse") = () => fullOnce()
       // lanes shed individually once the deadline passes mid-block —
       // an ingest lane that never ran is recorded, never silently
-      // absent
-      for (k <- ingestKeys; _ <- 1 to 2) {
+      // absent. THREE reps since round 16: two reps could not reject a
+      // single loud window (r16: aligned-stage clean rep 8.7 s against
+      // a 5.0 s fresh-JVM steady, with the adjacent rep gated at ext
+      // 3.6 — one more rep and min-of-clean lands on the quiet sample;
+      // ~25 s of budget for a noise-immune ingest row).
+      for (k <- ingestKeys; _ <- 1 to 3) {
         if (pastDeadline) skippedDeadline += k
         else ingestRep(k)(ingestRetryable(k).apply())
       }
