@@ -1151,6 +1151,11 @@ object Bench {
     // gets up to 2 more, budget permitting, at the END of the run —
     // converting fallback minimums into clean ones whenever the host
     // quieted. Every retried key is recorded (load_gate.retried).
+    // SCALE-lane fallbacks are deliberately not retried: their inputs
+    // (replicated checkpointed frames, stream file fixtures, standing
+    // layouts) are torn down with their block, and rebuilding a factor
+    // for one lane costs more budget than the number is worth — a
+    // scale fallback ships with its per-rep ext-cores evidence instead.
     val retriedKeys = scala.collection.mutable.LinkedHashSet[String]()
     val retryCandidates = (headlinePresent ++ ingestRetryable.keys).filter(k =>
       successLog.get(k).exists(_.nonEmpty) &&
