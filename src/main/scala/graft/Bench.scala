@@ -105,6 +105,34 @@ object Bench {
     def remainingS: Double = budgetS - elapsedS
     def pastDeadline: Boolean = BenchPolicy.shed(remainingS)
     val skippedDeadline = scala.collection.mutable.LinkedHashSet[String]()
+    // Previous run's per-key rep durations (BENCH_DETAIL `reps`), the
+    // cost model behind PRE-EMPTIVE shedding (round-16 verdict #3): a
+    // unit's cost used to be known only after it ran, so one long rep
+    // admitted at remaining=1s could eat half the retry reserve (the
+    // measured 50.8 s cold full-warehouse retry was a third of it).
+    // Each unit now sheds BEFORE starting when its predicted cost —
+    // last run's max rep for the key, falling back to this run's own
+    // observed reps — would land inside the reserve. The reps object
+    // holds only arrays, so the first `}` after `"reps":{` closes it.
+    // A detail file from a DIFFERENT sf is ignored wholesale: sf0.1
+    // rep times predict nothing about an sf0.01 run (10x off in
+    // either direction — premature shed or useless admission).
+    val prevDetailReps: Map[String, Seq[Double]] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"${sys.props("user.dir")}/BENCH_DETAIL.json")))
+        val sfMatches = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        val i = txt.indexOf("\"reps\":{")
+        if (i < 0 || !sfMatches) Map.empty
+        else {
+          val body = txt.substring(i + 8, txt.indexOf('}', i))
+          """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
+            m.group(1) -> m.group(2).split(",").toSeq
+              .flatMap(_.trim.toDoubleOption)
+          }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
     // "x10.q34_ivf_probe"). First failure wins per key; the message is
@@ -125,6 +153,18 @@ object Bench {
     // the spread (and the failure's fast wall-time) stays a visible
     // artifact in the detail file.
     val successLog = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // Predicted one-rep cost for a timing key: previous run's recorded
+    // reps first (max — shedding protects the reserve, so conservative
+    // wins), this run's own attempts as the fallback, None when there
+    // is no evidence either way (shedPredicted then degrades to the
+    // plain deadline check — absent evidence never starves a first
+    // rep). `shedUnit` is the per-unit admission test every
+    // post-headline-round-1 unit runs before starting.
+    def predictFor(key: String): Option[Double] =
+      BenchPolicy.predictedCostS(prevDetailReps.getOrElse(key, Seq.empty),
+        repLog.getOrElse(key, Seq.empty).toSeq)
+    def shedUnit(key: String): Boolean =
+      BenchPolicy.shedPredicted(remainingS, predictFor(key))
     // Measured shuffle-write MB per scale lane per factor ("x10.q146_
     // pagerank" -> MB), from one untimed Metrics pass per lane after
     // each factor's rep loop. Detail file (full map) + compact line
@@ -293,7 +333,15 @@ object Bench {
     for (name <- headlinePresent) headlineRep(name)
     var headlineRoundsShed = false
     for (r <- 2 to 5) {
-      if (pastDeadline) headlineRoundsShed = true
+      // predictive per-round shed: the round's cost is the sum of its
+      // lanes' predicted rep costs (round 1 just observed every lane,
+      // so the prediction always exists here)
+      val roundPred = {
+        val ps = headlinePresent.flatMap(predictFor)
+        if (ps.isEmpty) None else Some(ps.sum)
+      }
+      if (BenchPolicy.shedPredicted(remainingS, roundPred))
+        headlineRoundsShed = true
       if (!headlineRoundsShed) headlinePresent.foreach(headlineRep)
     }
     if (headlineRoundsShed) skippedDeadline += "headline.extra_rounds"
@@ -307,7 +355,7 @@ object Bench {
            cleanLog.getOrElse(name, Vector.empty).size < 2) {
       if (!BenchPolicy.remediationAllowed(consecutiveGated, loudCap))
         remediationCapped = true
-      else if (pastDeadline) skippedDeadline += s"remediation.$name"
+      else if (shedUnit(name)) skippedDeadline += s"remediation.$name"
       else headlineRep(name)
     }
     // min over CLEAN reps when any exist; else min over successful with
@@ -346,7 +394,9 @@ object Bench {
     // anyway — r15 spent 25 reps learning that)
     var steadyShed = false
     for (_ <- 1 to 5; name <- steadyTargets) {
-      if (pastDeadline) steadyShed = true
+      // predicted from the headline lane's reps — a steady rep runs
+      // the same query on the same warm JVM
+      if (shedUnit(name)) steadyShed = true
       if (!BenchPolicy.remediationAllowed(consecutiveGated, loudCap))
         remediationCapped = true
       else if (!steadyShed) {
@@ -369,12 +419,68 @@ object Bench {
       if (all.nonEmpty) Some(n -> all.min) else None
     }
 
+    // ---- q22_served: deployment-shape LSH steady lane (r16 verdict #2)
+    // The headline q22 lane deliberately pays the full shingle-index
+    // build + pair cost every rep; a deployed pipeline publishes the
+    // index ONCE (catalog get-or-publish — untimed prep here) and
+    // serves every dedup pass off the pinned version. Five timed serve
+    // reps measure that steady-state cost at headline scale BESIDE the
+    // build lane: the pair ships in steady_sec + the detail reps, while
+    // the headline `queries`/`value` series stays the comparable
+    // build-lane number. Identical operating point (Llm.NumHashes/
+    // Bands/j>=0.5/md5), family dropped after the lane; NOT a registry
+    // key — the 311-query surface stays frozen.
+    val servedSteady: Option[(String, Double)] = {
+      val fam = "lsh_q22_served_bench"
+      val key = "q22_served"
+      if (pastDeadline) { skippedDeadline += key; None }
+      else try {
+        // stale leftovers of a killed bench JVM: rebuild fresh (the
+        // prep is off the clock either way)
+        graft.sources.IndexCatalog.dropFamily(spark, fam)
+        val v = graft.operators.Llm.minhashLshServedPrep(spark, sfDir, fam)
+        def serveOnce(): Unit =
+          graft.operators.Llm.minhashLshServed(spark, fam, v)
+            .write.mode("overwrite").format("noop").save()
+        // untimed warm: the served-probe plan's codegen/JIT compile is
+        // one-time cost, not steady-state serve cost
+        try serveOnce()
+        catch { case t: Throwable => recordErr(s"warmup.$key", t) }
+        var servedShed = false
+        for (_ <- 1 to 5) {
+          if (shedUnit(key)) servedShed = true
+          if (!servedShed) {
+            var dt = 0.0
+            var ok = false
+            timedWithHost(key) {
+              val t0 = System.nanoTime()
+              ok = try { serveOnce(); true }
+                catch { case t: Throwable => recordErr(key, t); false }
+              dt = (System.nanoTime() - t0) / 1e9
+            }
+            repLog(key) = repLog.getOrElse(key, Seq.empty) :+ dt
+            if (ok) {
+              successLog(key) = successLog.getOrElse(key, Vector.empty) :+ dt
+              if (!lastRepGated)
+                cleanLog(key) = cleanLog.getOrElse(key, Vector.empty) :+ dt
+            }
+          }
+        }
+        if (servedShed) skippedDeadline += key
+        peekMin(key).map(key -> _)
+      } catch { case t: Throwable => recordErr(key, t); None }
+      finally {
+        try graft.sources.IndexCatalog.dropFamily(spark, fam)
+        catch { case _: Throwable => () }
+      }
+    }
+
     // One measured (untimed) pass per headline query: shuffle-write MB,
     // recorded so "minimize shuffles" is a per-round artifact — a plan
     // regression that starts shuffling the fact table shows up as a
     // number, not a prose claim. Detail file only.
     val shuffleMb = headline.filter(SparkEntry.queries.contains).flatMap { name =>
-      if (pastDeadline) { skippedDeadline += s"io.$name"; None }
+      if (shedUnit(name)) { skippedDeadline += s"io.$name"; None }
       else {
         val io = try Metrics.measure(spark)(force(name))
           catch { case t: Throwable => recordErr(s"io.$name", t); Metrics.IoStats(0, 0, 0) }
@@ -464,7 +570,7 @@ object Bench {
       // 3.6 — one more rep and min-of-clean lands on the quiet sample;
       // ~25 s of budget for a noise-immune ingest row).
       for (k <- ingestKeys; _ <- 1 to 3) {
-        if (pastDeadline) skippedDeadline += k
+        if (shedUnit(k)) skippedDeadline += k
         else ingestRep(k)(ingestRetryable(k).apply())
       }
     } catch { case t: Throwable => recordErr("ingest", t) }
@@ -480,6 +586,9 @@ object Bench {
     // artifact instead of parsed:null. Minimums here are PREVIEWS
     // (peekMin — no fallback recording; the retry pass may still clean
     // them); the final line remains authoritative and last.
+    // last successfully ASSEMBLED checkpoint line — the shutdown hook's
+    // fallback when a concurrent map mutation breaks assembly mid-death
+    @volatile var lastCheckpointLine: String = null
     def printCheckpoint(stage: String): Unit = {
       def f3(v: Double): String = fmt(v, 3)
       val res = headlinePresent.flatMap(n => peekMin(n).map(n -> _))
@@ -492,10 +601,18 @@ object Bench {
           "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")}"""
       val skipJ = skippedDeadline.take(6).map(k => "\"" + k + "\"")
         .mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":${f3(res.map(_._2).sum)},""" +
-        s""""unit":"sec","checkpoint":"$stage","queries":$qs,""" +
-        s""""errors_n":${errors.size},"skipped_deadline":$skipJ,""" +
-        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingJ}"""
+      // same <=1800 tiering as the final compact line (round-16
+      // advice): an over-long SURVIVING checkpoint line would reproduce
+      // parsed:null in exactly the kill scenario checkpoints cover.
+      // Drop order: ingest map, then the queries map.
+      def tier(qsPart: String, ingPart: String): String =
+        s"""{"metric":"total","value":${f3(res.map(_._2).sum)},""" +
+          s""""unit":"sec","checkpoint":"$stage","queries":$qsPart,""" +
+          s""""errors_n":${errors.size},"skipped_deadline":$skipJ,""" +
+          s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"$ingPart}"""
+      val line = Seq(tier(qs, ingJ), tier(qs, ""), tier("{}", ""))
+        .find(_.length <= 1800).getOrElse(tier("{}", ""))
+      lastCheckpointLine = line
       println(line)
       System.out.flush()
     }
@@ -508,8 +625,23 @@ object Bench {
     // stdout. No Spark calls here: the context may already be stopped.
     @volatile var finalLinePrinted = false
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!finalLinePrinted)
-        try printCheckpoint("shutdown") catch { case _: Throwable => () }
+      // The hook iterates the (non-thread-safe) mutable logs while the
+      // main thread may still be appending (round-16 advice): a
+      // ConcurrentModificationException on the first attempt is
+      // retried once — the racing append is a moment's window — and if
+      // assembly fails twice, the last successfully assembled
+      // checkpoint line is re-printed, so the dying JVM always leaves
+      // SOME parseable line instead of silently none.
+      if (!finalLinePrinted) {
+        val printed = (1 to 2).exists { _ =>
+          try { printCheckpoint("shutdown"); true }
+          catch { case _: Throwable => false }
+        }
+        if (!printed && lastCheckpointLine != null) {
+          try { println(lastCheckpointLine); System.out.flush() }
+          catch { case _: Throwable => () }
+        }
+      }
     }))
 
     // Scale-up evidence: the expensive bucketed designs on a replicated
@@ -740,8 +872,20 @@ object Bench {
         // the block's cleanup.
         lane("q24_srp_durable", reps = 3)(
           noop(ScaleBench.srpDurable(emb, srpBits, times))),
-        lane("q34_ivf_durable", reps = 3)(
-          noop(ScaleBench.ivfDurable(emb, times))),
+        // consecutive + pre-touch since round 17 (round-16 verdict #1:
+        // this lane was the board's last >5x raw rep spread — 6.91x at
+        // x10). Round-major interleaving ran ~28 heavy lanes between
+        // its reps, so later reps re-read a just-written index AFTER
+        // page-cache eviction; back-to-back reps measure the lane's
+        // steady build-and-serve cost (the q34_ivf_probe discipline),
+        // and the prep re-touches the table dirs off the clock so rep
+        // 1 doesn't pay the previous factor's eviction history either.
+        lane("q34_ivf_durable", reps = 3, consecutive = true, prep = () => {
+          ScaleBench.preTouchWarehouseTables(spark, Seq(
+            s"${ScaleBench.benchTablePrefix("ivf", times)}_cents",
+            s"${ScaleBench.benchTablePrefix("ivf", times)}_cells"))
+          true
+        })(noop(ScaleBench.ivfDurable(emb, times))),
         lane("q29_sessionization", reps = 3)(noop(ScaleBench.sessionStats(ev))),
         // q236: interval union sweep — one user-partitioned window +
         // one user-keyed aggregate; should track the q29 lane's slope
@@ -992,6 +1136,10 @@ object Bench {
                   .autoNProbe(probeArgs._1.count().toInt)
                 catch { case t: Throwable =>
                   recordErr(s"x$times.q34_ivf_probe", t); 4 }
+            // re-populate the page cache for the layout the rep reads
+            // (round-16 verdict #1): the x20 builder run's lone
+            // fallback was this lane probing an evicted layout
+            ScaleBench.preTouchDir(layoutPath)
             true
           }
         })(noop(ScaleBench.ivfProbeLayout(
@@ -1019,13 +1167,28 @@ object Bench {
       // remaining lane-reps stop; lanes that got SOME reps still
       // report, lanes with zero reps are recorded below
       var blockShed = false
+      // lanes whose rep slots this loop ACTUALLY suppressed (deadline
+      // or predictive shed) — the skipped_deadline record below reads
+      // this set, never repTimes absence (round-16 advice: a lane whose
+      // prep failed every rep is a fixture failure, not a deadline
+      // shed, and must not be misattributed as one)
+      val shedLanes = scala.collection.mutable.LinkedHashSet[String]()
       for (r <- 0 until maxReps;
            (name, reps, prep, keep, consec, run) <- lanes if r < reps) {
         if (pastDeadline) blockShed = true
+        // per-lane predictive shed: a lane predicted to eat into the
+        // end-of-run reserve skips ITS rep; cheaper lanes after it in
+        // the round still run (blockShed, by contrast, stops all)
+        val predShed = !blockShed &&
+          BenchPolicy.shedPredicted(remainingS, predictFor(s"x$times.$name"))
         // consecutive lanes burn all reps in their round-0 slot
         val runsNow =
-          if (blockShed) 0
+          if (blockShed || predShed) 0
           else if (consec) (if (r == 0) reps else 0) else 1
+        // a consec lane at r>0 with runsNow=0 already ran at r=0 —
+        // only genuinely suppressed slots are recorded
+        if ((blockShed || predShed) && (!consec || r == 0))
+          shedLanes += name
         var i = 0
         while (i < runsNow) {
           i += 1
@@ -1061,12 +1224,11 @@ object Bench {
       // bytes are deterministic). The pagerank trio is the headline
       // user: bucketed-vs-merge bytes is the measured form of "the
       // layout removes the per-round edge exchange".
-      if (blockShed)
-        for ((name, _, _, _, _, _) <- lanes if !repTimes.contains(name))
-          skippedDeadline += s"x$times.$name"
+      for (name <- shedLanes if !repTimes.contains(name))
+        skippedDeadline += s"x$times.$name"
       if (!sys.env.contains("SPARK_GRAFT_SKIP_SCALE_IO"))
         for ((name, _, prep, keep, _, run) <- lanes if succTimes.contains(name))
-          if (pastDeadline) skippedDeadline += s"io.x$times.$name"
+          if (shedUnit(s"x$times.$name")) skippedDeadline += s"io.x$times.$name"
           else if (prep()) {
             val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
             try {
@@ -1165,8 +1327,16 @@ object Bench {
     // retry pass reported full_warehouse at 50.8 s clean where the
     // warm-but-gated rep was 17.7 s. Rep 1 re-warms, rep 2 is the
     // steady sample; min-over-clean then reports the warm number.
+    // Admission (round-16 advice, the medium item): the reserve is a
+    // TRUE hold-back inside the budget — a retry runs only while the
+    // remaining budget still covers it (retryAllowed), and never when
+    // the key's own predicted cost exceeds what remains (the 118 s
+    // interfered-ingest rep must not start at remaining=95 s). An
+    // operator who sets SPARK_GRAFT_BENCH_BUDGET_S at their driver's
+    // kill window now gets a run that finishes inside it.
     for (k <- retryCandidates; _ <- 1 to 2;
-         if remainingS > -BenchPolicy.RetryReserveS) {
+         if BenchPolicy.retryAllowed(remainingS) &&
+           !predictFor(k).exists(_ > remainingS)) {
       retriedKeys += k
       if (ingestRetryable.contains(k)) {
         try ingestRep(k)(ingestRetryable(k).apply())
@@ -1323,7 +1493,8 @@ object Bench {
     // 10-rep steady-state minimums beside the min-of-5 series (round-14
     // verdict #6): round-over-round comparisons cite these for the
     // sub-second queries instead of re-litigating sampling noise
-    val steadyJson = obj(steady.map { case (k, v) => kvNum(k, v, 3) })
+    val steadyJson =
+      obj((steady ++ servedSteady).map { case (k, v) => kvNum(k, v, 3) })
     val ioJson = obj(shuffleMb.map { case (k, v) => kvNum(k, v, 2) })
     val errJson = obj(errors.map { case (k, v) => kvStr(k, v) })
     val repsJson = obj(repLog.map { case (k, v) =>

@@ -21,18 +21,76 @@ object BenchPolicy {
     * quiet-host full program measured 3050 s wall in round 16, with
     * the last ~80 s the x20 io passes): the budget sheds the
     * expendable tail instead of letting the driver's timeout lose the
-    * whole artifact. Worst-case overrun past the budget is one lane
-    * rep + the retry pass + shutdown (~250 s), still ~200 s under the
-    * kill window. */
+    * whole artifact. Since round 17 the retry pass runs INSIDE the
+    * budget (see [[retryAllowed]]) and units shed pre-emptively on
+    * predicted cost (see [[shedPredicted]]), so worst-case overrun
+    * past the budget is one mispredicted in-flight rep + shutdown
+    * quiesce — the kill-window margin is ~450 s, not ~200. */
   val DefaultBudgetS: Double = 3150.0
 
   /** Seconds held back from the work budget for end-of-run accounting:
     * the fallback retry pass, the untimed io passes' cleanup, JSON
-    * assembly and the shutdown quiesce must always fit. */
+    * assembly and the shutdown quiesce must always fit. A TRUE reserve
+    * INSIDE the budget (round-16 advice): retries are admitted only
+    * while at least this much budget remains, so an operator who sets
+    * SPARK_GRAFT_BENCH_BUDGET_S at their driver's actual kill window
+    * gets a run that finishes inside it — the reserve never EXTENDS
+    * the budget. */
   val RetryReserveS: Double = 90.0
 
   /** A unit of work past the deadline is shed (skip-and-record). */
   def shed(remainingS: Double): Boolean = remainingS <= 0
+
+  /** End-of-run retry admission (round-16 advice, the medium item):
+    * a retry rep runs only while the remaining budget still covers the
+    * reserve — the reserve is held back FROM the work budget, so the
+    * run's total stays at or under budget + one in-flight rep instead
+    * of budget + reserve + one rep. */
+  def retryAllowed(remainingS: Double,
+                   reserveS: Double = RetryReserveS): Boolean =
+    remainingS > reserveS
+
+  /** Predicted cost of one lane rep from the PREVIOUS run's recorded
+    * reps for the same key (BENCH_DETAIL `reps`), falling back to this
+    * run's own first-rep observation. Max-of-reps, not min: shedding
+    * protects the reserve, so the conservative estimate is the one
+    * that errs toward shedding. None = no evidence either way. */
+  def predictedCostS(prevReps: Seq[Double],
+                     observedReps: Seq[Double]): Option[Double] = {
+    val basis = if (prevReps.nonEmpty) prevReps else observedReps
+    basis.maxOption
+  }
+
+  /** Pre-emptive shed-before-start (round-16 verdict #3): a unit whose
+    * PREDICTED cost would eat into the end-of-run reserve is shed
+    * before it runs — today's shed-at-zero admits a unit at
+    * remaining=1s and a 50s rep then burns half the reserve. No
+    * prediction (None) degrades to the plain deadline check: shedding
+    * on absent evidence would starve every first rep. */
+  def shedPredicted(remainingS: Double, predictedS: Option[Double],
+                    reserveS: Double = RetryReserveS): Boolean =
+    shed(remainingS) ||
+      predictedS.exists(p => p > remainingS - reserveS)
+
+  /** Simulate a priority-ordered unit trace `(key, predicted, actual)`
+    * against a budget with the predictive shed: returns (ran, shed,
+    * elapsed). The spec plants a trace where a long unit near the
+    * budget edge is shed BEFORE starting — where the shed-at-zero
+    * policy would run it and overrun into the reserve. */
+  def simulateShedding(units: Seq[(String, Option[Double], Double)],
+                       budgetS: Double,
+                       reserveS: Double = RetryReserveS)
+      : (Seq[String], Seq[String], Double) = {
+    var elapsed = 0.0
+    val ran = Seq.newBuilder[String]
+    val shedKeys = Seq.newBuilder[String]
+    units.foreach { case (key, predicted, actual) =>
+      if (shedPredicted(budgetS - elapsed, predicted, reserveS))
+        shedKeys += key
+      else { ran += key; elapsed += actual }
+    }
+    (ran.result(), shedKeys.result(), elapsed)
+  }
 
   /** Consecutive-gated-rep counter fold: ext_cores above the threshold
     * extends the streak, a quiet rep resets it, and a rep with NO

@@ -679,4 +679,37 @@ object ScaleBench {
       // region otherwise
       nProbe = if (nProbe > 0) nProbe
         else Similarity.autoNProbe(centroids.count().toInt))
+
+  /** Sequentially read every byte under `path` into a scratch buffer —
+    * re-populating the OS page cache for an on-disk layout a timed rep
+    * is about to read (round-16 verdict #1: the durable-IVF lanes were
+    * the last >5x raw rep spread on the board — a rep whose layout
+    * files were evicted by the ~28 heavy lanes between round-major
+    * slots measured 6.9x its warm sibling; the lane should measure the
+    * PROBE, not the host's eviction history). Driver-side, in lane
+    * prep, always OFF the clock. A few hundred MB at bench scale; a
+    * real deployment's analog is storage-tier read-ahead / cache
+    * pinning, not part of query latency either. */
+  def preTouchDir(path: String): Unit = {
+    def walk(f: java.io.File): Unit =
+      if (f.isFile) {
+        val buf = new Array[Byte](1 << 20)
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () }
+        catch { case _: Throwable => () }
+        finally in.close()
+      } else Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+    try walk(new java.io.File(path)) catch { case _: Throwable => () }
+  }
+
+  /** [[preTouchDir]] over warehouse TABLE directories (the durable
+    * lanes' bucketed index tables). Missing dirs are skipped — the
+    * first rep has nothing to warm. */
+  def preTouchWarehouseTables(spark: SparkSession,
+                              tables: Seq[String]): Unit = {
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    tables.foreach(t => preTouchDir(
+      new java.io.File(wh, t.toLowerCase(java.util.Locale.ROOT)).getPath))
+  }
 }

@@ -235,6 +235,26 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The q22 pipeline's DEPLOYMENT-shape split, for the bench's
+    * `q22_served` steady lane (round-16 verdict #2): the headline q22
+    * lane pays the full shingle-index build per rep; a deployed
+    * pipeline publishes the index once ([[minhashLshServedPrep]],
+    * untimed) and serves every subsequent dedup pass off the pinned
+    * catalog version ([[minhashLshServed]], the timed steady shape).
+    * Identical operating point (n=3, 12 hashes, 4 bands, j≥0.5, md5
+    * lane) so served-vs-build is a like-for-like cost split; NOT a
+    * registry key — the 311-query surface stays frozen. */
+  def minhashLshServedPrep(spark: SparkSession, dir: String,
+                           family: String): Int =
+    Dedup.lshIndexGetOrPublish(spark,
+      Tables.documents(spark, dir), "doc_id", "text", family,
+      fp = Graph.dirFingerprint(s"$dir/documents.parquet"), n = 3)
+
+  def minhashLshServed(spark: SparkSession, family: String,
+                       version: Int): DataFrame =
+    Dedup.minhashLshPairsFromCatalog(spark, family, numHashes = NumHashes,
+      bands = Bands, threshold = 0.5, version = version)
+
   // Twin on the PRODUCTION hash lane (seeded xxhash64 family, no md5
   // anywhere). The signatures aren't cross-engine reproducible, but the
   // OUTPUT is oracle-checkable anyway: every emitted jaccard is the

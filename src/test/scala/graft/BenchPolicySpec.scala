@@ -60,4 +60,57 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.spreadTrendSeverity(violated = true,
       hostLoud = false) === "error")
   }
+
+  test("retry admission: the reserve is held back FROM the budget, never added") {
+    // round-16 advice (medium): the old gate admitted retries until
+    // elapsed exceeded budget + reserve. The reserve is now inside.
+    assert(BenchPolicy.retryAllowed(remainingS = 91.0))
+    assert(!BenchPolicy.retryAllowed(remainingS = 90.0))
+    assert(!BenchPolicy.retryAllowed(remainingS = 10.0))
+    assert(!BenchPolicy.retryAllowed(remainingS = -5.0))
+  }
+
+  test("predicted cost: previous run's reps first, own observation fallback, max") {
+    // max-of-reps, not min: shedding protects the reserve, so the
+    // conservative estimate is the one that errs toward shedding
+    assert(BenchPolicy.predictedCostS(Seq(1.0, 50.8, 17.7),
+      Seq(2.0)) === Some(50.8))
+    assert(BenchPolicy.predictedCostS(Seq.empty, Seq(2.0, 3.5)) === Some(3.5))
+    assert(BenchPolicy.predictedCostS(Seq.empty, Seq.empty) === None)
+  }
+
+  test("predictive shed: a unit predicted to eat the reserve sheds before start") {
+    // remaining 100 s, reserve 90: a predicted-50 s unit would finish
+    // at remaining 50 — inside the reserve — so it sheds BEFORE
+    // running (the old shed-at-zero would have run it)
+    assert(BenchPolicy.shedPredicted(100.0, Some(50.0), reserveS = 90.0))
+    assert(!BenchPolicy.shed(100.0)) // ...which the plain check admits
+    // comfortably-fitting unit runs
+    assert(!BenchPolicy.shedPredicted(200.0, Some(50.0), reserveS = 90.0))
+    // no prediction degrades to the plain deadline check
+    assert(!BenchPolicy.shedPredicted(1.0, None, reserveS = 90.0))
+    assert(BenchPolicy.shedPredicted(0.0, None, reserveS = 90.0))
+  }
+
+  test("planted cost trace: predictive shed prevents the overrun the old policy allowed") {
+    // The r16 shape: budget 200 s, reserve 90. Three units — a fast
+    // lane, a 118 s interfered-ingest rep predicted from last run's
+    // detail, another fast lane. Under shed-at-zero the 118 s unit
+    // starts at remaining 190 and finishes at 72 — eating 80% of the
+    // reserve; predictively it is shed before start and the cheap
+    // lane after it still runs.
+    val units = Seq(
+      ("q1", Some(5.0), 5.0),
+      ("ingest_stage_raw_read", Some(118.0), 118.0),
+      ("q3", Some(4.0), 4.0))
+    val (ran, shed, elapsed) =
+      BenchPolicy.simulateShedding(units, budgetS = 200.0, reserveS = 90.0)
+    assert(ran === Seq("q1", "q3"))
+    assert(shed === Seq("ingest_stage_raw_read"))
+    assert(elapsed === 9.0)
+    // with room for everything, nothing sheds
+    val (ranAll, shedNone, _) =
+      BenchPolicy.simulateShedding(units, budgetS = 500.0, reserveS = 90.0)
+    assert(ranAll.size === 3 && shedNone.isEmpty)
+  }
 }
