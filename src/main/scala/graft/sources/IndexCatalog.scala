@@ -316,16 +316,31 @@ object IndexCatalog {
       throw new IllegalStateException(
         s"index family $family has no published version"))
 
+  /** [[vacuum]]'s full result: what was reclaimed, plus whether the
+    * ORPHAN pass was suppressed this round and why (round-16 verdict
+    * #7: the fail-closed skip was correct but invisible — a deployment
+    * at the family cap, or with a permanently corrupt sibling
+    * manifest, never learned its orphans were accumulating). */
+  final case class VacuumReport(dropped: Seq[String],
+                                orphanSweepSuppressed: Boolean,
+                                suppressedReason: String)
+
   /** Reclaim old versions: drop every version that is NOT current, NOT
     * in the newest `keep` versions, and older than `graceMs` — plus
     * any `graft_idx_<family>_v*` table directory the manifest does not
-    * reference at all (crashed builds). Returns the dropped tables. */
+    * reference at all (crashed builds). Returns the dropped tables;
+    * [[vacuumReport]] additionally reports a suppressed orphan pass. */
   def vacuum(spark: SparkSession, family: String, keep: Int = 2,
-             graceMs: Long = 30L * 60 * 1000): Seq[String] = {
+             graceMs: Long = 30L * 60 * 1000): Seq[String] =
+    vacuumReport(spark, family, keep, graceMs).dropped
+
+  def vacuumReport(spark: SparkSession, family: String, keep: Int = 2,
+                   graceMs: Long = 30L * 60 * 1000): VacuumReport = {
     val lock = mintLocks.computeIfAbsent(family, _ => new Object)
     lock.synchronized {
       val mOpt = readManifest(spark, family)
-      if (mOpt.isEmpty) return Seq.empty
+      if (mOpt.isEmpty)
+        return VacuumReport(Seq.empty, orphanSweepSuppressed = false, "")
       val m = mOpt.get
       val cutoff = System.currentTimeMillis() - graceMs
       val keepVs = m.versions.map(_.v).sorted.takeRight(math.max(1, keep))
@@ -373,7 +388,17 @@ object IndexCatalog {
       }
       if (dead.nonEmpty)
         writeManifest(spark, family, Manifest(m.current, live))
-      droppedTables ++ orphans
+      val reason =
+        if (!claims.uncertain) ""
+        else if (claims.overCap)
+          s"family count exceeds ownership-scan cap $MaxOwnershipScanFamilies"
+        else "unreadable sibling manifest(s): " +
+          claims.unreadable.mkString(",")
+      if (claims.uncertain)
+        System.err.println(s"[graft] vacuum($family): orphan pass " +
+          s"SUPPRESSED (fail-closed) — $reason; manifest-referenced " +
+          "dead versions were still reclaimed")
+      VacuumReport(droppedTables ++ orphans, claims.uncertain, reason)
     }
   }
 
@@ -434,8 +459,14 @@ object IndexCatalog {
   }
 
   /** Drop a whole family — manifest, every referenced table, every
-    * orphan dir (spec teardown / decommission). */
-  def dropFamily(spark: SparkSession, family: String): Unit = {
+    * orphan dir (spec teardown / decommission). Returns true when the
+    * drop is COMPLETE (manifest deleted); false when sibling-manifest
+    * uncertainty suppressed the version-dir sweep — the manifest is
+    * then KEPT (round-16 advice: deleting it while dirs survive made
+    * the leak permanent, because a manifest-less family has nothing
+    * for vacuum or a dropFamily retry to read), so calling dropFamily
+    * again after the sibling heals reclaims everything. */
+  def dropFamily(spark: SparkSession, family: String): Boolean = {
     // same grammar tableName/mint enforce — an unvalidated family here
     // would be interpolated into the regex below, where a metachar
     // (e.g. `.`) silently matches nothing or too much
@@ -469,14 +500,36 @@ object IndexCatalog {
       Option(warehouseDir(spark).listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val isMyManifest = myManifest.pattern.matcher(f.getName).matches()
+          // a manifest TEMP (`...manifest.txt.tmp_pid<N>`) is always
+          // sweepable — it is this family's, and never the retry
+          // handle; the LIVE manifest and the version dirs sweep only
+          // when sibling claims are certain
+          val isMyManifestTemp = isMyManifest && !f.getName.endsWith(".txt")
           exact.pattern.matcher(f.getName).matches() &&
             !others(f.getName) &&
-            (isMyManifest ||
+            (isMyManifestTemp ||
+              (!claims.uncertain && isMyManifest) ||
               (!claims.uncertain && !f.getName.contains("_manifest.txt")))
         }
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-      manifestFile(spark, family).delete()
-      ()
+      if (claims.uncertain) {
+        // KEEP the manifest: with it gone, the surviving version dirs
+        // have no owner — vacuum(family) early-returns on a missing
+        // manifest and the leak is permanent. Kept, the family is
+        // visibly half-dropped (probes fail on the dropped tables) and
+        // a later dropFamily/vacuum after the sibling heals reclaims.
+        System.err.println(s"[graft] dropFamily($family): version-dir " +
+          "sweep SUPPRESSED (fail-closed) — " +
+          (if (claims.overCap)
+            s"family count exceeds ownership-scan cap $MaxOwnershipScanFamilies"
+          else "unreadable sibling manifest(s): " +
+            claims.unreadable.mkString(",")) +
+          "; manifest KEPT — re-run dropFamily after the sibling heals")
+        false
+      } else {
+        manifestFile(spark, family).delete()
+        true
+      }
     }
   }
 }

@@ -380,6 +380,52 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("suppressed orphan pass is telemetry, not silence: vacuumReport " +
+      "records it and dropFamily keeps the manifest as the retry handle") {
+    val fam = "spec_fc2_" + math.abs(this.hashCode())
+    val sib = fam + "_sibling"
+    IndexCatalog.dropFamily(spark, fam)
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val corrupt = new java.io.File(wh, s"graft_idx_${sib}_manifest.txt")
+    try {
+      val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      Similarity.srpIndexPublish(emb, fam)
+      val orphan = IndexCatalog.tableName(fam, 99, "vecs")
+      emb.limit(1).write.mode("overwrite").saveAsTable(orphan)
+      val orphanDir = new java.io.File(wh,
+        orphan.toLowerCase(java.util.Locale.ROOT))
+      java.nio.file.Files.write(corrupt.toPath,
+        "not a manifest   garbage".getBytes)
+      // round-16 verdict #7: the fail-closed skip must be VISIBLE
+      val rep = IndexCatalog.vacuumReport(spark, fam, keep = 1, graceMs = 0)
+      assert(rep.orphanSweepSuppressed,
+        "a suppressed orphan pass must be reported, not silent")
+      assert(rep.suppressedReason.contains(sib),
+        "the reason names the unreadable sibling")
+      // round-16 advice: dropFamily under uncertainty keeps the
+      // manifest — deleting it while version dirs survive made the
+      // leak permanent (manifest-less families have nothing for a
+      // retry to read)
+      assert(!IndexCatalog.dropFamily(spark, fam),
+        "incomplete drop must report false")
+      assert(IndexCatalog.currentVersion(spark, fam).nonEmpty,
+        "manifest kept as the retry handle")
+      assert(orphanDir.exists(), "uncertain ownership: dir survives")
+      // sibling heals: the RETRY completes the drop and reclaims
+      corrupt.delete()
+      assert(IndexCatalog.dropFamily(spark, fam), "retry completes")
+      assert(IndexCatalog.currentVersion(spark, fam).isEmpty)
+      assert(!orphanDir.exists(), "the leak is reclaimed by the retry")
+      // healthy-path report: nothing suppressed
+      val clean = IndexCatalog.vacuumReport(spark, fam)
+      assert(!clean.orphanSweepSuppressed && clean.suppressedReason.isEmpty)
+    } finally {
+      corrupt.delete()
+      IndexCatalog.dropFamily(spark, fam)
+    }
+  }
+
   test("manifest publish is atomic and tolerant: a torn temp file never " +
       "shadows the published state") {
     val fam = "spec_atom_" + math.abs(this.hashCode())
