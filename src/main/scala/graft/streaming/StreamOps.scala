@@ -86,14 +86,33 @@ object StreamOps {
     * back to a full count when nothing listable exists — including
     * non-local URIs, which the java.io walk cannot list (never on the
     * registry/bench paths, whose sources are local parquet dirs). */
+  /** Why the last [[estimateRows]] call degraded to a FULL count (None
+    * = the anchor path worked). The degradation is correct fallback
+    * behavior, but silent it looks identical to the O(1) estimate
+    * (round-16 verdict #6: a permanently unreadable corpus — a
+    * non-local URI the java.io walk can't list — paid an O(corpus)
+    * count every call with nothing in any log); the WARN line plus
+    * this recorded reason make it observable and spec-assertable. */
+  @volatile var lastEstimateFallback: Option[String] = None
+
   def estimateRows(spark: SparkSession, path: String): Long = {
     def walk(d: java.io.File): Seq[java.io.File] =
       if (d.isFile) {
         if (d.getName.endsWith(".parquet")) Seq(d) else Seq.empty
       } else Option(d.listFiles()).getOrElse(Array.empty).toSeq
         .filterNot(_.getName.startsWith("_")).flatMap(walk)
+    def fullCount(reason: String): Long = {
+      lastEstimateFallback = Some(reason)
+      System.err.println(s"[graft] estimateRows($path): falling back " +
+        s"to a FULL count — $reason; a corpus this walk can never list " +
+        "pays O(corpus) on every call (use a listable store or the " +
+        "state-progress anchor for continuous deployments)")
+      spark.read.parquet(path).count()
+    }
+    lastEstimateFallback = None
     val files = walk(new java.io.File(path))
-    if (files.isEmpty) spark.read.parquet(path).count()
+    if (files.isEmpty)
+      fullCount("no listable .parquet files (empty dir or non-local URI)")
     else {
       // largest first (ties broken by path for determinism); try up to
       // 3 candidates so an empty row-group anchor never scales
@@ -109,8 +128,9 @@ object StreamOps {
           val totalBytes = files.map(_.length()).sum
           math.max(1L,
             math.round(anchorRows.toDouble * totalBytes / anchorBytes))
-        case None => // every sampled anchor empty: count the corpus
-          spark.read.parquet(path).count()
+        case None =>
+          fullCount(s"every sampled anchor empty or unreadable " +
+            s"(${candidates.size} tried)")
       }
     }
   }

@@ -105,6 +105,18 @@ class StreamNearDupSpec extends SparkSpec {
     val estWithEmpty = StreamOps.estimateRows(spark, s"$dir/docs")
     assert(estWithEmpty > exact / 2 && estWithEmpty < exact * 2,
       s"empty-file anchor skipped: estimate $estWithEmpty vs exact $exact")
+    // the anchor path worked: no fallback recorded
+    assert(StreamOps.lastEstimateFallback.isEmpty,
+      "successful anchor estimate must not record a fallback")
+    // round-16 verdict #6: the full-count degradation must be
+    // OBSERVABLE — an all-empty corpus (no non-empty anchor) and an
+    // unlistable path both record their reason beside the WARN line
+    Tables.documents(spark, sf).select("doc_id", "text").limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/allempty")
+    assert(StreamOps.estimateRows(spark, s"$dir/allempty") === 0L)
+    assert(StreamOps.lastEstimateFallback.exists(_.contains("anchor")),
+      s"all-empty corpus must record the anchor-exhausted fallback, " +
+        s"got ${StreamOps.lastEstimateFallback}")
   }
 
   test("progress-based store sizing: the continuous-deployment estimator " +
