@@ -49,6 +49,33 @@ object ReferenceSchemas {
     StructField("code_modele_couleur_actuel", StringType),
     StructField("signature_product", BooleanType)))
 
+  /** Opt-in TYPED `heure` (round-16 verdict #5, probed 2026-08-16):
+    * Spark 4.1 DOES ship `TimeType` (SPARK-51162), but gated behind
+    * the experimental `spark.sql.timeType.enabled` flag, default
+    * FALSE — with the flag on, `CAST(heure AS TIME)`, comparisons,
+    * `HOUR()` extraction and the parquet round-trip all work
+    * (verified on this build: `time(6)` typeof, values byte-stable
+    * through parquet); with it off every TIME expression throws
+    * UNSUPPORTED_TIME_TYPE. Decision: the DEFAULT representation
+    * stays the validated HH:mm:ss string (+ derived timestamp) of
+    * SURVEY §7.4 — an experimental default-off type must not sit
+    * under the frozen 311-query oracle surface, no reference query
+    * touches `heure`, and zero-padded HH:mm:ss strings already order
+    * identically to the typed values (TimeTypeSpec pins that law).
+    * Sessions that opt into the flag get a true time-of-day column
+    * here; revisit the default when the flag graduates. */
+  def withTypedHeure(df: org.apache.spark.sql.DataFrame,
+                     timeCol: String = "heure",
+                     out: String = "heure_time"): org.apache.spark.sql.DataFrame = {
+    require(df.sparkSession.conf.getOption("spark.sql.timeType.enabled")
+        .exists(_.toBoolean),
+      "TIME is experimental in this Spark build: set " +
+        "spark.sql.timeType.enabled=true to derive a typed heure " +
+        "(the default string lane needs no flag)")
+    df.withColumn(out,
+      org.apache.spark.sql.functions.expr(s"CAST($timeCol AS TIME)"))
+  }
+
   /** Raw CSV header order for a full transactions file (FIXTURES.md §1). */
   val transactionsCsvHeader: Seq[String] = Seq(
     "Point_de_Vente", "Numero_TPV", "Numero_Transaction", "Date_Transaction",
