@@ -21,10 +21,10 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 rm -rf "$WORK"; mkdir -p "$WORK"
 echo "launching two concurrent Verify sessions over $SF ..."
 # 16 threads each so the two JVMs genuinely overlap on a 32-core host
-SPARK_GRAFT_CPUS=16 java -cp "$CP" -Xmx12g $OPENS graft.Verify "$SF" "$WORK/a" \
+SPARK_GRAFT_CPUS=16 java -cp "$CP" -Xmx${GRAFT_VERIFY_MEM:-12g} $OPENS graft.Verify "$SF" "$WORK/a" \
   >"$WORK/a.log" 2>&1 &
 PA=$!
-SPARK_GRAFT_CPUS=16 java -cp "$CP" -Xmx12g $OPENS graft.Verify "$SF" "$WORK/b" \
+SPARK_GRAFT_CPUS=16 java -cp "$CP" -Xmx${GRAFT_VERIFY_MEM:-12g} $OPENS graft.Verify "$SF" "$WORK/b" \
   >"$WORK/b.log" 2>&1 &
 PB=$!
 wait $PA; RA=$?
