@@ -114,25 +114,14 @@ object Bench {
     // last run's max rep for the key, falling back to this run's own
     // observed reps — would land inside the reserve. The reps object
     // holds only arrays, so the first `}` after `"reps":{` closes it.
-    // A detail file from a DIFFERENT sf is ignored wholesale: sf0.1
-    // rep times predict nothing about an sf0.01 run (10x off in
-    // either direction — premature shed or useless admission).
+    // A detail file from a DIFFERENT sf is ignored wholesale (see
+    // BenchPolicy.parseDetailReps — the sf-match rule and the parse
+    // grammar are spec'd there as a pure function).
     val prevDetailReps: Map[String, Seq[Double]] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"${sys.props("user.dir")}/BENCH_DETAIL.json")))
-        val sfMatches = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        val i = txt.indexOf("\"reps\":{")
-        if (i < 0 || !sfMatches) Map.empty
-        else {
-          val body = txt.substring(i + 8, txt.indexOf('}', i))
-          """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
-            m.group(1) -> m.group(2).split(",").toSeq
-              .flatMap(_.trim.toDoubleOption)
-          }.toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+      try BenchPolicy.parseDetailReps(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          s"${sys.props("user.dir")}/BENCH_DETAIL.json"))), sfDir)
+      catch { case _: Throwable => Map.empty }
 
     // Failed entries, keyed like their timing entries ("q22_minhash_lsh",
     // "x10.q34_ivf_probe"). First failure wins per key; the message is

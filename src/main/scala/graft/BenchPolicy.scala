@@ -72,6 +72,30 @@ object BenchPolicy {
     shed(remainingS) ||
       predictedS.exists(p => p > remainingS - reserveS)
 
+  /** Parse the previous run's per-key rep durations out of a
+    * BENCH_DETAIL.json text — the predictive-shed cost model's input.
+    * Returns empty when the file records a DIFFERENT sf than `sfDir`:
+    * sf0.1 rep times predict nothing about an sf0.01 run (10x off in
+    * either direction — premature shed or useless admission). The
+    * `reps` object holds only arrays, so the first `}` after
+    * `"reps":{` closes it; a malformed file parses to empty, never
+    * throws. */
+  def parseDetailReps(detailJson: String,
+                      sfDir: String): Map[String, Seq[Double]] =
+    try {
+      val sfMatches = """"sf":"([^"]+)"""".r.findFirstMatchIn(detailJson)
+        .exists(_.group(1) == sfDir)
+      val i = detailJson.indexOf("\"reps\":{")
+      if (i < 0 || !sfMatches) Map.empty
+      else {
+        val body = detailJson.substring(i + 8, detailJson.indexOf('}', i))
+        """"([^"]+)":\[([^\]]*)\]""".r.findAllMatchIn(body).map { m =>
+          m.group(1) -> m.group(2).split(",").toSeq
+            .flatMap(_.trim.toDoubleOption)
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Simulate a priority-ordered unit trace `(key, predicted, actual)`
     * against a budget with the predictive shed: returns (ran, shed,
     * elapsed). The spec plants a trace where a long unit near the

@@ -92,6 +92,22 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(BenchPolicy.shedPredicted(0.0, None, reserveS = 90.0))
   }
 
+  test("detail-reps parse: keys and values extracted, wrong-sf and garbage ignored") {
+    val detail = """{"metric":"total","value":6.9,"unit":"sec",""" +
+      """"reps":{"q1_total_margin_2m":[0.522,0.541],""" +
+      """"x10.q34_ivf_durable":[2.922,1.675,1.502]},""" +
+      """"load_gate":{},"sf":"/root/testdata/sf0.1"}"""
+    val m = BenchPolicy.parseDetailReps(detail, "/root/testdata/sf0.1")
+    assert(m("q1_total_margin_2m") === Seq(0.522, 0.541))
+    assert(m("x10.q34_ivf_durable") === Seq(2.922, 1.675, 1.502))
+    // a detail from a different sf predicts nothing: ignored wholesale
+    assert(BenchPolicy.parseDetailReps(detail,
+      "/root/testdata/sf0.01") === Map.empty)
+    // malformed input parses to empty, never throws
+    assert(BenchPolicy.parseDetailReps("not json at all", "x") === Map.empty)
+    assert(BenchPolicy.parseDetailReps("", "x") === Map.empty)
+  }
+
   test("planted cost trace: predictive shed prevents the overrun the old policy allowed") {
     // The r16 shape: budget 200 s, reserve 90. Three units — a fast
     // lane, a 118 s interfered-ingest rep predicted from last run's
