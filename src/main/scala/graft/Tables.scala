@@ -61,6 +61,40 @@ object Tables {
     }
   }
 
+  /** Fan a small/few-split scan out across the session's cores
+    * (optimization guide §2.5 — "input skew: one huge unsplittable
+    * file ... repartition immediately after the read"). The sf*
+    * testdata tables are single parquet files with ONE row group, so a
+    * scan — and the whole projection/partial-aggregation stage
+    * pipelined above it — runs as a single task no matter how many
+    * cores the session has; measured on the sf0.1 headline block, the
+    * scan stage was the serial bottleneck of q3/q4/q5/q17/q20.
+    *
+    * When the planned scan has fewer partitions than
+    * `defaultParallelism`, one shuffle of the (projected) input spreads
+    * the per-row work across every core: hash-partitioned on `keys`
+    * when given (choose the downstream aggregation keys so the
+    * exchange also satisfies the aggregate's distribution and no second
+    * full-size exchange is planned), round-robin otherwise. When the
+    * input already has enough splits — any real warehouse table — this
+    * is the identity: no exchange is added, so at 100 TB it never
+    * shuffles. The gate also tracks the core count, so the driver's
+    * lower-core bench runs fan out to proportionally fewer partitions.
+    *
+    * Contract: call on a freshly scanned/projected frame (the
+    * partition probe plans the frame; anything with an exchange below
+    * would be eagerly materialized by AQE), and project FIRST so the
+    * one shuffle carries only the needed columns (guide §2.3).
+    * Row-level results are unchanged: every caller aggregates with
+    * order-independent functions (counts / exact decimal sums) or
+    * re-sorts explicitly. */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (keys.isEmpty) df.repartition(p)
+    else df.repartition(p, keys: _*)
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

@@ -66,16 +66,32 @@ object Text {
   def stopwordHits(c: Column, lang: String): Column =
     regexp_count(c, lit(stopwords.toMap.apply(lang)))
 
-  /** Heuristic language ID: CJK script wins outright, else argmax of
-    * stopword hit counts with a fixed precedence order for ties. */
-  def langId(c: Column): Column = {
-    val s = stopwords.map { case (l, _) => l -> stopwordHits(c, l) }.toMap
-    when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
-      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
-      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
-      .when(s("fr") >= s("es"), "fr")
+  /** The langId decision tree over ALREADY-COMPUTED signals: CJK script
+    * wins outright, else argmax of stopword hit counts with a fixed
+    * precedence order for ties. Factored out so callers on a hot path
+    * can materialize each count ONCE in a prior projection and feed
+    * bound columns here: inlining `stopwordHits` directly into this
+    * CASE mentions each regex up to three times, and Catalyst does not
+    * eliminate common subtrees inside one projection (the plan showed
+    * 13 regexp_extract_all calls per row; the two-projection form runs
+    * 4 regexp_counts + 1 rlike). */
+  def langIdFrom(cjkHit: Column, en: Column, de: Column,
+                 fr: Column, es: Column): Column =
+    when(cjkHit, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
       .otherwise("es")
-  }
+
+  /** Heuristic language ID as a single Column (convenience form — the
+    * optimizer may evaluate each count several times; see
+    * [[langIdFrom]] for the hot-path split). `rlike` replaces the old
+    * `regexp_count(..) > 0` CJK gate: same predicate, but the matcher
+    * stops at the first hit instead of materializing every match. */
+  def langId(c: Column): Column =
+    langIdFrom(c.rlike(cjkPattern),
+      stopwordHits(c, "en"), stopwordHits(c, "de"),
+      stopwordHits(c, "fr"), stopwordHits(c, "es"))
 
   // --- quality scoring -------------------------------------------------
 

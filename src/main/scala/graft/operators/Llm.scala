@@ -20,9 +20,28 @@ object Llm {
       |sz AS (SELECT doc_id, COUNT(*) AS szn FROM sh GROUP BY 1)""".stripMargin
 
   // ---- q17: language ID (n-gram/stopword heuristic) ------------------
+  // Two-projection form of Text.langId: each stopword regex_count runs
+  // ONCE per document (the inlined CASE mentioned each count up to 3x
+  // and Catalyst does no common-subtree elimination within one
+  // projection — the before-plan carried 13 regexp_extract_all calls
+  // per row, the after-plan carries 4 + one first-match rlike), and the
+  // fan-out spreads the regex scan across every core instead of the
+  // single task the one-row-group testdata file plans to. The second
+  // select references each count column more than once, so
+  // CollapseProject keeps the projections separate (non-cheap aliases
+  // with multiple references are never inlined). Same predicted labels,
+  // same counts — q17's oracle is unchanged.
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("lang"), Text.langId(col("text")).as("predicted"))
+    Tables.fanOut(Tables.documents(spark, dir).select("lang", "text"))
+      .select(col("lang"),
+        col("text").rlike(Text.cjkPattern).as("cjk"),
+        Text.stopwordHits(col("text"), "en").as("s_en"),
+        Text.stopwordHits(col("text"), "de").as("s_de"),
+        Text.stopwordHits(col("text"), "fr").as("s_fr"),
+        Text.stopwordHits(col("text"), "es").as("s_es"))
+      .select(col("lang"),
+        Text.langIdFrom(col("cjk"), col("s_en"), col("s_de"),
+          col("s_fr"), col("s_es")).as("predicted"))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
@@ -79,6 +98,11 @@ object Llm {
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
   // ---- q20: exact dedup (hash-groupBy) -------------------------------
+  // Round-17 measurement: a text-keyed Tables.fanOut before the md5
+  // projection REGRESSED this lane (QProbe min 0.531 s vs 0.295 s
+  // baseline) — at this corpus size the extra exchange + stage barrier
+  // costs more than the single-task md5 pass it parallelizes, so the
+  // direct form stays.
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
       .agg(

@@ -131,9 +131,19 @@ object Retail {
       |      BETWEEN ((SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem) - INTERVAL 60 DAY)
       |          AND  (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)""".stripMargin
 
-  /** revenue_split_per_day.sql */
+  /** revenue_split_per_day.sql. Projected to the three needed columns,
+    * then fanned out (Tables.fanOut) keyed on the grouping expression:
+    * the single-row-group testdata scan otherwise runs the whole
+    * scan+cast+decimal-sum partial aggregate as ONE task, and keying
+    * the fan-out on cast(l_shipdate AS DATE) makes the one exchange
+    * also satisfy the aggregation's distribution — no second full-size
+    * exchange. Results unchanged (exact decimal sum is
+    * order-independent by design). */
   def revenuePerDay(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.fanOut(
+        Tables.lineitem(spark, dir)
+          .select("l_shipdate", "l_extendedprice", "l_discount"),
+        col("l_shipdate").cast("date"))
       .groupBy(col("l_shipdate").cast("date").as("sale_date"))
       .agg(dsum(revenue).as("total_revenue"))
       .orderBy("sale_date")
@@ -147,7 +157,12 @@ object Retail {
   /** top_10_products_units_sold.sql — TakeOrderedAndProject top-k; the
     * l_partkey tiebreaker makes the cut deterministic under ties. */
   def top10Products(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // project + fan out keyed on the group key (see revenuePerDay):
+    // parallelizes the single-split scan stage, and the exchange
+    // doubles as the aggregation's distribution
+    Tables.fanOut(
+        Tables.lineitem(spark, dir).select("l_partkey", "l_quantity"),
+        col("l_partkey"))
       .groupBy("l_partkey")
       .agg(dsum(col("l_quantity")).as("total_units_sold"))
       .orderBy(desc("total_units_sold"), asc("l_partkey"))
@@ -162,7 +177,14 @@ object Retail {
   /** number_transactions_per_store.sql — COUNT + COUNT(DISTINCT) side by
     * side (Catalyst plans the expand + two-phase HashAggregate). */
   def transactionsPerStore(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // project + fan out keyed on the distinct-aggregate's first-phase
+    // keys (l_suppkey, l_orderkey): the one exchange parallelizes the
+    // single-split scan AND satisfies the dedup aggregate's
+    // distribution, so Catalyst's 4-phase count-distinct plan loses its
+    // full-size mid-plan exchange
+    Tables.fanOut(
+        Tables.lineitem(spark, dir).select("l_suppkey", "l_orderkey"),
+        col("l_suppkey"), col("l_orderkey"))
       .groupBy("l_suppkey")
       .agg(
         countDistinct(col("l_orderkey")).as("number_distinct_of_transactions"),
