@@ -138,7 +138,15 @@ object Retail {
     * the fan-out on cast(l_shipdate AS DATE) makes the one exchange
     * also satisfy the aggregation's distribution — no second full-size
     * exchange. Results unchanged (exact decimal sum is
-    * order-independent by design). */
+    * order-independent by design).
+    *
+    * The presentation ORDER BY is a single-partition sort, not a range
+    * sort: a range exchange determines its bounds by SAMPLING its
+    * child, which re-runs the whole fanned-out aggregation a second
+    * time (measured: the sort job cost as much as the agg job).
+    * The output is bounded at one row per calendar day, so one sorted
+    * partition is the right shape at every scale factor; the total
+    * order is identical. */
   def revenuePerDay(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(
         Tables.lineitem(spark, dir)
@@ -146,7 +154,8 @@ object Retail {
         col("l_shipdate").cast("date"))
       .groupBy(col("l_shipdate").cast("date").as("sale_date"))
       .agg(dsum(revenue).as("total_revenue"))
-      .orderBy("sale_date")
+      .repartition(1)
+      .sortWithinPartitions("sale_date")
 
   val revenuePerDaySql: String =
     """SELECT CAST(l_shipdate AS DATE) AS sale_date,
